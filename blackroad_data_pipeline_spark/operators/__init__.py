@@ -1,0 +1,9 @@
+"""Operator registry: name -> (df, config, views) -> df.
+
+This registry replaces the reference's if/elif transform dispatch
+(reference main.py:159-178) and *is* the extension surface the
+reference lacks — registering a new operator is one decorator away.
+"""
+
+from .registry import OPERATORS, apply_operator, register  # noqa: F401
+from . import relational  # noqa: F401  (registers core ops on import)

@@ -1,0 +1,369 @@
+"""Core relational operators.
+
+Parity surface with the reference transforms (reference
+main.py:159-291: filter, map, aggregate, join, sort, deduplicate,
+select, rename, plus the implicit union-all at main.py:437-442),
+re-expressed as declarative DataFrame plans so Catalyst can push
+filters to the scan, prune columns, and pick join strategies.
+
+Decided divergences from the reference's quirks (SURVEY.md §7.4) —
+we are SQL-sane, matching the ANSI/DuckDB oracle:
+
+- ``map int/float`` uses ``try_cast`` → NULL on failure (the
+  reference silently keeps the original value, main.py:219-222 —
+  inexpressible with fixed column types).
+- ``aggregate`` over an all-NULL group yields NULL (the reference
+  emits ``0`` for sum and omits the column for avg/max/min,
+  main.py:241-247 — ragged rows don't exist in Spark).
+- ``join`` is a real relational join (1:N). The reference collapses
+  the right side so the last duplicate wins (main.py:256); that 1:1
+  mode is available via ``dedupe_right`` but needs an explicit
+  ``right_order_by`` at scale, where "input order" is not free.
+- ``sort`` is a total order via Spark's range-partitioned sort
+  exchange; ties are arbitrary across partitions unless the sort key
+  is total (the reference's Timsort was stable, main.py:268).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+
+# --------------------------------------------------------------------------
+# filter — reference main.py:180-203
+# --------------------------------------------------------------------------
+
+_COMPARATORS = {
+    "eq": lambda c, v: c == v,
+    "ne": lambda c, v: c != v,
+    "gt": lambda c, v: c > v,
+    "lt": lambda c, v: c < v,
+    "ge": lambda c, v: c >= v,
+    "le": lambda c, v: c <= v,
+}
+
+
+def _coerced_column(col: Column, value) -> Column:
+    """Mirror the reference's coerce-row-value-to-literal-type rule
+    (``type(value)(v)``, reference main.py:188) as an explicit cast,
+    which Catalyst folds into the scan's pushed filter."""
+    if isinstance(value, bool):
+        return col.cast("boolean")
+    if isinstance(value, int):
+        return col.cast("long")
+    if isinstance(value, float):
+        return col.cast("double")
+    if isinstance(value, str):
+        return col.cast("string")
+    return col
+
+
+@register("filter")
+def op_filter(df: DataFrame, config: Mapping, views) -> DataFrame:
+    field = config["field"]
+    op = config.get("op", "eq")
+    value = config.get("value")
+    col = F.col(field)
+    if op in _COMPARATORS:
+        return df.filter(_COMPARATORS[op](_coerced_column(col, value), F.lit(value)))
+    if op == "contains":
+        return df.filter(col.cast("string").contains(str(value)))
+    if op == "in":
+        return df.filter(col.isin(list(value)))
+    if op == "between":
+        lo, hi = value
+        return df.filter(col.between(lo, hi))
+    if op == "notnull":
+        # reference treats "" as null too (main.py:201)
+        c = col.isNotNull()
+        if dict(df.dtypes).get(field) == "string":
+            c = c & (col != F.lit(""))
+        return df.filter(c)
+    if op == "isnull":
+        return df.filter(col.isNull())
+    raise ValueError(f"unknown filter op: {op!r}")
+
+
+# --------------------------------------------------------------------------
+# map — reference main.py:205-224
+# --------------------------------------------------------------------------
+
+_MAP_OPS = {
+    "str": lambda c: c.cast("string"),
+    # int truncates toward zero (Python int() semantics for numerics);
+    # non-numeric strings -> NULL (decided divergence, SURVEY.md §7.4.1)
+    "int": lambda c: c.try_cast("double").cast("long"),
+    "float": lambda c: c.try_cast("double"),
+    "upper": lambda c: F.upper(c.cast("string")),
+    "lower": lambda c: F.lower(c.cast("string")),
+    "strip": lambda c: F.trim(c.cast("string")),
+    "abs": lambda c: F.abs(c),
+    "round": lambda c: F.round(c, 0),
+}
+
+
+@register("map")
+def op_map(df: DataFrame, config: Mapping, views) -> DataFrame:
+    field = config["field"]
+    operation = config.get("operation", "str")
+    if operation not in _MAP_OPS:
+        raise ValueError(f"unknown map operation: {operation!r}")
+    target = config.get("as", field)
+    return df.withColumn(target, _MAP_OPS[operation](F.col(field)))
+
+
+# --------------------------------------------------------------------------
+# aggregate — reference main.py:226-249
+# --------------------------------------------------------------------------
+
+
+def _agg_expr(field: str, fn: str, alias: str | None = None) -> Column:
+    """One aggregate. ``count`` counts rows including NULL agg-field
+    values (reference ``len(rows)``, main.py:239); numeric fns coerce
+    to double (reference float(), main.py:241-247). Output column is
+    ``{field}_{fn}`` (reference main.py:239-247)."""
+    name = alias or f"{field}_{fn}"
+    col = F.col(field)
+    if fn == "count":
+        return F.count(F.lit(1)).alias(name)
+    if fn == "count_distinct":
+        return F.countDistinct(col).alias(name)
+    if fn == "approx_count_distinct":
+        return F.approx_count_distinct(col).alias(name)
+    if fn in ("sum", "avg"):
+        # Sum in exact decimal then cast back to double: bit-for-bit
+        # deterministic under any partitioning / AQE re-plan (double
+        # addition is order-sensitive; decimal is not). The cast goes
+        # through string because decimal->string->double is correctly
+        # rounded in every engine, while direct decimal->double isn't
+        # (DuckDB computes int128/10^scale in floating point).
+        dec = F.sum(col.cast("decimal(38,10)")).cast("string").cast("double")
+        if fn == "avg":
+            return (dec / F.count(col)).alias(name)
+        return dec.alias(name)
+    if fn in ("max", "min"):
+        return getattr(F, fn)(col.cast("double")).alias(name)
+    if fn in ("first", "last"):
+        return getattr(F, fn)(col, ignorenulls=True).alias(name)
+    if fn == "stddev":
+        return F.stddev(col.cast("double")).alias(name)
+    if fn == "collect_set":
+        return F.collect_set(col).alias(name)
+    raise ValueError(f"unknown aggregate function: {fn!r}")
+
+
+@register("aggregate")
+def op_aggregate(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Group-by + aggregates. Reference supports exactly one aggregate
+    per node (main.py:226-249); we additionally accept a list under
+    ``aggregates`` (multi-agg is one shuffle either way — Spark's
+    HashAggregate does partial map-side combine, so this scales where
+    the reference's buffer-all-rows-per-group dict could not)."""
+    group_by = list(config.get("group_by", []))
+    specs = config.get("aggregates")
+    if specs is None:
+        specs = [{"field": config["field"], "function": config.get("function", "count")}]
+    exprs = [_agg_expr(s["field"], s.get("function", "count"), s.get("alias")) for s in specs]
+    if group_by:
+        return df.groupBy(*group_by).agg(*exprs)
+    return df.agg(*exprs)
+
+
+# --------------------------------------------------------------------------
+# join — reference main.py:251-263
+# --------------------------------------------------------------------------
+
+
+@register("join")
+def op_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Equi join against another source (by view name) or DataFrame.
+
+    Right columns get a configurable prefix (reference hard-codes
+    ``r_``, main.py:261). ``how`` extends the reference's inner-only
+    join to the full Spark join family. ``broadcast=True`` hints the
+    right side (dimension tables); otherwise AQE decides.
+
+    ``dedupe_right='first'|'last'`` reproduces the reference's
+    collapse-right-to-dict 1:1 semantics (main.py:256, last wins);
+    it requires ``right_order_by`` for a deterministic pick — at
+    100 TB there is no ambient "input order" to fall back on.
+    """
+    right = config["right"]
+    if isinstance(right, str):
+        right_df = views[right]
+    else:
+        right_df = right
+    left_key = config.get("left_key", "id")
+    right_key = config.get("right_key", "id")
+    how = config.get("how", "inner")
+    prefix = config.get("prefix", "r_")
+
+    dedupe = config.get("dedupe_right")
+    if dedupe in ("first", "last"):
+        order_cols = config.get("right_order_by")
+        if order_cols:
+            ordering = [F.col(c) for c in order_cols]
+        else:
+            ordering = [F.monotonically_increasing_id()]
+        if dedupe == "last":
+            ordering = [c.desc() for c in ordering]
+        w = Window.partitionBy(right_key).orderBy(*ordering)
+        right_df = (
+            right_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    right_df = right_df.select([F.col(c).alias(f"{prefix}{c}") for c in right_df.columns])
+    if config.get("broadcast"):
+        right_df = F.broadcast(right_df)
+    cond = F.col(left_key) == F.col(f"{prefix}{right_key}")
+    return df.join(right_df, cond, how)
+
+
+# --------------------------------------------------------------------------
+# sort — reference main.py:265-268
+# --------------------------------------------------------------------------
+
+
+@register("sort")
+def op_sort(df: DataFrame, config: Mapping, views) -> DataFrame:
+    fields = config.get("fields") or [config["field"]]
+    desc = config.get("descending", False)
+    cols = [F.col(f).desc() if desc else F.col(f).asc() for f in fields]
+    return df.orderBy(*cols)
+
+
+@register("limit")
+def op_limit(df: DataFrame, config: Mapping, views) -> DataFrame:
+    return df.limit(int(config["n"]))
+
+
+# --------------------------------------------------------------------------
+# deduplicate — reference main.py:270-279
+# --------------------------------------------------------------------------
+
+
+@register("deduplicate")
+def op_deduplicate(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Row dedup by key columns.
+
+    ``keep='any'`` (default) → ``dropDuplicates``: a hash aggregate
+    with map-side partial combine — the scale path (one shuffle on the
+    keys, no window sort). ``keep='first'|'last'`` with ``order_by``
+    gives the reference's deterministic keep-first (main.py:272-279)
+    via a row_number window — one shuffle plus a per-key sort.
+    """
+    keys = list(config.get("keys") or [])
+    if not keys:
+        keys = df.columns
+    keep = config.get("keep", "any")
+    if keep == "any":
+        return df.dropDuplicates(keys)
+    order_cols = config.get("order_by")
+    if order_cols:
+        ordering = [F.col(c) for c in order_cols]
+    else:
+        ordering = [F.monotonically_increasing_id()]
+    if keep == "last":
+        ordering = [c.desc() for c in ordering]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# select / rename — reference main.py:281-291
+# --------------------------------------------------------------------------
+
+
+@register("select")
+def op_select(df: DataFrame, config: Mapping, views) -> DataFrame:
+    # reference silently drops fields a row lacks (main.py:283);
+    # with a fixed schema that's "keep the listed columns that exist".
+    fields = [f for f in config["fields"] if f in df.columns]
+    return df.select(*fields)
+
+
+@register("rename")
+def op_rename(df: DataFrame, config: Mapping, views) -> DataFrame:
+    mapping = {k: v for k, v in config["mapping"].items() if k in df.columns}
+    return df.withColumnsRenamed(mapping)
+
+
+# --------------------------------------------------------------------------
+# union — reference main.py:437-442 (implicit union-all of all sources)
+# --------------------------------------------------------------------------
+
+
+@register("union")
+def op_union(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Union-all with schema alignment by name; absent columns become
+    NULL (the Spark shape of the reference's ragged concatenation)."""
+    others = [views[name] if isinstance(name, str) else name for name in config["others"]]
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), others, df)
+    if config.get("distinct"):
+        out = out.dropDuplicates()
+    return out
+
+
+# --------------------------------------------------------------------------
+# window — absent from the reference (SURVEY.md §2.5); first-class here
+# --------------------------------------------------------------------------
+
+_WINDOW_FNS = {
+    "row_number": lambda c: F.row_number(),
+    "rank": lambda c: F.rank(),
+    "dense_rank": lambda c: F.dense_rank(),
+    "lag": lambda c: F.lag(c),
+    "lead": lambda c: F.lead(c),
+    "sum": lambda c: F.sum(c),
+    "avg": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "count": lambda c: F.count(c),
+}
+
+
+@register("window")
+def op_window(df: DataFrame, config: Mapping, views) -> DataFrame:
+    fn = config["function"]
+    if fn not in _WINDOW_FNS:
+        raise ValueError(f"unknown window function: {fn!r}")
+    w = Window.partitionBy(*config.get("partition_by", []))
+    order_by = config.get("order_by")
+    if order_by:
+        cols = [F.col(c).desc() if config.get("descending") else F.col(c) for c in order_by]
+        w = w.orderBy(*cols)
+    frame = config.get("frame")
+    if frame == "running":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    field = config.get("field")
+    expr = _WINDOW_FNS[fn](F.col(field) if field else None)
+    alias = config.get("alias", f"{field or 'w'}_{fn}")
+    return df.withColumn(alias, expr.over(w))
+
+
+@register("topk_per_group")
+def op_topk_per_group(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Top-K rows per group by an order column — the canonical
+    window pattern; Spark 3.5+ plans rank<=k as a partial top-k
+    (WindowGroupLimit) before the shuffle, so it scales."""
+    keys = list(config["partition_by"])
+    order = config["order_by"]
+    k = int(config.get("k", 1))
+    cols = [F.col(c).desc() if config.get("descending", True) else F.col(c) for c in order]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+One place to configure the session so tests, the CLI, bench.py and the
+driver harness all run with the same scale-aware defaults:
+
+- AQE on (runtime re-planning, skew-join handling, partition
+  coalescing) — at 100 TB the static plan is never right;
+- shuffle partitions sized to the machine for local runs (the 200
+  default over-parallelizes tiny local data and under-parallelizes a
+  real cluster — production deployments should set
+  ``spark.sql.shuffle.partitions`` / rely on AQE);
+- UTC session timezone so timestamp semantics match ANSI engines
+  (and the DuckDB correctness oracle);
+- Arrow enabled for any Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "blackroad_data_pipeline_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if
+    unset). On a real cluster, pass ``master=None`` with
+    ``SPARK_GRAFT_MASTER`` unset and let spark-submit supply it.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    cores = os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
