@@ -1,0 +1,75 @@
+"""Benchmark harness — headline queries vs BASELINE.md.
+
+Runs the three baseline-comparable pipelines (filter_agg, join,
+dedup_sort — exactly the reference pipelines measured in BASELINE.md)
+plus the wider queries() surface at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on a warm local[$SPARK_GRAFT_CPUS] session, and
+prints ONE JSON line.
+
+Execution is measured with a noop write (full computation, no driver
+collect), best of N_RUNS warm runs per query — BASELINE.md's gate is
+"within 2x of the reference at sf0.1 on a warm session".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+from blackroad_data_pipeline_spark.session import get_spark
+
+N_RUNS = 3
+
+
+def q_dedup_sort(spark, sf_dir):
+    """BASELINE.md dedup_sort: lineitem dedup(l_orderkey) -> sort desc -> select."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = op("deduplicate", li, {"keys": ["l_orderkey"], "keep": "first",
+                                "order_by": ["l_linenumber", "l_partkey", "l_suppkey"]})
+    df = op("sort", df, {"fields": ["l_extendedprice", "l_orderkey"], "descending": True})
+    return op("select", df, {"fields": ["l_orderkey", "l_linenumber", "l_extendedprice"]})
+
+
+def run_once(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # warm the JVM / codegen / file-listing paths
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    bench_queries = dict(entry_mod.queries())
+    bench_queries["dedup_sort"] = q_dedup_sort
+
+    headline = ("filter_agg", "join", "dedup_sort")
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        best = float("inf")
+        for _ in range(N_RUNS):
+            best = min(best, run_once(fn(spark, sf_dir)))
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings[q] for q in headline), 4)
+    print(json.dumps({
+        "metric": "headline_sec_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
