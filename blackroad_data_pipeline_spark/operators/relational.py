@@ -222,7 +222,9 @@ def op_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     right_df = right_df.select([F.col(c).alias(f"{prefix}{c}") for c in right_df.columns])
     if config.get("broadcast"):
         right_df = F.broadcast(right_df)
-    cond = F.col(left_key) == F.col(f"{prefix}{right_key}")
+    # reference the two sides' attributes directly so the condition stays
+    # unambiguous even when prefix="" leaves identical column names
+    cond = df[left_key] == right_df[f"{prefix}{right_key}"]
     return df.join(right_df, cond, how)
 
 

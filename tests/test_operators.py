@@ -1,0 +1,265 @@
+"""Per-operator unit tests on tiny inline DataFrames.
+
+Mirrors the reference's unit-test shape (test_data_pipeline.py:14-50)
+but asserts collected row values, not just counts — and covers the
+operators the reference left untested (join, select, rename, the
+filter op family, sinks are covered in test_service.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+
+
+def rows(df, *cols):
+    out = df if not cols else df.select(*cols)
+    return [tuple(r) for r in out.collect()]
+
+
+# -- filter ----------------------------------------------------------------
+
+
+def test_filter_eq(employees):
+    got = rows(op("filter", employees, {"field": "dept", "op": "eq", "value": "eng"}), "name")
+    assert sorted(got) == [("Alice",), ("Bob",)]
+
+
+def test_filter_numeric_coercion(employees):
+    # int literal vs string column: coerce column to the literal's type
+    # (reference type(value)(v) rule, main.py:188)
+    got = rows(op("filter", employees, {"field": "age", "op": "gt", "value": 28}), "name")
+    assert sorted(got) == [("Alice",), ("Carol",)]
+
+
+def test_filter_string_comparison_is_lexicographic(employees):
+    # string literal "28" → lexicographic: "25" < "28" < "30" < "35"
+    got = rows(op("filter", employees, {"field": "age", "op": "gt", "value": "28"}), "name")
+    assert sorted(got) == [("Alice",), ("Carol",)]
+
+
+def test_filter_ne_lt_contains(employees):
+    assert len(rows(op("filter", employees, {"field": "dept", "op": "ne", "value": "eng"}))) == 1
+    assert len(rows(op("filter", employees, {"field": "age", "op": "lt", "value": 30}))) == 1
+    got = rows(op("filter", employees, {"field": "name", "op": "contains", "value": "li"}), "name")
+    assert got == [("Alice",)]
+
+
+def test_filter_notnull_excludes_empty_string(spark):
+    df = spark.createDataFrame([("a",), ("",), (None,)], ["v"])
+    got = rows(op("filter", df, {"field": "v", "op": "notnull"}))
+    assert got == [("a",)]
+
+
+def test_filter_in_between(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    assert len(rows(op("filter", df, {"field": "v", "op": "in", "value": [1, 5]}))) == 2
+    assert len(rows(op("filter", df, {"field": "v", "op": "between", "value": [3, 6]}))) == 4
+
+
+def test_filter_unknown_op_raises(employees):
+    with pytest.raises(ValueError, match="unknown filter op"):
+        op("filter", employees, {"field": "age", "op": "zz", "value": 1})
+
+
+# -- map -------------------------------------------------------------------
+
+
+def test_map_upper_lower_strip(spark):
+    df = spark.createDataFrame([("  Ab ",)], ["v"])
+    assert rows(op("map", df, {"field": "v", "operation": "upper"}))[0] == ("  AB ",)
+    assert rows(op("map", df, {"field": "v", "operation": "lower"}))[0] == ("  ab ",)
+    assert rows(op("map", df, {"field": "v", "operation": "strip"}))[0] == ("Ab",)
+
+
+def test_map_int_cast_failure_is_null(spark):
+    # decided divergence (SURVEY.md §7.4.1): reference keeps "abc"; we NULL
+    df = spark.createDataFrame([("30",), ("abc",), ("-10.7",)], ["v"])
+    got = rows(op("map", df, {"field": "v", "operation": "int"}))
+    assert got == [(30,), (None,), (-10,)]
+
+
+def test_map_float_and_target_column(employees):
+    got = rows(op("map", employees, {"field": "age", "operation": "float", "as": "age_f"}),
+               "name", "age_f")
+    assert ("Alice", 30.0) in got
+
+
+def test_map_unknown_operation_raises(employees):
+    with pytest.raises(ValueError, match="unknown map operation"):
+        op("map", employees, {"field": "age", "operation": "zz"})
+
+
+# -- aggregate ---------------------------------------------------------------
+
+
+def test_aggregate_count_groupby(employees):
+    got = rows(op("aggregate", employees, {"group_by": ["dept"], "field": "age",
+                                           "function": "count"}))
+    assert sorted(got) == [("eng", 2), ("pm", 1)]
+
+
+def test_aggregate_count_includes_nulls(spark):
+    # reference counts rows, not non-null values (len(rows), main.py:239)
+    df = spark.createDataFrame([("a", 1), ("a", None), ("b", 2)], ["k", "v"])
+    got = rows(op("aggregate", df, {"group_by": ["k"], "field": "v", "function": "count"}))
+    assert sorted(got) == [("a", 2), ("b", 1)]
+
+
+def test_aggregate_sum_avg_min_max(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], ["k", "v"])
+    got = rows(op("aggregate", df, {"group_by": ["k"], "aggregates": [
+        {"field": "v", "function": "sum"},
+        {"field": "v", "function": "avg"},
+        {"field": "v", "function": "min"},
+        {"field": "v", "function": "max"},
+    ]}))
+    assert sorted(got) == [("a", 3.0, 1.5, 1.0, 2.0), ("b", 5.0, 5.0, 5.0, 5.0)]
+    # output naming parity: {field}_{fn} (reference main.py:239-247)
+    df2 = op("aggregate", df, {"group_by": ["k"], "field": "v", "function": "sum"})
+    assert df2.columns == ["k", "v_sum"]
+
+
+def test_aggregate_global(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["v"])
+    got = rows(op("aggregate", df, {"group_by": [], "field": "v", "function": "sum"}))
+    assert got == [(6.0,)]
+
+
+def test_aggregate_all_null_group_is_null(spark):
+    # decided divergence (SURVEY.md §7.4.3): SQL NULL, not ragged omission
+    df = spark.createDataFrame([("a", None), ("a", None)], "k string, v double")
+    got = rows(op("aggregate", df, {"group_by": ["k"], "field": "v", "function": "sum"}))
+    assert got == [("a", None)]
+
+
+# -- join --------------------------------------------------------------------
+
+
+def test_join_inner_prefix(spark):
+    left = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["id", "l"])
+    right = spark.createDataFrame([(1, "A"), (2, "B")], ["id", "r"])
+    df = op("join", left, {"right": right, "left_key": "id", "right_key": "id"})
+    assert df.columns == ["id", "l", "r_id", "r_r"]
+    assert sorted(rows(df, "l", "r_r")) == [("x", "A"), ("y", "B")]
+
+
+def test_join_one_to_n_default(spark):
+    left = spark.createDataFrame([(1, "x")], ["id", "l"])
+    right = spark.createDataFrame([(1, "A"), (1, "B")], ["id", "r"])
+    df = op("join", left, {"right": right})
+    assert df.count() == 2
+
+
+def test_join_dedupe_right_last_wins(spark):
+    # reference 1:1 semantics: right collapsed to dict, last dup wins (main.py:256)
+    left = spark.createDataFrame([(1, "x")], ["id", "l"])
+    right = spark.createDataFrame([(1, "A", 1), (1, "B", 2)], ["id", "r", "seq"])
+    df = op("join", left, {"right": right, "dedupe_right": "last",
+                           "right_order_by": ["seq"]})
+    assert rows(df, "r_r") == [("B",)]
+
+
+def test_join_left_and_anti(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    right = spark.createDataFrame([(1,)], ["id"])
+    assert op("join", left, {"right": right, "how": "left"}).count() == 3
+    got = rows(op("join", left, {"right": right, "how": "left_anti", "prefix": ""}))
+    assert sorted(got) == [(2,), (3,)]
+
+
+def test_join_by_view_name(spark):
+    left = spark.createDataFrame([(1, "x")], ["id", "l"])
+    right = spark.createDataFrame([(1, "A")], ["id", "r"])
+    df = op("join", left, {"right": "dim"}, views={"dim": right})
+    assert df.count() == 1
+
+
+# -- sort / limit / dedup ------------------------------------------------------
+
+
+def test_sort_string_order(employees):
+    # reference asserts "25" sorts first — string ordering (test_data_pipeline.py:41-44)
+    got = rows(op("sort", employees, {"field": "age"}), "age")
+    assert got == [("25",), ("30",), ("35",)]
+
+
+def test_sort_descending_multi(spark):
+    df = spark.createDataFrame([(1, 2), (1, 1), (2, 9)], ["a", "b"])
+    got = rows(op("sort", df, {"fields": ["a", "b"], "descending": True}))
+    assert got == [(2, 9), (1, 2), (1, 1)]
+
+
+def test_limit(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    assert op("limit", df, {"n": 3}).count() == 3
+
+
+def test_dedup_any(employees):
+    df = op("deduplicate", employees, {"keys": ["dept"]})
+    assert df.count() == 2
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 2, "x"), ("a", 1, "y"), ("b", 5, "z")], ["k", "seq", "v"])
+    got = rows(op("deduplicate", df, {"keys": ["k"], "keep": "first",
+                                      "order_by": ["seq"]}), "k", "v")
+    assert sorted(got) == [("a", "y"), ("b", "z")]
+    got = rows(op("deduplicate", df, {"keys": ["k"], "keep": "last",
+                                      "order_by": ["seq"]}), "k", "v")
+    assert sorted(got) == [("a", "x"), ("b", "z")]
+
+
+def test_dedup_default_keys_all_columns(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (1, "b")], ["x", "y"])
+    assert op("deduplicate", df, {}).count() == 2
+
+
+# -- select / rename / union ---------------------------------------------------
+
+
+def test_select_drops_missing_silently(employees):
+    # reference drops fields a row lacks (main.py:283)
+    df = op("select", employees, {"fields": ["name", "nope"]})
+    assert df.columns == ["name"]
+
+
+def test_rename(employees):
+    df = op("rename", employees, {"mapping": {"name": "who", "nope": "x"}})
+    assert df.columns == ["who", "age", "dept"]
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "a_only"])
+    b = spark.createDataFrame([(2, "y")], ["id", "b_only"])
+    df = op("union", a, {"others": [b]})
+    assert sorted(df.columns) == ["a_only", "b_only", "id"]
+    got = {r["id"]: (r["a_only"], r["b_only"]) for r in df.collect()}
+    assert got == {1: ("x", None), 2: (None, "y")}
+
+
+# -- window / topk ---------------------------------------------------------
+
+
+def test_window_row_number_and_running_sum(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)], ["k", "v"])
+    out = op("window", df, {"function": "row_number", "partition_by": ["k"],
+                            "order_by": ["v"], "alias": "rn"})
+    assert sorted(rows(out, "k", "v", "rn")) == [("a", 1.0, 1), ("a", 2.0, 2), ("b", 3.0, 1)]
+    run = op("window", df, {"function": "sum", "field": "v", "partition_by": ["k"],
+                            "order_by": ["v"], "frame": "running", "alias": "rs"})
+    assert sorted(rows(run, "k", "rs")) == [("a", 1.0), ("a", 3.0), ("b", 3.0)]
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame([("a", i) for i in range(5)] + [("b", 9)], ["k", "v"])
+    got = rows(op("topk_per_group", df, {"partition_by": ["k"], "order_by": ["v"],
+                                         "k": 2}), "k", "v")
+    assert sorted(got) == [("a", 3), ("a", 4), ("b", 9)]
+
+
+def test_unknown_operator_raises(employees):
+    with pytest.raises(ValueError, match="unknown transform type"):
+        op("nope", employees, {})
