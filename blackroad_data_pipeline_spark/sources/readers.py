@@ -1,0 +1,140 @@
+"""Source readers: name -> (spark, config) -> DataFrame.
+
+Parity with the reference's source types (csv/json/sqlite/inline,
+reference main.py:106-138) plus the Spark-native scale formats
+(parquet, orc, jsonl, jdbc). Every reader returns a LAZY DataFrame —
+the reference fully materializes ``list(reader)`` (main.py:123);
+here the scan participates in pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+SourceFn = Callable[[SparkSession, Mapping], DataFrame]
+
+SOURCES: dict[str, SourceFn] = {}
+
+
+def register(name: str):
+    def deco(fn: SourceFn) -> SourceFn:
+        SOURCES[name] = fn
+        return fn
+
+    return deco
+
+
+def read_source(spark: SparkSession, source_type: str, config: Mapping) -> DataFrame:
+    try:
+        fn = SOURCES[source_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown source type: {source_type!r} (known: {sorted(SOURCES)})"
+        ) from None
+    return fn(spark, config)
+
+
+@register("parquet")
+def src_parquet(spark: SparkSession, config: Mapping) -> DataFrame:
+    return spark.read.parquet(config["path"])
+
+
+@register("orc")
+def src_orc(spark: SparkSession, config: Mapping) -> DataFrame:
+    return spark.read.orc(config["path"])
+
+
+@register("csv")
+def src_csv(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Header CSV. ``infer_schema=False`` by default: every column
+    arrives as string, mirroring the reference's csv.DictReader typing
+    (main.py:118-123). Set True for typed reads."""
+    reader = (
+        spark.read.option("header", config.get("header", True))
+        .option("sep", config.get("delimiter", ","))
+        .option("inferSchema", bool(config.get("infer_schema", False)))
+    )
+    if config.get("schema"):
+        reader = reader.schema(config["schema"])
+    return reader.csv(config["path"])
+
+
+@register("json")
+def src_json(spark: SparkSession, config: Mapping) -> DataFrame:
+    """A JSON document file: top-level array -> rows, single object ->
+    one row (reference main.py:125-128). multiLine handles the
+    whole-file-array layout; ``lines=True`` switches to JSONL for the
+    splittable, scalable layout."""
+    if config.get("lines"):
+        return spark.read.json(config["path"])
+    return spark.read.option("multiLine", True).json(config["path"])
+
+
+@register("inline")
+def src_inline(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Rows embedded in the source config (reference main.py:113-114)."""
+    data = config["data"]
+    schema = config.get("schema")
+    if schema:
+        return spark.createDataFrame(data, schema=schema)
+    if data and isinstance(data[0], dict):
+        # stable column order: first row's keys, then any stragglers
+        cols = list(data[0].keys())
+        for row in data[1:]:
+            for k in row:
+                if k not in cols:
+                    cols.append(k)
+        rows = [tuple(row.get(c) for c in cols) for row in data]
+        return spark.createDataFrame(rows, cols)
+    return spark.createDataFrame(data)
+
+
+@register("sqlite")
+def src_sqlite(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Read a SQLite table or query (reference main.py:130-138).
+
+    SQLite files are driver-local by nature, so this reads through the
+    stdlib driver and parallelizes afterwards; row sets here are
+    control-plane sized. Cluster-scale relational reads should use the
+    ``jdbc`` source with a partition column instead.
+    """
+    database = config["database"]
+    query = config.get("query") or f"SELECT * FROM {config['table']}"
+    with sqlite3.connect(database) as con:
+        con.row_factory = sqlite3.Row
+        rows = [dict(r) for r in con.execute(query).fetchall()]
+    return src_inline(spark, {"data": rows}) if rows else spark.createDataFrame([], "id string")
+
+
+@register("jdbc")
+def src_jdbc(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Partitioned JDBC scan — the scale path for relational sources.
+    Supply partition_column/num_partitions so executors read in
+    parallel instead of one serialized result set."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", config["url"])
+        .option("dbtable", config.get("table") or f"({config['query']}) q")
+    )
+    for opt in ("user", "password", "driver"):
+        if config.get(opt):
+            reader = reader.option(opt, config[opt])
+    if config.get("partition_column"):
+        reader = (
+            reader.option("partitionColumn", config["partition_column"])
+            .option("lowerBound", config["lower_bound"])
+            .option("upperBound", config["upper_bound"])
+            .option("numPartitions", config.get("num_partitions", 16))
+        )
+    return reader.load()
+
+
+@register("range")
+def src_range(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Synthetic integer range — handy for generators and tests."""
+    return spark.range(config.get("start", 0), config["end"],
+                       config.get("step", 1))

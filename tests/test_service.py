@@ -1,0 +1,170 @@
+"""End-to-end service tests — mirrors the reference's
+TestPipelineService (test_data_pipeline.py:53-96): isolated catalog via
+PIPELINE_DB, inline→stdout run, filter run, CSV→JSON round-trip — and
+goes further by asserting output VALUES, which the reference never did.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import sqlite3
+
+import pytest
+
+from blackroad_data_pipeline_spark.service import PipelineService
+
+
+@pytest.fixture()
+def svc(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("PIPELINE_DB", str(tmp_path / "pipelines.db"))
+    return PipelineService(spark)
+
+
+def test_create_and_list(svc):
+    p = svc.create_pipeline("test", "a test pipeline")
+    assert p.id
+    names = [row["name"] for row in svc.list_pipelines()]
+    assert "test" in names
+
+
+def test_inline_to_stdout_run(svc, capsys):
+    # reference test_data_pipeline.py:64-70
+    p = svc.create_pipeline("inline")
+    svc.add_source(p.id, "nums", "inline", {"data": [{"x": 1}, {"x": 2}]})
+    svc.add_sink(p.id, "stdout")
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "success"
+    assert result["rows_read"] == 2
+    assert result["rows_written"] == 2
+    out = json.loads(capsys.readouterr().out)
+    assert sorted(r["x"] for r in out) == [1, 2]
+
+
+def test_filter_run(svc, tmp_path):
+    # reference test_data_pipeline.py:72-79
+    p = svc.create_pipeline("filtered")
+    data = [{"v": str(i), "keep": str(i % 2 == 0)} for i in range(10)]
+    svc.add_source(p.id, "rows", "inline", {"data": data})
+    svc.add_transform(p.id, "filter", {"field": "keep", "op": "eq", "value": "True"},
+                      order_index=0)
+    out = tmp_path / "out.json"
+    svc.add_sink(p.id, "json", {"path": str(out)})
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "success"
+    assert result["rows_read"] == 10
+    assert result["rows_written"] == 5
+    written = json.loads(out.read_text())
+    assert sorted(r["v"] for r in written) == ["0", "2", "4", "6", "8"]
+
+
+def test_csv_source_json_sink(svc, tmp_path):
+    # reference test_data_pipeline.py:81-90 — plus value assertions
+    src = tmp_path / "in.csv"
+    src.write_text("name,score\nalice,10\nbob,20\n")
+    p = svc.create_pipeline("csvjson")
+    svc.add_source(p.id, "scores", "csv", {"path": str(src)})
+    out = tmp_path / "out.json"
+    svc.add_sink(p.id, "json", {"path": str(out)})
+    assert svc.run_pipeline(p.id)["status"] == "success"
+    rows = json.loads(out.read_text())
+    # csv source: all values strings (reference typing, main.py:118-123)
+    assert sorted(rows, key=lambda r: r["name"]) == [
+        {"name": "alice", "score": "10"}, {"name": "bob", "score": "20"}]
+
+
+def test_multi_source_union_and_views(svc, capsys):
+    # root sources union; non-root sources are join views only
+    p = svc.create_pipeline("join")
+    svc.add_source(p.id, "facts", "inline",
+                   {"data": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]})
+    svc.add_source(p.id, "dims", "inline",
+                   {"data": [{"id": 1, "label": "one"}]}, root=False)
+    svc.add_transform(p.id, "join", {"right": "dims", "left_key": "id",
+                                     "right_key": "id"}, order_index=0)
+    svc.add_sink(p.id, "stdout")
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "success"
+    assert result["rows_read"] == 2  # dims not unioned into the stream
+    out = json.loads(capsys.readouterr().out)
+    assert out == [{"id": 1, "v": "a", "r_id": 1, "r_label": "one"}]
+
+
+def test_transform_order_respected(svc, tmp_path):
+    p = svc.create_pipeline("ordered")
+    svc.add_source(p.id, "rows", "inline",
+                   {"data": [{"v": i} for i in range(10)]})
+    # order 0: filter v >= 5; order 1: limit 2 — reversed would give v in {0,1}
+    svc.add_transform(p.id, "sort", {"field": "v", "descending": True}, order_index=1)
+    svc.add_transform(p.id, "filter", {"field": "v", "op": "ge", "value": 5},
+                      order_index=0)
+    out = tmp_path / "o.json"
+    svc.add_sink(p.id, "json", {"path": str(out)})
+    svc.run_pipeline(p.id)
+    rows = json.loads(out.read_text())
+    assert [r["v"] for r in rows] == [9, 8, 7, 6, 5]
+
+
+def test_failed_run_recorded(svc):
+    p = svc.create_pipeline("bad")
+    svc.add_source(p.id, "rows", "inline", {"data": [{"x": 1}]})
+    svc.add_transform(p.id, "filter", {"field": "nope", "op": "eq", "value": 1},
+                      order_index=0)
+    svc.add_sink(p.id, "stdout")
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "failed"
+    assert result["error"]
+    runs = svc.list_runs(p.id)
+    assert runs[0]["status"] == "failed"
+
+
+def test_sqlite_roundtrip(svc, tmp_path):
+    # sqlite source (reference main.py:130-138) and sink (main.py:326-341)
+    db_in = tmp_path / "in.db"
+    with sqlite3.connect(db_in) as con:
+        con.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+        con.executemany("INSERT INTO t VALUES (?,?)", [(1, "a"), (2, "b")])
+        con.commit()
+    p = svc.create_pipeline("sqlite")
+    svc.add_source(p.id, "t", "sqlite", {"database": str(db_in), "table": "t"})
+    db_out = tmp_path / "out.db"
+    svc.add_sink(p.id, "sqlite", {"database": str(db_out), "table": "result"})
+    assert svc.run_pipeline(p.id)["status"] == "success"
+    with sqlite3.connect(db_out) as con:
+        rows = con.execute("SELECT * FROM result ORDER BY id").fetchall()
+    # sink stores all columns as TEXT (reference main.py:333-334)
+    assert rows == [("1", "a"), ("2", "b")]
+
+
+def test_csv_sink_single_file(svc, tmp_path, spark):
+    p = svc.create_pipeline("csvout")
+    svc.add_source(p.id, "rows", "inline",
+                   {"data": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]})
+    out = tmp_path / "out_csv"
+    svc.add_sink(p.id, "csv", {"path": str(out), "single_file": True})
+    assert svc.run_pipeline(p.id)["status"] == "success"
+    parts = list(out.glob("part-*.csv"))
+    assert len(parts) == 1
+    with open(parts[0]) as f:
+        got = sorted(csv.DictReader(f), key=lambda r: r["a"])
+    assert got == [{"a": "1", "b": "x"}, {"a": "2", "b": "y"}]
+
+
+def test_parquet_sink_partitioned(svc, tmp_path):
+    p = svc.create_pipeline("pq")
+    svc.add_source(p.id, "rows", "inline",
+                   {"data": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]})
+    out = tmp_path / "out_pq"
+    svc.add_sink(p.id, "parquet", {"path": str(out), "partition_by": ["k"]})
+    assert svc.run_pipeline(p.id)["status"] == "success"
+    assert (out / "k=a").exists() and (out / "k=b").exists()
+
+
+def test_validate_schema(svc):
+    p = svc.create_pipeline("val")
+    s = svc.add_source(p.id, "rows", "inline",
+                       {"data": [{"a": 1, "b": "x"}]})
+    result = svc.validate_schema(s.id)
+    assert result["valid"] and result["rows"] == 1
+    assert result["schema"]["a"] == ["bigint"]
+    assert result["schema"]["b"] == ["string"]
