@@ -15,13 +15,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import blackroad_data_pipeline_spark.llmops  # noqa: F401  (registers extension ops)
+import blackroad_data_pipeline_spark.streaming  # noqa: F401  (registers event-time ops)
 from blackroad_data_pipeline_spark.operators import apply_operator as op
 
 SF001 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — arrives as epoch-ns
+        # long (legacy nanosAsLong); convert to a real timestamp
+        from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
+
+        df = nanos_to_timestamp(df, "ts")
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -313,6 +322,292 @@ QUALIFY bal_rank <= 3
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline extensions (SURVEY.md §2.6) — documents / embeddings tables
+# --------------------------------------------------------------------------
+
+# shared SQL fragments for the DuckDB oracle (token/shingle definitions
+# matching blackroad_data_pipeline_spark.llmops.text exactly)
+_D_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_D_TOKS_LOWER = f"list_transform({_D_TOKS}, x -> lower(x))"
+_EN = "['the','and','of','to','in','is','that','it','for','with']"
+_ES = "['el','la','de','que','los','las','una','por','con','para']"
+_FR = "['le','la','les','des','est','une','dans','pour','que','sur']"
+_DE = "['der','die','das','und','ist','ein','eine','mit','von','auf']"
+
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("text_stats", d, {"field": "text"})
+    return op("select", df, {"fields": ["doc_id", "n_chars_calc", "n_tokens",
+                                        "avg_token_len", "punct_ratio", "upper_ratio"]})
+
+
+_SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_calc,
+       len({_D_TOKS}) AS n_tokens,
+       CASE WHEN len({_D_TOKS}) > 0 THEN
+         CAST(list_sum(list_transform({_D_TOKS}, x -> length(x))) AS DOUBLE) / len({_D_TOKS})
+       END AS avg_token_len,
+       CASE WHEN LENGTH(text) > 0 THEN
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / LENGTH(text)
+       END AS punct_ratio,
+       CASE WHEN LENGTH(text) > 0 THEN
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+           / LENGTH(text)
+       END AS upper_ratio
+FROM documents
+"""
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("token_count", d, {"field": "text"})
+    return op("select", df, {"fields": ["doc_id", "ws_tokens", "bpeish_tokens"]})
+
+
+_SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len({_D_TOKS}) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpeish_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("quality_score", d, {"field": "text"})
+    return op("select", df, {"fields": ["doc_id", "quality_score"]})
+
+
+_SQL_QUALITY_SCORE = f"""
+SELECT doc_id,
+       (CASE WHEN len({_D_TOKS}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN LENGTH(text) = 0 THEN 0.0
+               WHEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                    AS DOUBLE) / LENGTH(text) < 0.2 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN len(list_intersect({_D_TOKS_LOWER}, {_EN})) >= 1 THEN 1.0 ELSE 0.0 END
+       ) / 3.0 AS quality_score
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("lang_id", d, {"field": "text"})
+    return op("select", df, {"fields": ["doc_id", "lang", "lang_pred"]})
+
+
+_SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect({_D_TOKS_LOWER}, {_EN})) AS s_en,
+         len(list_intersect({_D_TOKS_LOWER}, {_ES})) AS s_es,
+         len(list_intersect({_D_TOKS_LOWER}, {_FR})) AS s_fr,
+         len(list_intersect({_D_TOKS_LOWER}, {_DE})) AS s_de
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+            WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+            ELSE 'de' END AS lang_pred
+FROM scored
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("fingerprint", d, {"field": "text"})
+    return op("select", df, {"fields": ["doc_id", "fingerprint"]})
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("dedup_exact", d, {"field": "text", "id_field": "doc_id"})
+    return op("select", df, {"fields": ["doc_id", "lang", "source", "n_chars"]})
+
+
+_SQL_DEDUP_EXACT = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return op("ngram_jaccard_join", d,
+              {"field": "text", "id_field": "doc_id",
+               "shingle_size": 5, "threshold": 0.8})
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN len({_D_TOKS}) >= 5 THEN
+           list_distinct(list_transform(
+             range(1, len({_D_TOKS}) - 3),
+             i -> array_to_string(({_D_TOKS})[i:i+4], ' ')))
+         ELSE [array_to_string({_D_TOKS}, ' ')] END AS sh
+  FROM documents),
+sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+inverted AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inverted a JOIN inverted b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+"""
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return op("ann_bruteforce", e, {"probe_id": 0, "k": 10})
+
+
+_SQL_ANN_BRUTEFORCE = """
+WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  list_sum(list_transform(list_zip(embedding, pe),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+  AS cos_sim
+FROM embeddings, p
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("attach_binary", d, {"field": "text", "media_type": "text/plain"})
+    df = df.select("doc_id",
+                   F.col("media_meta.n_bytes").alias("n_bytes"),
+                   F.col("media_meta.sha256").alias("sha256"))
+    return df
+
+
+_SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# event-time operators (streaming-capable; batch-checked here) — events table
+# --------------------------------------------------------------------------
+
+
+def q_events_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    df = op("windowed_agg", e, {
+        "ts_field": "ts", "window": "1 hour", "group_by": ["event_type"],
+        "aggregates": [
+            {"field": "event_id", "function": "count", "alias": "n_events"},
+            {"field": "value", "function": "sum", "alias": "sum_value"},
+        ]})
+    return op("sort", df, {"fields": ["window_start", "event_type"]})
+
+
+_SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    df = op("sessionize", e, {"ts_field": "ts", "key": "user_id",
+                              "gap_seconds": 600, "tiebreak": ["event_id"]})
+    return op("select", df, {"fields": ["event_id", "user_id", "session_id"]})
+
+
+_SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+         epoch_ns(ts) // 1000000000
+           - LAG(epoch_ns(ts) // 1000000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+seqs AS (
+  SELECT event_id, user_id,
+         SUM(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps)
+SELECT event_id, user_id,
+       CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id
+FROM seqs
+"""
+
+
+# rows-only extension queries (hash-based candidates — not SQL-expressible)
+
+
+def q_near_dup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return op("near_dup_minhash", d,
+              {"field": "text", "id_field": "doc_id", "shingle_size": 5,
+               "bands": 8, "rows_per_band": 4, "threshold": 0.8})
+
+
+def q_dedup_near_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("dedup_near_minhash", d,
+            {"field": "text", "id_field": "doc_id", "shingle_size": 5,
+             "bands": 8, "rows_per_band": 4, "threshold": 0.8})
+    return op("select", df, {"fields": ["doc_id", "lang", "source"]})
+
+
+def q_near_dup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return op("near_dup_simhash", d,
+              {"field": "text", "id_field": "doc_id", "max_distance": 3})
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return op("ann_lsh", e, {"probe_id": 0, "k": 10, "dim": 64, "n_planes": 4})
+
+
+def q_similarity_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return op("similarity_join", e,
+              {"threshold": 0.3, "dim": 64, "n_planes": 4})
+
+
+def q_frame_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    df = op("attach_binary", d, {"field": "text"})
+    return op("frame_sample", df, {"n_frames": 4, "id_field": "doc_id"})
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -338,6 +633,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename_union": q_rename_union,
         "topk_per_group": q_topk_per_group,
         "window_rank": q_window_rank,
+        # LLM-pipeline extensions (SURVEY.md §2.6)
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "multimodal_meta": q_multimodal_meta,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        # rows-only (hash-based candidate generation, not SQL-expressible)
+        "near_dup_minhash": q_near_dup_minhash,
+        "dedup_near_minhash": q_dedup_near_minhash,
+        "near_dup_simhash": q_near_dup_simhash,
+        "ann_lsh": q_ann_lsh,
+        "similarity_join": q_similarity_join,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -357,4 +671,15 @@ def oracle_sql() -> dict[str, str]:
         "rename_union": _SQL_RENAME_UNION,
         "topk_per_group": _SQL_TOPK_PER_GROUP,
         "window_rank": _SQL_WINDOW_RANK,
+        "text_stats": _SQL_TEXT_STATS,
+        "token_count": _SQL_TOKEN_COUNT,
+        "quality_score": _SQL_QUALITY_SCORE,
+        "lang_id": _SQL_LANG_ID,
+        "fingerprint": _SQL_FINGERPRINT,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "ann_bruteforce": _SQL_ANN_BRUTEFORCE,
+        "multimodal_meta": _SQL_MULTIMODAL_META,
+        "events_window": _SQL_EVENTS_WINDOW,
+        "sessionize": _SQL_SESSIONIZE,
     }

@@ -1,0 +1,250 @@
+"""Content-level deduplication: exact, MinHash-LSH, SimHash.
+
+Scale design: every variant is one-pass + one shuffle-on-small-keys.
+Candidate generation never cross-joins the corpus — LSH bands (or
+SimHash pieces) hash near-duplicates into the same bucket, the
+self-join runs per-bucket, and only candidates pay the exact
+verification. This is the standard web-scale pipeline (shingle →
+minhash → band → bucket-join → verify) expressed as DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Mapping
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.registry import register
+from .text import tokens_col
+
+
+# --------------------------------------------------------------------------
+# exact dedup — hash-groupBy on a content fingerprint
+# --------------------------------------------------------------------------
+
+
+@register("dedup_exact")
+def op_dedup_exact(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Keep one row per normalized-content fingerprint (the row with
+    the smallest id — deterministic at any partitioning). One shuffle
+    on the md5 key; partial aggregation runs map-side."""
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(field))), r"\s+", " ")
+    fp = F.md5(normalized)
+    keep = (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min(id_field).alias(id_field))
+        .drop("__fp")
+    )
+    return df.join(keep, id_field, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# shingling + MinHash signatures (all JVM-side, codegen'd)
+# --------------------------------------------------------------------------
+
+
+def shingles_col(col: Column, k: int) -> Column:
+    """Distinct k-token shingles of a text column."""
+    toks = tokens_col(col)
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ))).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
+    """num_hashes minhash values; hash family h_i(s) = xxhash64(s, i)
+    (seeding via an appended literal — deterministic everywhere)."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+@register("minhash")
+def op_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
+    field = config.get("field", "text")
+    k = int(config.get("shingle_size", 3))
+    num_hashes = int(config.get("num_hashes", 32))
+    sh = shingles_col(F.col(field), k)
+    return df.withColumn("minhash_sig", minhash_signature(sh, num_hashes))
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-duplicate pairs
+# --------------------------------------------------------------------------
+
+
+@register("near_dup_minhash")
+def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Near-duplicate PAIRS (id_a < id_b, exact jaccard >= threshold).
+
+    banding: signature split into ``bands`` groups of ``rows`` hashes;
+    docs agreeing on any whole band land in one bucket. The self-join
+    shuffles on (band_idx, band_hash) — bucket-sized groups, never the
+    corpus. Exact shingle-set jaccard then verifies candidates, so LSH
+    recall tuning can't create false positives.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("shingle_size", 3))
+    bands = int(config.get("bands", 8))
+    rows = int(config.get("rows_per_band", 4))
+    threshold = float(config.get("threshold", 0.8))
+    num_hashes = bands * rows
+
+    sh = shingles_col(F.col(field), k)
+    docs = df.select(
+        F.col(id_field).alias("__id"), sh.alias("__shingles")
+    ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+
+    band_entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(F.array_join(
+                F.transform(F.slice("__sig", b * rows + 1, rows),
+                            lambda x: x.cast("string")), ",")).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    buckets = docs.select("__id", "__shingles",
+                          F.explode(band_entries).alias("b"))
+    left = buckets.select(F.col("__id").alias("id_a"),
+                          F.col("__shingles").alias("sh_a"), "b")
+    right = buckets.select(F.col("__id").alias("id_b"),
+                           F.col("__shingles").alias("sh_b"), "b")
+    cands = (
+        left.join(right, ["b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register("dedup_near_minhash")
+def op_dedup_near_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Drop every doc that has a near-duplicate with a smaller id —
+    the standard one-pass policy (a greedy approximation of
+    connected-component dedup that needs no iteration)."""
+    id_field = config.get("id_field", "doc_id")
+    pairs = op_near_dup_minhash(df, config, views)
+    losers = pairs.select(F.col("id_b").alias(id_field)).dropDuplicates()
+    return df.join(losers, id_field, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash — 64-bit sketch via a vectorized Pandas UDF
+# --------------------------------------------------------------------------
+
+
+def _simhash64(text: str) -> int:
+    """64-bit Charikar simhash over whitespace tokens; md5-based token
+    hash so the sketch is deterministic across processes (python's
+    builtin hash() is salted per-process — never use it here)."""
+    acc = [0] * 64
+    for tok in text.lower().split():
+        (h,) = struct.unpack("<q", hashlib.md5(tok.encode()).digest()[:8])
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 64) if out >= (1 << 63) else out  # signed long
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(_simhash64)
+
+
+@register("simhash")
+def op_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
+    field = config.get("field", "text")
+    return df.withColumn("simhash", simhash_udf(F.col(field)))
+
+
+@register("near_dup_simhash")
+def op_near_dup_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_distance.
+    Candidates via the 4x16-bit piece trick (two sketches within
+    hamming 3 must agree on at least one 16-bit piece), so the join
+    shuffles on piece values, not the corpus."""
+    id_field = config.get("id_field", "doc_id")
+    max_distance = int(config.get("max_distance", 3))
+    docs = op_simhash(df, config, views).select(
+        F.col(id_field).alias("__id"), "simhash")
+    pieces = F.array(*[
+        F.struct(F.lit(p).alias("piece_idx"),
+                 F.shiftrightunsigned("simhash", p * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("piece_val"))
+        for p in range(4)
+    ])
+    b = docs.select("__id", "simhash", F.explode(pieces).alias("p"))
+    left = b.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"), "p")
+    right = b.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"), "p")
+    return (
+        left.join(right, ["p"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard similarity join (exact, for candidate pairs)
+# --------------------------------------------------------------------------
+
+
+@register("ngram_jaccard_join")
+def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Exact n-gram-set jaccard for all pairs sharing at least one
+    shingle (inverted-index join: explode shingles, join on shingle,
+    count shared / union). Exact but heavier than LSH — use for
+    modest candidate sets or post-LSH verification."""
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("shingle_size", 3))
+    threshold = float(config.get("threshold", 0.5))
+
+    docs = df.select(F.col(id_field).alias("__id"),
+                     shingles_col(F.col(field), k).alias("__sh"))
+    sizes = docs.select("__id", F.size("__sh").alias("__n"))
+    inverted = docs.select("__id", F.explode("__sh").alias("__s"))
+    shared = (
+        inverted.alias("a")
+        .join(inverted.alias("b"), "__s")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        shared
+        .join(sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .withColumn("jaccard",
+                    F.col("__inter").cast("double")
+                    / (F.col("__na") + F.col("__nb") - F.col("__inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

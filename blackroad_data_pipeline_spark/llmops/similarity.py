@@ -1,0 +1,152 @@
+"""Embedding similarity search over array<float> columns.
+
+Baseline: brute-force cosine top-k — one scan, no shuffle (the probe
+broadcasts), exact. Scale path: LSH bucketing via signed random
+hyperplanes — candidates shuffle on bucket ids, so the pairwise work
+is per-bucket, then exact cosine re-ranks. Hyperplanes are generated
+from a fixed seed on the driver and broadcast inside the (Arrow-
+vectorized) Pandas UDF closure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.registry import register
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Exact cosine similarity between two array<float> columns,
+    computed element-sequentially in double (deterministic — float
+    reduction order never varies with partitioning)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+@register("ann_bruteforce")
+def op_ann_bruteforce(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Exact top-k nearest neighbors of a probe vector by cosine.
+
+    The probe (one row) broadcasts; the scan stays a single stage.
+    Top-k uses a total order (similarity desc, id) so results are
+    deterministic under ties.
+    """
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    k = int(config.get("k", 10))
+    if "probe" in config:
+        probe_df = df.sparkSession.createDataFrame(
+            [(list(map(float, config["probe"])),)], f"__probe array<float>")
+    else:
+        probe_df = df.filter(F.col(id_field) == config["probe_id"]).select(
+            F.col(field).alias("__probe"))
+    out = (
+        df.join(F.broadcast(probe_df))
+        .withColumn("cos_sim", cosine_col(F.col(field), F.col("__probe")))
+        .select(id_field, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_field))
+        .limit(k)
+    )
+    return out
+
+
+@lru_cache(maxsize=8)
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def _bucket_udf(dim: int, n_planes: int, seed: int):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy())  # (batch, dim) — Arrow batch in, one matmul
+        bits = (mat @ planes.T) > 0
+        return pd.Series(bits.astype(np.int64) @ weights).astype("int32")
+
+    return bucket
+
+
+@register("lsh_bucket")
+def op_lsh_bucket(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Sign-random-projection bucket id per embedding (n_planes sign
+    bits packed into an int). Same seed => same buckets everywhere."""
+    field = config.get("field", "embedding")
+    dim = int(config.get("dim", 64))
+    n_planes = int(config.get("n_planes", 12))
+    seed = int(config.get("seed", 42))
+    return df.withColumn("lsh_bucket",
+                         _bucket_udf(dim, n_planes, seed)(F.col(field)))
+
+
+@register("ann_lsh")
+def op_ann_lsh(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Approximate top-k: probe's LSH bucket only, exact cosine
+    re-rank inside it. Bucket pruning replaces the full scan — at
+    2^n_planes buckets the candidate set is corpus/2^n_planes on
+    average. Recall grows with fewer planes (bigger buckets)."""
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    k = int(config.get("k", 10))
+    bucketed = op_lsh_bucket(df, config, views)
+    probe = bucketed.filter(F.col(id_field) == config["probe_id"]).select(
+        F.col(field).alias("__probe"), F.col("lsh_bucket").alias("__pb"))
+    return (
+        bucketed.join(F.broadcast(probe), F.col("lsh_bucket") == F.col("__pb"))
+        .withColumn("cos_sim", cosine_col(F.col(field), F.col("__probe")))
+        .select(id_field, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_field))
+        .limit(k)
+    )
+
+
+@register("similarity_join")
+def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """All pairs with cosine >= threshold, via LSH buckets: pairwise
+    work runs inside buckets (shuffle on bucket id), never across the
+    corpus. The embedding-cosine near-dup primitive."""
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    threshold = float(config.get("threshold", 0.9))
+    bucketed = op_lsh_bucket(df, config, views).select(
+        F.col(id_field).alias("__id"), F.col(field).alias("__emb"), "lsh_bucket")
+    left = bucketed.select(F.col("__id").alias("id_a"),
+                           F.col("__emb").alias("emb_a"), "lsh_bucket")
+    right = bucketed.select(F.col("__id").alias("id_b"),
+                            F.col("__emb").alias("emb_b"), "lsh_bucket")
+    return (
+        left.join(right, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_col(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+@register("dedup_embedding")
+def op_dedup_embedding(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Embedding-cosine near-dedup: drop rows whose embedding is
+    within threshold of a smaller-id row (same greedy policy as
+    dedup_near_minhash)."""
+    id_field = config.get("id_field", "vec_id")
+    pairs = op_similarity_join(df, config, views)
+    losers = pairs.select(F.col("id_b").alias(id_field)).dropDuplicates()
+    return df.join(losers, id_field, "left_anti")

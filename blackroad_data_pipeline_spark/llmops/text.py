@@ -1,0 +1,142 @@
+"""Text analysis operators for training-data curation.
+
+All JVM-side (built-in pyspark.sql.functions — no Python UDFs): these
+run in whole-stage codegen over the document scan, so they cost one
+pass at any scale and pipeline with filters/projections for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.registry import register
+
+# Tokens: trimmed whitespace split, empty tokens dropped — the one
+# tokenization every operator here shares so stats compose.
+
+
+def tokens_col(col: Column) -> Column:
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+# A "BPE-ish" word/number/punctuation segmentation for token counting —
+# letters runs, digit runs, and single non-space symbols, the shape a
+# byte-pair tokenizer's pre-tokenizer uses.
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Minimal per-language stopword profiles for the n-gram/stopword
+# language-ID heuristic. Distinct-token intersection is deliberate:
+# it's shuffle-free and codegen-friendly.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "auf"],
+}
+
+
+@register("text_stats")
+def op_text_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-document quality stats: char/token counts, mean token
+    length, punctuation and uppercase ratios."""
+    field = config.get("field", "text")
+    col = F.col(field)
+    toks = tokens_col(col)
+    n_chars = F.length(col)
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "avg_token_len",
+            F.when(F.size(toks) > 0,
+                   F.aggregate(toks, F.lit(0).cast("double"),
+                               lambda acc, x: acc + F.length(x)) / F.size(toks)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0,
+                   (n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))).cast("double")
+                   / n_chars),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.when(n_chars > 0,
+                   (n_chars - F.length(F.regexp_replace(col, r"[A-Z]", ""))).cast("double")
+                   / n_chars),
+        )
+    )
+
+
+@register("token_count")
+def op_token_count(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Whitespace and BPE-ish token counts (pre-tokenizer proxy for
+    budget estimation)."""
+    field = config.get("field", "text")
+    col = F.col(field)
+    return (
+        df.withColumn("ws_tokens", F.size(tokens_col(col)))
+        .withColumn("bpeish_tokens",
+                    F.size(F.regexp_extract_all(col, F.lit(BPEISH_PATTERN), 0)))
+    )
+
+
+@register("quality_score")
+def op_quality_score(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Composite [0,1] quality score: long enough, words not too long,
+    not mostly punctuation, has stopwords (the classic Gopher-style
+    rule-of-thumb filters, expressed as one codegen'd expression)."""
+    field = config.get("field", "text")
+    col = F.col(field)
+    toks = tokens_col(col)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.array_intersect(
+        F.transform(toks, F.lower),
+        F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])))
+    len_ok = F.when(n_tokens.between(5, 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct = (F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))).cast("double")
+    punct_ok = F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.when(punct / F.length(col) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0)))
+    stop_ok = F.when(stop_hits >= 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return df.withColumn(
+        "quality_score", (len_ok + punct_ok + stop_ok) / F.lit(3.0))
+
+
+@register("lang_id")
+def op_lang_id(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Stopword-profile language ID. Scores each language by distinct
+    stopword hits; highest strictly-greater score wins in profile
+    order, no hits -> 'und'."""
+    field = config.get("field", "text")
+    toks_lower = F.transform(tokens_col(F.col(field)), F.lower)
+    scores = {
+        lang: F.size(F.array_intersect(
+            toks_lower, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold left in profile order: strictly-greater wins → earlier
+    # profiles win ties, 0 hits stays 'und'
+    for lang in langs:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    out = df.withColumn("lang_pred", best)
+    if config.get("with_scores"):
+        for lang in langs:
+            out = out.withColumn(f"score_{lang}", scores[lang])
+    return out
+
+
+@register("fingerprint")
+def op_fingerprint(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text (lowercased,
+    whitespace collapsed) — the exact-dedup key. md5 not xxhash so the
+    fingerprint is portable across engines."""
+    field = config.get("field", "text")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(field))), r"\s+", " ")
+    return df.withColumn(config.get("as", "fingerprint"), F.md5(normalized))

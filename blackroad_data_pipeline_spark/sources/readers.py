@@ -38,9 +38,24 @@ def read_source(spark: SparkSession, source_type: str, config: Mapping) -> DataF
     return fn(spark, config)
 
 
+def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """Convert an epoch-nanoseconds long column (how we ingest parquet
+    TIMESTAMP(NANOS) under spark.sql.legacy.parquet.nanosAsLong) to a
+    microsecond TimestampType. Integer `div` — a double round-trip
+    would lose precision at epoch-ns magnitude (~1.7e18 > 2^53)."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
 @register("parquet")
 def src_parquet(spark: SparkSession, config: Mapping) -> DataFrame:
-    return spark.read.parquet(config["path"])
+    df = spark.read.parquet(config["path"])
+    for c in config.get("nanos_timestamp_cols", []):
+        df = nanos_to_timestamp(df, c)
+    return df
 
 
 @register("orc")

@@ -1,0 +1,114 @@
+"""Streaming operators (absent from the reference — SURVEY.md §2.5).
+
+Structured-Streaming-first: every operator here works identically on a
+batch DataFrame and a ``readStream`` DataFrame (the Spark unified
+model), so pipelines can switch a source to streaming without
+rewriting transforms. Watermarks bound state for late data; windowed
+aggregations use the built-in incremental state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.registry import register
+
+
+@register("windowed_agg")
+def op_windowed_agg(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation.
+
+    Batch and streaming share this plan; on a stream, ``watermark``
+    (e.g. "10 minutes") bounds state and admits late rows up to the
+    delay. Output: window_start, window_end, group keys, aggregates.
+    """
+    ts = config.get("ts_field", "ts")
+    size = config.get("window", "1 hour")
+    slide = config.get("slide")  # None -> tumbling
+    keys = list(config.get("group_by", []))
+    if df.isStreaming and config.get("watermark"):
+        df = df.withWatermark(ts, config["watermark"])
+    win = F.window(ts, size, slide) if slide else F.window(ts, size)
+    aggs = []
+    for spec in config.get("aggregates", [{"field": ts, "function": "count"}]):
+        fn = spec.get("function", "count")
+        field = spec["field"]
+        alias = spec.get("alias", f"{field}_{fn}")
+        col = F.col(field)
+        if fn == "count":
+            aggs.append(F.count(F.lit(1)).alias(alias))
+        elif fn == "sum":
+            aggs.append(F.sum(col.cast("decimal(38,10)")).cast("string")
+                        .cast("double").alias(alias))
+        elif fn in ("avg", "min", "max"):
+            aggs.append(getattr(F, fn)(col.cast("double")).alias(alias))
+        else:
+            raise ValueError(f"unknown windowed aggregate: {fn!r}")
+    out = df.groupBy(win, *keys).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *[c for c in out.columns if c not in ("window", *keys)],
+    )
+
+
+@register("sessionize")
+def op_sessionize(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap
+    since the previous event exceeds ``gap`` seconds.
+
+    Batch implementation is the classic lag+cumsum window; on streams
+    use ``session_window`` (see op_windowed_agg) — kept separate
+    because the batch shape yields per-event session ids, which the
+    streaming state operator cannot.
+    """
+    from pyspark.sql import Window
+
+    ts = config.get("ts_field", "ts")
+    key = config["key"]
+    gap_s = int(config.get("gap_seconds", 1800))
+    # a total order (tiebreak after ts) keeps session assignment
+    # deterministic when timestamps collide
+    order_cols = [ts, *config.get("tiebreak", [])]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    return (
+        df.withColumn("__new", is_new)
+        .withColumn("session_seq", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("session_id",
+                    F.concat_ws("#", F.col(key).cast("string"), F.col("session_seq")))
+        .drop("__new")
+    )
+
+
+def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-based streaming source over a parquet directory — the
+    local stand-in for Kafka; swap ``format`` for production. A path
+    to a single file streams its parent directory with a glob filter
+    (the file source only accepts directories)."""
+    import os
+
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.format("parquet").schema(schema).option(
+        "maxFilesPerTrigger", 1)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.load(path)
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query to completion over available input
+    (test/bench harness): memory sink + processAllAvailable."""
+    q = (df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return q

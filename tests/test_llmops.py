@@ -1,0 +1,201 @@
+"""LLM-extension operator tests: text stats, dedup family, similarity
+search, multimodal plumbing — small inline corpora with known answers."""
+
+from __future__ import annotations
+
+import pytest
+
+import blackroad_data_pipeline_spark.llmops  # noqa: F401  (registers ops)
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),      # near dup of 0
+        (3, "el gato y el perro corren por la casa con los ninos"),
+        (4, "completely different content about spark engines and data"),
+        (5, "THE QUICK  brown fox jumps over the lazy dog"),     # case/ws dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# -- text ---------------------------------------------------------------------
+
+
+def test_text_stats(docs):
+    got = {r["doc_id"]: r for r in op("text_stats", docs, {}).collect()}
+    assert got[0]["n_tokens"] == 9
+    assert got[0]["n_chars_calc"] == len("the quick brown fox jumps over the lazy dog")
+    assert got[0]["punct_ratio"] == 0.0
+    assert got[5]["upper_ratio"] > 0.05
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(0, "hello, world! x2")], ["doc_id", "text"])
+    r = op("token_count", df, {}).collect()[0]
+    assert r["ws_tokens"] == 3
+    # hello , world ! x 2  -> 6 BPE-ish tokens
+    assert r["bpeish_tokens"] == 6
+
+
+def test_quality_score(docs, spark):
+    got = {r["doc_id"]: r["quality_score"] for r in op("quality_score", docs, {}).collect()}
+    assert got[0] == 1.0  # long enough, no punct, has stopwords
+    junk = spark.createDataFrame([(9, "!!! ??? ...")], ["doc_id", "text"])
+    assert op("quality_score", junk, {}).collect()[0]["quality_score"] < 0.5
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in op("lang_id", docs, {}).collect()}
+    assert got[0] == "en"
+    assert got[3] == "es"
+
+
+def test_fingerprint_normalizes(docs):
+    got = {r["doc_id"]: r["fingerprint"] for r in op("fingerprint", docs, {}).collect()}
+    assert got[0] == got[1] == got[5]   # exact + case/whitespace dups collide
+    assert got[0] != got[2]
+
+
+# -- dedup --------------------------------------------------------------------
+
+
+def test_dedup_exact(docs):
+    kept = sorted(r["doc_id"] for r in op("dedup_exact", docs, {}).collect())
+    assert kept == [0, 2, 3, 4]  # 1 and 5 are content-dups of 0; min id wins
+
+
+def test_minhash_signature_shape(docs):
+    r = op("minhash", docs, {"num_hashes": 16}).collect()[0]
+    assert len(r["minhash_sig"]) == 16
+
+
+def test_near_dup_minhash_pairs(docs):
+    # shingle_size=2: jaccard(0,2) = 6/10 = 0.6; rows_per_band=1 makes
+    # band recall ~1 at that similarity, so the candidate is deterministic
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in op("near_dup_minhash", docs,
+                         {"threshold": 0.5, "shingle_size": 2,
+                          "bands": 16, "rows_per_band": 1}).collect()}
+    assert pairs[(0, 1)] == 1.0        # identical text
+    assert (0, 2) in pairs             # one-word edit
+    assert pairs[(0, 2)] < 1.0
+    assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_dedup_near_minhash(docs):
+    kept = sorted(r["doc_id"] for r in
+                  op("dedup_near_minhash", docs, {"threshold": 0.5}).collect())
+    assert 0 in kept and 4 in kept and 3 in kept
+    assert 1 not in kept  # dup of smaller id 0
+
+
+def test_simhash_deterministic_and_near(docs):
+    got = {r["doc_id"]: r["simhash"] for r in op("simhash", docs, {}).collect()}
+    assert got[0] == got[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in op("near_dup_simhash", docs, {"max_distance": 16}).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 16
+
+
+def test_ngram_jaccard_join(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in op("ngram_jaccard_join", docs,
+                         {"threshold": 0.3, "shingle_size": 2}).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+
+
+# -- similarity ---------------------------------------------------------------
+
+
+def test_ann_bruteforce(vecs):
+    got = [r["vec_id"] for r in
+           op("ann_bruteforce", vecs, {"probe_id": 0, "k": 3}).collect()]
+    assert got[0] == 0          # the probe itself, cos=1
+    assert got[1] == 1          # nearest real neighbor
+    assert got[2] == 4
+
+
+def test_ann_bruteforce_literal_probe(vecs):
+    got = [r["vec_id"] for r in
+           op("ann_bruteforce", vecs, {"probe": [0.0, 1.0, 0.0, 0.0], "k": 2}).collect()]
+    assert got[0] == 2
+
+
+def test_lsh_bucket_deterministic(vecs):
+    a = {r["vec_id"]: r["lsh_bucket"] for r in
+         op("lsh_bucket", vecs, {"dim": 4, "n_planes": 8}).collect()}
+    b = {r["vec_id"]: r["lsh_bucket"] for r in
+         op("lsh_bucket", vecs, {"dim": 4, "n_planes": 8}).collect()}
+    assert a == b
+    assert a[0] == a[1]  # near-identical vectors share a bucket
+
+
+def test_ann_lsh_finds_near_neighbor(vecs):
+    got = [r["vec_id"] for r in
+           op("ann_lsh", vecs, {"probe_id": 0, "k": 3, "dim": 4, "n_planes": 4}).collect()]
+    assert got[0] == 0 and 1 in got
+
+
+def test_similarity_join_and_dedup_embedding(vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             op("similarity_join", vecs,
+                {"threshold": 0.99, "dim": 4, "n_planes": 4}).collect()}
+    assert (0, 1) in pairs
+    kept = sorted(r["vec_id"] for r in
+                  op("dedup_embedding", vecs,
+                     {"threshold": 0.99, "dim": 4, "n_planes": 4}).collect())
+    assert 0 in kept and 1 not in kept
+
+
+# -- multimodal ---------------------------------------------------------------
+
+
+def test_attach_binary_meta(docs):
+    r = op("attach_binary", docs, {"media_type": "text/plain"}).collect()[0]
+    assert r["media_meta"]["n_bytes"] == len(r["text"].encode())
+    assert len(r["media_meta"]["sha256"]) == 64
+    assert bytes(r["payload"]).decode() == r["text"]
+
+
+def test_decode_image_stub_deterministic(docs):
+    df = op("attach_binary", docs, {})
+    a = {r["doc_id"]: (r["img_width"], r["img_height"])
+         for r in op("decode_image", df, {}).collect()}
+    b = {r["doc_id"]: (r["img_width"], r["img_height"])
+         for r in op("decode_image", df, {}).collect()}
+    assert a == b
+    assert all(16 <= w < 256 and 16 <= h < 256 for w, h in a.values())
+    assert a[0] == a[1]  # same payload -> same fake dims
+
+
+def test_decode_image_real_path_raises(docs):
+    df = op("attach_binary", docs, {})
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        op("decode_image", df, {"fake_decode": False}).collect()
+
+
+def test_frame_sample(docs):
+    df = op("attach_binary", docs, {})
+    out = op("frame_sample", df, {"n_frames": 3}).collect()
+    assert len(out) == 3 * docs.count()
+    per_doc = [r for r in out if r["doc_id"] == 0]
+    assert [r["frame_idx"] for r in per_doc] == [0, 1, 2]
+    assert all(len(bytes(r["frame_payload"])) <= 16 for r in per_doc)

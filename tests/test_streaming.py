@@ -1,0 +1,56 @@
+"""Streaming seam tests: the same windowed_agg plan runs as a real
+Structured Streaming query (file source -> memory sink) and agrees
+with its batch execution."""
+
+from __future__ import annotations
+
+import blackroad_data_pipeline_spark.streaming as streaming_pkg  # noqa: F401
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
+from blackroad_data_pipeline_spark.streaming.ops import (
+    read_events_stream,
+    run_stream_to_memory,
+)
+
+SF = "/root/testdata/sf0.001"
+WINDOW_CFG = {
+    "ts_field": "ts", "window": "1 hour", "group_by": ["event_type"],
+    "watermark": "10 minutes",
+    "aggregates": [{"field": "event_id", "function": "count", "alias": "n_events"}],
+}
+
+
+def _events_batch(spark):
+    return nanos_to_timestamp(
+        spark.read.parquet(f"{SF}/events.parquet"), "ts")
+
+
+def test_windowed_agg_streaming_matches_batch(spark):
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in op("windowed_agg", _events_batch(spark), WINDOW_CFG).collect()
+    }
+    assert batch  # sanity: events span multiple windows
+
+    stream = nanos_to_timestamp(
+        read_events_stream(spark, f"{SF}/events.parquet"), "ts")
+    assert stream.isStreaming
+    agg = op("windowed_agg", stream, WINDOW_CFG)
+    run_stream_to_memory(agg, "win_out", output_mode="complete")
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert streamed == batch
+
+
+def test_sessionize_batch(spark):
+    df = op("sessionize", _events_batch(spark),
+            {"ts_field": "ts", "key": "user_id", "gap_seconds": 600,
+             "tiebreak": ["event_id"]})
+    rows = df.collect()
+    assert len(rows) == 1000
+    # session ids are per-user and sequences start at 1
+    first = [r for r in rows if r["session_id"].endswith("#1")]
+    users = {r["user_id"] for r in rows}
+    assert {r["user_id"] for r in first} == users
