@@ -48,18 +48,23 @@ _COMPARATORS = {
 }
 
 
-def _coerced_column(col: Column, value) -> Column:
-    """Mirror the reference's coerce-row-value-to-literal-type rule
-    (``type(value)(v)``, reference main.py:188) as an explicit cast,
-    which Catalyst folds into the scan's pushed filter."""
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def _coerced_column(col: Column, dtype: str | None, value) -> Column:
+    """Coerce-to-literal-type comparison (the reference's
+    ``type(value)(v)`` rule, main.py:188) — but ONLY when the column's
+    type doesn't already compare naturally. A numeric column compared
+    to a numeric literal stays uncast so the predicate pushes down to
+    the parquet scan (casting the column would disable pushdown and,
+    for int literals, silently truncate doubles)."""
+    numeric = dtype is not None and dtype.startswith(_NUMERIC_DTYPES)
     if isinstance(value, bool):
-        return col.cast("boolean")
-    if isinstance(value, int):
-        return col.cast("long")
-    if isinstance(value, float):
-        return col.cast("double")
+        return col if dtype == "boolean" else col.cast("boolean")
+    if isinstance(value, (int, float)):
+        return col if numeric else col.cast("double")
     if isinstance(value, str):
-        return col.cast("string")
+        return col if dtype == "string" else col.cast("string")
     return col
 
 
@@ -70,7 +75,8 @@ def op_filter(df: DataFrame, config: Mapping, views) -> DataFrame:
     value = config.get("value")
     col = F.col(field)
     if op in _COMPARATORS:
-        return df.filter(_COMPARATORS[op](_coerced_column(col, value), F.lit(value)))
+        dtype = dict(df.dtypes).get(field)
+        return df.filter(_COMPARATORS[op](_coerced_column(col, dtype, value), F.lit(value)))
     if op == "contains":
         return df.filter(col.cast("string").contains(str(value)))
     if op == "in":
