@@ -11,7 +11,6 @@ minhash → band → bucket-join → verify) expressed as DataFrame ops.
 from __future__ import annotations
 
 import hashlib
-import struct
 from collections.abc import Mapping
 
 import pandas as pd
@@ -108,6 +107,9 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     docs = df.select(
         F.col(id_field).alias("__id"), sh.alias("__shingles")
     ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+    # the shingle sets are needed twice (banding + verification); cache
+    # rather than recompute the signatures per branch
+    docs = docs.persist()
 
     band_entries = F.array(*[
         F.struct(
@@ -118,17 +120,23 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
         )
         for b in range(bands)
     ])
-    buckets = docs.select("__id", "__shingles",
-                          F.explode(band_entries).alias("b"))
-    left = buckets.select(F.col("__id").alias("id_a"),
-                          F.col("__shingles").alias("sh_a"), "b")
-    right = buckets.select(F.col("__id").alias("id_b"),
-                           F.col("__shingles").alias("sh_b"), "b")
+    # band join on ids ONLY — shuffling the shingle arrays through the
+    # bucket explosion would multiply payload by `bands`
+    buckets = docs.select("__id", F.explode(band_entries).alias("b"))
     cands = (
-        left.join(right, ["b"])
+        buckets.select(F.col("__id").alias("id_a"), "b")
+        .join(buckets.select(F.col("__id").alias("id_b"), "b"), ["b"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # attach shingle sets to the (much smaller) candidate set
+    sets = docs.select("__id", "__shingles")
+    cands = (
+        cands.join(sets.select(F.col("__id").alias("id_a"),
+                               F.col("__shingles").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("__id").alias("id_b"),
+                          F.col("__shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -158,16 +166,19 @@ def op_dedup_near_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
 def _simhash64(text: str) -> int:
     """64-bit Charikar simhash over whitespace tokens; md5-based token
     hash so the sketch is deterministic across processes (python's
-    builtin hash() is salted per-process — never use it here)."""
-    acc = [0] * 64
-    for tok in text.lower().split():
-        (h,) = struct.unpack("<q", hashlib.md5(tok.encode()).digest()[:8])
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    builtin hash() is salted per-process — never use it here).
+    Bit-unpacking and the majority vote run vectorized in numpy."""
+    import numpy as np
+
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    digests = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
+    arr = np.frombuffer(digests, dtype=np.uint8).reshape(len(toks), 8)
+    bits = np.unpackbits(arr, axis=1, bitorder="little")  # (n_toks, 64)
+    # signed accumulator: a uint sum would wrap on 0*2 - n_toks
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)  # +1/-1 majority
+    out = int(np.packbits(votes > 0, bitorder="little").view("<u8")[0])
     return out - (1 << 64) if out >= (1 << 63) else out  # signed long
 
 
@@ -204,9 +215,12 @@ def op_near_dup_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     return (
         left.join(right, ["p"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming check BEFORE the pair-dedup: bit_count is nearly free
+        # on the join output, while dropDuplicates shuffles every
+        # candidate — filter first so only true near-dups pay it
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -218,33 +232,50 @@ def op_near_dup_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
 
 @register("ngram_jaccard_join")
 def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
-    """Exact n-gram-set jaccard for all pairs sharing at least one
-    shingle (inverted-index join: explode shingles, join on shingle,
-    count shared / union). Exact but heavier than LSH — use for
-    modest candidate sets or post-LSH verification."""
+    """Exact n-gram-set jaccard similarity join with PREFIX FILTERING
+    (AllPairs/PPJoin): order each doc's shingles rarest-first by
+    global document frequency and index only the first
+    n - ceil(t*n) + 1 — two sets with jaccard >= t MUST share a
+    prefix shingle, so candidates come from rare-token posting lists
+    instead of a full inverted-index self-join. On low-entropy
+    corpora (the worst case for a plain inverted index, where common
+    shingles give quadratic posting lists) this prunes candidates by
+    orders of magnitude. Exact jaccard then verifies every candidate.
+    """
+    from pyspark.sql import Window
+
     field = config.get("field", "text")
     id_field = config.get("id_field", "doc_id")
     k = int(config.get("shingle_size", 3))
     threshold = float(config.get("threshold", 0.5))
 
     docs = df.select(F.col(id_field).alias("__id"),
-                     shingles_col(F.col(field), k).alias("__sh"))
-    sizes = docs.select("__id", F.size("__sh").alias("__n"))
-    inverted = docs.select("__id", F.explode("__sh").alias("__s"))
-    shared = (
-        inverted.alias("a")
-        .join(inverted.alias("b"), "__s")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
+                     shingles_col(F.col(field), k).alias("__sh")).persist()
+    inverted = docs.select("__id", F.size("__sh").alias("__n"),
+                           F.explode("__sh").alias("__s"))
+    freq = inverted.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = (
+        inverted.join(freq, "__s")
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("__id").orderBy("__df", "__s")))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("__id", "__s")
+    )
+    cands = (
+        prefix.select(F.col("__id").alias("id_a"), "__s")
+        .join(prefix.select(F.col("__id").alias("id_b"), "__s"), "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        shared
-        .join(sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
-        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        cands
+        .join(docs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
         .withColumn("jaccard",
-                    F.col("__inter").cast("double")
-                    / (F.col("__na") + F.col("__nb") - F.col("__inter")))
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -125,16 +125,26 @@ def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
     threshold = float(config.get("threshold", 0.9))
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(field), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    # norms computed once per vector, not once per candidate pair
     bucketed = op_lsh_bucket(df, config, views).select(
-        F.col(id_field).alias("__id"), F.col(field).alias("__emb"), "lsh_bucket")
+        F.col(id_field).alias("__id"), F.col(field).alias("__emb"),
+        norm.alias("__norm"), "lsh_bucket")
     left = bucketed.select(F.col("__id").alias("id_a"),
-                           F.col("__emb").alias("emb_a"), "lsh_bucket")
+                           F.col("__emb").alias("emb_a"),
+                           F.col("__norm").alias("norm_a"), "lsh_bucket")
     right = bucketed.select(F.col("__id").alias("id_b"),
-                            F.col("__emb").alias("emb_b"), "lsh_bucket")
+                            F.col("__emb").alias("emb_b"),
+                            F.col("__norm").alias("norm_b"), "lsh_bucket")
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
     return (
         left.join(right, "lsh_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine_col(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("cos_sim", dot / (F.col("norm_a") * F.col("norm_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
         .dropDuplicates(["id_a", "id_b"])
