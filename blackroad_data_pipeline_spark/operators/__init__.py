@@ -7,3 +7,4 @@ reference lacks — registering a new operator is one decorator away.
 
 from .registry import OPERATORS, apply_operator, register  # noqa: F401
 from . import relational  # noqa: F401  (registers core ops on import)
+from . import temporal  # noqa: F401  (as-of / range joins)

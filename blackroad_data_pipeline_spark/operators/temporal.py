@@ -1,0 +1,136 @@
+"""Temporal joins: as-of and range (interval) joins.
+
+Absent from the reference (SURVEY.md §2.5 — its only join is the
+single-key equi inner join at main.py:251-263), but essential for
+event-time analytics. Both are expressed so the physical plan is a
+plain shuffled equi-join — Spark OSS would otherwise plan an
+inequality join as BroadcastNestedLoopJoin, which dies at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _resolve(right, views):
+    return views[right] if isinstance(right, str) else right
+
+
+@register("asof_join")
+def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Backward as-of join: for each left row, attach the most recent
+    right row with ``right_ts <= left_ts``, per ``by`` key.
+
+    Implemented as the union + carry-forward pattern: tag both sides,
+    union by name, and take ``last(right_payload, ignorenulls=True)``
+    over a running window ordered by (ts, tag, tiebreak). ONE shuffle
+    on the key, linear state, no point-in-interval cross product —
+    this is the shape that survives 100 TB, unlike a ``ts <= ts``
+    theta-join (nested loop) or per-key ``collect_list``.
+
+    Config: ``right`` (view name or DataFrame), ``by`` (key columns),
+    ``left_ts``/``right_ts`` (default "ts"), ``values`` (right columns
+    to carry), ``prefix`` (default "r\\_"), ``right_tiebreak`` (orders
+    equal-timestamp right rows; the LAST one wins, matching
+    "most recent"), ``tolerance_seconds`` (optional max staleness),
+    ``how`` = "left" (default; unmatched left rows keep NULLs) or
+    "inner".
+    """
+    right_df = _resolve(config["right"], views)
+    by = list(config.get("by", []))
+    lts = config.get("left_ts", "ts")
+    rts = config.get("right_ts", lts)
+    values = list(config["values"])
+    prefix = config.get("prefix", "r_")
+    tiebreak = config.get("right_tiebreak")
+    how = config.get("how", "left")
+
+    payload = F.struct(*[F.col(c) for c in values], F.col(rts).alias("__rts"))
+    r = right_df.select(
+        *by,
+        F.col(rts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        payload.alias("__rpay"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+    )
+    l = df.select(
+        "*",
+        F.col(lts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(0).alias("__tb"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort before left rows at the same instant (tag 0 < 1),
+    # so a right row AT the left timestamp is visible to it; among
+    # equal-ts right rows, last() picks the max tiebreak
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__tag", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__tag") == 1)
+
+    tol = config.get("tolerance_seconds")
+    if tol is not None:
+        age = F.col("__ts").cast("long") - F.col("__m.__rts").cast("long")
+        out = out.withColumn(
+            "__m", F.when(age <= int(tol), F.col("__m")))
+    if how == "inner":
+        out = out.filter(F.col("__m").isNotNull())
+
+    keep = [c for c in df.columns]
+    carried = [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in values]
+    carried.append(F.col("__m.__rts").alias(f"{prefix}{rts}_asof"))
+    return out.select(*keep, *carried)
+
+
+@register("range_join")
+def op_range_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Point-in-interval join: left rows (timestamp ``left_ts``) against
+    right intervals ``[start, end)`` per ``by`` key.
+
+    Bucketized to stay an equi-join: both sides bin timestamps into
+    fixed-width buckets; each right interval explodes into every
+    bucket it overlaps (``sequence``); join on (key, bucket); exact
+    containment filter last. A left point lives in exactly one bucket,
+    so each matching pair appears exactly once — no post-dedup, no
+    cartesian. Pick ``bucket_seconds`` ≈ the typical interval length:
+    explosion factor stays O(1) and the join is a plain shuffled hash
+    join at any scale.
+
+    Config: ``right``, ``by``, ``left_ts`` (default "ts"),
+    ``start_field``/``end_field``, ``bucket_seconds`` (default 3600),
+    ``prefix`` (default "r\\_"), ``end_inclusive`` (default False).
+    """
+    right_df = _resolve(config["right"], views)
+    by = list(config.get("by", []))
+    lts = config.get("left_ts", "ts")
+    start, end = config["start_field"], config["end_field"]
+    bw = int(config.get("bucket_seconds", 3600))
+    prefix = config.get("prefix", "r_")
+
+    lb = F.floor(F.col(lts).cast("long") / bw)
+    left = df.withColumn("__b", lb)
+
+    rb_lo = F.floor(F.col(start).cast("long") / bw)
+    rb_hi = F.floor(F.col(end).cast("long") / bw)
+    right = right_df.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_df.columns],
+        F.explode(F.sequence(rb_lo, rb_hi)).alias("__b"),
+    )
+
+    joined = left.join(right, [*[
+        left[k] == right[f"{prefix}{k}"] for k in by
+    ], left["__b"] == right["__b"]] if by else [left["__b"] == right["__b"]])
+    pt = F.col(lts).cast("long")
+    lo = F.col(f"{prefix}{start}").cast("long")
+    hi = F.col(f"{prefix}{end}").cast("long")
+    contained = (pt >= lo) & (pt <= hi if config.get("end_inclusive") else pt < hi)
+    return joined.filter(contained).drop("__b")

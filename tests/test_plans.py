@@ -1,0 +1,130 @@
+"""Physical-plan gates: the properties that matter at 100 TB, held as
+assertions (see blackroad_data_pipeline_spark.plans.quality).
+
+These read the sf0.001 parquet fixtures so scans are real file scans
+(pushdown/pruning don't exist for createDataFrame locals).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from blackroad_data_pipeline_spark import plans
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark):
+    return spark.read.parquet(f"{SF}/customer.parquet")
+
+
+def test_filter_pushes_to_parquet_scan(lineitem):
+    df = op("filter", lineitem, {"field": "l_quantity", "op": "gt", "value": 10})
+    plans.assert_pushed_filter(df, "l_quantity")
+
+
+def test_string_filter_pushes(orders):
+    df = op("filter", orders, {"field": "o_orderstatus", "op": "eq", "value": "O"})
+    plans.assert_pushed_filter(df, "o_orderstatus")
+
+
+def test_select_prunes_scan_columns(lineitem):
+    df = op("select", lineitem, {"fields": ["l_orderkey", "l_quantity"]})
+    plans.assert_pruned_scan(df, "l_comment")
+    plans.assert_pruned_scan(df, "l_extendedprice")
+
+
+def test_projection_prunes_through_filter(lineitem):
+    df = op("filter", lineitem, {"field": "l_quantity", "op": "gt", "value": 10})
+    df = op("select", df, {"fields": ["l_orderkey", "l_quantity"]})
+    plans.assert_pruned_scan(df, "l_extendedprice")
+
+
+def test_core_relational_plan_is_jvm_only(lineitem):
+    df = op("filter", lineitem, {"field": "l_quantity", "op": "gt", "value": 10})
+    df = op("map", df, {"field": "l_returnflag", "operation": "lower"})
+    df = op("aggregate", df, {"group_by": ["l_returnflag"],
+                              "field": "l_quantity", "function": "sum"})
+    plans.assert_no_row_python(df)
+    assert plans.codegen_stage_count(df) >= 1
+
+
+def test_dim_join_broadcasts(orders, customer):
+    df = op("join", orders, {"right": customer, "left_key": "o_custkey",
+                             "right_key": "c_custkey", "broadcast": True}, views={})
+    plans.assert_broadcast_join(df)
+    plans.assert_no_cartesian(df)
+    # broadcast join = zero shuffles
+    plans.assert_max_shuffles(df, 0)
+
+
+def test_aggregate_does_partial_map_side_combine(lineitem):
+    df = op("aggregate", lineitem, {"group_by": ["l_returnflag"],
+                                    "field": "l_quantity", "function": "sum"})
+    # partial + final HashAggregate around exactly one shuffle
+    text = plans.explain_text(df)
+    assert text.count("HashAggregate") >= 2, text
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_topk_per_group_uses_group_limit(lineitem):
+    df = op("topk_per_group", lineitem, {
+        "partition_by": ["l_returnflag"], "order_by": ["l_extendedprice"], "k": 3})
+    # Spark 3.5+ pushes rank<=k below the shuffle (partial top-k)
+    assert plans.has_node(df, "WindowGroupLimit"), plans.explain_text(df)
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_asof_join_is_single_shuffle(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
+
+    events = nanos_to_timestamp(events, "ts")
+    clicks = op("filter", events, {"field": "event_type", "op": "eq", "value": "click"})
+    purchases = op("filter", events, {"field": "event_type", "op": "eq",
+                                      "value": "purchase"})
+    df = op("asof_join", clicks, {
+        "right": purchases, "by": ["user_id"], "left_ts": "ts",
+        "values": ["event_id", "value"], "right_tiebreak": "event_id",
+    }, views={})
+    plans.assert_no_cartesian(df)
+    plans.assert_no_row_python(df)
+    # union + window: one hash-partition shuffle on user_id, never a
+    # point-in-interval cross product
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_range_join_stays_equi_join(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
+    from pyspark.sql import functions as F
+
+    events = nanos_to_timestamp(events, "ts")
+    clicks = op("filter", events, {"field": "event_type", "op": "eq", "value": "click"})
+    windows = (
+        op("filter", events, {"field": "event_type", "op": "eq", "value": "purchase"})
+        .select("user_id", F.col("ts").alias("w_start"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"))
+    )
+    df = op("range_join", clicks, {
+        "right": windows, "by": ["user_id"], "left_ts": "ts",
+        "start_field": "w_start", "end_field": "w_end", "bucket_seconds": 1800,
+    }, views={})
+    plans.assert_no_cartesian(df)
+    strategies = plans.join_strategies(df)
+    assert strategies and all(
+        s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        for s in strategies
+    ), strategies

@@ -1,0 +1,97 @@
+"""Value tests for as-of and range joins (plan shape is covered in
+test_plans.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+
+
+@pytest.fixture()
+def quotes(spark):
+    # (symbol, ts, price) — the "right" side of the classic as-of
+    return spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 25, 2.0), ("B", 7, 9.0)],
+        ["sym", "qts", "price"],
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", 10), ("A", 25), ("B", 5)], ["sym", "tts"]
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_asof_backward_basic(trades, quotes):
+    out = op("asof_join", trades, {
+        "right": quotes, "by": ["sym"], "left_ts": "tts", "right_ts": "qts",
+        "values": ["price"],
+    }, views={})
+    got = _rows(out.select("sym", "tts", "r_price"))
+    assert got == {
+        ("A", 10, 1.0),   # latest quote at/before 10 is ts=8
+        ("A", 25, 2.0),   # quote AT the trade instant is visible
+        ("B", 5, None),   # no quote yet -> NULL (how=left)
+    }
+
+
+def test_asof_inner_drops_unmatched(trades, quotes):
+    out = op("asof_join", trades, {
+        "right": quotes, "by": ["sym"], "left_ts": "tts", "right_ts": "qts",
+        "values": ["price"], "how": "inner",
+    }, views={})
+    assert out.count() == 2
+
+
+def test_asof_tolerance(trades, quotes):
+    out = op("asof_join", trades, {
+        "right": quotes, "by": ["sym"], "left_ts": "tts", "right_ts": "qts",
+        "values": ["price"], "tolerance_seconds": 1,
+    }, views={})
+    got = _rows(out.select("sym", "tts", "r_price"))
+    # A@10 is 2s stale -> rejected; A@25 is 0s stale -> kept
+    assert got == {("A", 10, None), ("A", 25, 2.0), ("B", 5, None)}
+
+
+def test_asof_equal_ts_tiebreak_last_wins(spark, trades):
+    dup = spark.createDataFrame(
+        [("A", 8, 1.0, 1), ("A", 8, 7.0, 2)], ["sym", "qts", "price", "seq"]
+    )
+    out = op("asof_join", trades.filter("sym = 'A' AND tts = 10"), {
+        "right": dup, "by": ["sym"], "left_ts": "tts", "right_ts": "qts",
+        "values": ["price"], "right_tiebreak": "seq",
+    }, views={})
+    assert _rows(out.select("r_price")) == {(7.0,)}
+
+
+def test_range_join_point_in_interval(spark):
+    points = spark.createDataFrame([("u1", 10), ("u1", 100), ("u2", 10)],
+                                   ["uid", "ts"])
+    intervals = spark.createDataFrame(
+        [("u1", 5, 15, "w1"), ("u1", 90, 95, "w2"), ("u2", 5, 35, "w3")],
+        ["uid", "start", "end", "wname"],
+    )
+    out = op("range_join", points, {
+        "right": intervals, "by": ["uid"], "left_ts": "ts",
+        "start_field": "start", "end_field": "end", "bucket_seconds": 10,
+    }, views={})
+    got = _rows(out.select("uid", "ts", "r_wname"))
+    # u1@100 not in [90,95); u2@10 in the 3-bucket-wide w3 exactly once
+    assert got == {("u1", 10, "w1"), ("u2", 10, "w3")}
+
+
+def test_range_join_end_bound(spark):
+    points = spark.createDataFrame([("u", 15)], ["uid", "ts"])
+    intervals = spark.createDataFrame([("u", 5, 15, "w")],
+                                      ["uid", "start", "end", "wname"])
+    cfg = {"right": intervals, "by": ["uid"], "left_ts": "ts",
+           "start_field": "start", "end_field": "end", "bucket_seconds": 7}
+    assert op("range_join", points, cfg, views={}).count() == 0
+    assert op("range_join", points, {**cfg, "end_inclusive": True},
+              views={}).count() == 1
