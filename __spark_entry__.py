@@ -608,6 +608,227 @@ def q_frame_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# temporal joins — operators/temporal.py (absent from reference, SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """For each click, the most recent purchase at/before it per user
+    (backward as-of; one shuffle, no interval cross product)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = op("filter", e, {"field": "event_type", "op": "eq", "value": "click"})
+    purchases = op("filter", e, {"field": "event_type", "op": "eq", "value": "purchase"})
+    df = op("asof_join", clicks, {
+        "right": purchases, "by": ["user_id"], "left_ts": "ts",
+        "values": ["value"], "right_tiebreak": "event_id", "how": "inner",
+    }, views={})
+    return op("select", df, {"fields": ["event_id", "user_id", "r_value"]})
+
+
+# oracle compares at epoch-microseconds (Spark timestamps are µs; the
+# parquet source is ns — both sides truncate identically)
+_SQL_ASOF_JOIN = """
+WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus, value
+           FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.event_id, c.user_id, p.value,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY p.tus DESC, p.event_id DESC) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id AND p.tus <= c.tus)
+SELECT event_id, user_id, value AS r_value FROM pairs WHERE rn = 1
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Clicks landing inside [purchase, purchase+6h) windows per user —
+    bucketized point-in-interval join (stays a shuffled equi-join)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = op("filter", e, {"field": "event_type", "op": "eq", "value": "click"})
+    purchases = op("filter", e, {"field": "event_type", "op": "eq", "value": "purchase"})
+    windows = op("expr", purchases, {"replace": True, "exprs": {
+        "user_id": "user_id",
+        "win_id": "event_id",
+        "w_start": "ts",
+        "w_end": "ts + INTERVAL 6 HOURS",
+    }})
+    df = op("range_join", clicks, {
+        "right": windows, "by": ["user_id"], "left_ts": "ts",
+        "start_field": "w_start", "end_field": "w_end",
+        "bucket_seconds": 21600,
+    }, views={})
+    return op("select", df, {"fields": ["event_id", "user_id", "r_win_id"]})
+
+
+_SQL_RANGE_JOIN = """
+WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id AS win_id, user_id, epoch_ns(ts)//1000 AS s
+           FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, p.win_id AS r_win_id
+FROM c JOIN p
+  ON c.user_id = p.user_id AND c.tus >= p.s AND c.tus < p.s + CAST(21600 AS BIGINT) * 1000000
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup / pivot / set ops / expressions (absent from reference, SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+
+def q_rollup(spark, sf_dir):
+    """Customer balance by region/nation with ROLLUP subtotals —
+    one pass, grouping-set expansion is map-side."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    df = op("join", c, {"right": n, "left_key": "c_nationkey",
+                        "right_key": "n_nationkey", "broadcast": True,
+                        "prefix": ""}, views={})
+    df = op("join", df, {"right": r, "left_key": "n_regionkey",
+                         "right_key": "r_regionkey", "broadcast": True,
+                         "prefix": ""}, views={})
+    return op("aggregate", df, {
+        "grouping": "rollup", "group_by": ["r_name", "n_name"],
+        "aggregates": [
+            {"field": "c_acctbal", "function": "sum", "alias": "sum_bal"},
+            {"field": "c_custkey", "function": "count", "alias": "n_cust"},
+        ]})
+
+
+_SQL_ROLLUP = """
+SELECT r_name, n_name,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_bal,
+       COUNT(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_pivot(spark, sf_dir):
+    """Lineitem quantity pivoted by linestatus (explicit value list —
+    no distinct-discovery scan at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return op("pivot", li, {
+        "group_by": ["l_returnflag"], "pivot": "l_linestatus",
+        "values": ["O", "F"], "prefix": "qty_",
+        "aggregate": {"field": "l_quantity", "function": "sum"},
+    })
+
+
+_SQL_PIVOT = """
+SELECT l_returnflag,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE) AS qty_O,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_set_except(spark, sf_dir):
+    """Customers with open orders but no finished orders (EXCEPT)."""
+    o = _t(spark, sf_dir, "orders")
+    a = op("filter", o, {"field": "o_orderstatus", "op": "eq", "value": "O"})
+    a = op("select", a, {"fields": ["o_custkey"]})
+    b = op("filter", o, {"field": "o_orderstatus", "op": "eq", "value": "F"})
+    b = op("select", b, {"fields": ["o_custkey"]})
+    return op("except", a, {"other": b}, views={})
+
+
+_SQL_SET_EXCEPT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    """Customers with both open and pending orders (INTERSECT)."""
+    o = _t(spark, sf_dir, "orders")
+    a = op("filter", o, {"field": "o_orderstatus", "op": "eq", "value": "O"})
+    a = op("select", a, {"fields": ["o_custkey"]})
+    b = op("filter", o, {"field": "o_orderstatus", "op": "eq", "value": "P"})
+    b = op("select", b, {"fields": ["o_custkey"]})
+    return op("intersect", a, {"other": b}, views={})
+
+
+_SQL_SET_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def q_expr_funcs(spark, sf_dir):
+    """Scalar function surface: date parts, string ops, modular
+    arithmetic — all Catalyst expressions (map + expr operators)."""
+    o = _t(spark, sf_dir, "orders")
+    df = op("map", o, {"field": "o_orderdate", "operation": "year", "as": "order_year"})
+    df = op("map", df, {"field": "o_orderdate", "operation": "month", "as": "order_month"})
+    df = op("expr", df, {"exprs": {
+        "pri_code": "substring(o_orderpriority, 1, 1)",
+        "total_floor": "cast(floor(o_totalprice) as bigint)",
+        "key_mod": "o_orderkey % 7",
+    }})
+    return op("select", df, {"fields": [
+        "o_orderkey", "order_year", "order_month", "pri_code",
+        "total_floor", "key_mod"]})
+
+
+_SQL_EXPR_FUNCS = """
+SELECT o_orderkey,
+       EXTRACT(YEAR FROM o_orderdate) AS order_year,
+       EXTRACT(MONTH FROM o_orderdate) AS order_month,
+       SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS total_floor,
+       o_orderkey % 7 AS key_mod
+FROM orders
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON path extraction from the events props blob — built-in
+    get_json_object, no Python."""
+    e = _t(spark, sf_dir, "events")
+    df = op("expr", e, {"exprs": {
+        "k_val": "cast(get_json_object(props, '$.k') as int)",
+    }})
+    return op("select", df, {"fields": ["event_id", "event_type", "k_val"]})
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+"""
+
+
+def q_monthly_revenue(spark, sf_dir):
+    """Revenue by calendar month — date_trunc + aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    df = op("map", o, {"field": "o_orderdate", "operation": "date_trunc_month",
+                       "as": "order_month"})
+    return op("aggregate", df, {
+        "group_by": ["order_month"],
+        "aggregates": [
+            {"field": "o_totalprice", "function": "sum", "alias": "revenue"},
+            {"field": "o_orderkey", "function": "count", "alias": "n_orders"},
+        ]})
+
+
+_SQL_MONTHLY_REVENUE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -645,6 +866,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
+        # temporal joins + wider relational surface (SURVEY.md §2.5 gaps)
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "expr_funcs": q_expr_funcs,
+        "json_extract": q_json_extract,
+        "monthly_revenue": q_monthly_revenue,
         # rows-only (hash-based candidate generation, not SQL-expressible)
         "near_dup_minhash": q_near_dup_minhash,
         "dedup_near_minhash": q_dedup_near_minhash,
@@ -682,4 +913,13 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "events_window": _SQL_EVENTS_WINDOW,
         "sessionize": _SQL_SESSIONIZE,
+        "asof_join": _SQL_ASOF_JOIN,
+        "range_join": _SQL_RANGE_JOIN,
+        "rollup": _SQL_ROLLUP,
+        "pivot": _SQL_PIVOT,
+        "set_except": _SQL_SET_EXCEPT,
+        "set_intersect": _SQL_SET_INTERSECT,
+        "expr_funcs": _SQL_EXPR_FUNCS,
+        "json_extract": _SQL_JSON_EXTRACT,
+        "monthly_revenue": _SQL_MONTHLY_REVENUE,
     }

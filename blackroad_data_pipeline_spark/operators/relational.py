@@ -115,12 +115,41 @@ _MAP_OPS = {
 
 @register("map")
 def op_map(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-row scalar function on one column. The reference's six ops
+    (main.py:208-213) plus the full scalar registry in
+    :mod:`..functions` — all built-in Catalyst expressions."""
     field = config["field"]
     operation = config.get("operation", "str")
-    if operation not in _MAP_OPS:
-        raise ValueError(f"unknown map operation: {operation!r}")
+    if operation in _MAP_OPS:
+        fn = _MAP_OPS[operation]
+    else:
+        from ..functions import resolve
+
+        fn = resolve(operation)
     target = config.get("as", field)
-    return df.withColumn(target, _MAP_OPS[operation](F.col(field)))
+    return df.withColumn(target, fn(F.col(field)))
+
+
+@register("expr")
+def op_expr(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Computed columns from Spark SQL expressions — the expression
+    language the reference lacks entirely (SURVEY.md §2.5). Stays a
+    Catalyst plan: expressions fold, push down, and codegen like any
+    built-in. ``exprs`` maps output column -> SQL expression string."""
+    cols = [F.expr(e).alias(a) for a, e in config["exprs"].items()]
+    if config.get("replace"):
+        return df.select(*cols)
+    return df.select("*", *cols)
+
+
+@register("sql")
+def op_sql(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Full Spark SQL over the current frame (view ``self``) and every
+    named source view — subqueries, CTEs, any join shape."""
+    df.createOrReplaceTempView(config.get("self_name", "self"))
+    for name, v in (views or {}).items():
+        v.createOrReplaceTempView(name)
+    return df.sparkSession.sql(config["query"])
 
 
 # --------------------------------------------------------------------------
@@ -175,9 +204,38 @@ def op_aggregate(df: DataFrame, config: Mapping, views) -> DataFrame:
     if specs is None:
         specs = [{"field": config["field"], "function": config.get("function", "count")}]
     exprs = [_agg_expr(s["field"], s.get("function", "count"), s.get("alias")) for s in specs]
+    mode = config.get("grouping", "groupby")
+    if mode == "rollup":
+        return df.rollup(*group_by).agg(*exprs)
+    if mode == "cube":
+        return df.cube(*group_by).agg(*exprs)
+    if mode == "grouping_sets":
+        return df.groupingSets(
+            [[F.col(c) for c in s] for s in config["sets"]],
+            *[F.col(c) for c in group_by],
+        ).agg(*exprs)
     if group_by:
         return df.groupBy(*group_by).agg(*exprs)
     return df.agg(*exprs)
+
+
+@register("pivot")
+def op_pivot(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Group-by + pivot one column's values into output columns.
+
+    ``values`` is REQUIRED: without it Spark runs an extra distinct
+    job over the pivot column to discover values — an unbounded scan
+    at 100 TB. Output columns are ``{prefix}{value}``.
+    """
+    keys = list(config["group_by"])
+    pivot_col = config["pivot"]
+    values = list(config["values"])
+    spec = config.get("aggregate", {"field": pivot_col, "function": "count"})
+    prefix = config.get("prefix", f"{spec['field']}_")
+    expr = _agg_expr(spec["field"], spec.get("function", "count"), "__v")
+    out = df.groupBy(*keys).pivot(pivot_col, values).agg(expr)
+    renames = {str(v): f"{prefix}{v}" for v in values}
+    return out.withColumnsRenamed(renames)
 
 
 # --------------------------------------------------------------------------
@@ -310,6 +368,22 @@ def op_rename(df: DataFrame, config: Mapping, views) -> DataFrame:
 # --------------------------------------------------------------------------
 # union — reference main.py:437-442 (implicit union-all of all sources)
 # --------------------------------------------------------------------------
+
+
+@register("intersect")
+def op_intersect(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """INTERSECT (distinct) / INTERSECT ALL — absent from the
+    reference (SURVEY.md §2.5). Plans as a hash aggregate + join on
+    all columns; one shuffle each side."""
+    other = views[config["other"]] if isinstance(config["other"], str) else config["other"]
+    return df.intersectAll(other) if config.get("all") else df.intersect(other)
+
+
+@register("except")
+def op_except(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """EXCEPT (distinct) / EXCEPT ALL — absent from the reference."""
+    other = views[config["other"]] if isinstance(config["other"], str) else config["other"]
+    return df.exceptAll(other) if config.get("all") else df.subtract(other)
 
 
 @register("union")
