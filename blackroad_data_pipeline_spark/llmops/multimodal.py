@@ -89,6 +89,81 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.mapInPandas(decode, schema)
 
 
+@register("resize_image")
+def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Resize image payloads to (target_w, target_h).
+
+    Real path (fake_decode=False) is PIL ``Image.resize`` over the
+    byte buffer — not available in this environment. The stub keeps
+    the Spark contract real: payload column in, payload column +
+    dimensions out, Arrow-batched, schema fixed up front.
+    """
+    fake = bool(config.get("fake_decode", True))
+    payload_field = config.get("field", "payload")
+    tw = int(config.get("target_w", 224))
+    th = int(config.get("target_h", 224))
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("resized_payload", T.BinaryType()),
+        T.StructField("resized_w", T.IntegerType()),
+        T.StructField("resized_h", T.IntegerType()),
+    ])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL; run with fake_decode=True")
+            # stub: deterministic truncation stands in for re-encoding
+            pdf = pdf.assign(
+                resized_payload=pdf[payload_field].map(
+                    lambda b: bytes(b)[: tw * th // 64 or 1]),
+                resized_w=tw,
+                resized_h=th,
+            )
+            pdf["resized_w"] = pdf["resized_w"].astype("int32")
+            pdf["resized_h"] = pdf["resized_h"].astype("int32")
+            yield pdf
+
+    return df.mapInPandas(resize, schema)
+
+
+@register("audio_features")
+def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Extract per-clip audio features (duration, sample count, RMS
+    level). Real path is soundfile/librosa decode — stubbed here with
+    deterministic pseudo-features from the payload hash; the Spark
+    plumbing (Arrow batches, fixed schema, no shuffle) is real."""
+    fake = bool(config.get("fake_decode", True))
+    payload_field = config.get("field", "payload")
+    sample_rate = int(config.get("sample_rate", 16000))
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("audio_seconds", T.DoubleType()),
+        T.StructField("audio_samples", T.LongType()),
+        T.StructField("audio_rms", T.DoubleType()),
+    ])
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile; run with fake_decode=True")
+
+            def one(b: bytes):
+                h = hashlib.sha256(bytes(b)).digest()
+                n = len(b) * 4  # pretend 4 samples per byte
+                return n / sample_rate, n, (h[2] / 255.0)
+
+            trip = pdf[payload_field].map(one)
+            pdf = pdf.assign(
+                audio_seconds=trip.map(lambda t: t[0]),
+                audio_samples=trip.map(lambda t: t[1]).astype("int64"),
+                audio_rms=trip.map(lambda t: t[2]),
+            )
+            yield pdf
+
+    return df.mapInPandas(feats, schema)
+
+
 @register("frame_sample")
 def op_frame_sample(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Sample n_frames pseudo-frames per video payload — one output

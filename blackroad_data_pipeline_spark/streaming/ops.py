@@ -87,6 +87,55 @@ def op_sessionize(df: DataFrame, config: Mapping, views) -> DataFrame:
     )
 
 
+@register("stateful_dedup")
+def op_stateful_dedup(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Streaming-safe exact dedup with explicit per-key state
+    (``applyInPandasWithState``): the first row per key is emitted,
+    every later one is dropped — across micro-batches, unbounded
+    input. A processing-time timeout (``ttl_ms``) bounds state so a
+    100 TB/day stream doesn't accumulate keys forever — the accepted
+    trade-off of every at-scale streaming dedup (a key recurring
+    after the TTL is re-emitted).
+
+    On a batch DataFrame this falls back to ``dropDuplicates`` (the
+    same semantics without the state machinery).
+
+    Note: with a TTL, Spark schedules continuous (possibly empty)
+    micro-batches to evaluate processing-time timeouts — correct for
+    a long-lived production stream, but a finite test/backfill stream
+    should omit ``ttl_ms`` so the query drains and stops.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(config["keys"])
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+
+    ttl_ms = config.get("ttl_ms")
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def emit_first(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        emitted = state.exists
+        for pdf in pdfs:
+            if not emitted and len(pdf):
+                emitted = True
+                state.update((True,))
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(int(ttl_ms))
+                yield pdf.iloc[:1]
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    return df.groupBy(*keys).applyInPandasWithState(
+        emit_first, out_schema, state_schema, "append", timeout,
+    )
+
+
 def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """File-based streaming source over a parquet directory — the
     local stand-in for Kafka; swap ``format`` for production. A path

@@ -199,3 +199,20 @@ def test_frame_sample(docs):
     per_doc = [r for r in out if r["doc_id"] == 0]
     assert [r["frame_idx"] for r in per_doc] == [0, 1, 2]
     assert all(len(bytes(r["frame_payload"])) <= 16 for r in per_doc)
+
+
+def test_resize_image_stub(docs):
+    df = op("attach_binary", docs, {})
+    out = op("resize_image", df, {"target_w": 32, "target_h": 32}).collect()
+    assert all(r["resized_w"] == 32 and r["resized_h"] == 32 for r in out)
+    assert all(len(bytes(r["resized_payload"])) <= 32 * 32 // 64 for r in out)
+
+
+def test_audio_features_stub(docs):
+    df = op("attach_binary", docs, {})
+    out = op("audio_features", df, {"sample_rate": 8000}).collect()
+    for r in out:
+        n = len(bytes(r["payload"])) * 4
+        assert r["audio_samples"] == n
+        assert abs(r["audio_seconds"] - n / 8000) < 1e-9
+        assert 0.0 <= r["audio_rms"] <= 1.0

@@ -87,7 +87,7 @@ def test_map_float_and_target_column(employees):
 
 
 def test_map_unknown_operation_raises(employees):
-    with pytest.raises(ValueError, match="unknown map operation"):
+    with pytest.raises(ValueError, match="unknown scalar function"):
         op("map", employees, {"field": "age", "operation": "zz"})
 
 

@@ -54,3 +54,22 @@ def test_sessionize_batch(spark):
     first = [r for r in rows if r["session_id"].endswith("#1")]
     users = {r["user_id"] for r in rows}
     assert {r["user_id"] for r in first} == users
+
+
+def test_stateful_dedup_stream_emits_first_only(spark):
+    stream = nanos_to_timestamp(
+        read_events_stream(spark, f"{SF}/events.parquet"), "ts")
+    deduped = op("stateful_dedup", stream, {"keys": ["user_id"]})
+    run_stream_to_memory(deduped, "dedup_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))  # exactly one row per user
+    batch_users = {r["user_id"] for r in _events_batch(spark).collect()}
+    assert set(users) == batch_users
+
+
+def test_stateful_dedup_batch_fallback(spark):
+    df = _events_batch(spark)
+    out = op("stateful_dedup", df, {"keys": ["user_id"]})
+    assert not out.isStreaming
+    assert out.count() == df.select("user_id").distinct().count()
