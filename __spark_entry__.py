@@ -595,6 +595,12 @@ def q_ann_lsh(spark, sf_dir):
     return op("ann_lsh", e, {"probe_id": 0, "k": 10, "dim": 64, "n_planes": 4})
 
 
+def q_ann_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return op("ann_ivf", e, {"probe_id": 0, "k": 10, "dim": 64,
+                             "n_cells": 8, "nprobe": 3, "refine": 1})
+
+
 def q_similarity_join(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return op("similarity_join", e,
@@ -881,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_minhash": q_dedup_near_minhash,
         "near_dup_simhash": q_near_dup_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "similarity_join": q_similarity_join,
         "frame_sample": q_frame_sample,
     }

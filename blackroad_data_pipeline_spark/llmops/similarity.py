@@ -117,6 +117,94 @@ def op_ann_lsh(df: DataFrame, config: Mapping, views) -> DataFrame:
     )
 
 
+def _assign_udf(centroids: np.ndarray):
+    """Nearest-centroid (cosine) assignment, one matmul per Arrow
+    batch. Centroids ride in the closure (k x dim — tiny) and are
+    row-normalized once per executor."""
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cents = (centroids / np.where(norms == 0, 1.0, norms)).T  # (dim, k)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        mn = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(mn == 0, 1.0, mn)
+        return pd.Series(np.argmax(mat @ cents, axis=1)).astype("int32")
+
+    return assign
+
+
+def _ivf_centroids(df: DataFrame, config: Mapping) -> np.ndarray:
+    """Deterministic coarse quantizer: the k vectors with the smallest
+    xxhash64(id) seed the centroids (stable across runs/partitions —
+    no RNG, no sort-order dependence), then ``refine`` distributed
+    Lloyd iterations. Only k x dim floats ever reach the driver; the
+    per-vector assignments stay on the cluster."""
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    k = int(config.get("n_cells", 16))
+    seed = (df.select(F.col(field).alias("__e"))
+            .orderBy(F.xxhash64(F.col(id_field)), F.col(id_field))
+            .limit(k).collect())
+    cents = np.array([list(r["__e"]) for r in seed], dtype=np.float64)
+    for _ in range(int(config.get("refine", 1))):
+        assigned = df.select(
+            _assign_udf(cents)(F.col(field)).alias("__c"),
+            F.posexplode(field).alias("__pos", "__v"))
+        means = (assigned.groupBy("__c", "__pos")
+                 .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+                 .collect())
+        nxt = cents.copy()
+        for r in means:
+            nxt[r["__c"], r["__pos"]] = r["__m"]
+        cents = nxt
+    return cents
+
+
+@register("ivf_assign")
+def op_ivf_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Attach the IVF cell id (nearest coarse centroid) to every
+    embedding. At write time ``ivf_cell`` becomes a partition column,
+    so probes prune whole files — the disk-level analogue of an IVF
+    index's inverted lists."""
+    field = config.get("field", "embedding")
+    cents = _ivf_centroids(df, config)
+    return df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
+
+
+@register("ann_ivf")
+def op_ann_ivf(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """IVF approximate top-k: rank the probe against the k_cells coarse
+    centroids (driver-side — k x dim floats), scan only the nearest
+    ``nprobe`` cells, exact cosine re-rank inside them. Touches
+    ~nprobe/n_cells of the corpus; recall is tunable via nprobe with
+    no index rebuild."""
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    k = int(config.get("k", 10))
+    nprobe = int(config.get("nprobe", 2))
+    cents = _ivf_centroids(df, config)
+    assigned = df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
+
+    probe_row = df.filter(F.col(id_field) == config["probe_id"]).select(field).head()
+    probe = np.array(list(probe_row[0]), dtype=np.float64)
+    probe /= np.linalg.norm(probe) or 1.0
+    norms = np.linalg.norm(cents, axis=1)
+    sims = (cents / np.where(norms == 0, 1.0, norms)[:, None]) @ probe
+    cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+    probe_df = df.sparkSession.createDataFrame(
+        [(list(map(float, probe_row[0])),)], f"__probe array<float>")
+    return (
+        assigned.filter(F.col("ivf_cell").isin(cells))
+        .join(F.broadcast(probe_df))
+        .withColumn("cos_sim", cosine_col(F.col(field), F.col("__probe")))
+        .select(id_field, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_field))
+        .limit(k)
+    )
+
+
 @register("similarity_join")
 def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """All pairs with cosine >= threshold, via LSH buckets: pairwise

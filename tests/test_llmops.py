@@ -216,3 +216,26 @@ def test_audio_features_stub(docs):
         assert r["audio_samples"] == n
         assert abs(r["audio_seconds"] - n / 8000) < 1e-9
         assert 0.0 <= r["audio_rms"] <= 1.0
+
+
+def test_ivf_assign_groups_similar_vectors(vecs):
+    out = {r["vec_id"]: r["ivf_cell"]
+           for r in op("ivf_assign", vecs, {"n_cells": 3, "dim": 4}).collect()}
+    assert out[0] == out[1]           # near-identical vectors share a cell
+    assert len(set(out.values())) > 1  # and the corpus isn't one cell
+
+
+def test_ann_ivf_matches_bruteforce_on_clustered_data(spark):
+    import math
+    rows = []
+    for cid, base in enumerate([(1.0, 0.0), (0.0, 1.0)]):
+        for i in range(20):
+            t = (i + 1) / 200.0
+            v = [base[0] + t, base[1] + t * 0.5, 0.0, 0.0]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((cid * 100 + i, [x / n for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cfg = {"probe_id": 5, "k": 5, "n_cells": 2, "dim": 4}
+    bf = [r["vec_id"] for r in op("ann_bruteforce", df, cfg).collect()]
+    ivf = [r["vec_id"] for r in op("ann_ivf", df, {**cfg, "nprobe": 1}).collect()]
+    assert ivf == bf  # probing 1 of 2 well-separated cells finds the true top-k
