@@ -177,6 +177,9 @@ def _agg_expr(field: str, fn: str, alias: str | None = None) -> Column:
         # through string because decimal->string->double is correctly
         # rounded in every engine, while direct decimal->double isn't
         # (DuckDB computes int128/10^scale in floating point).
+        # Domain bound: decimal(38,10) holds |x| < 1e28 — far beyond
+        # any realistic metric, but inputs past it raise under ANSI
+        # mode rather than silently losing precision.
         dec = F.sum(col.cast("decimal(38,10)")).cast("string").cast("double")
         if fn == "avg":
             return (dec / F.count(col)).alias(name)
@@ -289,6 +292,22 @@ def op_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     # reference the two sides' attributes directly so the condition stays
     # unambiguous even when prefix="" leaves identical column names
     cond = df[left_key] == right_df[f"{prefix}{right_key}"]
+
+    salt = int(config.get("salt", 0))
+    if salt > 1 and not config.get("broadcast"):
+        # Skew mitigation when AQE can't help (e.g. one key holding a
+        # double-digit share of rows): spread each hot left key over
+        # `salt` partitions via a deterministic per-row hash, replicate
+        # the right side salt times. Right replication breaks
+        # right/full-outer semantics, so those are rejected.
+        if how not in ("inner", "left", "left_outer", "leftouter"):
+            raise ValueError(f"salted join supports inner/left, not {how!r}")
+        df = df.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)))
+        right_df = right_df.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        out = df.join(right_df, cond & (df["__salt"] == right_df["__salt"]), how)
+        return out.drop("__salt")
     return df.join(right_df, cond, how)
 
 

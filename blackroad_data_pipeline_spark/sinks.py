@@ -14,9 +14,18 @@ import json
 import sqlite3
 from collections.abc import Callable, Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 SinkFn = Callable[[DataFrame, Mapping], int]
+
+
+def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
+    """Count rows as a side-effect of the write itself — never a
+    second full computation of the plan (df.count() + write = 2x the
+    work at 100 TB)."""
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
 
 SINKS: dict[str, SinkFn] = {}
 
@@ -64,10 +73,9 @@ def sink_json(df: DataFrame, config: Mapping) -> int:
 @register("jsonl")
 def sink_jsonl(df: DataFrame, config: Mapping) -> int:
     """Partitioned JSON-lines directory — the scale JSON sink."""
-    out = df
-    n = df.count()
+    out, obs = _observed(df)
     out.write.mode(config.get("mode", "overwrite")).json(config["path"])
-    return n
+    return int(obs.get["n"])
 
 
 @register("csv")
@@ -90,13 +98,35 @@ def sink_csv(df: DataFrame, config: Mapping) -> int:
 @register("parquet")
 def sink_parquet(df: DataFrame, config: Mapping) -> int:
     """The native columnar sink. ``partition_by`` columns become
-    directory partitions (partition pruning for downstream readers)."""
-    n = df.count()
-    writer = df.write.mode(config.get("mode", "overwrite"))
+    directory partitions (partition pruning for downstream readers);
+    ``sort_by`` sorts within partitions so parquet min/max row-group
+    stats actually skip data for range predicates on those columns."""
+    out, obs = _observed(df)
+    if config.get("sort_by"):
+        out = out.sortWithinPartitions(*config["sort_by"])
+    writer = out.write.mode(config.get("mode", "overwrite"))
     if config.get("partition_by"):
         writer = writer.partitionBy(*config["partition_by"])
     writer.parquet(config["path"])
-    return n
+    return int(obs.get["n"])
+
+
+@register("bucketed_table")
+def sink_bucketed_table(df: DataFrame, config: Mapping) -> int:
+    """Bucketed (and optionally sorted) managed table via
+    ``saveAsTable`` — the co-located-join sink. Two tables bucketed on
+    the same keys with the same bucket count join with NO exchange on
+    either side (asserted in tests/test_plans.py): at 100 TB,
+    pre-bucketing fact tables on their join key pays the shuffle once
+    at write time instead of on every query."""
+    out, obs = _observed(df)
+    writer = (out.write.mode(config.get("mode", "overwrite"))
+              .format(config.get("format", "parquet"))
+              .bucketBy(int(config.get("buckets", 32)), *config["bucket_by"]))
+    if config.get("sort_by"):
+        writer = writer.sortBy(*config["sort_by"])
+    writer.saveAsTable(config["table"])
+    return int(obs.get["n"])
 
 
 @register("sqlite")

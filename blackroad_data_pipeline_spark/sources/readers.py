@@ -63,6 +63,14 @@ def src_orc(spark: SparkSession, config: Mapping) -> DataFrame:
     return spark.read.orc(config["path"])
 
 
+@register("table")
+def src_table(spark: SparkSession, config: Mapping) -> DataFrame:
+    """A catalog table (e.g. written by the ``bucketed_table`` sink).
+    Bucketing metadata flows into planning, so same-bucketed joins
+    skip their exchanges."""
+    return spark.table(config["table"])
+
+
 @register("csv")
 def src_csv(spark: SparkSession, config: Mapping) -> DataFrame:
     """Header CSV. ``infer_schema=False`` by default: every column

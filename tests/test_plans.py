@@ -128,3 +128,48 @@ def test_range_join_stays_equi_join(spark):
         s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         for s in strategies
     ), strategies
+
+
+def test_bucketed_tables_join_without_shuffle(spark, orders, customer):
+    from blackroad_data_pipeline_spark.sinks import write_sink
+    from blackroad_data_pipeline_spark.sources.readers import read_source
+
+    write_sink(orders, "bucketed_table", {
+        "table": "b_orders", "bucket_by": ["o_custkey"], "buckets": 4,
+        "sort_by": ["o_custkey"]})
+    write_sink(customer, "bucketed_table", {
+        "table": "b_customer", "bucket_by": ["c_custkey"], "buckets": 4,
+        "sort_by": ["c_custkey"]})
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = read_source(spark, "table", {"table": "b_orders"})
+        right = read_source(spark, "table", {"table": "b_customer"})
+        df = op("join", left, {"right": right, "left_key": "o_custkey",
+                               "right_key": "c_custkey"}, views={})
+        # co-located: both sides pre-bucketed on the key -> no Exchange
+        plans.assert_max_shuffles(df, 0)
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark, orders, customer):
+    plain = op("join", orders, {"right": customer, "left_key": "o_custkey",
+                                "right_key": "c_custkey"}, views={})
+    salted = op("join", orders, {"right": customer, "left_key": "o_custkey",
+                                 "right_key": "c_custkey", "salt": 8}, views={})
+    assert salted.count() == plain.count()
+    assert "__salt" not in salted.columns
+    a = {tuple(r) for r in plain.select("o_orderkey", "r_c_name").collect()}
+    b = {tuple(r) for r in salted.select("o_orderkey", "r_c_name").collect()}
+    assert a == b
+
+
+def test_salted_join_rejects_outer(spark, orders, customer):
+    with pytest.raises(ValueError, match="salted join"):
+        op("join", orders, {"right": customer, "left_key": "o_custkey",
+                            "right_key": "c_custkey", "salt": 4,
+                            "how": "full"}, views={})

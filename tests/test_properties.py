@@ -1,0 +1,116 @@
+"""Property-based operator laws (hypothesis).
+
+The reference's tests assert single fixed fixtures (SURVEY.md §5);
+these pin the algebraic properties that must hold for ANY input —
+the kind of invariant that catches partitioning/null-handling bugs a
+hand-picked fixture never hits. Example counts are kept small because
+every example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),            # key (collisions likely)
+        # magnitude bounded to the documented domain of the decimal
+        # sum path (|x| < 1e28); full float32 range would ANSI-error
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       min_value=-1e12, max_value=1e12)),
+        st.text(alphabet="abc", max_size=3),               # tag
+    ),
+    min_size=0, max_size=30,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v double, tag string") \
+        if rows else spark.createDataFrame([], "k int, v double, tag string")
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_filter_eq_ne_partition_nonnull_rows(spark, rows):
+    """eq and ne partition the non-null rows: nothing lost, nothing
+    double-counted, nulls in neither."""
+    df = _df(spark, rows)
+    n_eq = op("filter", df, {"field": "k", "op": "eq", "value": 1}).count()
+    n_ne = op("filter", df, {"field": "k", "op": "ne", "value": 1}).count()
+    assert n_eq + n_ne == df.filter("k IS NOT NULL").count()
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_deduplicate_yields_distinct_keys_exactly(spark, rows):
+    df = _df(spark, rows)
+    out = op("deduplicate", df, {"keys": ["k"]})
+    got = sorted(r["k"] for r in out.select("k").collect())
+    want = sorted(r["k"] for r in df.select("k").distinct().collect())
+    assert got == want
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_sort_is_monotone_permutation(spark, rows):
+    df = _df(spark, rows)
+    out = [r["k"] for r in op("sort", df, {"fields": ["k"]}).select("k").collect()]
+    assert out == sorted(r["k"] for r in df.select("k").collect())
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_decimal_sum_matches_fsum(spark, rows):
+    """The decimal-summed aggregate equals exact math.fsum — i.e. the
+    result is independent of partition/reduction order."""
+    df = _df(spark, rows)
+    got = op("aggregate", df, {
+        "group_by": [],
+        "aggregates": [{"field": "v", "function": "sum", "alias": "s"}],
+    }).collect()[0]["s"]
+    vals = [r[1] for r in rows if r[1] is not None]
+    if not vals:
+        assert got is None
+    else:
+        want = math.fsum(vals)
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@given(rows=rows_st, n_parts=st.integers(min_value=1, max_value=8))
+@settings(**SETTINGS)
+def test_aggregate_invariant_under_repartition(spark, rows, n_parts):
+    """Group counts/sums don't depend on physical partitioning."""
+    df = _df(spark, rows)
+    cfg = {"group_by": ["k"], "aggregates": [
+        {"field": "v", "function": "sum", "alias": "s"},
+        {"field": "v", "function": "count", "alias": "n"},
+    ]}
+    a = {r["k"]: (r["s"], r["n"]) for r in op("aggregate", df, cfg).collect()}
+    b = {r["k"]: (r["s"], r["n"])
+         for r in op("aggregate", df.repartition(n_parts), cfg).collect()}
+    assert a == b
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_union_aligns_by_name_with_nulls(spark, rows):
+    df = _df(spark, rows)
+    other = df.select("k", "tag")  # missing v
+    out = op("union", df, {"others": [other]}, views={})
+    assert out.count() == 2 * df.count()
+    assert set(out.columns) == {"k", "v", "tag"}
+    # every row from `other` carries NULL v, plus df's own nulls
+    assert out.filter("v IS NULL").count() == \
+        df.filter("v IS NULL").count() + df.count()
