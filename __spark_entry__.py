@@ -607,6 +607,15 @@ def q_similarity_join(spark, sf_dir):
               {"threshold": 0.3, "dim": 64, "n_planes": 4})
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment over documents (content
+    hash — stable across reruns/repartitioning, unlike randomSplit)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("split_assign", d, {"on": ["doc_id"],
+                                "splits": {"train": 0.9, "val": 0.05, "test": 0.05}})
+    return op("select", df, {"fields": ["doc_id", "split"]})
+
+
 def q_frame_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     df = op("attach_binary", d, {"field": "text"})
@@ -890,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "similarity_join": q_similarity_join,
         "frame_sample": q_frame_sample,
+        "split_assign": q_split_assign,
     }
 
 

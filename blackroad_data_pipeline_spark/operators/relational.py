@@ -417,6 +417,47 @@ def op_union(df: DataFrame, config: Mapping, views) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# sampling / dataset splitting — training-data pipeline staples
+# --------------------------------------------------------------------------
+
+
+@register("sample")
+def op_sample(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Bernoulli (or per-stratum) sample. Seeded, executor-side, no
+    shuffle. ``by`` + ``fractions`` switches to stratified sampleBy
+    (e.g. downsample a dominant language to rebalance a corpus)."""
+    seed = int(config.get("seed", 42))
+    if config.get("by"):
+        fractions = {k: float(v) for k, v in config["fractions"].items()}
+        return df.sampleBy(config["by"], fractions, seed=seed)
+    return df.sample(fraction=float(config["fraction"]), seed=seed,
+                     withReplacement=bool(config.get("with_replacement", False)))
+
+
+@register("split_assign")
+def op_split_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Deterministic train/val/test assignment from a content hash —
+    the split survives reruns, repartitioning, and incremental
+    appends (randomSplit does not: it reshuffles membership whenever
+    partitioning changes). ``on`` columns feed xxhash64; rows land in
+    the first split whose cumulative fraction covers their hash
+    bucket. No shuffle — a projection.
+    """
+    on = [F.col(c) for c in config["on"]]
+    splits = config.get("splits", {"train": 0.98, "val": 0.01, "test": 0.01})
+    buckets = int(config.get("buckets", 1_000_000))
+    h = F.pmod(F.xxhash64(*on), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += float(frac)
+        cond = h < F.lit(int(round(acc * buckets)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    out = expr.otherwise(list(splits)[-1])
+    return df.withColumn(config.get("as", "split"), out)
+
+
+# --------------------------------------------------------------------------
 # window — absent from the reference (SURVEY.md §2.5); first-class here
 # --------------------------------------------------------------------------
 

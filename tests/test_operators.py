@@ -263,3 +263,49 @@ def test_topk_per_group(spark):
 def test_unknown_operator_raises(employees):
     with pytest.raises(ValueError, match="unknown transform type"):
         op("nope", employees, {})
+
+
+# -- sampling / splits --------------------------------------------------------
+
+
+def test_sample_seeded_deterministic(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in op("sample", df, {"fraction": 0.2, "seed": 7}).collect())
+    b = sorted(r["k"] for r in op("sample", df, {"fraction": 0.2, "seed": 7}).collect())
+    assert a == b
+    assert 200 < len(a) < 600  # loose Bernoulli bounds
+
+
+def test_stratified_sample(spark):
+    rows = [("en", i) for i in range(900)] + [("fr", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["lang", "i"])
+    out = op("sample", df, {"by": "lang", "fractions": {"en": 0.1, "fr": 1.0},
+                            "seed": 1})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["fr"] == 100          # kept whole
+    assert 40 < counts["en"] < 200      # ~10%
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    cfg = {"on": ["k"], "splits": {"train": 0.8, "val": 0.1, "test": 0.1}}
+    a = {r["k"]: r["split"] for r in op("split_assign", df, cfg).collect()}
+    b = {r["k"]: r["split"]
+         for r in op("split_assign", df.repartition(13), cfg).collect()}
+    assert a == b  # membership survives repartitioning (randomSplit's doesn't)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 3700 < c["train"] < 4300 and 300 < c["val"] < 700 and 300 < c["test"] < 700
+    assert set(c) == {"train", "val", "test"}
+
+
+def test_split_assign_appends_stable(spark):
+    """New data doesn't move old rows between splits — the property
+    randomSplit lacks and incremental corpus builds need."""
+    small = spark.range(0, 1000).withColumnRenamed("id", "k")
+    big = spark.range(0, 3000).withColumnRenamed("id", "k")
+    cfg = {"on": ["k"], "splits": {"train": 0.9, "test": 0.1}}
+    a = {r["k"]: r["split"] for r in op("split_assign", small, cfg).collect()}
+    b = {r["k"]: r["split"] for r in op("split_assign", big, cfg).collect()}
+    assert all(b[k] == v for k, v in a.items())

@@ -168,3 +168,35 @@ def test_validate_schema(svc):
     assert result["valid"] and result["rows"] == 1
     assert result["schema"]["a"] == ["bigint"]
     assert result["schema"]["b"] == ["string"]
+
+
+def test_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """CLI parity loop: create -> run -> runs -> validate -> explain
+    (reference main.py:517-556, plus explain which it couldn't have)."""
+    from blackroad_data_pipeline_spark import cli
+
+    monkeypatch.setenv("PIPELINE_DB", str(tmp_path / "pipelines.db"))
+    assert cli.main(["create", "cli-pipe", "--description", "d"]) == 0
+    pid = json.loads(capsys.readouterr().out)["id"]
+
+    svc = PipelineService(spark)
+    sid = svc.add_source(pid, "rows", "inline",
+                         {"data": [{"x": 1}, {"x": 2}, {"x": 5}]}).id
+    svc.add_transform(pid, "filter", {"field": "x", "op": "gt", "value": 1}, 0)
+    svc.add_sink(pid, "json", {"path": str(tmp_path / "out.json")})
+
+    assert cli.main(["run", pid]) == 0
+    run_out = json.loads(capsys.readouterr().out)
+    assert run_out["status"] == "success"
+    assert run_out["rows_read"] == 3 and run_out["rows_written"] == 2
+    assert [r["x"] for r in json.load(open(tmp_path / "out.json"))] == [2, 5]
+
+    assert cli.main(["runs", "--pipeline-id", pid]) == 0
+    assert len(json.loads(capsys.readouterr().out)) == 1
+
+    assert cli.main(["validate", sid]) == 0
+    val = json.loads(capsys.readouterr().out)
+    assert val["valid"] and val["rows"] == 3
+
+    assert cli.main(["explain", pid]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
