@@ -133,6 +133,32 @@ def src_sqlite(spark: SparkSession, config: Mapping) -> DataFrame:
     return src_inline(spark, {"data": rows}) if rows else spark.createDataFrame([], "id string")
 
 
+@register("api")
+def src_api(spark: SparkSession, config: Mapping) -> DataFrame:
+    """HTTP(S) JSON API source — declared but unimplemented in the
+    reference (main.py:92 lists it; read() raises, main.py:115-116).
+
+    Fetches once on the driver (APIs are control-plane-sized inputs;
+    paginate with ``pages`` URLs). A top-level array becomes rows, an
+    object with ``data_key`` unwraps, a bare object is one row.
+    file:// URLs work for tests/offline use.
+    """
+    import json as _json
+    import urllib.request
+
+    urls = config.get("pages") or [config["url"]]
+    rows: list[dict] = []
+    for url in urls:
+        with urllib.request.urlopen(url, timeout=config.get("timeout", 30)) as resp:
+            doc = _json.loads(resp.read().decode("utf-8"))
+        if config.get("data_key"):
+            doc = doc[config["data_key"]]
+        rows.extend(doc if isinstance(doc, list) else [doc])
+    if not rows:
+        return spark.createDataFrame([], config.get("schema", "id string"))
+    return src_inline(spark, {"data": rows, "schema": config.get("schema")})
+
+
 @register("jdbc")
 def src_jdbc(spark: SparkSession, config: Mapping) -> DataFrame:
     """Partitioned JDBC scan — the scale path for relational sources.

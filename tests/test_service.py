@@ -200,3 +200,19 @@ def test_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
 
     assert cli.main(["explain", pid]) == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_api_source_file_url(spark, tmp_path):
+    """api source (declared-only in the reference, main.py:115-116):
+    JSON array over a URL; file:// keeps the test offline."""
+    from blackroad_data_pipeline_spark.sources.readers import read_source
+
+    p = tmp_path / "resp.json"
+    p.write_text(json.dumps([{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]))
+    df = read_source(spark, "api", {"url": p.as_uri()})
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+    wrapped = tmp_path / "wrapped.json"
+    wrapped.write_text(json.dumps({"data": [{"id": 3}], "next": None}))
+    df2 = read_source(spark, "api", {"url": wrapped.as_uri(), "data_key": "data"})
+    assert [r["id"] for r in df2.collect()] == [3]
