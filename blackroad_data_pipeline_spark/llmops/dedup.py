@@ -184,7 +184,33 @@ def _simhash64(text: str) -> int:
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.fillna("").map(_simhash64)
+    """Batch simhash: md5 each BATCH-UNIQUE token exactly once (Zipf
+    makes the vocab far smaller than the token stream — the md5 calls,
+    not the bit math, dominate), then per-doc majority votes are numpy
+    gathers over the shared vocab bit-matrix. Semantics identical to
+    :func:`_simhash64` (verified by test)."""
+    import numpy as np
+
+    toks_per_doc = [t.lower().split() for t in texts.fillna("")]
+    vocab: dict[str, int] = {}
+    for toks in toks_per_doc:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+    if not vocab:
+        return pd.Series([0] * len(toks_per_doc), dtype="int64")
+    digests = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in vocab)
+    arr = np.frombuffer(digests, dtype=np.uint8).reshape(len(vocab), 8)
+    vocab_bits = np.unpackbits(arr, axis=1, bitorder="little").astype(np.int64)
+    out = np.zeros(len(toks_per_doc), dtype=np.int64)
+    for i, toks in enumerate(toks_per_doc):
+        if not toks:
+            continue
+        idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+        votes = vocab_bits[idx].sum(axis=0) * 2 - len(toks)  # +1/-1 majority
+        u = int(np.packbits(votes > 0, bitorder="little").view("<u8")[0])
+        out[i] = u - (1 << 64) if u >= (1 << 63) else u
+    return pd.Series(out)
 
 
 @register("simhash")

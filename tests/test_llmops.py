@@ -239,3 +239,16 @@ def test_ann_ivf_matches_bruteforce_on_clustered_data(spark):
     bf = [r["vec_id"] for r in op("ann_bruteforce", df, cfg).collect()]
     ivf = [r["vec_id"] for r in op("ann_ivf", df, {**cfg, "nprobe": 1}).collect()]
     assert ivf == bf  # probing 1 of 2 well-separated cells finds the true top-k
+
+
+def test_simhash_batch_udf_matches_reference_fn(spark):
+    """The batched vocab-dedup UDF must equal the per-doc reference
+    implementation bit-for-bit."""
+    from blackroad_data_pipeline_spark.llmops.dedup import _simhash64
+
+    texts = ["the quick brown fox", "fox fox fox the", "", "one two three",
+             "THE Quick brown FOX", "unique tokens only here"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in op("simhash", df, {}).collect()}
+    assert got == {i: _simhash64(t) for i, t in enumerate(texts)}
