@@ -190,6 +190,12 @@ def _agg_expr(field: str, fn: str, alias: str | None = None) -> Column:
         return getattr(F, fn)(col, ignorenulls=True).alias(name)
     if fn == "stddev":
         return F.stddev(col.cast("double")).alias(name)
+    if fn == "median":
+        # exact interpolated median — buffers per-group values; for
+        # sketch-sized state at 100 TB use approx_percentile instead
+        return F.median(col.cast("double")).alias(name)
+    if fn == "approx_percentile":
+        return F.percentile_approx(col.cast("double"), 0.5).alias(name)
     if fn == "collect_set":
         return F.collect_set(col).alias(name)
     raise ValueError(f"unknown aggregate function: {fn!r}")

@@ -114,3 +114,44 @@ def test_union_aligns_by_name_with_nulls(spark, rows):
     # every row from `other` carries NULL v, plus df's own nulls
     assert out.filter("v IS NULL").count() == \
         df.filter("v IS NULL").count() + df.count()
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=15)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50),
+              st.integers(-100, 100)), min_size=0, max_size=15)
+
+
+@given(left=asof_rows, right=asof_right)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_model(spark, left, right):
+    """The union+carry-forward as-of equals the obvious per-row model:
+    max-ts right row at/before each left row (ties: max seq)."""
+    ldf = (spark.createDataFrame(left, "k int, ts int") if left
+           else spark.createDataFrame([], "k int, ts int"))
+    rrows = [(k, ts, i) for i, (k, ts, _) in enumerate(right)]
+    rdf = (spark.createDataFrame(rrows, "k int, ts int, seq int") if rrows
+           else spark.createDataFrame([], "k int, ts int, seq int"))
+    out = op("asof_join", ldf, {
+        "right": rdf, "by": ["k"], "left_ts": "ts", "values": ["seq"],
+        "right_tiebreak": "seq",
+    }, views={})
+
+    def model(k, ts):
+        cands = [(rts, seq) for (rk, rts, seq) in rrows if rk == k and rts <= ts]
+        return max(cands)[1] if cands else None
+
+    got = sorted((r["k"], r["ts"], r["r_seq"]) for r in out.collect())
+    want = sorted((k, ts, model(k, ts)) for (k, ts) in left)
+    assert got == want
+
+
+def test_median_aggregate(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 10.0), ("b", 4.0)], ["k", "v"])
+    got = {r["k"]: r["m"] for r in op("aggregate", df, {
+        "group_by": ["k"],
+        "aggregates": [{"field": "v", "function": "median", "alias": "m"}],
+    }).collect()}
+    assert got == {"a": 3.0, "b": 4.0}
