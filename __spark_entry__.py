@@ -607,6 +607,29 @@ def q_similarity_join(spark, sf_dir):
               {"threshold": 0.3, "dim": 64, "n_planes": 4})
 
 
+def q_corpus_prep(spark, sf_dir):
+    """The end-to-end training-corpus prep pipeline: exact dedup →
+    quality scoring → threshold filter — every stage a registry
+    operator, the whole chain one Catalyst plan, value-checked against
+    the composed DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("dedup_exact", d, {"field": "text", "id_field": "doc_id"})
+    df = op("quality_score", df, {"field": "text"})
+    df = op("filter", df, {"field": "quality_score", "op": "ge", "value": 0.66})
+    return op("select", df, {"fields": ["doc_id", "quality_score"]})
+
+
+_SQL_CORPUS_PREP = f"""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+scored AS ({_SQL_QUALITY_SCORE})
+SELECT scored.doc_id, scored.quality_score
+FROM scored JOIN kept USING (doc_id)
+WHERE scored.quality_score >= 0.66
+"""
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test assignment over documents (content
     hash — stable across reruns/repartitioning, unlike randomSplit)."""
@@ -900,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "frame_sample": q_frame_sample,
         "split_assign": q_split_assign,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -939,4 +963,5 @@ def oracle_sql() -> dict[str, str]:
         "expr_funcs": _SQL_EXPR_FUNCS,
         "json_extract": _SQL_JSON_EXTRACT,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
+        "corpus_prep": _SQL_CORPUS_PREP,
     }

@@ -17,21 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.registry import register
 
 
-@register("windowed_agg")
-def op_windowed_agg(df: DataFrame, config: Mapping, views) -> DataFrame:
-    """Tumbling/sliding event-time window aggregation.
-
-    Batch and streaming share this plan; on a stream, ``watermark``
-    (e.g. "10 minutes") bounds state and admits late rows up to the
-    delay. Output: window_start, window_end, group keys, aggregates.
-    """
-    ts = config.get("ts_field", "ts")
-    size = config.get("window", "1 hour")
-    slide = config.get("slide")  # None -> tumbling
-    keys = list(config.get("group_by", []))
-    if df.isStreaming and config.get("watermark"):
-        df = df.withWatermark(ts, config["watermark"])
-    win = F.window(ts, size, slide) if slide else F.window(ts, size)
+def _windowed_aggs(config: Mapping, ts: str) -> list:
     aggs = []
     for spec in config.get("aggregates", [{"field": ts, "function": "count"}]):
         fn = spec.get("function", "count")
@@ -47,13 +33,52 @@ def op_windowed_agg(df: DataFrame, config: Mapping, views) -> DataFrame:
             aggs.append(getattr(F, fn)(col.cast("double")).alias(alias))
         else:
             raise ValueError(f"unknown windowed aggregate: {fn!r}")
-    out = df.groupBy(win, *keys).agg(*aggs)
+    return aggs
+
+
+def _select_window(out: DataFrame, keys: list, window_col: str = "window") -> DataFrame:
     return out.select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
+        F.col(f"{window_col}.start").alias("window_start"),
+        F.col(f"{window_col}.end").alias("window_end"),
         *keys,
-        *[c for c in out.columns if c not in ("window", *keys)],
+        *[c for c in out.columns if c not in (window_col, "session_window", *keys)],
     )
+
+
+@register("windowed_agg")
+def op_windowed_agg(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation.
+
+    Batch and streaming share this plan; on a stream, ``watermark``
+    (e.g. "10 minutes") bounds state and admits late rows up to the
+    delay. Output: window_start, window_end, group keys, aggregates.
+    """
+    ts = config.get("ts_field", "ts")
+    size = config.get("window", "1 hour")
+    slide = config.get("slide")  # None -> tumbling
+    keys = list(config.get("group_by", []))
+    if df.isStreaming and config.get("watermark"):
+        df = df.withWatermark(ts, config["watermark"])
+    win = F.window(ts, size, slide) if slide else F.window(ts, size)
+    out = df.groupBy(win, *keys).agg(*_windowed_aggs(config, ts))
+    return _select_window(out, keys)
+
+
+@register("session_windowed_agg")
+def op_session_windowed_agg(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Gap-based session-window aggregation (``F.session_window``) —
+    the streaming-native sessionization. One row per (key, session);
+    windows merge as events arrive, watermark evicts closed sessions.
+    ``sessionize`` (batch lag+cumsum) is the per-event-id variant this
+    state operator can't express; both share the same gap semantics.
+    """
+    ts = config.get("ts_field", "ts")
+    gap = config.get("gap", "30 minutes")
+    keys = list(config.get("group_by", []))
+    if df.isStreaming and config.get("watermark"):
+        df = df.withWatermark(ts, config["watermark"])
+    out = df.groupBy(F.session_window(ts, gap), *keys).agg(*_windowed_aggs(config, ts))
+    return _select_window(out, keys, window_col="session_window")
 
 
 @register("sessionize")

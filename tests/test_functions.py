@@ -93,3 +93,14 @@ def test_intersect_and_except(spark):
     assert {r["v"] for r in ex.collect()} == {1, 3}
     ex_all = op("except", a, {"other": b, "all": True}, views={})
     assert sorted(r["v"] for r in ex_all.collect()) == [1, 2, 3]
+
+
+def test_grouping_sets(sales):
+    out = op("aggregate", sales, {
+        "grouping": "grouping_sets", "group_by": ["k", "cat"],
+        "sets": [["k"], ["cat"]],
+        "aggregates": [{"field": "amt", "function": "sum", "alias": "s"}]})
+    rows = {(r["k"], r["cat"], r["s"]) for r in out.collect()}
+    assert ("a", None, 3.0) in rows and ("b", None, 4.0) in rows
+    assert (None, "x", 5.0) in rows and (None, "y", 2.0) in rows
+    assert (None, None, 7.0) not in rows  # no grand-total set requested

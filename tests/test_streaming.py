@@ -73,3 +73,40 @@ def test_stateful_dedup_batch_fallback(spark):
     out = op("stateful_dedup", df, {"keys": ["user_id"]})
     assert not out.isStreaming
     assert out.count() == df.select("user_id").distinct().count()
+
+
+def test_session_windowed_agg_batch(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=5), 2.0),   # same session (gap 10m)
+        (1, base + dt.timedelta(minutes=30), 4.0),  # new session
+        (2, base, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = op("session_windowed_agg", df, {
+        "ts_field": "ts", "gap": "10 minutes", "group_by": ["user_id"],
+        "aggregates": [{"field": "value", "function": "sum", "alias": "total"}],
+    }).collect()
+    got = {(r["user_id"], r["total"]) for r in out}
+    assert got == {(1, 3.0), (1, 4.0), (2, 8.0)}
+    # session end = last event + gap
+    first = [r for r in out if r["user_id"] == 1 and r["total"] == 3.0][0]
+    assert (first["window_end"] - first["window_start"]).total_seconds() == 15 * 60
+
+
+def test_session_windowed_agg_streaming_matches_batch(spark):
+    cfg = {"ts_field": "ts", "gap": "10 minutes", "group_by": ["user_id"],
+           "watermark": "1 hour",
+           "aggregates": [{"field": "value", "function": "sum", "alias": "total"}]}
+    batch = {(r["user_id"], r["window_start"], r["total"])
+             for r in op("session_windowed_agg", _events_batch(spark), cfg).collect()}
+    stream = nanos_to_timestamp(
+        read_events_stream(spark, f"{SF}/events.parquet"), "ts")
+    agg = op("session_windowed_agg", stream, cfg)
+    run_stream_to_memory(agg, "sess_out", output_mode="complete")
+    streamed = {(r["user_id"], r["window_start"], r["total"])
+                for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert streamed == batch
