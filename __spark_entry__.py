@@ -584,6 +584,16 @@ def q_dedup_near_minhash(spark, sf_dir):
     return op("select", df, {"fields": ["doc_id", "lang", "source"]})
 
 
+def q_dedup_near_groups(spark, sf_dir):
+    """Transitive near-dup dedup: LSH pairs -> connected components
+    (pointer-jumping label propagation) -> keep min id per cluster."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("dedup_near_groups", d,
+            {"field": "text", "id_field": "doc_id", "shingle_size": 5,
+             "bands": 8, "rows_per_band": 4, "threshold": 0.8})
+    return op("select", df, {"fields": ["doc_id", "lang", "source"]})
+
+
 def q_near_dup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return op("near_dup_simhash", d,
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (hash-based candidate generation, not SQL-expressible)
         "near_dup_minhash": q_near_dup_minhash,
         "dedup_near_minhash": q_dedup_near_minhash,
+        "dedup_near_groups": q_dedup_near_groups,
         "near_dup_simhash": q_near_dup_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,

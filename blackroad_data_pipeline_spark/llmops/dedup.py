@@ -158,6 +158,83 @@ def op_dedup_near_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.join(losers, id_field, "left_anti")
 
 
+@register("connected_components")
+def op_connected_components(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Connected components over an undirected edge list — iterative
+    min-label propagation to a fixpoint. Input: (src, dst) pairs;
+    output: (id, component) with component = min reachable id.
+
+    This is the exact-transitive-closure step the one-pass "drop the
+    larger id of each pair" dedup policy approximates: with chains
+    a~b~c where a!~c, the greedy policy's survivor set depends on pair
+    order, while components are well-defined.
+
+    Each iteration: propagate labels over edges, take the min per
+    node, then one POINTER-JUMPING step (component <- component's own
+    label) which halves remaining path lengths — so convergence is
+    O(log diameter), not O(diameter); a 1M-node chain needs ~20
+    rounds, a near-dup cluster 2-3. ``checkpoint_every`` truncates
+    the growing lineage (local checkpoint), which any iterative
+    DataFrame algorithm needs at scale. Driver-side per-iteration
+    work is ONE scalar (the changed-label count), never the data.
+    """
+    src = config.get("src", "id_a")
+    dst = config.get("dst", "id_b")
+    max_iter = int(config.get("max_iter", 20))
+    checkpoint_every = int(config.get("checkpoint_every", 3))
+
+    edges = (df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .filter(F.col("a") != F.col("b")))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates().persist()
+
+    labels = (edges.select(F.col("a").alias("id"))
+              .dropDuplicates()
+              .withColumn("component", F.col("id")))
+
+    for i in range(max_iter):
+        # neighbor's current label, propagated over edges
+        prop = (edges.join(labels, edges["a"] == labels["id"])
+                .select(F.col("b").alias("id"),
+                        F.col("component").alias("cand")))
+        nxt = (labels.unionByName(prop.withColumnsRenamed({"cand": "component"}))
+               .groupBy("id").agg(F.min("component").alias("component")))
+        # pointer jumping: adopt the label of my current component
+        jump = nxt.select(F.col("id").alias("cid"),
+                          F.col("component").alias("ccomp"))
+        nxt = (nxt.join(jump, nxt["component"] == jump["cid"], "left")
+               .select(nxt["id"],
+                       F.coalesce(jump["ccomp"], nxt["component"]).alias("component")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        changed = (labels.alias("old")
+                   .join(nxt.alias("new"), "id")
+                   .filter(F.col("old.component") != F.col("new.component"))
+                   .count())
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    # truncate the accumulated iteration lineage so consumers join
+    # against a materialized result, not a replay of every round
+    return labels.localCheckpoint(eager=True)
+
+
+@register("dedup_near_groups")
+def op_dedup_near_groups(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Exact near-dup dedup: MinHash-LSH pairs → connected components
+    → keep the minimum id of every component. Unlike the one-pass
+    policy (op_dedup_near_minhash), survivors are independent of pair
+    enumeration order even across similarity chains."""
+    id_field = config.get("id_field", "doc_id")
+    pairs = op_near_dup_minhash(df, config, views)
+    comps = op_connected_components(pairs, config, views)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_field))
+    return df.join(losers, id_field, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash — 64-bit sketch via a vectorized Pandas UDF
 # --------------------------------------------------------------------------

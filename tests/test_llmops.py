@@ -252,3 +252,32 @@ def test_simhash_batch_udf_matches_reference_fn(spark):
                                ["doc_id", "text"])
     got = {r["doc_id"]: r["simhash"] for r in op("simhash", df, {}).collect()}
     assert got == {i: _simhash64(t) for i, t in enumerate(texts)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3, pair 10-11, isolated edge 20-21; min-id labeling
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20)], ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in op("connected_components", edges, {}).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    n = 40  # path graph: diameter >> one hop, forces multiple rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in op("connected_components", edges, {}).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_dedup_near_groups_transitive(docs):
+    """doc 2 is a near-dup of 0 via one edit; with components the
+    whole {0,1,2,5}-ish cluster keeps exactly min id 0."""
+    kept = sorted(r["doc_id"] for r in
+                  op("dedup_near_groups", docs,
+                     {"threshold": 0.5, "shingle_size": 2,
+                      "bands": 16, "rows_per_band": 1}).collect())
+    assert 0 in kept and 3 in kept and 4 in kept
+    assert 1 not in kept and 2 not in kept
