@@ -23,13 +23,20 @@ SF001 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # window()/date-part functions align to the session timezone; the
+    # DuckDB oracle computes in UTC — pin it (runtime conf, idempotent)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # unless read as epoch-ns longs. Our session factory sets this
+        # at build time; set it defensively here too (it is a runtime
+        # SQL conf) so queries() also work on a caller-built session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — arrives as epoch-ns
-        # long (legacy nanosAsLong); convert to a real timestamp
         from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
 
-        df = nanos_to_timestamp(df, "ts")
+        df = nanos_to_timestamp(df, "ts")  # epoch-ns long -> timestamp
     return df
 
 
