@@ -182,12 +182,41 @@ def op_connected_components(df: DataFrame, config: Mapping, views) -> DataFrame:
     dst = config.get("dst", "id_b")
     max_iter = int(config.get("max_iter", 20))
     checkpoint_every = int(config.get("checkpoint_every", 3))
+    driver_threshold = int(config.get("driver_threshold", 2_000_000))
 
     edges = (df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .filter(F.col("a") != F.col("b")))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).dropDuplicates().persist()
+
+    # The candidate-pair graph is normally FAR smaller than the corpus
+    # (edges ≈ near-dup pairs). Below the threshold, driver union-find
+    # beats ~4 distributed jobs per iteration by orders of magnitude;
+    # the iterative path remains the unbounded-scale fallback.
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.filter(F.col("a") < F.col("b")).collect()
+        for r in rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for r in rows for n in (r["a"], r["b"])}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        edges.unpersist()
+        schema = df.select(F.col(src).alias("id"),
+                           F.col(src).alias("component")).schema
+        return df.sparkSession.createDataFrame(out, schema)
 
     labels = (edges.select(F.col("a").alias("id"))
               .dropDuplicates()

@@ -267,9 +267,23 @@ def test_connected_components_long_path_converges(spark):
     n = 40  # path graph: diameter >> one hop, forces multiple rounds
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)],
                                   ["id_a", "id_b"])
+    # driver_threshold=0 forces the distributed pointer-jumping loop
     got = {r["id"]: r["component"]
-           for r in op("connected_components", edges, {}).collect()}
+           for r in op("connected_components", edges,
+                       {"driver_threshold": 0}).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 9), (9, 8), (20, 21)], ["id_a", "id_b"])
+    fast = {(r["id"], r["component"])
+            for r in op("connected_components", edges, {}).collect()}
+    dist = {(r["id"], r["component"])
+            for r in op("connected_components", edges,
+                        {"driver_threshold": 0}).collect()}
+    assert fast == dist
+    assert dict(fast) == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
 
 
 def test_dedup_near_groups_transitive(docs):
