@@ -205,11 +205,25 @@ def op_ann_ivf(df: DataFrame, config: Mapping, views) -> DataFrame:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def _pair_dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched pair dot products: one einsum per Arrow batch. Catalyst
+    higher-order functions (zip_with+aggregate) are interpreted per
+    element — for 64-dim pairs the numpy kernel is ~5x faster."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.vstack(a.to_numpy()).astype(np.float64)
+    mb = np.vstack(b.to_numpy()).astype(np.float64)
+    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+
 @register("similarity_join")
 def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """All pairs with cosine >= threshold, via LSH buckets: pairwise
     work runs inside buckets (shuffle on bucket id), never across the
-    corpus. The embedding-cosine near-dup primitive."""
+    corpus. The embedding-cosine near-dup primitive. Norms are
+    computed once per vector JVM-side; the per-pair dot products run
+    as an Arrow-batched numpy kernel."""
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
     threshold = float(config.get("threshold", 0.9))
@@ -226,13 +240,12 @@ def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     right = bucketed.select(F.col("__id").alias("id_b"),
                             F.col("__emb").alias("emb_b"),
                             F.col("__norm").alias("norm_b"), "lsh_bucket")
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
     return (
         left.join(right, "lsh_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", dot / (F.col("norm_a") * F.col("norm_b")))
+        .withColumn("cos_sim",
+                    _pair_dot_udf(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
         .dropDuplicates(["id_a", "id_b"])
