@@ -624,6 +624,43 @@ def q_similarity_join(spark, sf_dir):
               {"threshold": 0.3, "dim": 64, "n_planes": 4})
 
 
+def q_profile(spark, sf_dir):
+    """Single-pass per-column profile of orders (rows/nulls/distinct/
+    min/max) — the data-quality primitive."""
+    o = _t(spark, sf_dir, "orders")
+    df = op("profile", o, {"columns": ["o_orderkey", "o_custkey",
+                                       "o_orderstatus", "o_totalprice"]})
+    return op("sort", df, {"fields": ["col_name"]})
+
+
+_SQL_PROFILE = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+       COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 END), 0) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       MIN(CAST(o_orderkey AS DOUBLE)) AS min_val,
+       MAX(CAST(o_orderkey AS DOUBLE)) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 END), 0),
+       COUNT(DISTINCT o_custkey),
+       MIN(CAST(o_custkey AS DOUBLE)), MAX(CAST(o_custkey AS DOUBLE))
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       COALESCE(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 END), 0),
+       COUNT(DISTINCT o_orderstatus), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       COALESCE(SUM(CASE WHEN o_totalprice IS NULL THEN 1 END), 0),
+       COUNT(DISTINCT o_totalprice),
+       MIN(CAST(o_totalprice AS DOUBLE)), MAX(CAST(o_totalprice AS DOUBLE))
+FROM orders
+ORDER BY col_name
+"""
+
+
 def q_corpus_prep(spark, sf_dir):
     """The end-to-end training-corpus prep pipeline: exact dedup →
     quality scoring → threshold filter — every stage a registry
@@ -942,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "split_assign": q_split_assign,
         "corpus_prep": q_corpus_prep,
+        "profile": q_profile,
     }
 
 
@@ -982,4 +1020,5 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _SQL_JSON_EXTRACT,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "corpus_prep": _SQL_CORPUS_PREP,
+        "profile": _SQL_PROFILE,
     }

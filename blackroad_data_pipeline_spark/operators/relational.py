@@ -422,6 +422,46 @@ def op_union(df: DataFrame, config: Mapping, views) -> DataFrame:
     return out
 
 
+@register("profile")
+def op_profile(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-column data-quality profile in ONE pass: row count, null
+    count, distinct count, numeric min/max. All columns' aggregates
+    evaluate in a single HashAggregate (one scan, one reduce) and the
+    wide row is exploded to long form driver-free via stack().
+
+    ``approx: True`` swaps exact countDistinct for HyperLogLog++ —
+    the 100 TB default (single shuffle); exact mode is the
+    oracle-comparable option but multi-column exact distinct plans an
+    Expand (input duplicated per profiled column) + a second shuffle.
+    """
+    cols = list(config.get("columns") or df.columns)
+    approx = bool(config.get("approx", False))
+    dtypes = dict(df.dtypes)
+    exprs = []
+    for c in cols:
+        numeric = dtypes[c].startswith(_NUMERIC_DTYPES)
+        distinct = (F.approx_count_distinct(c) if approx
+                    else F.countDistinct(F.col(c)))
+        exprs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            distinct.alias(f"{c}__distinct"),
+            (F.min(F.col(c).cast("double")) if numeric
+             else F.lit(None).cast("double")).alias(f"{c}__min"),
+            (F.max(F.col(c).cast("double")) if numeric
+             else F.lit(None).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
 # --------------------------------------------------------------------------
 # sampling / dataset splitting — training-data pipeline staples
 # --------------------------------------------------------------------------

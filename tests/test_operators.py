@@ -309,3 +309,20 @@ def test_split_assign_appends_stable(spark):
     a = {r["k"]: r["split"] for r in op("split_assign", small, cfg).collect()}
     b = {r["k"]: r["split"] for r in op("split_assign", big, cfg).collect()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def test_profile_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, 5.0, "y"), (2, 7.5, None)],
+        "k int, v double, s string")
+    got = {r["col_name"]: r for r in op("profile", df, {}).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_distinct"] == 2
+    assert got["v"]["n_nulls"] == 1 and got["v"]["min_val"] == 5.0
+    assert got["s"]["n_nulls"] == 1 and got["s"]["min_val"] is None
+    # exact mode: Expand + 2 shuffles (multi-column exact distinct);
+    # approx (HLL++) mode is the single-shuffle scale path
+    from blackroad_data_pipeline_spark import plans
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plans.assert_max_shuffles(op("profile", orders, {}), 2)
+    plans.assert_max_shuffles(op("profile", orders, {"approx": True}), 1)
