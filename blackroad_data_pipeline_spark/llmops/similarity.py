@@ -101,15 +101,29 @@ def op_ann_lsh(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Approximate top-k: probe's LSH bucket only, exact cosine
     re-rank inside it. Bucket pruning replaces the full scan — at
     2^n_planes buckets the candidate set is corpus/2^n_planes on
-    average. Recall grows with fewer planes (bigger buckets)."""
+    average.
+
+    ``probe_radius: 1`` (multi-probe LSH) additionally scans every
+    bucket one sign-flip away — recall rises toward brute force
+    without re-indexing or changing n_planes, at (1 + n_planes)x the
+    candidate count. The recall/cost knob is per-QUERY, which a
+    fixed-granularity index can't offer.
+    """
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
     k = int(config.get("k", 10))
+    n_planes = int(config.get("n_planes", 12))
+    radius = int(config.get("probe_radius", 0))
     bucketed = op_lsh_bucket(df, config, views)
     probe = bucketed.filter(F.col(id_field) == config["probe_id"]).select(
         F.col(field).alias("__probe"), F.col("lsh_bucket").alias("__pb"))
+    b, pb = F.col("lsh_bucket"), F.col("__pb")
+    cond = b == pb
+    if radius >= 1:
+        for i in range(n_planes):
+            cond = cond | (b == pb.bitwiseXOR(F.lit(1 << i)))
     return (
-        bucketed.join(F.broadcast(probe), F.col("lsh_bucket") == F.col("__pb"))
+        bucketed.join(F.broadcast(probe), cond)
         .withColumn("cos_sim", cosine_col(F.col(field), F.col("__probe")))
         .select(id_field, "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col(id_field))

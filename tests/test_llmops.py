@@ -295,3 +295,23 @@ def test_dedup_near_groups_transitive(docs):
                       "bands": 16, "rows_per_band": 1}).collect())
     assert 0 in kept and 3 in kept and 4 in kept
     assert 1 not in kept and 2 not in kept
+
+
+def test_ann_lsh_multi_probe_improves_recall(spark):
+    import math
+    rows = []
+    for i in range(60):
+        ang = i * math.pi / 2 / 60  # quarter-circle fan in 2D (padded to 4)
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = [r["vec_id"] for r in
+          op("ann_bruteforce", df, {"probe_id": 30, "k": 10}).collect()]
+    base = [r["vec_id"] for r in
+            op("ann_lsh", df, {"probe_id": 30, "k": 10, "dim": 4,
+                               "n_planes": 6}).collect()]
+    multi = [r["vec_id"] for r in
+             op("ann_lsh", df, {"probe_id": 30, "k": 10, "dim": 4,
+                                "n_planes": 6, "probe_radius": 1}).collect()]
+    recall = lambda got: len(set(got) & set(bf)) / len(bf)
+    assert recall(multi) >= recall(base)
+    assert recall(multi) >= 0.5  # neighboring buckets recovered

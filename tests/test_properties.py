@@ -155,3 +155,30 @@ def test_median_aggregate(spark):
         "aggregates": [{"field": "v", "function": "median", "alias": "m"}],
     }).collect()}
     assert got == {"a": 3.0, "b": 4.0}
+
+
+range_left = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40)),
+                      min_size=0, max_size=12)
+range_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(1, 15)),
+    min_size=0, max_size=12)
+
+
+@given(left=range_left, right=range_right, bucket=st.integers(1, 20))
+@settings(**SETTINGS)
+def test_range_join_matches_model_for_any_bucket_width(spark, left, right, bucket):
+    """Bucketization is an implementation detail: results must be
+    identical for every bucket width."""
+    ldf = (spark.createDataFrame(left, "k int, ts int") if left
+           else spark.createDataFrame([], "k int, ts int"))
+    rrows = [(k, s, s + d, i) for i, (k, s, d) in enumerate(right)]
+    rdf = (spark.createDataFrame(rrows, "k int, s int, e int, wid int") if rrows
+           else spark.createDataFrame([], "k int, s int, e int, wid int"))
+    out = op("range_join", ldf, {
+        "right": rdf, "by": ["k"], "left_ts": "ts",
+        "start_field": "s", "end_field": "e", "bucket_seconds": bucket,
+    }, views={})
+    got = sorted((r["k"], r["ts"], r["r_wid"]) for r in out.collect())
+    want = sorted((k, ts, wid) for (k, ts) in left
+                  for (rk, s, e, wid) in rrows if rk == k and s <= ts < e)
+    assert got == want
