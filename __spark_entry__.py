@@ -624,6 +624,27 @@ def q_similarity_join(spark, sf_dir):
               {"threshold": 0.3, "dim": 64, "n_planes": 4})
 
 
+def q_unpivot(spark, sf_dir):
+    """Wide->long melt of the lineitem metric columns (inverse of
+    pivot; projection + generate, no shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = op("select", li, {"fields": ["l_orderkey", "l_linenumber",
+                                      "l_quantity", "l_discount", "l_tax"]})
+    return op("unpivot", df, {
+        "ids": ["l_orderkey", "l_linenumber"],
+        "values": ["l_quantity", "l_discount", "l_tax"],
+        "variable_name": "metric", "value_name": "val"})
+
+
+_SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
 def q_profile(spark, sf_dir):
     """Single-pass per-column profile of orders (rows/nulls/distinct/
     min/max) — the data-quality primitive."""
@@ -980,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "corpus_prep": q_corpus_prep,
         "profile": q_profile,
+        "unpivot": q_unpivot,
     }
 
 
@@ -1021,4 +1043,5 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "corpus_prep": _SQL_CORPUS_PREP,
         "profile": _SQL_PROFILE,
+        "unpivot": _SQL_UNPIVOT,
     }

@@ -422,6 +422,50 @@ def op_union(df: DataFrame, config: Mapping, views) -> DataFrame:
     return out
 
 
+@register("unpivot")
+def op_unpivot(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Wide→long (melt): ``ids`` stay, ``values`` columns become
+    (variable, value) rows. The inverse of pivot; pure projection +
+    generate, no shuffle."""
+    return df.unpivot(
+        [F.col(c) for c in config["ids"]],
+        [F.col(c) for c in config["values"]],
+        config.get("variable_name", "variable"),
+        config.get("value_name", "value"),
+    )
+
+
+@register("explode")
+def op_explode(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """One output row per array element (optionally with position).
+    Generate node — no shuffle; the array column is replaced by the
+    element column ``as``."""
+    field = config["field"]
+    alias = config.get("as", f"{field}_elem")
+    fn = F.posexplode if config.get("with_position") else F.explode
+    if config.get("keep_nulls"):
+        fn = F.posexplode_outer if config.get("with_position") else F.explode_outer
+    others = [c for c in df.columns if c != field]
+    if config.get("with_position"):
+        return df.select(*others, fn(F.col(field)).alias("pos", alias))
+    return df.select(*others, fn(F.col(field)).alias(alias))
+
+
+@register("repartition")
+def op_repartition(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Explicit layout control for pipeline authors: hash-partition by
+    columns (co-locate downstream joins/aggs), round-robin to n, or
+    ``coalesce`` (shuffle-free narrowing for small outputs)."""
+    by = config.get("by")
+    n = config.get("n")
+    if config.get("coalesce"):
+        return df.coalesce(int(n))
+    if by:
+        cols = [F.col(c) for c in by]
+        return df.repartition(int(n), *cols) if n else df.repartition(*cols)
+    return df.repartition(int(n))
+
+
 @register("profile")
 def op_profile(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Per-column data-quality profile in ONE pass: row count, null

@@ -326,3 +326,31 @@ def test_profile_single_pass(spark):
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     plans.assert_max_shuffles(op("profile", orders, {}), 2)
     plans.assert_max_shuffles(op("profile", orders, {"approx": True}), 1)
+
+
+def test_unpivot_melt(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "a", "b"])
+    out = op("unpivot", df, {"ids": ["id"], "values": ["a", "b"],
+                             "variable_name": "metric", "value_name": "v"})
+    got = {(r["id"], r["metric"], r["v"]) for r in out.collect()}
+    assert got == {(1, "a", 10.0), (1, "b", 20.0)}
+
+
+def test_explode_with_position_and_nulls(spark):
+    df = spark.createDataFrame([(1, [5, 6]), (2, None)],
+                               "id int, xs array<int>")
+    out = op("explode", df, {"field": "xs", "as": "x"})
+    assert {(r["id"], r["x"]) for r in out.collect()} == {(1, 5), (1, 6)}
+    outer = op("explode", df, {"field": "xs", "as": "x", "keep_nulls": True})
+    assert (2, None) in {(r["id"], r["x"]) for r in outer.collect()}
+    pos = op("explode", df, {"field": "xs", "as": "x", "with_position": True})
+    assert {(r["pos"], r["x"]) for r in pos.collect()} == {(0, 5), (1, 6)}
+
+
+def test_repartition_layout(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    assert op("repartition", df, {"n": 7}).rdd.getNumPartitions() == 7
+    assert op("repartition", df, {"n": 2, "coalesce": True}).rdd.getNumPartitions() == 2
+    byk = op("repartition", df, {"by": ["k"], "n": 5})
+    assert byk.rdd.getNumPartitions() == 5
+    assert byk.count() == 1000
