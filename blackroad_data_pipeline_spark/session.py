@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # NOTE: spark.sql.optimizer.runtime.bloomFilter.enabled +
+        # runtimeFilter.semiJoinReduction were tried and REVERTED —
+        # with observe()-instrumented plans on this build (4.1.2) even
+        # trivial jobs hang. Revisit per-query if fact-fact joins
+        # dominate; do not re-enable globally without the smoke test.
         # parquet TIMESTAMP(NANOS) isn't a Spark type; read as long and
         # convert explicitly (see sources.readers.nanos_to_timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
