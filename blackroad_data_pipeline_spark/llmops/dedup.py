@@ -108,7 +108,11 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
         F.col(id_field).alias("__id"), sh.alias("__shingles")
     ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
     # the shingle sets are needed twice (banding + verification); cache
-    # rather than recompute the signatures per branch
+    # rather than recompute the signatures per branch. The cache lives
+    # until session end or LRU eviction — long-lived sessions running
+    # many near-dup jobs should spark.catalog.clearCache() between, or
+    # persist would accumulate (unpersisting here would defeat the
+    # reuse, since the returned plan still references `docs`)
     docs = docs.persist()
 
     band_entries = F.array(*[

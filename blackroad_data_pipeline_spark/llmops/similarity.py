@@ -103,25 +103,33 @@ def op_ann_lsh(df: DataFrame, config: Mapping, views) -> DataFrame:
     2^n_planes buckets the candidate set is corpus/2^n_planes on
     average.
 
-    ``probe_radius: 1`` (multi-probe LSH) additionally scans every
-    bucket one sign-flip away — recall rises toward brute force
-    without re-indexing or changing n_planes, at (1 + n_planes)x the
-    candidate count. The recall/cost knob is per-QUERY, which a
+    ``probe_radius: r`` (multi-probe LSH) additionally scans every
+    bucket up to r sign-flips away — recall rises toward brute force
+    without re-indexing or changing n_planes, at sum(C(n_planes,i))x
+    the candidate count. The recall/cost knob is per-QUERY, which a
     fixed-granularity index can't offer.
     """
+    from itertools import combinations
+
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
     k = int(config.get("k", 10))
     n_planes = int(config.get("n_planes", 12))
     radius = int(config.get("probe_radius", 0))
+    masks = [sum(1 << b for b in bits)
+             for r in range(1, radius + 1)
+             for bits in combinations(range(n_planes), r)]
+    if len(masks) > 512:
+        raise ValueError(
+            f"probe_radius={radius} over {n_planes} planes expands to "
+            f"{len(masks)} buckets (>512) — lower the radius or n_planes")
     bucketed = op_lsh_bucket(df, config, views)
     probe = bucketed.filter(F.col(id_field) == config["probe_id"]).select(
         F.col(field).alias("__probe"), F.col("lsh_bucket").alias("__pb"))
     b, pb = F.col("lsh_bucket"), F.col("__pb")
     cond = b == pb
-    if radius >= 1:
-        for i in range(n_planes):
-            cond = cond | (b == pb.bitwiseXOR(F.lit(1 << i)))
+    for m in masks:
+        cond = cond | (b == pb.bitwiseXOR(F.lit(m)))
     return (
         bucketed.join(F.broadcast(probe), cond)
         .withColumn("cos_sim", cosine_col(F.col(field), F.col("__probe")))
@@ -201,6 +209,9 @@ def op_ann_ivf(df: DataFrame, config: Mapping, views) -> DataFrame:
     assigned = df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
 
     probe_row = df.filter(F.col(id_field) == config["probe_id"]).select(field).head()
+    if probe_row is None:  # unknown probe id -> empty result, like ann_lsh
+        return df.sparkSession.createDataFrame(
+            [], df.select(id_field).schema.add("cos_sim", T.DoubleType()))
     probe = np.array(list(probe_row[0]), dtype=np.float64)
     probe /= np.linalg.norm(probe) or 1.0
     norms = np.linalg.norm(cents, axis=1)

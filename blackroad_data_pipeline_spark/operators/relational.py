@@ -145,11 +145,20 @@ def op_expr(df: DataFrame, config: Mapping, views) -> DataFrame:
 @register("sql")
 def op_sql(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Full Spark SQL over the current frame (view ``self``) and every
-    named source view — subqueries, CTEs, any join shape."""
-    df.createOrReplaceTempView(config.get("self_name", "self"))
+    named source view — subqueries, CTEs, any join shape. Views are
+    dropped again after the query resolves (resolution is eager in
+    ``spark.sql``), so no session-global view state leaks between
+    operators or pipelines sharing the session."""
+    spark = df.sparkSession
+    names = [config.get("self_name", "self"), *list(views or {})]
+    df.createOrReplaceTempView(names[0])
     for name, v in (views or {}).items():
         v.createOrReplaceTempView(name)
-    return df.sparkSession.sql(config["query"])
+    try:
+        return spark.sql(config["query"])
+    finally:
+        for name in names:
+            spark.catalog.dropTempView(name)
 
 
 # --------------------------------------------------------------------------
@@ -243,7 +252,12 @@ def op_pivot(df: DataFrame, config: Mapping, views) -> DataFrame:
     prefix = config.get("prefix", f"{spec['field']}_")
     expr = _agg_expr(spec["field"], spec.get("function", "count"), "__v")
     out = df.groupBy(*keys).pivot(pivot_col, values).agg(expr)
-    renames = {str(v): f"{prefix}{v}" for v in values}
+    # rename POSITIONALLY: Spark's generated pivot column names differ
+    # from Python's str() for bool/float/null values, so a name-keyed
+    # rename would silently no-op. Output order is keys then one
+    # column per requested value.
+    generated = out.columns[len(keys):]
+    renames = {g: f"{prefix}{v}" for g, v in zip(generated, values)}
     return out.withColumnsRenamed(renames)
 
 

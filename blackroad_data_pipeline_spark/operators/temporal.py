@@ -51,18 +51,27 @@ def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     how = config.get("how", "left")
 
     payload = F.struct(*[F.col(c) for c in values], F.col(rts).alias("__rts"))
+    # left rows need a __tb of the SAME TYPE as the right tiebreak for
+    # the union; a typed NULL works for any column type (left rows all
+    # share (ts, tag=1), so their relative __tb order is irrelevant)
+    if tiebreak:
+        tb_type = right_df.schema[tiebreak].dataType
+        left_tb = F.lit(None).cast(tb_type)
+        right_tb = F.col(tiebreak)
+    else:
+        left_tb = right_tb = F.lit(0)
     r = right_df.select(
         *by,
         F.col(rts).alias("__ts"),
         F.lit(0).alias("__tag"),
         payload.alias("__rpay"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+        right_tb.alias("__tb"),
     )
     l = df.select(
         "*",
         F.col(lts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        F.lit(0).alias("__tb"),
+        left_tb.alias("__tb"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
 

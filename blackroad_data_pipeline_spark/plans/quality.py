@@ -39,16 +39,36 @@ def explain_text(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside any bracket nesting — predicates like
+    In(status, [a,b]) must stay one fragment."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every predicate Spark pushed into a file scan, flattened across
     all scan nodes. Empty list on a plan whose scans push nothing —
     which for a filtered parquet read is a performance bug."""
     text = explain_text(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        inner = m.group(1).strip()
-        if inner:
-            out.extend(p.strip() for p in inner.split(","))
+    # greedy-to-line-end: nested ']' inside In(col, [a,b]) must not
+    # truncate the capture
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", text):
+        out.extend(_split_top_level(m.group(1)))
     return out
 
 

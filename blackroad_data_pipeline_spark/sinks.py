@@ -20,12 +20,19 @@ from pyspark.sql import functions as F
 SinkFn = Callable[[DataFrame, Mapping], int]
 
 
-def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
+def _write_counted(df: DataFrame, mode: str, write) -> int:
     """Count rows as a side-effect of the write itself — never a
     second full computation of the plan (df.count() + write = 2x the
-    work at 100 TB)."""
+    work at 100 TB). mode='ignore' may skip the job entirely, in
+    which case the Observation would never fire and obs.get would
+    block forever — that mode falls back to an explicit count."""
+    if mode == "ignore":
+        write(df)
+        return df.count()
     obs = Observation()
-    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
+    out = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    write(out)
+    return int(obs.get["n"])
 
 SINKS: dict[str, SinkFn] = {}
 
@@ -73,9 +80,9 @@ def sink_json(df: DataFrame, config: Mapping) -> int:
 @register("jsonl")
 def sink_jsonl(df: DataFrame, config: Mapping) -> int:
     """Partitioned JSON-lines directory — the scale JSON sink."""
-    out, obs = _observed(df)
-    out.write.mode(config.get("mode", "overwrite")).json(config["path"])
-    return int(obs.get["n"])
+    mode = config.get("mode", "overwrite")
+    return _write_counted(df, mode,
+                          lambda d: d.write.mode(mode).json(config["path"]))
 
 
 @register("csv")
@@ -101,14 +108,17 @@ def sink_parquet(df: DataFrame, config: Mapping) -> int:
     directory partitions (partition pruning for downstream readers);
     ``sort_by`` sorts within partitions so parquet min/max row-group
     stats actually skip data for range predicates on those columns."""
-    out, obs = _observed(df)
-    if config.get("sort_by"):
-        out = out.sortWithinPartitions(*config["sort_by"])
-    writer = out.write.mode(config.get("mode", "overwrite"))
-    if config.get("partition_by"):
-        writer = writer.partitionBy(*config["partition_by"])
-    writer.parquet(config["path"])
-    return int(obs.get["n"])
+    mode = config.get("mode", "overwrite")
+
+    def write(d):
+        if config.get("sort_by"):
+            d = d.sortWithinPartitions(*config["sort_by"])
+        writer = d.write.mode(mode)
+        if config.get("partition_by"):
+            writer = writer.partitionBy(*config["partition_by"])
+        writer.parquet(config["path"])
+
+    return _write_counted(df, mode, write)
 
 
 @register("bucketed_table")
@@ -119,14 +129,17 @@ def sink_bucketed_table(df: DataFrame, config: Mapping) -> int:
     either side (asserted in tests/test_plans.py): at 100 TB,
     pre-bucketing fact tables on their join key pays the shuffle once
     at write time instead of on every query."""
-    out, obs = _observed(df)
-    writer = (out.write.mode(config.get("mode", "overwrite"))
-              .format(config.get("format", "parquet"))
-              .bucketBy(int(config.get("buckets", 32)), *config["bucket_by"]))
-    if config.get("sort_by"):
-        writer = writer.sortBy(*config["sort_by"])
-    writer.saveAsTable(config["table"])
-    return int(obs.get["n"])
+    mode = config.get("mode", "overwrite")
+
+    def write(d):
+        writer = (d.write.mode(mode)
+                  .format(config.get("format", "parquet"))
+                  .bucketBy(int(config.get("buckets", 32)), *config["bucket_by"]))
+        if config.get("sort_by"):
+            writer = writer.sortBy(*config["sort_by"])
+        writer.saveAsTable(config["table"])
+
+    return _write_counted(df, mode, write)
 
 
 @register("sqlite")

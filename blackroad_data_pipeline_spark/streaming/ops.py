@@ -146,6 +146,11 @@ def op_stateful_dedup(df: DataFrame, config: Mapping, views) -> DataFrame:
             state.remove()
             return
         emitted = state.exists
+        # GroupState cancels the pending timeout on EVERY invocation;
+        # it must be re-armed each time the group is seen, or a key
+        # that receives a duplicate would keep its state forever
+        if emitted and ttl_ms is not None:
+            state.setTimeoutDuration(int(ttl_ms))
         for pdf in pdfs:
             if not emitted and len(pdf):
                 emitted = True

@@ -104,3 +104,22 @@ def test_grouping_sets(sales):
     assert ("a", None, 3.0) in rows and ("b", None, 4.0) in rows
     assert (None, "x", 5.0) in rows and (None, "y", 2.0) in rows
     assert (None, None, 7.0) not in rows  # no grand-total set requested
+
+
+def test_pivot_bool_values_renamed(spark):
+    df = spark.createDataFrame([(1, True, 2.0), (1, False, 3.0)],
+                               ["k", "flag", "v"])
+    out = op("pivot", df, {"group_by": ["k"], "pivot": "flag",
+                           "values": [True, False], "prefix": "v_",
+                           "aggregate": {"field": "v", "function": "sum"}})
+    # positional rename handles Spark's 'true'/'false' generated names
+    assert out.columns == ["k", "v_True", "v_False"]
+    r = out.collect()[0]
+    assert r["v_True"] == 2.0 and r["v_False"] == 3.0
+
+
+def test_sql_operator_drops_views_after(spark, sales):
+    dims = spark.createDataFrame([("a", "alpha")], ["k", "kname"])
+    op("sql", sales, {"query": "SELECT * FROM self"}, views={"dims": dims})
+    assert not spark.catalog.tableExists("self")
+    assert not spark.catalog.tableExists("dims")

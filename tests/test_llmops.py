@@ -315,3 +315,21 @@ def test_ann_lsh_multi_probe_improves_recall(spark):
     recall = lambda got: len(set(got) & set(bf)) / len(bf)
     assert recall(multi) >= recall(base)
     assert recall(multi) >= 0.5  # neighboring buckets recovered
+
+
+def test_ann_ivf_unknown_probe_returns_empty(vecs):
+    out = op("ann_ivf", vecs, {"probe_id": 999, "k": 3, "dim": 4,
+                               "n_cells": 2})
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cos_sim"]
+
+
+def test_ann_lsh_radius_two_expands(spark, vecs):
+    got = [r["vec_id"] for r in
+           op("ann_lsh", vecs, {"probe_id": 0, "k": 5, "dim": 4,
+                                "n_planes": 4, "probe_radius": 2}).collect()]
+    assert got[0] == 0 and len(got) >= 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="probe_radius"):
+        op("ann_lsh", vecs, {"probe_id": 0, "dim": 4, "n_planes": 16,
+                             "probe_radius": 4})

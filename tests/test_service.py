@@ -216,3 +216,15 @@ def test_api_source_file_url(spark, tmp_path):
     wrapped.write_text(json.dumps({"data": [{"id": 3}], "next": None}))
     df2 = read_source(spark, "api", {"url": wrapped.as_uri(), "data_key": "data"})
     assert [r["id"] for r in df2.collect()] == [3]
+
+
+def test_jsonl_sink_mode_ignore_does_not_hang(spark, tmp_path):
+    """mode='ignore' on an existing path skips the write job; the
+    row-count path must not block on an Observation that never fires."""
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    p = str(tmp_path / "out")
+    assert write_sink(df, "jsonl", {"path": p}) == 2
+    # second write: path exists, job skipped — must return, not hang
+    assert write_sink(df, "jsonl", {"path": p, "mode": "ignore"}) == 2

@@ -95,3 +95,20 @@ def test_range_join_end_bound(spark):
     assert op("range_join", points, cfg, views={}).count() == 0
     assert op("range_join", points, {**cfg, "end_inclusive": True},
               views={}).count() == 1
+
+
+def test_asof_timestamp_tiebreak(spark):
+    """right_tiebreak of a non-numeric type (timestamp) must union
+    cleanly with the left side's placeholder."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    quotes = spark.createDataFrame(
+        [("A", 8, 1.0, t), ("A", 8, 7.0, t + dt.timedelta(hours=1))],
+        ["sym", "qts", "price", "updated_at"])
+    trades = spark.createDataFrame([("A", 10)], ["sym", "tts"])
+    out = op("asof_join", trades, {
+        "right": quotes, "by": ["sym"], "left_ts": "tts", "right_ts": "qts",
+        "values": ["price"], "right_tiebreak": "updated_at",
+    }, views={})
+    assert [r["r_price"] for r in out.collect()] == [7.0]  # latest update wins
