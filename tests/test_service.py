@@ -228,3 +228,13 @@ def test_jsonl_sink_mode_ignore_does_not_hang(spark, tmp_path):
     assert write_sink(df, "jsonl", {"path": p}) == 2
     # second write: path exists, job skipped — must return, not hang
     assert write_sink(df, "jsonl", {"path": p, "mode": "ignore"}) == 2
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    from blackroad_data_pipeline_spark.sources.readers import read_source
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    p = str(tmp_path / "t.orc")
+    df.write.mode("overwrite").orc(p)
+    back = read_source(spark, "orc", {"path": p})
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
