@@ -182,3 +182,20 @@ def test_range_join_matches_model_for_any_bucket_width(spark, left, right, bucke
     want = sorted((k, ts, wid) for (k, ts) in left
                   for (rk, s, e, wid) in rrows if rk == k and s <= ts < e)
     assert got == want
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_set_ops_match_python_sets(spark, rows):
+    """intersect/except(distinct) equal Python set algebra on the key
+    column for any input (split rows into two halves)."""
+    half = len(rows) // 2
+    a_rows, b_rows = rows[:half], rows[half:]
+    a = _df(spark, a_rows).select("k")
+    b = _df(spark, b_rows).select("k")
+    sa = {r[0] for r in a_rows}
+    sb = {r[0] for r in b_rows}
+    inter = {r["k"] for r in op("intersect", a, {"other": b}, views={}).collect()}
+    exc = {r["k"] for r in op("except", a, {"other": b}, views={}).collect()}
+    assert inter == sa & sb
+    assert exc == sa - sb
