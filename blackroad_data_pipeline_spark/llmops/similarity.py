@@ -124,8 +124,15 @@ def op_ann_lsh(df: DataFrame, config: Mapping, views) -> DataFrame:
             f"probe_radius={radius} over {n_planes} planes expands to "
             f"{len(masks)} buckets (>512) — lower the radius or n_planes")
     bucketed = op_lsh_bucket(df, config, views)
-    probe = bucketed.filter(F.col(id_field) == config["probe_id"]).select(
-        F.col(field).alias("__probe"), F.col("lsh_bucket").alias("__pb"))
+    if "probe" in config:  # literal probe vector, like ann_bruteforce
+        probe_df = df.sparkSession.createDataFrame(
+            [(list(map(float, config["probe"])),)], "__probe array<float>")
+        probe = op_lsh_bucket(
+            probe_df, {**config, "field": "__probe"}, views
+        ).withColumnsRenamed({"lsh_bucket": "__pb"})
+    else:
+        probe = bucketed.filter(F.col(id_field) == config["probe_id"]).select(
+            F.col(field).alias("__probe"), F.col("lsh_bucket").alias("__pb"))
     b, pb = F.col("lsh_bucket"), F.col("__pb")
     cond = b == pb
     for m in masks:

@@ -23,21 +23,24 @@ def _resolve(right, views):
 
 @register("asof_join")
 def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
-    """Backward as-of join: for each left row, attach the most recent
-    right row with ``right_ts <= left_ts``, per ``by`` key.
+    """As-of join: for each left row, attach the most recent right row
+    with ``right_ts <= left_ts`` (``direction: "backward"``, default)
+    or the next right row with ``right_ts >= left_ts``
+    (``direction: "forward"``), per ``by`` key.
 
-    Implemented as the union + carry-forward pattern: tag both sides,
-    union by name, and take ``last(right_payload, ignorenulls=True)``
-    over a running window ordered by (ts, tag, tiebreak). ONE shuffle
-    on the key, linear state, no point-in-interval cross product —
-    this is the shape that survives 100 TB, unlike a ``ts <= ts``
-    theta-join (nested loop) or per-key ``collect_list``.
+    Implemented as the union + carry pattern: tag both sides, union by
+    name, and take ``last``/``first`` (ignorenulls) of the right
+    payload over a running/forward window ordered by (ts, tag,
+    tiebreak). ONE shuffle on the key, linear state, no
+    point-in-interval cross product — this is the shape that survives
+    100 TB, unlike a ``ts <= ts`` theta-join (nested loop) or per-key
+    ``collect_list``.
 
     Config: ``right`` (view name or DataFrame), ``by`` (key columns),
     ``left_ts``/``right_ts`` (default "ts"), ``values`` (right columns
     to carry), ``prefix`` (default "r\\_"), ``right_tiebreak`` (orders
-    equal-timestamp right rows; the LAST one wins, matching
-    "most recent"), ``tolerance_seconds`` (optional max staleness),
+    equal-timestamp right rows; backward picks the LAST, forward the
+    FIRST), ``tolerance_seconds`` (optional max staleness/lead),
     ``how`` = "left" (default; unmatched left rows keep NULLs) or
     "inner".
     """
@@ -49,6 +52,10 @@ def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     prefix = config.get("prefix", "r_")
     tiebreak = config.get("right_tiebreak")
     how = config.get("how", "left")
+    direction = config.get("direction", "backward")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction must be backward|forward, not {direction!r}")
+    backward = direction == "backward"
 
     payload = F.struct(*[F.col(c) for c in values], F.col(rts).alias("__rts"))
     # left rows need a __tb of the SAME TYPE as the right tiebreak for
@@ -60,35 +67,42 @@ def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         right_tb = F.col(tiebreak)
     else:
         left_tb = right_tb = F.lit(0)
+    # tags order right rows toward the left row at equal timestamps:
+    # backward -> right(0) before left(1) so an at-instant right row is
+    # inside the running frame; forward -> left(0) before right(1) so
+    # it is inside the following frame
+    rtag, ltag = (0, 1) if backward else (1, 0)
     r = right_df.select(
         *by,
         F.col(rts).alias("__ts"),
-        F.lit(0).alias("__tag"),
+        F.lit(rtag).alias("__tag"),
         payload.alias("__rpay"),
         right_tb.alias("__tb"),
     )
     l = df.select(
         "*",
         F.col(lts).alias("__ts"),
-        F.lit(1).alias("__tag"),
+        F.lit(ltag).alias("__tag"),
         left_tb.alias("__tb"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows sort before left rows at the same instant (tag 0 < 1),
-    # so a right row AT the left timestamp is visible to it; among
-    # equal-ts right rows, last() picks the max tiebreak
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("__ts", "__tag", "__tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = merged.withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
-    out = matched.filter(F.col("__tag") == 1)
+    # among equal-ts right rows: backward last() picks the max
+    # tiebreak, forward first() picks the min
+    w = Window.partitionBy(*by).orderBy("__ts", "__tag", "__tb")
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__rpay", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__rpay", ignorenulls=True)
+    matched = merged.withColumn("__m", pick.over(w))
+    out = matched.filter(F.col("__tag") == ltag)
 
     tol = config.get("tolerance_seconds")
     if tol is not None:
-        age = F.col("__ts").cast("long") - F.col("__m.__rts").cast("long")
+        lead = F.col("__ts").cast("long") - F.col("__m.__rts").cast("long")
+        age = lead if backward else -lead
         out = out.withColumn(
             "__m", F.when(age <= int(tol), F.col("__m")))
     if how == "inner":

@@ -160,3 +160,20 @@ def sink_sqlite(df: DataFrame, config: Mapping) -> int:
         )
         con.commit()
     return len(rows)
+
+
+@register("orc")
+def sink_orc(df: DataFrame, config: Mapping) -> int:
+    """Columnar ORC sink (symmetry with the orc source); same
+    partition/sort layout options as parquet."""
+    mode = config.get("mode", "overwrite")
+
+    def write(d):
+        if config.get("sort_by"):
+            d = d.sortWithinPartitions(*config["sort_by"])
+        writer = d.write.mode(mode)
+        if config.get("partition_by"):
+            writer = writer.partitionBy(*config["partition_by"])
+        writer.orc(config["path"])
+
+    return _write_counted(df, mode, write)

@@ -333,3 +333,10 @@ def test_ann_lsh_radius_two_expands(spark, vecs):
     with _pytest.raises(ValueError, match="probe_radius"):
         op("ann_lsh", vecs, {"probe_id": 0, "dim": 4, "n_planes": 16,
                              "probe_radius": 4})
+
+
+def test_ann_lsh_literal_probe(vecs):
+    got = [r["vec_id"] for r in
+           op("ann_lsh", vecs, {"probe": [0.0, 1.0, 0.0, 0.0], "k": 2,
+                                "dim": 4, "n_planes": 2}).collect()]
+    assert got and got[0] == 2

@@ -123,11 +123,13 @@ asof_right = st.lists(
               st.integers(-100, 100)), min_size=0, max_size=15)
 
 
-@given(left=asof_rows, right=asof_right)
+@given(left=asof_rows, right=asof_right,
+       direction=st.sampled_from(["backward", "forward"]))
 @settings(**SETTINGS)
-def test_asof_join_matches_python_model(spark, left, right):
-    """The union+carry-forward as-of equals the obvious per-row model:
-    max-ts right row at/before each left row (ties: max seq)."""
+def test_asof_join_matches_python_model(spark, left, right, direction):
+    """The union+carry as-of equals the obvious per-row model:
+    backward = max-ts right at/before each left row (ties: max seq);
+    forward = min-ts right at/after (ties: min seq)."""
     ldf = (spark.createDataFrame(left, "k int, ts int") if left
            else spark.createDataFrame([], "k int, ts int"))
     rrows = [(k, ts, i) for i, (k, ts, _) in enumerate(right)]
@@ -135,12 +137,17 @@ def test_asof_join_matches_python_model(spark, left, right):
            else spark.createDataFrame([], "k int, ts int, seq int"))
     out = op("asof_join", ldf, {
         "right": rdf, "by": ["k"], "left_ts": "ts", "values": ["seq"],
-        "right_tiebreak": "seq",
+        "right_tiebreak": "seq", "direction": direction,
     }, views={})
 
     def model(k, ts):
-        cands = [(rts, seq) for (rk, rts, seq) in rrows if rk == k and rts <= ts]
-        return max(cands)[1] if cands else None
+        if direction == "backward":
+            cands = [(rts, seq) for (rk, rts, seq) in rrows
+                     if rk == k and rts <= ts]
+            return max(cands)[1] if cands else None
+        cands = [(rts, seq) for (rk, rts, seq) in rrows
+                 if rk == k and rts >= ts]
+        return min(cands)[1] if cands else None
 
     got = sorted((r["k"], r["ts"], r["r_seq"]) for r in out.collect())
     want = sorted((k, ts, model(k, ts)) for (k, ts) in left)

@@ -238,3 +238,14 @@ def test_orc_source_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").orc(p)
     back = read_source(spark, "orc", {"path": p})
     assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    from blackroad_data_pipeline_spark.sinks import write_sink
+    from blackroad_data_pipeline_spark.sources.readers import read_source
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    p = str(tmp_path / "o.orc")
+    assert write_sink(df, "orc", {"path": p}) == 2
+    back = read_source(spark, "orc", {"path": p})
+    assert back.count() == 2

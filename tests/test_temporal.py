@@ -112,3 +112,38 @@ def test_asof_timestamp_tiebreak(spark):
         "values": ["price"], "right_tiebreak": "updated_at",
     }, views={})
     assert [r["r_price"] for r in out.collect()] == [7.0]  # latest update wins
+
+
+def test_asof_forward_basic(trades, quotes):
+    out = op("asof_join", trades, {
+        "right": quotes, "by": ["sym"], "left_ts": "tts", "right_ts": "qts",
+        "values": ["price"], "direction": "forward",
+    }, views={})
+    got = _rows(out.select("sym", "tts", "r_price"))
+    assert got == {
+        ("A", 10, 2.0),   # next quote at/after 10 is ts=25
+        ("A", 25, 2.0),   # quote AT the instant counts
+        ("B", 5, 9.0),    # next B quote is ts=7
+    }
+
+
+def test_asof_forward_tolerance_and_tiebreak(spark, trades):
+    dup = spark.createDataFrame(
+        [("A", 25, 1.0, 2), ("A", 25, 7.0, 1)], ["sym", "qts", "price", "seq"])
+    out = op("asof_join", trades, {
+        "right": dup, "by": ["sym"], "left_ts": "tts", "right_ts": "qts",
+        "values": ["price"], "right_tiebreak": "seq", "direction": "forward",
+        "tolerance_seconds": 10,
+    }, views={})
+    got = _rows(out.select("sym", "tts", "r_price"))
+    # A@10: next quote 15s ahead > tolerance -> NULL; A@25: at-instant,
+    # min seq wins (forward picks FIRST); B@5: no B quotes -> NULL
+    assert got == {("A", 10, None), ("A", 25, 7.0), ("B", 5, None)}
+
+
+def test_asof_bad_direction(trades, quotes):
+    with pytest.raises(ValueError, match="backward|forward"):
+        op("asof_join", trades, {"right": quotes, "by": ["sym"],
+                                 "left_ts": "tts", "right_ts": "qts",
+                                 "values": ["price"], "direction": "up"},
+           views={})
