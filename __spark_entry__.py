@@ -754,6 +754,34 @@ SELECT event_id, user_id, value AS r_value FROM pairs WHERE rn = 1
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """For each click, the NEXT purchase at/after it per user
+    (forward as-of — e.g. time-to-conversion analysis)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = op("filter", e, {"field": "event_type", "op": "eq", "value": "click"})
+    purchases = op("filter", e, {"field": "event_type", "op": "eq", "value": "purchase"})
+    df = op("asof_join", clicks, {
+        "right": purchases, "by": ["user_id"], "left_ts": "ts",
+        "values": ["value"], "right_tiebreak": "event_id", "how": "inner",
+        "direction": "forward",
+    }, views={})
+    return op("select", df, {"fields": ["event_id", "user_id", "r_value"]})
+
+
+_SQL_ASOF_FORWARD = """
+WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus, value
+           FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.event_id, c.user_id, p.value,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY p.tus ASC, p.event_id ASC) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id AND p.tus >= c.tus)
+SELECT event_id, user_id, value AS r_value FROM pairs WHERE rn = 1
+"""
+
+
 def q_range_join(spark, sf_dir):
     """Clicks landing inside [purchase, purchase+6h) windows per user —
     bucketized point-in-interval join (stays a shuffled equi-join)."""
@@ -981,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         # temporal joins + wider relational surface (SURVEY.md §2.5 gaps)
         "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
         "range_join": q_range_join,
         "rollup": q_rollup,
         "pivot": q_pivot,
@@ -1033,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _SQL_EVENTS_WINDOW,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
+        "asof_forward": _SQL_ASOF_FORWARD,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "pivot": _SQL_PIVOT,
