@@ -293,3 +293,19 @@ def op_dedup_embedding(df: DataFrame, config: Mapping, views) -> DataFrame:
     pairs = op_similarity_join(df, config, views)
     losers = pairs.select(F.col("id_b").alias(id_field)).dropDuplicates()
     return df.join(losers, id_field, "left_anti")
+
+
+@register("dedup_embedding_groups")
+def op_dedup_embedding_groups(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Transitive embedding near-dedup: cosine pairs -> connected
+    components -> keep the minimum id per cluster. Survivors are
+    well-defined across similarity chains (a~b~c), unlike the greedy
+    pairwise policy."""
+    from .dedup import op_connected_components
+
+    id_field = config.get("id_field", "vec_id")
+    pairs = op_similarity_join(df, config, views)
+    comps = op_connected_components(pairs, config, views)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_field))
+    return df.join(losers, id_field, "left_anti")

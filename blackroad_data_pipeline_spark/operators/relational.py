@@ -142,6 +142,20 @@ def op_expr(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.select("*", *cols)
 
 
+@register("parse_json")
+def op_parse_json(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Parse a JSON-string column into a typed struct with an explicit
+    schema (``from_json``). Declaring the schema keeps the whole read
+    JVM-side and prunable; for ad-hoc single paths use the
+    ``get_json_object`` expression via ``expr`` instead."""
+    field = config["field"]
+    target = config.get("as", f"{field}_parsed")
+    out = df.withColumn(target, F.from_json(F.col(field), config["schema"]))
+    if config.get("flatten"):
+        return out.select("*", f"{target}.*").drop(target)
+    return out
+
+
 @register("sql")
 def op_sql(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Full Spark SQL over the current frame (view ``self``) and every
@@ -592,6 +606,15 @@ def op_window(df: DataFrame, config: Mapping, views) -> DataFrame:
     frame = config.get("frame")
     if frame == "running":
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    elif frame == "rows":
+        lo, hi = config["frame_bounds"]  # e.g. [-3, 0] = last 4 rows
+        w = w.rowsBetween(int(lo), int(hi))
+    elif frame == "range":
+        # value-based frame over the (single) order column — e.g.
+        # bounds [-3600, 0] with an epoch-seconds order column is a
+        # trailing one-hour window regardless of row density
+        lo, hi = config["frame_bounds"]
+        w = w.rangeBetween(int(lo), int(hi))
     field = config.get("field")
     expr = _WINDOW_FNS[fn](F.col(field) if field else None)
     alias = config.get("alias", f"{field or 'w'}_{fn}")

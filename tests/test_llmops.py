@@ -340,3 +340,16 @@ def test_ann_lsh_literal_probe(vecs):
            op("ann_lsh", vecs, {"probe": [0.0, 1.0, 0.0, 0.0], "k": 2,
                                 "dim": 4, "n_planes": 2}).collect()]
     assert got and got[0] == 2
+
+
+def test_dedup_embedding_groups_transitive(spark):
+    # chain: 0~1 (cos ~1), 1~2 (cos ~1), 0!~2 handled transitively
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.995, 0.0999, 0.0, 0.0]),
+            (2, [0.980, 0.198, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(r["vec_id"] for r in
+                  op("dedup_embedding_groups", df,
+                     {"threshold": 0.99, "dim": 4, "n_planes": 1}).collect())
+    assert kept == [0, 3]  # whole chain collapses to min id 0

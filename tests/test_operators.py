@@ -354,3 +354,31 @@ def test_repartition_layout(spark):
     byk = op("repartition", df, {"by": ["k"], "n": 5})
     assert byk.rdd.getNumPartitions() == 5
     assert byk.count() == 1000
+
+
+def test_window_rows_and_range_frames(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 10, 30.0)], ["k", "t", "v"])
+    rows_f = op("window", df, {"function": "sum", "field": "v",
+                               "partition_by": ["k"], "order_by": ["t"],
+                               "frame": "rows", "frame_bounds": [-1, 0],
+                               "alias": "s"})
+    got = {r["t"]: r["s"] for r in rows_f.collect()}
+    assert got == {1: 10.0, 2: 30.0, 10: 50.0}  # trailing 2 rows
+    range_f = op("window", df, {"function": "sum", "field": "v",
+                                "partition_by": ["k"], "order_by": ["t"],
+                                "frame": "range", "frame_bounds": [-1, 0],
+                                "alias": "s"})
+    got = {r["t"]: r["s"] for r in range_f.collect()}
+    # value-based: t=10 has no rows within [9,10] except itself
+    assert got == {1: 10.0, 2: 30.0, 10: 30.0}
+
+
+def test_parse_json(spark):
+    df = spark.createDataFrame([(1, '{"k": 7, "tag": "x"}')], ["id", "props"])
+    out = op("parse_json", df, {"field": "props",
+                                "schema": "k int, tag string",
+                                "flatten": True})
+    r = out.collect()[0]
+    assert (r["id"], r["k"], r["tag"]) == (1, 7, "x")
+    assert "props_parsed" not in out.columns
