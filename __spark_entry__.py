@@ -969,6 +969,45 @@ FROM orders GROUP BY 1
 """
 
 
+def q_running_total(spark, sf_dir):
+    """Cumulative revenue over calendar months via the sql operator —
+    a running window frame over exact decimal month sums. Prices are
+    exact 2-decimal values, so decimal(18,2) casts are identical in
+    both engines (a double->decimal(38,10) cast is NOT: sub-1e-10
+    conversion drift accumulates visibly over a running sum)."""
+    o = _t(spark, sf_dir, "orders")
+    return op("sql", o, {"query": """
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS order_month,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+                 COUNT(*) AS n_orders
+          FROM self GROUP BY 1)
+        SELECT order_month,
+               CAST(CAST(rev_dec AS STRING) AS DOUBLE) AS revenue,
+               n_orders,
+               CAST(CAST(SUM(rev_dec) OVER (ORDER BY order_month
+                         ROWS UNBOUNDED PRECEDING) AS STRING) AS DOUBLE)
+                 AS cum_revenue
+        FROM m ORDER BY order_month
+    """}, views={})
+
+
+_SQL_RUNNING_TOTAL = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT order_month,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(CAST(SUM(rev_dec) OVER (ORDER BY order_month
+                 ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+         AS cum_revenue
+FROM m ORDER BY order_month
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1031,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "profile": q_profile,
         "unpivot": q_unpivot,
+        "running_total": q_running_total,
     }
 
 
@@ -1074,4 +1114,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": _SQL_CORPUS_PREP,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
+        "running_total": _SQL_RUNNING_TOTAL,
     }

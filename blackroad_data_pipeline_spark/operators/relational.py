@@ -585,11 +585,20 @@ _WINDOW_FNS = {
     "dense_rank": lambda c: F.dense_rank(),
     "lag": lambda c: F.lag(c),
     "lead": lambda c: F.lead(c),
-    "sum": lambda c: F.sum(c),
+    # decimal-summed for the same reason as the aggregate operator:
+    # double window sums associate differently per engine/frame impl;
+    # the back-to-double cast happens AFTER .over() (see _WINDOW_POST —
+    # .over() must attach to the aggregate itself, not an outer cast)
+    "sum": lambda c: F.sum(c.cast("decimal(38,10)")),
     "avg": lambda c: F.avg(c),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
     "count": lambda c: F.count(c),
+}
+
+# applied to the windowed expression AFTER .over()
+_WINDOW_POST = {
+    "sum": lambda col: col.cast("string").cast("double"),
 }
 
 
@@ -616,9 +625,11 @@ def op_window(df: DataFrame, config: Mapping, views) -> DataFrame:
         lo, hi = config["frame_bounds"]
         w = w.rangeBetween(int(lo), int(hi))
     field = config.get("field")
-    expr = _WINDOW_FNS[fn](F.col(field) if field else None)
+    expr = _WINDOW_FNS[fn](F.col(field) if field else None).over(w)
+    if fn in _WINDOW_POST:
+        expr = _WINDOW_POST[fn](expr)
     alias = config.get("alias", f"{field or 'w'}_{fn}")
-    return df.withColumn(alias, expr.over(w))
+    return df.withColumn(alias, expr)
 
 
 @register("topk_per_group")
