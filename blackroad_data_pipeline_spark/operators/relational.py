@@ -642,8 +642,13 @@ def op_topk_per_group(df: DataFrame, config: Mapping, views) -> DataFrame:
     k = int(config.get("k", 1))
     cols = [F.col(c).desc() if config.get("descending", True) else F.col(c) for c in order]
     w = Window.partitionBy(*keys).orderBy(*cols)
+    # ties='keep' uses rank() so equal order-values all survive (may
+    # return >k rows); default row_number() returns exactly k with an
+    # arbitrary tiebreak — add a unique column to order_by for
+    # determinism
+    rank_fn = F.rank() if config.get("ties") == "keep" else F.row_number()
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__rn", rank_fn.over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

@@ -382,3 +382,16 @@ def test_parse_json(spark):
     r = out.collect()[0]
     assert (r["id"], r["k"], r["tag"]) == (1, 7, "x")
     assert "props_parsed" not in out.columns
+
+
+def test_topk_ties_keep(spark):
+    df = spark.createDataFrame(
+        [("a", 9.0, 1), ("a", 9.0, 2), ("a", 5.0, 3), ("b", 1.0, 4)],
+        ["k", "score", "id"])
+    exact = op("topk_per_group", df, {"partition_by": ["k"],
+                                      "order_by": ["score"], "k": 1})
+    assert exact.filter("k = 'a'").count() == 1
+    ties = op("topk_per_group", df, {"partition_by": ["k"],
+                                     "order_by": ["score"], "k": 1,
+                                     "ties": "keep"})
+    assert ties.filter("k = 'a'").count() == 2  # both 9.0 rows survive

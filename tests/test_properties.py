@@ -206,3 +206,18 @@ def test_set_ops_match_python_sets(spark, rows):
     exc = {r["k"] for r in op("except", a, {"other": b}, views={}).collect()}
     assert inter == sa & sb
     assert exc == sa - sb
+
+
+@given(n=st.integers(1, 400), seed_shift=st.integers(0, 5))
+@settings(**SETTINGS)
+def test_split_assign_partitions_and_roughly_honors_fractions(spark, n, seed_shift):
+    df = spark.range(seed_shift * 1000, seed_shift * 1000 + n) \
+        .withColumnRenamed("id", "k")
+    out = op("split_assign", df, {
+        "on": ["k"], "splits": {"train": 0.75, "test": 0.25}})
+    got = [r["split"] for r in out.collect()]
+    assert len(got) == n                      # every row assigned once
+    assert set(got) <= {"train", "test"}      # only configured splits
+    if n >= 200:                              # loose binomial bound
+        frac = got.count("train") / n
+        assert 0.55 < frac < 0.95
