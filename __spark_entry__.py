@@ -969,6 +969,34 @@ FROM orders GROUP BY 1
 """
 
 
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension range check over the embedding column (explode
+    with position -> aggregate) — the vector-column QA primitive.
+    Count/min/max only: float->decimal casts drift between engines,
+    so summed stats aren't oracle-exact for float32 data."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("explode", e, {"field": "embedding", "as": "val",
+                           "with_position": True})
+    df = op("aggregate", df, {"group_by": ["pos"], "aggregates": [
+        {"field": "val", "function": "count", "alias": "n"},
+        {"field": "val", "function": "min", "alias": "min_val"},
+        {"field": "val", "function": "max", "alias": "max_val"},
+    ]})
+    return op("sort", df, {"fields": ["pos"]})
+
+
+_SQL_EMBEDDING_STATS = """
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         UNNEST(embedding) AS val
+  FROM embeddings)
+SELECT pos, COUNT(*) AS n,
+       MIN(CAST(val AS DOUBLE)) AS min_val,
+       MAX(CAST(val AS DOUBLE)) AS max_val
+FROM e GROUP BY pos ORDER BY pos
+"""
+
+
 def q_running_total(spark, sf_dir):
     """Cumulative revenue over calendar months via the sql operator —
     a running window frame over exact decimal month sums. Prices are
@@ -1071,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
+        "embedding_stats": q_embedding_stats,
     }
 
 
@@ -1115,4 +1144,5 @@ def oracle_sql() -> dict[str, str]:
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,
+        "embedding_stats": _SQL_EMBEDDING_STATS,
     }
