@@ -609,7 +609,11 @@ def q_near_dup_simhash(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return op("ann_lsh", e, {"probe_id": 0, "k": 10, "dim": 64, "n_planes": 4})
+    # n_planes=12 (4096 buckets) is the scale shape: at corpus scale the
+    # candidate set is corpus/2^n_planes, so few-plane configs degrade to
+    # quadratic work inside giant buckets. probe_radius=2 restores recall.
+    return op("ann_lsh", e, {"probe_id": 0, "k": 10, "dim": 64,
+                             "n_planes": 12, "probe_radius": 2})
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -621,7 +625,7 @@ def q_ann_ivf(spark, sf_dir):
 def q_similarity_join(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return op("similarity_join", e,
-              {"threshold": 0.3, "dim": 64, "n_planes": 4})
+              {"threshold": 0.3, "dim": 64, "n_planes": 12})
 
 
 def q_unpivot(spark, sf_dir):
@@ -656,25 +660,25 @@ def q_profile(spark, sf_dir):
 
 _SQL_PROFILE = """
 SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
-       COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 END), 0) AS n_nulls,
+       COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
        COUNT(DISTINCT o_orderkey) AS n_distinct,
        MIN(CAST(o_orderkey AS DOUBLE)) AS min_val,
        MAX(CAST(o_orderkey AS DOUBLE)) AS max_val
 FROM orders
 UNION ALL
 SELECT 'o_custkey', COUNT(*),
-       COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 END), 0),
+       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
        COUNT(DISTINCT o_custkey),
        MIN(CAST(o_custkey AS DOUBLE)), MAX(CAST(o_custkey AS DOUBLE))
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus', COUNT(*),
-       COALESCE(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 END), 0),
+       COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
        COUNT(DISTINCT o_orderstatus), NULL, NULL
 FROM orders
 UNION ALL
 SELECT 'o_totalprice', COUNT(*),
-       COALESCE(SUM(CASE WHEN o_totalprice IS NULL THEN 1 END), 0),
+       COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
        COUNT(DISTINCT o_totalprice),
        MIN(CAST(o_totalprice AS DOUBLE)), MAX(CAST(o_totalprice AS DOUBLE))
 FROM orders

@@ -153,24 +153,27 @@ class Catalog:
         return s
 
     def components(self, pipeline_id: str) -> tuple[list[SourceDef], list[TransformDef], list[SinkDef]]:
+        # rowid tiebreaks make ordering deterministic when two add_* calls
+        # land in the same microsecond (created_at is ISO text) — root-union
+        # column order must be stable across runs
         src = [
             SourceDef(r["id"], r["name"], r["source_type"],
                       json.loads(r["config"] or "{}"), bool(r["root"]))
             for r in self.con.execute(
-                "SELECT * FROM sources WHERE pipeline_id=? ORDER BY created_at",
+                "SELECT * FROM sources WHERE pipeline_id=? ORDER BY created_at, rowid",
                 (pipeline_id,)).fetchall()
         ]
         tr = [
             TransformDef(r["id"], r["transform_type"],
                          json.loads(r["config"] or "{}"), r["order_index"])
             for r in self.con.execute(
-                "SELECT * FROM transforms WHERE pipeline_id=? ORDER BY order_index",
+                "SELECT * FROM transforms WHERE pipeline_id=? ORDER BY order_index, rowid",
                 (pipeline_id,)).fetchall()
         ]
         snk = [
             SinkDef(r["id"], r["sink_type"], json.loads(r["config"] or "{}"))
             for r in self.con.execute(
-                "SELECT * FROM sinks WHERE pipeline_id=? ORDER BY created_at",
+                "SELECT * FROM sinks WHERE pipeline_id=? ORDER BY created_at, rowid",
                 (pipeline_id,)).fetchall()
         ]
         return src, tr, snk

@@ -107,12 +107,13 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     docs = df.select(
         F.col(id_field).alias("__id"), sh.alias("__shingles")
     ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
-    # the shingle sets are needed twice (banding + verification); cache
-    # rather than recompute the signatures per branch. The cache lives
-    # until session end or LRU eviction — long-lived sessions running
-    # many near-dup jobs should spark.catalog.clearCache() between, or
-    # persist would accumulate (unpersisting here would defeat the
-    # reuse, since the returned plan still references `docs`)
+    # the shingle sets are needed three times (two self-join sides +
+    # verification); cache rather than recompute the signatures per
+    # branch. The cache is scoped to THIS call: the verified pairs are
+    # materialized (localCheckpoint truncates lineage so the returned
+    # plan no longer references `docs`) and the corpus-scale cache is
+    # released before returning — a long-lived PipelineService running
+    # many near-dup jobs must not accumulate persisted corpora.
     docs = docs.persist()
 
     band_entries = F.array(*[
@@ -144,11 +145,19 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    verified = (
         cands.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    try:
+        # run the verification while the cache is hot; the result is
+        # candidate-sized (pairs, not corpus), so eager materialization
+        # is cheap and lets us free the cache deterministically
+        verified = verified.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
+    return verified
 
 
 @register("dedup_near_minhash")

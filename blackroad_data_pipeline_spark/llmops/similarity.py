@@ -71,15 +71,20 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def _bucket_udf(dim: int, n_planes: int, seed: int):
+    if not 1 <= n_planes <= 62:
+        # 62 sign bits fill an int64 without touching the sign bit; beyond
+        # that the packed id would silently wrap and multi-probe XOR masks
+        # would stop matching stored buckets.
+        raise ValueError(f"n_planes={n_planes} out of range (1..62)")
     planes = _hyperplanes(dim, n_planes, seed)
 
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @F.pandas_udf(T.IntegerType())
+    @F.pandas_udf(T.LongType())
     def bucket(embs: pd.Series) -> pd.Series:
         mat = np.vstack(embs.to_numpy())  # (batch, dim) — Arrow batch in, one matmul
         bits = (mat @ planes.T) > 0
-        return pd.Series(bits.astype(np.int64) @ weights).astype("int32")
+        return pd.Series(bits.astype(np.int64) @ weights)
 
     return bucket
 
@@ -280,7 +285,11 @@ def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
                     / (F.col("norm_a") * F.col("norm_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
-        .dropDuplicates(["id_a", "id_b"])
+        # No pair-dedup needed: each vector lands in exactly one
+        # lsh_bucket, so the bucket self-join emits every (id_a, id_b)
+        # at most once — a dropDuplicates here would be a full shuffle
+        # of the candidate set for nothing (contrast near_dup_minhash,
+        # where multi-band duplication is real).
     )
 
 

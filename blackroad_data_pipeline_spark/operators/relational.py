@@ -607,7 +607,17 @@ def op_window(df: DataFrame, config: Mapping, views) -> DataFrame:
     fn = config["function"]
     if fn not in _WINDOW_FNS:
         raise ValueError(f"unknown window function: {fn!r}")
-    w = Window.partitionBy(*config.get("partition_by", []))
+    partition_by = config.get("partition_by", [])
+    if not partition_by and config.get("frame") and not config.get("allow_global"):
+        # An unpartitioned ordered frame plans a single-partition
+        # WindowExec — every row moves to ONE task, which is the
+        # scale-killer at 100 TB. Legit on provably small data
+        # (e.g. a post-aggregation running total), so it's opt-in.
+        raise ValueError(
+            "window with a frame and empty partition_by moves ALL rows to "
+            "one partition; pass allow_global: true if the input is known "
+            "to be small (post-aggregation), or add partition_by keys")
+    w = Window.partitionBy(*partition_by)
     order_by = config.get("order_by")
     if order_by:
         cols = [F.col(c).desc() if config.get("descending") else F.col(c) for c in order_by]

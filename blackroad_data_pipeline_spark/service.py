@@ -77,8 +77,12 @@ class PipelineService:
         roots: list[DataFrame] = []
         for s in sources:
             sdf = read_source(self.spark, s.source_type, s.config)
+            # no createOrReplaceTempView here: session-global views would
+            # leak across pipelines sharing a SparkSession and let same-
+            # named sources clobber each other. SQL access goes through
+            # the `views` dict — op_sql registers (and drops) its own
+            # scoped views per query.
             views[s.name] = sdf
-            sdf.createOrReplaceTempView(s.name)  # SQL access to every source
             if s.root:
                 roots.append(sdf)
         if not roots:

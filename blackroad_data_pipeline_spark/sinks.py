@@ -20,15 +20,30 @@ from pyspark.sql import functions as F
 SinkFn = Callable[[DataFrame, Mapping], int]
 
 
-def _write_counted(df: DataFrame, mode: str, write) -> int:
+def _target_exists(df: DataFrame, path: str) -> bool:
+    """Existence probe through Hadoop FS, so it answers correctly for
+    any URI scheme the write itself could target (local, hdfs://,
+    s3a://…), not just driver-local paths."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return bool(jpath.getFileSystem(conf).exists(jpath))
+
+
+def _write_counted(df: DataFrame, mode: str, write, exists=None) -> int:
     """Count rows as a side-effect of the write itself — never a
     second full computation of the plan (df.count() + write = 2x the
     work at 100 TB). mode='ignore' may skip the job entirely, in
     which case the Observation would never fire and obs.get would
-    block forever — that mode falls back to an explicit count."""
+    block forever (and a post-write count would over-report rows the
+    skipped job never wrote) — so ignore mode probes the target first
+    and reports 0 without running any job when it already exists."""
     if mode == "ignore":
-        write(df)
-        return df.count()
+        if exists is None:
+            raise ValueError("mode='ignore' requires an existence probe")
+        if exists():
+            return 0
     obs = Observation()
     out = df.observe(obs, F.count(F.lit(1)).alias("n"))
     write(out)
@@ -82,7 +97,8 @@ def sink_jsonl(df: DataFrame, config: Mapping) -> int:
     """Partitioned JSON-lines directory — the scale JSON sink."""
     mode = config.get("mode", "overwrite")
     return _write_counted(df, mode,
-                          lambda d: d.write.mode(mode).json(config["path"]))
+                          lambda d: d.write.mode(mode).json(config["path"]),
+                          exists=lambda: _target_exists(df, config["path"]))
 
 
 @register("csv")
@@ -90,15 +106,29 @@ def sink_csv(df: DataFrame, config: Mapping) -> int:
     """CSV with header. The fixed schema removes the reference's
     ragged-row crash (header = first row's keys, main.py:317-325).
     ``single_file=True`` coalesces to one part for local-file parity;
-    default is a partitioned directory (the scale path)."""
-    n = df.count()
-    if n == 0 and not config.get("write_empty"):
-        return 0  # reference: empty data -> no file (main.py:319-320)
-    writer = df.coalesce(1) if config.get("single_file") else df
-    (writer.write.mode(config.get("mode", "overwrite"))
-     .option("header", True)
-     .option("sep", config.get("delimiter", ","))
-     .csv(config.get("path", "output.csv")))
+    default is a partitioned directory (the scale path).
+
+    Empty-input parity (reference: empty data -> no file,
+    main.py:319-320) is enforced AFTER the single write from the
+    observed count — a pre-count would compute the plan twice."""
+    mode = config.get("mode", "overwrite")
+    path = config.get("path", "output.csv")
+    skipped = mode == "ignore" and _target_exists(df, path)
+
+    def write(d):
+        if config.get("single_file"):
+            d = d.coalesce(1)
+        (d.write.mode(mode)
+         .option("header", True)
+         .option("sep", config.get("delimiter", ","))
+         .csv(path))
+
+    n = _write_counted(df, mode, write, exists=lambda: skipped)
+    if n == 0 and not skipped and not config.get("write_empty"):
+        # remove the just-written empty directory (reference parity)
+        spark = df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
     return n
 
 
@@ -118,7 +148,8 @@ def sink_parquet(df: DataFrame, config: Mapping) -> int:
             writer = writer.partitionBy(*config["partition_by"])
         writer.parquet(config["path"])
 
-    return _write_counted(df, mode, write)
+    return _write_counted(df, mode, write,
+                          exists=lambda: _target_exists(df, config["path"]))
 
 
 @register("bucketed_table")
@@ -139,7 +170,9 @@ def sink_bucketed_table(df: DataFrame, config: Mapping) -> int:
             writer = writer.sortBy(*config["sort_by"])
         writer.saveAsTable(config["table"])
 
-    return _write_counted(df, mode, write)
+    return _write_counted(
+        df, mode, write,
+        exists=lambda: df.sparkSession.catalog.tableExists(config["table"]))
 
 
 @register("sqlite")
@@ -176,4 +209,5 @@ def sink_orc(df: DataFrame, config: Mapping) -> int:
             writer = writer.partitionBy(*config["partition_by"])
         writer.orc(config["path"])
 
-    return _write_counted(df, mode, write)
+    return _write_counted(df, mode, write,
+                          exists=lambda: _target_exists(df, config["path"]))

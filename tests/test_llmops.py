@@ -98,6 +98,23 @@ def test_near_dup_minhash_pairs(docs):
     assert not any({a, b} == {0, 4} for a, b in pairs)
 
 
+def test_near_dup_minhash_releases_cache(spark, docs):
+    """The corpus-scale shingle cache is scoped to the operator call:
+    after it returns, the only storage left is the (candidate-sized)
+    localCheckpoint backing the result — a long-lived service running
+    many near-dup jobs must not accumulate persisted corpora."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = op("near_dup_minhash", docs,
+             {"threshold": 0.5, "shingle_size": 2,
+              "bands": 16, "rows_per_band": 1})
+    assert out.count() >= 2
+    # at most one new entry (the result's own checkpoint storage);
+    # the docs.persist() itself must be gone
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1
+
+
 def test_dedup_near_minhash(docs):
     kept = sorted(r["doc_id"] for r in
                   op("dedup_near_minhash", docs, {"threshold": 0.5}).collect())

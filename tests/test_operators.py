@@ -253,6 +253,25 @@ def test_window_row_number_and_running_sum(spark):
     assert sorted(rows(run, "k", "rs")) == [("a", 1.0), ("a", 3.0), ("b", 3.0)]
 
 
+def test_window_global_frame_guarded(spark):
+    """Empty partition_by + a frame plans a single-partition WindowExec
+    (all rows to ONE task) — the scale-killer must be opt-in."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["k", "v"])
+    with pytest.raises(ValueError, match="one partition"):
+        op("window", df, {"function": "sum", "field": "v",
+                          "order_by": ["v"], "frame": "running"})
+    out = op("window", df, {"function": "sum", "field": "v",
+                            "order_by": ["v"], "frame": "running",
+                            "allow_global": True, "alias": "rs"})
+    assert sorted(rows(out, "k", "rs")) == [("a", 1.0), ("b", 3.0)]
+    # frameless global windows (e.g. rank over everything) stay allowed
+    rn = op("window", df, {"function": "row_number", "order_by": ["v"],
+                           "alias": "rn"})
+    assert sorted(rows(rn, "k", "rn")) == [("a", 1), ("b", 2)]
+
+
 def test_topk_per_group(spark):
     df = spark.createDataFrame([("a", i) for i in range(5)] + [("b", 9)], ["k", "v"])
     got = rows(op("topk_per_group", df, {"partition_by": ["k"], "order_by": ["v"],

@@ -220,14 +220,53 @@ def test_api_source_file_url(spark, tmp_path):
 
 def test_jsonl_sink_mode_ignore_does_not_hang(spark, tmp_path):
     """mode='ignore' on an existing path skips the write job; the
-    row-count path must not block on an Observation that never fires."""
+    row-count path must not block on an Observation that never fires,
+    and must report 0 (nothing was actually written), not the
+    candidate row count."""
     from blackroad_data_pipeline_spark.sinks import write_sink
 
     df = spark.createDataFrame([(1,), (2,)], ["x"])
     p = str(tmp_path / "out")
     assert write_sink(df, "jsonl", {"path": p}) == 2
-    # second write: path exists, job skipped — must return, not hang
-    assert write_sink(df, "jsonl", {"path": p, "mode": "ignore"}) == 2
+    # second write: path exists, job skipped — must return 0, not hang
+    assert write_sink(df, "jsonl", {"path": p, "mode": "ignore"}) == 0
+    # fresh path: ignore behaves like a normal write
+    p2 = str(tmp_path / "out2")
+    assert write_sink(df, "jsonl", {"path": p2, "mode": "ignore"}) == 2
+
+
+def test_csv_sink_empty_input_no_file(spark, tmp_path):
+    """Reference parity (main.py:319-320): empty data -> no file. The
+    check runs AFTER the single write (observed count), never as a
+    separate pre-count of the plan."""
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    df = spark.createDataFrame([(1,)], ["x"]).filter("x > 99")
+    p = tmp_path / "empty_csv"
+    assert write_sink(df, "csv", {"path": str(p)}) == 0
+    assert not p.exists()
+    # write_empty opt-out keeps the (header-only) directory
+    p2 = tmp_path / "empty_csv2"
+    assert write_sink(df, "csv", {"path": str(p2), "write_empty": True}) == 0
+    assert p2.exists()
+
+
+def test_csv_sink_single_job(spark, tmp_path):
+    """The csv sink computes the plan ONCE: the row count comes from an
+    Observation riding the write, not a separate df.count()."""
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for row in it:
+            acc.add(1)
+            yield row
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    counted = spark.createDataFrame(df.rdd.mapPartitions(bump), df.schema)
+    assert write_sink(counted, "csv", {"path": str(tmp_path / "once")}) == 10
+    assert acc.value == 10  # 20 would mean the plan executed twice
 
 
 def test_orc_source_roundtrip(spark, tmp_path):
