@@ -719,9 +719,252 @@ def q_split_assign(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
+    """Frame sampling over binary payloads — fully oracle-checked: the
+    stub's offsets are deterministic byte arithmetic over the UTF-8
+    payload, so DuckDB can mirror them exactly. Payload bytes compare
+    as hex strings (binary wire types differ between engines)."""
     d = _t(spark, sf_dir, "documents")
     df = op("attach_binary", d, {"field": "text"})
-    return op("frame_sample", df, {"n_frames": 4, "id_field": "doc_id"})
+    df = op("frame_sample", df, {"n_frames": 4, "id_field": "doc_id"})
+    return op("sql", df, {"query": """
+        SELECT doc_id, frame_idx, frame_offset_bytes,
+               hex(frame_payload) AS frame_hex
+        FROM self ORDER BY doc_id, frame_idx"""}, views={})
+
+
+_SQL_FRAME_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS payload_hex,
+         octet_length(encode(text)) AS len
+  FROM documents),
+f AS (SELECT unnest(range(4)) AS i)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       least(i * greatest(len // 4, 1), greatest(len - 1, 0)) AS frame_offset_bytes,
+       substring(payload_hex,
+                 CAST(least(i * greatest(len // 4, 1), greatest(len - 1, 0)) AS BIGINT) * 2 + 1,
+                 32) AS frame_hex
+FROM p CROSS JOIN f
+ORDER BY doc_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# oracle-anchored gates for the hash-based (rows-only) operators.
+#
+# The plain near_dup_minhash / ann_lsh / ... queries above run the
+# SCALE configurations, whose outputs depend on hash-bucket geometry
+# and so have no SQL twin. Each gate below pins the same machinery to
+# a driver-visible pass criterion:
+#   * parity gates run the operator at a recall~1 configuration where
+#     LSH theory says the output must EQUAL the exact result, and
+#     oracle-check the full row set against DuckDB;
+#   * recall gates compute containment/recall against the exact
+#     operator (itself oracle-checked) inside Spark and emit scale-
+#     independent booleans/zeros the oracle states as constants.
+# --------------------------------------------------------------------------
+
+
+def q_minhash_parity(spark, sf_dir):
+    """near_dup_minhash at rows_per_band=1, bands=16: a true pair at
+    jaccard >= 0.8 is missed with probability (1-j)^16 <= 6.6e-12, and
+    exact-jaccard verification removes every false positive — so the
+    output must equal the brute-force exact pair set, value-for-value
+    (this gate caught a real bug: a two-arg transform lambda silently
+    binding the minhash seed to the array index)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("near_dup_minhash", d,
+            {"field": "text", "id_field": "doc_id", "shingle_size": 5,
+             "bands": 16, "rows_per_band": 1, "threshold": 0.8})
+    return op("sort", df, {"fields": ["id_a", "id_b"]})
+
+
+def q_dedup_near_parity(spark, sf_dir):
+    """Greedy near-dup dedup at the recall~1 banding == SQL survivors
+    (docs with no >=0.8-jaccard partner of smaller id)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("dedup_near_minhash", d,
+            {"field": "text", "id_field": "doc_id", "shingle_size": 5,
+             "bands": 16, "rows_per_band": 1, "threshold": 0.8})
+    df = op("select", df, {"fields": ["doc_id", "lang"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+def q_dedup_groups_parity(spark, sf_dir):
+    """Transitive (connected-components) dedup at the recall~1 banding
+    == SQL survivors from a recursive-CTE transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("dedup_near_groups", d,
+            {"field": "text", "id_field": "doc_id", "shingle_size": 5,
+             "bands": 16, "rows_per_band": 1, "threshold": 0.8})
+    df = op("select", df, {"fields": ["doc_id", "lang"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+def q_similarity_parity(spark, sf_dir):
+    """similarity_join with multi-table amplification tuned for
+    recall~1 at this threshold (L=30 tables of b=2 planes: a pair at
+    cos 0.3 is missed with prob (1-0.597^2)^30 ~ 2e-6): the candidate
+    union must recover the full brute-force pair set, and exact cosine
+    verification removes every false positive. Ids only — the cosine
+    doubles agree between engines only to 1 ulp."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("similarity_join", e,
+            {"threshold": 0.3, "dim": 64, "n_planes": 2, "n_tables": 30})
+    df = op("select", df, {"fields": ["id_a", "id_b"]})
+    return op("sort", df, {"fields": ["id_a", "id_b"]})
+
+
+_SQL_SIMILARITY_PARITY = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+# parity oracles reuse the exact-jaccard SQL (already oracle-green as
+# ngram_jaccard); the dedup variants derive survivors from those pairs
+_SQL_MINHASH_PARITY = _SQL_NGRAM_JACCARD
+
+_SQL_DEDUP_NEAR_PARITY = f"""
+WITH pairs AS ({_SQL_NGRAM_JACCARD})
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY doc_id
+"""
+
+_SQL_DEDUP_GROUPS_PARITY = f"""
+WITH RECURSIVE pairs AS ({_SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
+ORDER BY doc_id
+"""
+
+
+def q_simhash_gate(spark, sf_dir):
+    """Containment gate for near_dup_simhash: every emitted pair's
+    hamming distance, recomputed INDEPENDENTLY of the banded candidate
+    path (JVM bit_count over the stored 64-bit simhashes), must be
+    within max_distance; and the banding must find at least one pair
+    (the corpus has planted near-dups)."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = {"field": "text", "id_field": "doc_id", "max_distance": 3}
+    pairs = op("near_dup_simhash", d, cfg)
+    sh = op("simhash", d, cfg).select("doc_id", "simhash")
+    chk = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"),
+                             F.col("simhash").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"),
+                        F.col("simhash").alias("sh_b")), "id_b")
+        .withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    )
+    return chk.agg(
+        F.sum((F.col("ham") > 3).cast("long")).alias("n_violations"),
+        (F.count(F.lit(1)) >= 1).alias("pairs_found"),
+    )
+
+
+_SQL_SIMHASH_GATE = """
+SELECT CAST(0 AS BIGINT) AS n_violations, TRUE AS pairs_found
+"""
+
+
+def _recall_gate(approx: DataFrame, exact: DataFrame, floor: int) -> DataFrame:
+    """One-row gate: |approx| and whether |approx ∩ exact| >= floor
+    (both top-k lists are deterministic, so the booleans are stable)."""
+    hit = approx.join(exact, "vec_id", "left_semi")
+    return approx.agg(F.count(F.lit(1)).alias("n_results")).crossJoin(
+        hit.agg((F.count(F.lit(1)) >= floor).alias("recall_floor_met")))
+
+
+def q_ann_lsh_gate(spark, sf_dir):
+    """Recall gate for LSH ANN vs the (oracle-checked) exact top-10:
+    multi-probe at radius 3 over 32 buckets must recover >= 7 of the
+    true neighbors. Bucket geometry is corpus-size-appropriate here —
+    the scale configuration stays in the plain ann_lsh query."""
+    e = _t(spark, sf_dir, "embeddings")
+    approx = op("ann_lsh", e, {"probe_id": 0, "k": 10, "dim": 64,
+                               "n_planes": 5, "probe_radius": 3}).select("vec_id")
+    exact = op("ann_bruteforce", e, {"probe_id": 0, "k": 10}).select("vec_id")
+    return _recall_gate(approx, exact, 7)
+
+
+def q_ann_ivf_gate(spark, sf_dir):
+    """Recall gate for IVF ANN vs exact top-10: scanning 4 of 8 cells
+    must recover >= 6 of the true neighbors."""
+    e = _t(spark, sf_dir, "embeddings")
+    approx = op("ann_ivf", e, {"probe_id": 0, "k": 10, "dim": 64,
+                               "n_cells": 8, "nprobe": 4, "refine": 1}).select("vec_id")
+    exact = op("ann_bruteforce", e, {"probe_id": 0, "k": 10}).select("vec_id")
+    return _recall_gate(approx, exact, 6)
+
+
+_SQL_ANN_GATE = """
+SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_floor_met
+"""
+
+
+def q_split_assign_gate(spark, sf_dir):
+    """split_assign's contract is partition-invariance: assignments on
+    the natural read and on an adversarial repartition must agree row
+    for row (n_mismatch = 0 — randomSplit fails this), the row count
+    must match the table (value-checked against DuckDB), and realized
+    split fractions must sit near the requested 0.9/0.05/0.05."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = {"on": ["doc_id"], "splits": {"train": 0.9, "val": 0.05, "test": 0.05}}
+    a = op("split_assign", d, cfg).select("doc_id", "split")
+    b = op("split_assign", d.repartition(7, "lang"), cfg).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b"))
+    joined = a.join(b, a.doc_id == b.doc_id_b, "full_outer")
+    return joined.agg(
+        F.sum((~F.col("split").eqNullSafe(F.col("split_b")))
+              .cast("long")).alias("n_mismatch"),
+        F.count(F.lit(1)).alias("n_rows"),
+        ((F.avg((F.col("split") == "train").cast("double")) - 0.9).between(-0.05, 0.05)
+         ).alias("train_frac_ok"),
+    )
+
+
+_SQL_SPLIT_ASSIGN_GATE = """
+SELECT CAST(0 AS BIGINT) AS n_mismatch,
+       (SELECT COUNT(*) FROM documents) AS n_rows,
+       TRUE AS train_frac_ok
+"""
+
+
+def q_events_window_stream(spark, sf_dir):
+    """The windowed aggregation executed as a STRUCTURED STREAM:
+    readStream over the events parquet -> watermarked windowed_agg ->
+    memory sink driven to completion. Shares events_window's oracle, so
+    stream==batch equivalence is driver-visible, not only pytest-visible."""
+    from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        read_events_stream, run_stream_to_memory)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = nanos_to_timestamp(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"), "ts")
+    agg = op("windowed_agg", stream, {
+        "ts_field": "ts", "window": "1 hour", "group_by": ["event_type"],
+        "aggregates": [
+            {"field": "event_id", "function": "count", "alias": "n_events"},
+            {"field": "value", "function": "sum", "alias": "sum_value"},
+        ]})
+    run_stream_to_memory(agg, "events_window_stream_out")
+    df = spark.table("events_window_stream_out")
+    return op("sort", df, {"fields": ["window_start", "event_type"]})
 
 
 # --------------------------------------------------------------------------
@@ -1089,7 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_funcs": q_expr_funcs,
         "json_extract": q_json_extract,
         "monthly_revenue": q_monthly_revenue,
-        # rows-only (hash-based candidate generation, not SQL-expressible)
+        # scale-configuration runs (bucket-geometry outputs, rows-only) —
+        # each is anchored by a *_parity/*_gate query below
         "near_dup_minhash": q_near_dup_minhash,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_near_groups": q_dedup_near_groups,
@@ -1099,6 +1343,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "frame_sample": q_frame_sample,
         "split_assign": q_split_assign,
+        # oracle-anchored gates for the hash-based operators
+        "minhash_parity": q_minhash_parity,
+        "dedup_near_parity": q_dedup_near_parity,
+        "dedup_groups_parity": q_dedup_groups_parity,
+        "similarity_parity": q_similarity_parity,
+        "simhash_gate": q_simhash_gate,
+        "ann_lsh_gate": q_ann_lsh_gate,
+        "ann_ivf_gate": q_ann_ivf_gate,
+        "split_assign_gate": q_split_assign_gate,
+        # streaming execution surfaced to the driver
+        "events_window_stream": q_events_window_stream,
         "corpus_prep": q_corpus_prep,
         "profile": q_profile,
         "unpivot": q_unpivot,
@@ -1144,6 +1399,16 @@ def oracle_sql() -> dict[str, str]:
         "expr_funcs": _SQL_EXPR_FUNCS,
         "json_extract": _SQL_JSON_EXTRACT,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
+        "frame_sample": _SQL_FRAME_SAMPLE,
+        "minhash_parity": _SQL_MINHASH_PARITY,
+        "dedup_near_parity": _SQL_DEDUP_NEAR_PARITY,
+        "dedup_groups_parity": _SQL_DEDUP_GROUPS_PARITY,
+        "similarity_parity": _SQL_SIMILARITY_PARITY,
+        "simhash_gate": _SQL_SIMHASH_GATE,
+        "ann_lsh_gate": _SQL_ANN_GATE,
+        "ann_ivf_gate": _SQL_ANN_GATE,
+        "split_assign_gate": _SQL_SPLIT_ASSIGN_GATE,
+        "events_window_stream": _SQL_EVENTS_WINDOW,
         "corpus_prep": _SQL_CORPUS_PREP,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,

@@ -63,12 +63,18 @@ def shingles_col(col: Column, k: int) -> Column:
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
     """num_hashes minhash values; hash family h_i(s) = xxhash64(s, i)
-    (seeding via an appended literal — deterministic everywhere)."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    (seeding via an appended literal — deterministic everywhere).
+
+    The seed must be captured via a closure over a ONE-parameter
+    lambda: a ``lambda s, i=i:`` default-arg would make pyspark treat
+    it as a two-arg (element, index) transform lambda, silently binding
+    the "seed" to the element's array position instead of the literal
+    (every signature position then collapses to the same hash family).
+    """
+    def hashed(i: int) -> Column:
+        return F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+
+    return F.array(*[F.array_min(hashed(i)) for i in range(num_hashes)])
 
 
 @register("minhash")

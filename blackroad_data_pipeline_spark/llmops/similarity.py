@@ -89,6 +89,27 @@ def _bucket_udf(dim: int, n_planes: int, seed: int):
     return bucket
 
 
+def _multi_bucket_udf(dim: int, n_planes: int, seed: int, n_tables: int):
+    """All L tables' bucket ids in one kernel: the L*n_planes
+    hyperplanes stack into a single (L*b, dim) matrix, so the per-batch
+    cost is one matmul regardless of table count."""
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes={n_planes} out of range (1..62)")
+    planes = np.vstack([_hyperplanes(dim, n_planes, seed + t)
+                        for t in range(n_tables)])  # (L*b, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy())
+        bits = (mat @ planes.T) > 0                      # (batch, L*b)
+        packed = (bits.reshape(len(mat), n_tables, n_planes).astype(np.int64)
+                  @ weights)                             # (batch, L)
+        return pd.Series(list(packed))
+
+    return buckets
+
+
 @register("lsh_bucket")
 def op_lsh_bucket(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Sign-random-projection bucket id per embedding (n_planes sign
@@ -260,37 +281,88 @@ def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     work runs inside buckets (shuffle on bucket id), never across the
     corpus. The embedding-cosine near-dup primitive. Norms are
     computed once per vector JVM-side; the per-pair dot products run
-    as an Arrow-batched numpy kernel."""
+    as an Arrow-batched numpy kernel.
+
+    ``n_tables: L`` (default 1) unions candidates from L independent
+    hash tables (distinct hyperplane seeds). One table recalls a pair
+    at angle theta with probability (1-theta/pi)^n_planes — low for
+    moderate similarities — while L tables recall 1-(1-p^b)^L, the
+    standard amplification. Candidate ids are deduped across tables
+    BEFORE embeddings are attached, so the exact-verification work is
+    per unique pair and the wide vectors never ride the union."""
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
     threshold = float(config.get("threshold", 0.9))
+    n_tables = int(config.get("n_tables", 1))
+    seed = int(config.get("seed", 42))
     norm = F.sqrt(F.aggregate(
         F.transform(F.col(field), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    # norms computed once per vector, not once per candidate pair
-    bucketed = op_lsh_bucket(df, config, views).select(
-        F.col(id_field).alias("__id"), F.col(field).alias("__emb"),
-        norm.alias("__norm"), "lsh_bucket")
-    left = bucketed.select(F.col("__id").alias("id_a"),
-                           F.col("__emb").alias("emb_a"),
-                           F.col("__norm").alias("norm_a"), "lsh_bucket")
-    right = bucketed.select(F.col("__id").alias("id_b"),
-                            F.col("__emb").alias("emb_b"),
-                            F.col("__norm").alias("norm_b"), "lsh_bucket")
-    return (
-        left.join(right, "lsh_bucket")
+
+    def verified(cands: DataFrame) -> DataFrame:
+        # norms computed once per vector, not once per candidate pair
+        sides = df.select(F.col(id_field).alias("__id"),
+                          F.col(field).alias("__emb"), norm.alias("__norm"))
+        return (
+            cands
+            .join(sides.select(F.col("__id").alias("id_a"),
+                               F.col("__emb").alias("emb_a"),
+                               F.col("__norm").alias("norm_a")), "id_a")
+            .join(sides.select(F.col("__id").alias("id_b"),
+                               F.col("__emb").alias("emb_b"),
+                               F.col("__norm").alias("norm_b")), "id_b")
+            .withColumn("cos_sim",
+                        _pair_dot_udf(F.col("emb_a"), F.col("emb_b"))
+                        / (F.col("norm_a") * F.col("norm_b")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+
+    if n_tables <= 1:
+        # single-table fast path: embeddings ride the one bucket join
+        # directly, and no pair-dedup is needed — each vector lands in
+        # exactly one lsh_bucket, so the self-join emits every
+        # (id_a, id_b) at most once (contrast near_dup_minhash, where
+        # multi-band duplication is real).
+        bucketed = op_lsh_bucket(df, config, views).select(
+            F.col(id_field).alias("__id"), F.col(field).alias("__emb"),
+            norm.alias("__norm"), "lsh_bucket")
+        left = bucketed.select(F.col("__id").alias("id_a"),
+                               F.col("__emb").alias("emb_a"),
+                               F.col("__norm").alias("norm_a"), "lsh_bucket")
+        right = bucketed.select(F.col("__id").alias("id_b"),
+                                F.col("__emb").alias("emb_b"),
+                                F.col("__norm").alias("norm_b"), "lsh_bucket")
+        return (
+            left.join(right, "lsh_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim",
+                        _pair_dot_udf(F.col("emb_a"), F.col("emb_b"))
+                        / (F.col("norm_a") * F.col("norm_b")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+
+    # multi-table: ONE corpus scan computes all L bucket ids (stacked
+    # hyperplanes, single matmul per Arrow batch), then a posexplode to
+    # (id, table, bucket) — narrow rows — and ONE self-join shuffled on
+    # (table, bucket), exactly the minhash-band shape. Cross-table
+    # dedup shuffles only the (id, id) candidate stream; the wide
+    # vectors never ride the explosion.
+    dim = int(config.get("dim", 64))
+    n_planes = int(config.get("n_planes", 12))
+    multi = _multi_bucket_udf(dim, n_planes, seed, n_tables)
+    b = df.select(F.col(id_field).alias("__id"),
+                  F.posexplode(multi(F.col(field))).alias("__tbl", "__bkt"))
+    cands = (
+        b.select(F.col("__id").alias("id_a"), "__tbl", "__bkt")
+        .join(b.select(F.col("__id").alias("id_b"), "__tbl", "__bkt"),
+              ["__tbl", "__bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim",
-                    _pair_dot_udf(F.col("emb_a"), F.col("emb_b"))
-                    / (F.col("norm_a") * F.col("norm_b")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-        # No pair-dedup needed: each vector lands in exactly one
-        # lsh_bucket, so the bucket self-join emits every (id_a, id_b)
-        # at most once — a dropDuplicates here would be a full shuffle
-        # of the candidate set for nothing (contrast near_dup_minhash,
-        # where multi-band duplication is real).
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return verified(cands)
 
 
 @register("dedup_embedding")

@@ -85,6 +85,27 @@ def test_minhash_signature_shape(docs):
     assert len(r["minhash_sig"]) == 16
 
 
+def test_minhash_signature_positions_are_independent_hashes(spark):
+    """Regression: a ``lambda s, i=i:`` seed capture makes pyspark bind
+    the second lambda arg to the ARRAY INDEX, collapsing every
+    signature position to one hash family (signatures become a single
+    effective band and LSH recall silently dies). Positions must
+    differ, and near-identical sets must agree on most positions."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d", "e", "f", "g", "h"]),
+         (2, ["a", "b", "c", "d", "e", "f", "g", "x"])],
+        "id long, sh array<string>")
+    from blackroad_data_pipeline_spark.llmops.dedup import minhash_signature
+    from pyspark.sql import functions as F
+
+    r1, r2 = sorted(
+        df.withColumn("sig", minhash_signature(F.col("sh"), 16)).collect(),
+        key=lambda r: r.id)
+    assert len(set(r1.sig)) > 4          # 16 distinct hash families
+    agree = sum(1 for x, y in zip(r1.sig, r2.sig) if x == y)
+    assert 4 <= agree < 16               # j=7/9: most but not all agree
+
+
 def test_near_dup_minhash_pairs(docs):
     # shingle_size=2: jaccard(0,2) = 6/10 = 0.6; rows_per_band=1 makes
     # band recall ~1 at that similarity, so the candidate is deterministic
@@ -180,6 +201,23 @@ def test_similarity_join_and_dedup_embedding(vecs):
                   op("dedup_embedding", vecs,
                      {"threshold": 0.99, "dim": 4, "n_planes": 4}).collect())
     assert 0 in kept and 1 not in kept
+
+
+def test_similarity_join_multi_table_amplifies_recall(vecs):
+    """L hash tables union their candidates: with enough tables the
+    pair set must equal the exact brute-force result at the threshold
+    (single-table recall is (1-theta/pi)^b per pair — low), and every
+    reported cos_sim must clear the threshold (exact verification)."""
+    # brute-force truth at 0.6: (0,1) cos~1; 4=[.7,.7] has cos~0.707
+    # with 0, 1 and 2; all other pairs are orthogonal-ish
+    exact = {(0, 1), (0, 4), (1, 4), (2, 4)}
+    multi = op("similarity_join", vecs,
+               {"threshold": 0.6, "dim": 4, "n_planes": 2, "n_tables": 16})
+    rows = multi.collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == exact and all(r["cos_sim"] >= 0.6 for r in rows)
+    # no duplicate pairs despite multi-table candidate duplication
+    assert len(rows) == len(got)
 
 
 # -- multimodal ---------------------------------------------------------------
