@@ -5,12 +5,15 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators so payload bytes never round-trip through
 row-at-a-time Python.
 
-The actual codecs (PIL/ffmpeg/etc.) are NOT in this environment, so
-the decode kernels are STUBS: ``fake_decode=True`` (default) derives
-deterministic pseudo-metadata from the payload hash — schema,
-batching, partitioning, and UDF signatures are real and tested;
-``fake_decode=False`` raises NotImplementedError where the codec
-call belongs.
+The decode kernels carry a CODEC SEAM: each probes for its real codec
+(PIL for images, soundfile for audio) on the executor at call time.
+``fake_decode`` is tri-state — None (default) uses the real codec when
+present and falls back per payload to a deterministic stub (pseudo-
+metadata from the payload hash); True always stubs; False is strict
+(raises when the codec is missing or a payload fails to decode).
+Schema, batching, partitioning, and UDF signatures are identical on
+every path and are what the tests pin; real-codec tests skip cleanly
+when the libraries are absent (they are not in this environment).
 """
 
 from __future__ import annotations
@@ -57,14 +60,27 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
+def _pil():
+    """PIL probe, resolved lazily on the EXECUTOR at call time — the
+    codec seam. Returns the Image module or None."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 @register("decode_image")
 def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Decode image payloads to (width, height, mode) metadata.
 
-    Real path (fake_decode=False) is where PIL's ``Image.open`` on the
-    byte buffer belongs — not available in this environment.
+    ``fake_decode`` is tri-state: None (default) tries a real PIL
+    decode per payload and falls back to the deterministic stub when
+    PIL is absent or the bytes aren't an image (img_mode='STUB' marks
+    those rows); True always stubs; False is strict — raises if PIL is
+    missing or any payload fails to decode.
     """
-    fake = bool(config.get("fake_decode", True))
+    fake = config.get("fake_decode")
     payload_field = config.get("field", "payload")
     out_fields = [f for f in df.schema.fields]
     schema = T.StructType(out_fields + [
@@ -74,15 +90,31 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     ])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = None if fake is True else _pil()
+        if fake is False and image_mod is None:
+            raise NotImplementedError(
+                "fake_decode=False requires PIL, which is not installed")
+
+        def one(b):
+            data = bytes(b)
+            if image_mod is not None:
+                try:
+                    with image_mod.open(io.BytesIO(data)) as img:
+                        return img.width, img.height, img.mode
+                except Exception:
+                    if fake is False:
+                        raise
+            w, h = _fake_dims(data)
+            return w, h, "STUB"
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL; run with fake_decode=True")
-            dims = pdf[payload_field].map(lambda b: _fake_dims(bytes(b)))
+            trip = pdf[payload_field].map(one)
             pdf = pdf.assign(
-                img_width=dims.map(lambda d: d[0]).astype("int32"),
-                img_height=dims.map(lambda d: d[1]).astype("int32"),
-                img_mode="RGB",
+                img_width=trip.map(lambda t: t[0]).astype("int32"),
+                img_height=trip.map(lambda t: t[1]).astype("int32"),
+                img_mode=trip.map(lambda t: t[2]),
             )
             yield pdf
 
@@ -93,12 +125,14 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
 def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Resize image payloads to (target_w, target_h).
 
-    Real path (fake_decode=False) is PIL ``Image.resize`` over the
-    byte buffer — not available in this environment. The stub keeps
-    the Spark contract real: payload column in, payload column +
-    dimensions out, Arrow-batched, schema fixed up front.
+    Same tri-state ``fake_decode`` seam as decode_image: None tries a
+    real PIL open+resize+re-encode (PNG) per payload with stub
+    fallback; True always stubs (deterministic truncation); False is
+    strict. The Spark contract is identical on every path: payload
+    column in, payload column + dimensions out, Arrow-batched, schema
+    fixed up front.
     """
-    fake = bool(config.get("fake_decode", True))
+    fake = config.get("fake_decode")
     payload_field = config.get("field", "payload")
     tw = int(config.get("target_w", 224))
     th = int(config.get("target_h", 224))
@@ -109,14 +143,30 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     ])
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL; run with fake_decode=True")
+        import io
+
+        image_mod = None if fake is True else _pil()
+        if fake is False and image_mod is None:
+            raise NotImplementedError(
+                "fake_decode=False requires PIL, which is not installed")
+
+        def one(b):
+            data = bytes(b)
+            if image_mod is not None:
+                try:
+                    with image_mod.open(io.BytesIO(data)) as img:
+                        buf = io.BytesIO()
+                        img.resize((tw, th)).save(buf, format="PNG")
+                        return buf.getvalue()
+                except Exception:
+                    if fake is False:
+                        raise
             # stub: deterministic truncation stands in for re-encoding
+            return data[: tw * th // 64 or 1]
+
+        for pdf in batches:
             pdf = pdf.assign(
-                resized_payload=pdf[payload_field].map(
-                    lambda b: bytes(b)[: tw * th // 64 or 1]),
+                resized_payload=pdf[payload_field].map(one),
                 resized_w=tw,
                 resized_h=th,
             )
@@ -130,10 +180,12 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
 @register("audio_features")
 def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Extract per-clip audio features (duration, sample count, RMS
-    level). Real path is soundfile/librosa decode — stubbed here with
-    deterministic pseudo-features from the payload hash; the Spark
-    plumbing (Arrow batches, fixed schema, no shuffle) is real."""
-    fake = bool(config.get("fake_decode", True))
+    level). Tri-state ``fake_decode`` seam like the image ops, with
+    ``soundfile`` as the real codec: None tries a real decode per
+    payload with deterministic-stub fallback, True always stubs, False
+    is strict. The Spark plumbing (Arrow batches, fixed schema, no
+    shuffle) is identical on every path."""
+    fake = config.get("fake_decode")
     payload_field = config.get("field", "payload")
     sample_rate = int(config.get("sample_rate", 16000))
     schema = T.StructType(list(df.schema.fields) + [
@@ -143,16 +195,34 @@ def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
     ])
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        sf_mod = None
+        if fake is not True:
+            try:
+                import soundfile as sf_mod  # noqa: N813
+            except ImportError:
+                sf_mod = None
+        if fake is False and sf_mod is None:
+            raise NotImplementedError(
+                "fake_decode=False requires soundfile, which is not installed")
+
+        def one(b):
+            data = bytes(b)
+            if sf_mod is not None:
+                try:
+                    samples, sr = sf_mod.read(io.BytesIO(data))
+                    n = int(samples.shape[0])
+                    rms = float((samples.astype("float64") ** 2).mean() ** 0.5)
+                    return n / sr, n, rms
+                except Exception:
+                    if fake is False:
+                        raise
+            h = hashlib.sha256(data).digest()
+            n = len(data) * 4  # stub: pretend 4 samples per byte
+            return n / sample_rate, n, (h[2] / 255.0)
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile; run with fake_decode=True")
-
-            def one(b: bytes):
-                h = hashlib.sha256(bytes(b)).digest()
-                n = len(b) * 4  # pretend 4 samples per byte
-                return n / sample_rate, n, (h[2] / 255.0)
-
             trip = pdf[payload_field].map(one)
             pdf = pdf.assign(
                 audio_seconds=trip.map(lambda t: t[0]),

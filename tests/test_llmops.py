@@ -241,10 +241,41 @@ def test_decode_image_stub_deterministic(docs):
     assert a[0] == a[1]  # same payload -> same fake dims
 
 
-def test_decode_image_real_path_raises(docs):
+def test_decode_image_strict_mode_raises_on_nonimages(docs):
+    """fake_decode=False is strict on BOTH seam branches: without PIL
+    it raises NotImplementedError; with PIL the text payloads fail to
+    decode and the error propagates instead of stubbing."""
     df = op("attach_binary", docs, {})
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+    with pytest.raises(Exception,
+                       match="NotImplementedError|PIL|identify|image"):
         op("decode_image", df, {"fake_decode": False}).collect()
+
+
+def test_decode_and_resize_real_codec_path(spark):
+    """Runs only when PIL is installed: a real PNG payload must come
+    back with its true dimensions (not stub pseudo-dims) and resize
+    must re-encode to the target size."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (40, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, payload binary")
+    r = op("decode_image", df, {}).collect()[0]
+    assert (r["img_width"], r["img_height"], r["img_mode"]) == (40, 30, "RGB")
+    rz = op("resize_image", df, {"target_w": 8, "target_h": 6}).collect()[0]
+    with PIL_Image.open(io.BytesIO(bytes(rz["resized_payload"]))) as img:
+        assert (img.width, img.height) == (8, 6)
+
+
+def test_decode_image_auto_mode_stubs_nonimages(docs):
+    """Auto mode (default): payloads that aren't decodable images get
+    deterministic stub dims tagged img_mode='STUB' — with or without
+    PIL installed (text payloads are never valid images)."""
+    df = op("attach_binary", docs, {})
+    rows = op("decode_image", df, {}).collect()
+    assert all(r["img_mode"] == "STUB" for r in rows)
 
 
 def test_frame_sample(docs):
