@@ -1,0 +1,78 @@
+"""Empirical scaling probe for the candidate-generation queries.
+
+The driver ships fixtures at sf0.001 / sf0.01 / sf0.1 (100x row span,
+no sf1), so instead of a single big-SF run this measures each
+hash-bucketed query at all three scale factors and fits the growth
+exponent alpha in t ~ rows^alpha between the two largest SFs (the
+smallest is dominated by fixed per-query overhead and is reported but
+not fitted). A candidate-generation pipeline whose buckets stay
+balanced should land near alpha ~ 1 (linear scan + shuffle); alpha
+approaching 2 means pairwise work inside buckets is taking over and
+the bucket geometry must grow with the corpus.
+
+Writes SCALE_PROBE.json and prints a markdown table for SCALE.md.
+
+Usage: python tools/scale_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from blackroad_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SFS = [("sf0.001", 0.001), ("sf0.01", 0.01), ("sf0.1", 0.1)]
+
+# the queries whose cost is candidate generation (bucket self-joins,
+# posting lists, banded signatures) — the ones that could go quadratic
+PROBED = [
+    "ngram_jaccard",
+    "near_dup_minhash",
+    "dedup_near_minhash",
+    "dedup_near_groups",
+    "near_dup_simhash",
+    "similarity_join",
+    "similarity_parity",
+    "ann_lsh",
+    "ann_ivf",
+    "dedup_exact",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or PROBED
+    spark = get_spark()
+    qs = entry_mod.queries()
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        times = {}
+        for sf_name, _ in SFS:
+            sf_dir = f"/root/testdata/{sf_name}"
+            # warm the plan/JIT once at the smallest SF only
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times[sf_name] = round(time.perf_counter() - t0, 4)
+        # fit on the two largest SFs: rows scale 10x between them
+        alpha = math.log(max(times["sf0.1"], 1e-9) /
+                         max(times["sf0.01"], 1e-9)) / math.log(10)
+        results[name] = {**times, "alpha_01_to_1": round(alpha, 3)}
+        print(f"{name:22s} {times['sf0.001']:7.2f} {times['sf0.01']:7.2f} "
+              f"{times['sf0.1']:7.2f}  alpha={alpha:5.2f}")
+    with open("/root/repo/SCALE_PROBE.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print("\n| query | sf0.001 s | sf0.01 s | sf0.1 s | alpha (0.01->0.1) |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.001']} | {r['sf0.01']} | {r['sf0.1']} "
+              f"| {r['alpha_01_to_1']} |")
+
+
+if __name__ == "__main__":
+    main()
