@@ -943,6 +943,138 @@ SELECT CAST(0 AS BIGINT) AS n_mismatch,
 """
 
 
+# --------------------------------------------------------------------------
+# training-corpus prep extensions (round 2): chunking, vocab stats,
+# benchmark decontamination, PII scrubbing — all fully oracle-checked
+# --------------------------------------------------------------------------
+
+
+def q_chunk_text(spark, sf_dir):
+    """Sliding token-window chunking (context-window prep): 32-token
+    chunks overlapping by 8 (docs are ~100 tokens, so every doc
+    produces several windows) — explode shape, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("chunk_text", d, {"field": "text", "id_field": "doc_id",
+                              "chunk_tokens": 32, "overlap": 8})
+    return op("sort", df, {"fields": ["doc_id", "chunk_idx"]})
+
+
+_SQL_CHUNK_TEXT = f"""
+WITH d AS (
+  SELECT doc_id, {_D_TOKS} AS toks, len({_D_TOKS}) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, n,
+         1 + CAST(floor((greatest(n - 32, 0) + 23) / 24) AS INT) AS n_chunks
+  FROM d),
+x AS (
+  SELECT doc_id,
+         unnest(list_transform(range(n_chunks), i -> {{
+           'chunk_idx': CAST(i AS INTEGER),
+           'start_token': CAST(i * 24 AS BIGINT),
+           'chunk_text': array_to_string(toks[CAST(i*24+1 AS BIGINT):CAST(i*24+32 AS BIGINT)], ' '),
+           'chunk_tokens': CAST(least(n - i * 24, 32) AS BIGINT)}})) AS ch
+  FROM c)
+SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.start_token AS start_token,
+       ch.chunk_text AS chunk_text, ch.chunk_tokens AS chunk_tokens
+FROM x
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus token-frequency top-100 (word-count shape: map-side
+    partial agg, one shuffle, deterministic tie cut)."""
+    d = _t(spark, sf_dir, "documents")
+    return op("vocab_topk", d, {"field": "text", "k": 100})
+
+
+_SQL_VOCAB_TOPK = """
+SELECT token, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(list_filter(
+        regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing >= 5 distinct 3-gram
+    shingles with the pseudo-benchmark set (doc_id % 20 == 0). The
+    benchmark side broadcasts; the corpus side never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    train = op("sql", d, {"query": "SELECT * FROM self WHERE doc_id % 20 <> 0"},
+               views={})
+    bench = op("sql", d, {"query": "SELECT * FROM self WHERE doc_id % 20 = 0"},
+               views={})
+    df = op("contamination_join", train,
+            {"benchmark": bench, "shingle_size": 3, "min_shared": 5}, views={})
+    return op("sort", df, {"fields": ["doc_id", "bench_id"]})
+
+
+_SQL_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len({_D_TOKS}) >= 3 THEN
+           list_distinct(list_transform(
+             range(1, len({_D_TOKS}) - 1),
+             i -> array_to_string(({_D_TOKS})[i:i+2], ' ')))
+         ELSE [array_to_string({_D_TOKS}, ' ')] END AS s
+  FROM documents),
+flat AS (SELECT doc_id, unnest(s) AS s FROM sh),
+train AS (SELECT doc_id, s FROM flat WHERE doc_id % 20 <> 0),
+bench AS (SELECT doc_id AS bench_id, s FROM flat WHERE doc_id % 20 = 0)
+SELECT t.doc_id AS doc_id, b.bench_id AS bench_id, COUNT(*) AS n_shared
+FROM train t JOIN bench b USING (s)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+ORDER BY doc_id, bench_id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over text seeded with synthetic email/URL/IP/phone
+    spans (the corpus itself is clean, so the spans are injected
+    deterministically from doc_id to give the scrubber real work)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("sql", d, {"query": """
+        SELECT doc_id,
+               concat('reach user', CAST(doc_id AS STRING),
+                      '@example.com or https://ex.io/p?id=',
+                      CAST(doc_id AS STRING), ' ip 10.0.0.',
+                      CAST(doc_id % 256 AS STRING), ' tel +1 (555) 010-',
+                      CAST(1000 + doc_id % 9000 AS STRING), ' ', text) AS text
+        FROM self"""}, views={})
+    df = op("pii_scrub", df, {"field": "text", "as": "scrubbed"})
+    df = op("select", df, {"fields": ["doc_id", "scrubbed"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_PII_SCRUB = """
+WITH seeded AS (
+  SELECT doc_id,
+         concat('reach user', CAST(doc_id AS VARCHAR),
+                '@example.com or https://ex.io/p?id=',
+                CAST(doc_id AS VARCHAR), ' ip 10.0.0.',
+                CAST(doc_id % 256 AS VARCHAR), ' tel +1 (555) 010-',
+                CAST(1000 + doc_id % 9000 AS VARCHAR), ' ', text) AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+           '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM seeded
+ORDER BY doc_id
+"""
+
+
 def q_events_window_stream(spark, sf_dir):
     """The windowed aggregation executed as a STRUCTURED STREAM:
     readStream over the events parquet -> watermarked windowed_agg ->
@@ -1354,6 +1486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_gate": q_split_assign_gate,
         # streaming execution surfaced to the driver
         "events_window_stream": q_events_window_stream,
+        # training-corpus prep (round 2)
+        "chunk_text": q_chunk_text,
+        "vocab_topk": q_vocab_topk,
+        "contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
         "corpus_prep": q_corpus_prep,
         "profile": q_profile,
         "unpivot": q_unpivot,
@@ -1409,6 +1546,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_gate": _SQL_ANN_GATE,
         "split_assign_gate": _SQL_SPLIT_ASSIGN_GATE,
         "events_window_stream": _SQL_EVENTS_WINDOW,
+        "chunk_text": _SQL_CHUNK_TEXT,
+        "vocab_topk": _SQL_VOCAB_TOPK,
+        "contamination": _SQL_CONTAMINATION,
+        "pii_scrub": _SQL_PII_SCRUB,
         "corpus_prep": _SQL_CORPUS_PREP,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,

@@ -62,8 +62,11 @@ def shingles_col(col: Column, k: int) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
-    """num_hashes minhash values; hash family h_i(s) = xxhash64(s, i)
-    (seeding via an appended literal — deterministic everywhere).
+    """num_hashes minhash values, JVM-side; hash family
+    h_i(s) = xxhash64(s, i) (seeding via an appended literal —
+    deterministic everywhere). O(num_hashes * n_shingles) hash calls
+    in interpreted higher-order functions — correct but slow for large
+    signatures; the Arrow kernel below is the hot-path default.
 
     The seed must be captured via a closure over a ONE-parameter
     lambda: a ``lambda s, i=i:`` default-arg would make pyspark treat
@@ -77,13 +80,118 @@ def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
     return F.array(*[F.array_min(hashed(i)) for i in range(num_hashes)])
 
 
+def minhash_kernel(num_hashes: int, seed: int = 0x5EED):
+    """Arrow-batched minhash signatures: md5 each BATCH-UNIQUE shingle
+    once (the Zipf argument from the simhash kernel — digest calls
+    dominate, vocab is far smaller than the shingle stream), then all
+    ``num_hashes`` families come from one vectorized affine transform
+    h_i(x) = a_i*x + b_i over uint64 (natural mod-2^64 wrap, odd a_i),
+    and per-doc minima are numpy gathers over the shared (V, H) hash
+    matrix. ~num_hashes-fold fewer digest calls than the JVM
+    expression path, which re-hashes every shingle per family.
+    Deterministic across processes/partitions (md5 + fixed seed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = ((rng.randint(1, 2 ** 62, size=num_hashes).astype(np.uint64)
+          << np.uint64(1)) | np.uint64(1))
+    b = rng.randint(0, 2 ** 62, size=num_hashes).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(shingles: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vocab: dict[str, int] = {}
+        idx_lists = []
+        for sh in shingles:
+            idxs = np.empty(len(sh), dtype=np.int64)
+            for j, s in enumerate(sh):
+                v = vocab.get(s)
+                if v is None:
+                    v = vocab[s] = len(vocab)
+                idxs[j] = v
+            idx_lists.append(idxs)
+        empty_sig = np.full(num_hashes, 2 ** 63 - 1, dtype=np.int64)
+        if not vocab:
+            return pd.Series([empty_sig] * len(idx_lists))
+        digests = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in vocab)
+        x = np.frombuffer(digests, dtype="<u8")                # (V,)
+        hashes = x[:, None] * a[None, :] + b[None, :]          # (V, H) wraps
+        out = [empty_sig if len(ix) == 0
+               else np.ascontiguousarray(hashes[ix].min(axis=0)).view(np.int64)
+               for ix in idx_lists]
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_text_kernel(k: int, num_hashes: int, seed: int = 0x5EED):
+    """Text -> minhash signature in ONE Arrow kernel: tokenize
+    (whitespace, identical to tokens_col), build distinct k-token
+    shingles, hash batch-unique shingles once (md5 + vectorized affine
+    families — same math as minhash_kernel). Only the text strings
+    cross the Arrow boundary, not the ~k-times-larger shingle arrays,
+    and the interpreted JVM higher-order shingling (the measured
+    bottleneck) is replaced by a tight Python loop over batch-deduped
+    shingles."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = ((rng.randint(1, 2 ** 62, size=num_hashes).astype(np.uint64)
+          << np.uint64(1)) | np.uint64(1))
+    b = rng.randint(0, 2 ** 62, size=num_hashes).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vocab: dict[str, int] = {}
+        idx_lists = []
+        for text in texts.fillna(""):
+            toks = text.split()
+            if len(toks) >= k:
+                sh = dict.fromkeys(" ".join(toks[i:i + k])
+                                   for i in range(len(toks) - k + 1))
+            else:
+                sh = {" ".join(toks): None}
+            idxs = np.empty(len(sh), dtype=np.int64)
+            for j, s in enumerate(sh):
+                v = vocab.get(s)
+                if v is None:
+                    v = vocab[s] = len(vocab)
+                idxs[j] = v
+            idx_lists.append(idxs)
+        empty_sig = np.full(num_hashes, 2 ** 63 - 1, dtype=np.int64)
+        if not vocab:
+            return pd.Series([empty_sig] * len(idx_lists))
+        digests = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in vocab)
+        x = np.frombuffer(digests, dtype="<u8")
+        hashes = x[:, None] * a[None, :] + b[None, :]
+        out = [empty_sig if len(ix) == 0
+               else np.ascontiguousarray(hashes[ix].min(axis=0)).view(np.int64)
+               for ix in idx_lists]
+        return pd.Series(out)
+
+    return sig
+
+
+def _sig_col(config: Mapping, shingles: Column, num_hashes: int) -> Column:
+    """Signature column per the configured implementation: the Arrow
+    kernel (default — one digest per batch-unique shingle) or the
+    all-JVM xxhash expression path (``sig_impl: "jvm"``). Both are
+    min-wise independent families; banding math is identical."""
+    if config.get("sig_impl", "arrow") == "jvm":
+        return minhash_signature(shingles, num_hashes)
+    return minhash_kernel(num_hashes)(shingles)
+
+
 @register("minhash")
 def op_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     field = config.get("field", "text")
     k = int(config.get("shingle_size", 3))
     num_hashes = int(config.get("num_hashes", 32))
     sh = shingles_col(F.col(field), k)
-    return df.withColumn("minhash_sig", minhash_signature(sh, num_hashes))
+    return df.withColumn("minhash_sig", _sig_col(config, sh, num_hashes))
 
 
 # --------------------------------------------------------------------------
@@ -109,18 +217,16 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     threshold = float(config.get("threshold", 0.8))
     num_hashes = bands * rows
 
-    sh = shingles_col(F.col(field), k)
-    docs = df.select(
-        F.col(id_field).alias("__id"), sh.alias("__shingles")
-    ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
-    # the shingle sets are needed three times (two self-join sides +
-    # verification); cache rather than recompute the signatures per
-    # branch. The cache is scoped to THIS call: the verified pairs are
-    # materialized (localCheckpoint truncates lineage so the returned
-    # plan no longer references `docs`) and the corpus-scale cache is
-    # released before returning — a long-lived PipelineService running
-    # many near-dup jobs must not accumulate persisted corpora.
-    docs = docs.persist()
+    base = df.select(F.col(id_field).alias("__id"), F.col(field).alias("__t"))
+    if config.get("sig_impl", "arrow") == "jvm":
+        sigs = base.withColumn(
+            "__sig", minhash_signature(shingles_col(F.col("__t"), k), num_hashes))
+    else:
+        # text -> signature in one Arrow kernel: only the text crosses
+        # to Python, shingling runs batch-deduped (the JVM higher-order
+        # shingling was the measured bottleneck, not the hashing)
+        sigs = base.withColumn(
+            "__sig", minhash_text_kernel(k, num_hashes)(F.col("__t")))
 
     band_entries = F.array(*[
         F.struct(
@@ -131,9 +237,14 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
         )
         for b in range(bands)
     ])
-    # band join on ids ONLY — shuffling the shingle arrays through the
-    # bucket explosion would multiply payload by `bands`
-    buckets = docs.select("__id", F.explode(band_entries).alias("b"))
+    # band join on ids ONLY — shuffling signatures or text through the
+    # bucket explosion would multiply the payload by `bands`. The
+    # explicit repartition on the bucket key makes BOTH self-join
+    # branches share ONE exchange (and one signature computation):
+    # without it each branch re-evaluates the whole upstream plan,
+    # doubling the kernel work (measured 3.6x on candidate generation)
+    buckets = (sigs.select("__id", F.explode(band_entries).alias("b"))
+               .repartition("b"))
     cands = (
         buckets.select(F.col("__id").alias("id_a"), "b")
         .join(buckets.select(F.col("__id").alias("id_b"), "b"), ["b"])
@@ -141,9 +252,18 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # attach shingle sets to the (much smaller) candidate set
-    sets = docs.select("__id", "__shingles")
-    cands = (
+    # exact-jaccard verification shingles ONLY the candidate docs: a
+    # semi-join prunes the corpus to candidate ids first, so the
+    # expensive shingle construction runs over |candidates| rows, not
+    # the corpus — no corpus-scale persist needed anywhere (the text
+    # scan happens twice, but a pruned parquet scan is cheap; caching
+    # a 100 TB shingle table is not)
+    cand_ids = (cands.select(F.col("id_a").alias("__id"))
+                .unionByName(cands.select(F.col("id_b").alias("__id")))
+                .dropDuplicates(["__id"]))
+    sets = (base.join(cand_ids, "__id", "left_semi")
+            .select("__id", shingles_col(F.col("__t"), k).alias("__shingles")))
+    attached = (
         cands.join(sets.select(F.col("__id").alias("id_a"),
                                F.col("__shingles").alias("sh_a")), "id_a")
         .join(sets.select(F.col("__id").alias("id_b"),
@@ -151,19 +271,11 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    verified = (
-        cands.withColumn("jaccard", inter / union)
+    return (
+        attached.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    try:
-        # run the verification while the cache is hot; the result is
-        # candidate-sized (pairs, not corpus), so eager materialization
-        # is cheap and lets us free the cache deterministically
-        verified = verified.localCheckpoint(eager=True)
-    finally:
-        docs.unpersist()
-    return verified
 
 
 @register("dedup_near_minhash")
@@ -360,7 +472,10 @@ def op_near_dup_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
                  .alias("piece_val"))
         for p in range(4)
     ])
-    b = docs.select("__id", "simhash", F.explode(pieces).alias("p"))
+    # repartition on the piece key so both self-join branches share one
+    # exchange — and one simhash-kernel pass (see near_dup_minhash)
+    b = (docs.select("__id", "simhash", F.explode(pieces).alias("p"))
+         .repartition("p"))
     left = b.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"), "p")
     right = b.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"), "p")
     return (
@@ -413,6 +528,10 @@ def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         .filter(F.col("__rn") <= prefix_len)
         .select("__id", "__s")
     )
+    # repartition on the shingle key: both posting-list self-join
+    # branches share one exchange — and one run of the freq-join +
+    # row_number prefix computation (see near_dup_minhash)
+    prefix = prefix.repartition("__s")
     cands = (
         prefix.select(F.col("__id").alias("id_a"), "__s")
         .join(prefix.select(F.col("__id").alias("id_b"), "__s"), "__s")
@@ -420,7 +539,7 @@ def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    verified = (
         cands
         .join(docs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(docs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
@@ -429,4 +548,58 @@ def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
                     / F.size(F.array_union("sh_a", "sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    try:
+        # same cache lifecycle as near_dup_minhash: materialize the
+        # (candidate-sized) verified pairs, then release the corpus-
+        # scale shingle cache before returning
+        verified = verified.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
+    return verified
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination — n-gram containment against a held-out set
+# --------------------------------------------------------------------------
+
+
+@register("contamination_join")
+def op_contamination_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Flag training docs sharing >= min_shared distinct k-gram
+    shingles with any benchmark doc — the eval-decontamination step of
+    a training pipeline (absolute containment, not jaccard: a 50-token
+    eval question buried in a 10k-token page is contamination even
+    though the jaccard is tiny).
+
+    Inverted-index join on shingles: posting lists, never doc x doc.
+    The benchmark side is small by nature (eval sets), so it
+    broadcasts by default — the corpus-side shingle explosion then
+    joins map-side with NO shuffle of the training corpus; count
+    aggregation is map-side partial. Set ``broadcast: false`` for a
+    benchmark too large to broadcast (falls back to a shuffled join).
+    ``benchmark`` is a view name or a DataFrame.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("shingle_size", 3))
+    min_shared = int(config.get("min_shared", 5))
+    bench = config["benchmark"]
+    if isinstance(bench, str):
+        bench = views[bench]
+    b_field = config.get("benchmark_field", field)
+    b_id = config.get("benchmark_id_field", id_field)
+    train = df.select(F.col(id_field).alias("doc_id"),
+                      F.explode(shingles_col(F.col(field), k)).alias("__s"))
+    ref = bench.select(F.col(b_id).alias("bench_id"),
+                       F.explode(shingles_col(F.col(b_field), k)).alias("__s"))
+    if config.get("broadcast", True):
+        ref = F.broadcast(ref)
+    return (
+        train.join(ref, "__s")
+        # shingles are distinct within each doc (shingles_col), so
+        # count(*) == distinct shared shingles
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

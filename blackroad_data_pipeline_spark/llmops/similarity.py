@@ -352,8 +352,11 @@ def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     dim = int(config.get("dim", 64))
     n_planes = int(config.get("n_planes", 12))
     multi = _multi_bucket_udf(dim, n_planes, seed, n_tables)
-    b = df.select(F.col(id_field).alias("__id"),
-                  F.posexplode(multi(F.col(field))).alias("__tbl", "__bkt"))
+    # repartition on the (table, bucket) key: both self-join branches
+    # share one exchange — and one bucket-kernel pass over the corpus
+    b = (df.select(F.col(id_field).alias("__id"),
+                   F.posexplode(multi(F.col(field))).alias("__tbl", "__bkt"))
+         .repartition("__tbl", "__bkt"))
     cands = (
         b.select(F.col("__id").alias("id_a"), "__tbl", "__bkt")
         .join(b.select(F.col("__id").alias("id_b"), "__tbl", "__bkt"),

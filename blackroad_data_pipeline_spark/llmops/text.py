@@ -140,3 +140,95 @@ def op_fingerprint(df: DataFrame, config: Mapping, views) -> DataFrame:
     field = config.get("field", "text")
     normalized = F.regexp_replace(F.lower(F.trim(F.col(field))), r"\s+", " ")
     return df.withColumn(config.get("as", "fingerprint"), F.md5(normalized))
+
+
+@register("chunk_text")
+def op_chunk_text(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Sliding token-window chunking — the context-window prep step of
+    a training pipeline. Each document becomes ceil((n-overlap)/step)
+    chunks of up to ``chunk_tokens`` tokens, consecutive chunks
+    overlapping by ``overlap`` tokens (step = chunk_tokens - overlap).
+    One row per chunk (explode shape), all JVM-side: tokens ->
+    sequence of start offsets -> slice+join per start. No UDF, no
+    shuffle — a projection with a generator, so it streams at any
+    corpus size.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    chunk_tokens = int(config.get("chunk_tokens", 128))
+    overlap = int(config.get("overlap", 0))
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap={overlap} must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+
+    toks = tokens_col(F.col(field))
+    n = F.size(toks)
+    # number of windows: 1 + floor(max(n - chunk, 0) + step - 1) / step)
+    # — at least one chunk even for short/empty docs, and the last
+    # window starts within the doc (identical integer arithmetic in the
+    # DuckDB oracle)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(step - 1))
+        / F.lit(step)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * step).cast("long").alias("start_token"),
+            F.array_join(F.slice(toks, i * step + 1, chunk_tokens), " ")
+            .alias("chunk_text"),
+            F.least(n - i * step, F.lit(chunk_tokens)).cast("long")
+            .alias("chunk_tokens"),
+        ))
+    return (
+        df.select(F.col(id_field), F.explode(chunks).alias("__c"))
+        .select(id_field, "__c.chunk_idx", "__c.start_token",
+                "__c.chunk_text", "__c.chunk_tokens")
+    )
+
+
+@register("vocab_topk")
+def op_vocab_topk(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Corpus token-frequency table, top-k by count (count desc, token
+    asc tiebreak so the cut is deterministic). The explode fans out to
+    one row per token occurrence, but partial aggregation collapses
+    counts map-side before the single shuffle — the classic word-count
+    shape at corpus scale."""
+    field = config.get("field", "text")
+    k = int(config.get("k", 100))
+    lower = bool(config.get("lowercase", True))
+    tok = tokens_col(F.lower(F.col(field)) if lower else F.col(field))
+    return (
+        df.select(F.explode(tok).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+# conservative patterns shared by Spark (Java regex) and DuckDB (RE2):
+# character classes and bounded quantifiers only — no lookaround, no
+# backreferences, so both engines match identically
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+@register("pii_scrub")
+def op_pii_scrub(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Redact PII-shaped spans (emails, URLs, IPv4s, phone-ish digit
+    runs) with typed placeholders — corpus hygiene before training.
+    Pure regexp_replace chain: JVM-side, codegen'd, no shuffle. The
+    pattern set is deliberately conservative (shared Java/RE2 subset)
+    and extensible via ``patterns``: {name: regex} config."""
+    field = config.get("field", "text")
+    out = config.get("as", field)
+    patterns = {**PII_PATTERNS, **{k: v for k, v in
+                                   (config.get("patterns") or {}).items()}}
+    col = F.col(field)
+    for name, pat in patterns.items():
+        col = F.regexp_replace(col, pat, f"<{name.upper()}>")
+    return df.withColumn(out, col)

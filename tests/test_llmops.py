@@ -119,10 +119,11 @@ def test_near_dup_minhash_pairs(docs):
     assert not any({a, b} == {0, 4} for a, b in pairs)
 
 
-def test_near_dup_minhash_releases_cache(spark, docs):
-    """The corpus-scale shingle cache is scoped to the operator call:
-    after it returns, the only storage left is the (candidate-sized)
-    localCheckpoint backing the result — a long-lived service running
+def test_near_dup_minhash_leaves_no_cache(spark, docs):
+    """near_dup_minhash holds NO persisted state: signatures come from
+    one Arrow kernel pass (shared across both self-join branches via
+    the bucket-key repartition) and verification shingles only the
+    semi-join-pruned candidate docs — a long-lived service running
     many near-dup jobs must not accumulate persisted corpora."""
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
@@ -130,10 +131,7 @@ def test_near_dup_minhash_releases_cache(spark, docs):
              {"threshold": 0.5, "shingle_size": 2,
               "bands": 16, "rows_per_band": 1})
     assert out.count() >= 2
-    # at most one new entry (the result's own checkpoint storage);
-    # the docs.persist() itself must be gone
-    after = jsc.getPersistentRDDs().size()
-    assert after - before <= 1
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_dedup_near_minhash(docs):
@@ -439,3 +437,73 @@ def test_dedup_embedding_groups_transitive(spark):
                   op("dedup_embedding_groups", df,
                      {"threshold": 0.99, "dim": 4, "n_planes": 1}).collect())
     assert kept == [0, 3]  # whole chain collapses to min id 0
+
+
+# -- training-corpus prep (round 2) ------------------------------------------
+
+
+def test_chunk_text_windows(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"])
+    out = [r.asDict() for r in
+           op("chunk_text", df, {"chunk_tokens": 4, "overlap": 1})
+           .orderBy("doc_id", "chunk_idx").collect()]
+    d1 = [r for r in out if r["doc_id"] == 1]
+    # 10 tokens, window 4, step 3 -> starts 0,3,6 cover through t9
+    assert [r["start_token"] for r in d1] == [0, 3, 6]
+    assert d1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert d1[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert d1[2]["chunk_text"] == "t6 t7 t8 t9"
+    assert [r["chunk_tokens"] for r in d1] == [4, 4, 4]
+    # short doc -> one whole-doc chunk; empty doc -> one empty chunk
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b" and d2[0]["chunk_tokens"] == 2
+    d3 = [r for r in out if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["chunk_text"] == "" and d3[0]["chunk_tokens"] == 0
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        op("chunk_text", df, {"chunk_tokens": 4, "overlap": 4})
+
+
+def test_vocab_topk_deterministic_cut(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a c C b a"), (2, "c d")], ["doc_id", "text"])
+    out = [(r["token"], r["n_occurrences"]) for r in
+           op("vocab_topk", df, {"k": 3}).collect()]
+    # a=3, b=2, c=3 (lowercased) -> ties break token-asc: a, c, b
+    assert out == [("a", 3), ("c", 3), ("b", 2)]
+
+
+def test_contamination_join_flags_shared_ngrams(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "totally unrelated content with no overlap at all here")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    out = op("contamination_join", train,
+             {"benchmark": bench, "shingle_size": 3, "min_shared": 5}).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in out] == [(1, 100)]
+    assert out[0]["n_shared"] >= 5
+
+
+def test_pii_scrub_redacts_typed_spans(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org see https://x.io/a?b=1 "
+             "host 192.168.0.1 call +1 (555) 010-1234 done")],
+        ["doc_id", "text"])
+    got = op("pii_scrub", df, {}).collect()[0]["text"]
+    assert got == "mail <EMAIL> see <URL> host <IPV4> call <PHONE> done"
+
+
+def test_ngram_jaccard_releases_cache(spark, docs):
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = op("ngram_jaccard_join", docs, {"shingle_size": 2, "threshold": 0.5})
+    assert out.count() >= 1
+    assert jsc.getPersistentRDDs().size() - before <= 1
