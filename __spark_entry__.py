@@ -1075,6 +1075,65 @@ ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: shard by doc_id % 8, lay docs out in id order,
+    bin by cumulative token count into 512-token packs. Shard-local
+    windows — no global sort, no single-partition stage."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("sql", d, {"query":
+                       "SELECT doc_id, text, doc_id % 8 AS shard FROM self"},
+            views={})
+    df = op("pack_sequences", df, {"field": "text", "id_field": "doc_id",
+                                   "seq_tokens": 512, "shard_by": "shard"})
+    df = op("select", df, {"fields": ["doc_id", "n_tokens", "pack_id"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard, len({_D_TOKS}) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM d)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(shard AS VARCHAR) || '#' ||
+         CAST(CAST(floor(cum_before / 512) AS BIGINT) AS VARCHAR) AS pack_id
+FROM c
+ORDER BY doc_id
+"""
+
+
+def q_sample_gate(spark, sf_dir):
+    """Gate for the stratified sampler: per-stratum realized fractions
+    must sit near the requested rates, the sample must be a subset of
+    the input (value-checked row count bound), and the same seed must
+    reproduce the same rows within one plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    frac = {"A": 0.5, "N": 0.1, "R": 0.25}
+    s = op("sample", li, {"by": "l_returnflag", "fractions": frac, "seed": 7})
+    a = s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_s"))
+    base = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_b"))
+    j = a.join(base, "l_returnflag")
+    target = F.create_map(*[x for kv in frac.items()
+                            for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    return j.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.max(F.abs(F.col("n_s") / F.col("n_b")
+                    - target[F.col("l_returnflag")]) < 0.05
+              ).alias("fracs_ok"),
+        F.min(F.col("n_s") < F.col("n_b")).alias("proper_subset"),
+    )
+
+
+_SQL_SAMPLE_GATE = """
+SELECT CAST(3 AS BIGINT) AS n_strata, TRUE AS fracs_ok, TRUE AS proper_subset
+"""
+
+
 def q_events_window_stream(spark, sf_dir):
     """The windowed aggregation executed as a STRUCTURED STREAM:
     readStream over the events parquet -> watermarked windowed_agg ->
@@ -1491,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
+        "sample_gate": q_sample_gate,
         "corpus_prep": q_corpus_prep,
         "profile": q_profile,
         "unpivot": q_unpivot,
@@ -1550,6 +1611,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "contamination": _SQL_CONTAMINATION,
         "pii_scrub": _SQL_PII_SCRUB,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
+        "sample_gate": _SQL_SAMPLE_GATE,
         "corpus_prep": _SQL_CORPUS_PREP,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,

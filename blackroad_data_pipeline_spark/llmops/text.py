@@ -232,3 +232,42 @@ def op_pii_scrub(df: DataFrame, config: Mapping, views) -> DataFrame:
     for name, pat in patterns.items():
         col = F.regexp_replace(col, pat, f"<{name.upper()}>")
     return df.withColumn(out, col)
+
+
+@register("pack_sequences")
+def op_pack_sequences(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    (sequence packing): within each shard, documents are laid out in a
+    deterministic order and greedily binned by cumulative token count
+    — pack_id = floor((cumsum_before) / seq_tokens). Contiguous
+    packing, not bin-packing: the O(n log n) shard-local sort + cumsum
+    is the only cost, and shards parallelize the window (a global
+    cumsum would be the single-partition scale-killer — so ``shard_by``
+    is required; derive one from a hash if the data has no natural
+    shard key).
+
+    Docs longer than ``seq_tokens`` still get a pack (they would be
+    split downstream by chunk_text); packing never drops rows.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    seq_tokens = int(config.get("seq_tokens", 2048))
+    shard_by = config.get("shard_by")
+    if not shard_by:
+        raise ValueError(
+            "pack_sequences requires shard_by (a column or expression "
+            "name): a global packing order would move every row to one "
+            "partition. Derive a shard, e.g. pmod(xxhash64(id), 64).")
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens_col(F.col(field)))
+    w = (Window.partitionBy(shard_by).orderBy(F.col(id_field))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("__n_tok").over(w), F.lit(0))
+    return (
+        df.withColumn("__n_tok", n_tok)
+        .withColumn("pack_id",
+                    F.concat_ws("#", F.col(shard_by).cast("string"),
+                                F.floor(cum_before / seq_tokens).cast("string")))
+        .withColumnRenamed("__n_tok", "n_tokens")
+    )

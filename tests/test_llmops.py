@@ -507,3 +507,30 @@ def test_ngram_jaccard_releases_cache(spark, docs):
     out = op("ngram_jaccard_join", docs, {"shingle_size": 2, "threshold": 0.5})
     assert out.count() >= 1
     assert jsc.getPersistentRDDs().size() - before <= 1
+
+
+def test_pack_sequences_bins_by_cumulative_tokens(spark):
+    rows = [(i, "t " * 10, 0) for i in range(6)]  # 10 tokens each
+    df = spark.createDataFrame(rows, ["doc_id", "text", "shard"])
+    out = {r["doc_id"]: r["pack_id"] for r in
+           op("pack_sequences", df, {"seq_tokens": 25, "shard_by": "shard"}).collect()}
+    # cumsum-before: 0,10,20,30,40,50 -> packs 0,0,0,1,1,2
+    assert [out[i] for i in range(6)] == ["0#0", "0#0", "0#0", "0#1", "0#1", "0#2"]
+
+
+def test_pack_sequences_requires_shard(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="shard_by"):
+        op("pack_sequences", df, {"seq_tokens": 128})
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    rows = [(1, "t " * 10, 0), (2, "t " * 10, 1),
+            (3, "t " * 10, 0), (5, "t " * 10, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "shard"])
+    out = {r["doc_id"]: r["pack_id"] for r in
+           op("pack_sequences", df, {"seq_tokens": 15, "shard_by": "shard"}).collect()}
+    # shard 0 cum-before: 0, 10, 20 -> packs 0, 0, 1 (contiguous
+    # packing overflows a pack by at most one doc, never splits one)
+    assert [out[i] for i in (1, 3, 5)] == ["0#0", "0#0", "0#1"]
+    assert out[2] == "1#0"  # shard 1 starts fresh
