@@ -175,6 +175,41 @@ def minhash_text_kernel(k: int, num_hashes: int, seed: int = 0x5EED):
     return sig
 
 
+def shingle_explode(df: DataFrame, id_field: str, field: str, k: int) -> DataFrame:
+    """Corpus -> (\_\_id, \_\_n, \_\_s) posting rows in one Arrow pass:
+    tokenize + k-shingle + dedup in a tight Python loop and emit the
+    exploded stream directly (with the doc's distinct-shingle count
+    riding every row, so prefix filtering needs no extra aggregation).
+    Shingle semantics identical to shingles_col — the interpreted JVM
+    higher-order shingling is the measured bottleneck of the exact-
+    jaccard paths, not the joins."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("__id", df.schema[id_field].dataType),
+        T.StructField("__n", T.IntegerType()),
+        T.StructField("__s", T.StringType()),
+    ])
+
+    def explode(batches):
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for doc_id, text in zip(pdf[id_field], pdf[field]):
+                toks = (text or "").split()
+                if len(toks) >= k:
+                    sh = list(dict.fromkeys(
+                        " ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)))
+                else:
+                    sh = [" ".join(toks)]
+                n = len(sh)
+                ids.extend([doc_id] * n)
+                ns.extend([n] * n)
+                ss.extend(sh)
+            yield pd.DataFrame({"__id": ids, "__n": ns, "__s": ss})
+
+    return df.select(id_field, field).mapInPandas(explode, schema)
+
+
 def _sig_col(config: Mapping, shingles: Column, num_hashes: int) -> Column:
     """Signature column per the configured implementation: the Arrow
     kernel (default — one digest per batch-unique shingle) or the
@@ -515,10 +550,12 @@ def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     k = int(config.get("shingle_size", 3))
     threshold = float(config.get("threshold", 0.5))
 
-    docs = df.select(F.col(id_field).alias("__id"),
-                     shingles_col(F.col(field), k).alias("__sh")).persist()
-    inverted = docs.select("__id", F.size("__sh").alias("__n"),
-                           F.explode("__sh").alias("__s"))
+    base = df.select(F.col(id_field).alias("__id"), F.col(field).alias("__t"))
+    # one Arrow pass corpus -> posting rows, immediately repartitioned
+    # on the shingle key: the freq aggregation AND the freq join both
+    # hang off that single exchange, so the kernel runs once and the
+    # groupBy needs no further shuffle
+    inverted = shingle_explode(base, "__id", "__t", k).repartition("__s")
     freq = inverted.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     prefix = (
@@ -539,24 +576,23 @@ def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = (
+    # exact verification shingles ONLY the candidate docs (semi-join
+    # prune) — no corpus-scale persist anywhere (see near_dup_minhash)
+    cand_ids = (cands.select(F.col("id_a").alias("__id"))
+                .unionByName(cands.select(F.col("id_b").alias("__id")))
+                .dropDuplicates(["__id"]))
+    sets = (base.join(cand_ids, "__id", "left_semi")
+            .select("__id", shingles_col(F.col("__t"), k).alias("__sh")))
+    return (
         cands
-        .join(docs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-        .join(docs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
         .withColumn("jaccard",
                     F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
                     / F.size(F.array_union("sh_a", "sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    try:
-        # same cache lifecycle as near_dup_minhash: materialize the
-        # (candidate-sized) verified pairs, then release the corpus-
-        # scale shingle cache before returning
-        verified = verified.localCheckpoint(eager=True)
-    finally:
-        docs.unpersist()
-    return verified
 
 
 # --------------------------------------------------------------------------
@@ -589,10 +625,17 @@ def op_contamination_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         bench = views[bench]
     b_field = config.get("benchmark_field", field)
     b_id = config.get("benchmark_id_field", id_field)
-    train = df.select(F.col(id_field).alias("doc_id"),
-                      F.explode(shingles_col(F.col(field), k)).alias("__s"))
-    ref = bench.select(F.col(b_id).alias("bench_id"),
-                       F.explode(shingles_col(F.col(b_field), k)).alias("__s"))
+    # corpus side shingles via the Arrow kernel (interpreted JVM
+    # shingling is the measured bottleneck); the small benchmark side
+    # can use either — kernel keeps the semantics visibly identical
+    train = (shingle_explode(
+        df.select(F.col(id_field).alias("doc_id"), F.col(field).alias("__t")),
+        "doc_id", "__t", k)
+        .select(F.col("__id").alias("doc_id"), "__s"))
+    ref = (shingle_explode(
+        bench.select(F.col(b_id).alias("bench_id"), F.col(b_field).alias("__t")),
+        "bench_id", "__t", k)
+        .select(F.col("__id").alias("bench_id"), "__s"))
     if config.get("broadcast", True):
         ref = F.broadcast(ref)
     return (
