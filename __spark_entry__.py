@@ -1075,6 +1075,34 @@ ORDER BY doc_id
 """
 
 
+def q_stateful_dedup_stream(spark, sf_dir):
+    """applyInPandasWithState dedup executed as a real stream: emit the
+    first event per (user_id, event_type) across micro-batches, drain
+    to a memory sink. WHICH row is emitted first is arrival-order-
+    dependent, but the emitted KEY SET is exactly the distinct key set
+    — that projection is the oracle-checked output."""
+    from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        read_events_stream, run_stream_to_memory)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = nanos_to_timestamp(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"), "ts")
+    dedup = op("stateful_dedup", stream, {"keys": ["user_id", "event_type"]})
+    run_stream_to_memory(dedup, "stateful_dedup_stream_out",
+                         output_mode="append")
+    df = spark.table("stateful_dedup_stream_out")
+    df = op("select", df, {"fields": ["user_id", "event_type"]})
+    return op("sort", df, {"fields": ["user_id", "event_type"]})
+
+
+_SQL_STATEFUL_DEDUP_STREAM = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: shard by doc_id % 8, lay docs out in id order,
     bin by cumulative token count into 512-token packs. Shard-local
@@ -1545,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_gate": q_split_assign_gate,
         # streaming execution surfaced to the driver
         "events_window_stream": q_events_window_stream,
+        "stateful_dedup_stream": q_stateful_dedup_stream,
         # training-corpus prep (round 2)
         "chunk_text": q_chunk_text,
         "vocab_topk": q_vocab_topk,
@@ -1607,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_gate": _SQL_ANN_GATE,
         "split_assign_gate": _SQL_SPLIT_ASSIGN_GATE,
         "events_window_stream": _SQL_EVENTS_WINDOW,
+        "stateful_dedup_stream": _SQL_STATEFUL_DEDUP_STREAM,
         "chunk_text": _SQL_CHUNK_TEXT,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "contamination": _SQL_CONTAMINATION,
