@@ -173,3 +173,26 @@ def test_salted_join_rejects_outer(spark, orders, customer):
         op("join", orders, {"right": customer, "left_key": "o_custkey",
                             "right_key": "c_custkey", "salt": 4,
                             "how": "full"}, views={})
+
+
+def test_ivf_assign_write_enables_partition_pruning(spark, tmp_path):
+    """The disk-level half of the IVF design: writing embeddings
+    partitioned by ivf_cell turns a probe's cell filter into parquet
+    PARTITION pruning — whole directories skipped, the cluster-scale
+    analogue of an inverted list. The read plan must show the cell
+    predicate as a partition filter, not a data filter."""
+    import blackroad_data_pipeline_spark.llmops  # noqa: F401
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = op("ivf_assign", e, {"n_cells": 4, "dim": 64, "refine": 0})
+    path = str(tmp_path / "ivf_embeddings")
+    write_sink(assigned, "parquet", {"path": path,
+                                     "partition_by": ["ivf_cell"]})
+    back = spark.read.parquet(path).filter("ivf_cell IN (1, 2)")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+    # and the filter really pruned: only the probed cells' rows return
+    cells = {r["ivf_cell"] for r in back.select("ivf_cell").distinct().collect()}
+    assert cells <= {1, 2}
