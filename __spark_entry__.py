@@ -547,6 +547,48 @@ ORDER BY 1, 3
 """
 
 
+def q_events_session_window(spark, sf_dir):
+    """Gap-based session windows (F.session_window, 10-minute gap) per
+    user: one row per (user, session) with count + decimal-deterministic
+    value sum. Window end = last event + gap (Spark session semantics);
+    the oracle rebuilds sessions with a lag/cumsum at microsecond
+    precision and a >= gap boundary (the window is end-exclusive)."""
+    e = _t(spark, sf_dir, "events")
+    df = op("session_windowed_agg", e, {
+        "ts_field": "ts", "gap": "10 minutes", "group_by": ["user_id"],
+        "aggregates": [
+            {"field": "event_id", "function": "count", "alias": "n_events"},
+            {"field": "value", "function": "sum", "alias": "sum_value"},
+        ]})
+    return op("sort", df, {"fields": ["user_id", "window_start"]})
+
+
+_SQL_EVENTS_SESSION_WINDOW = """
+WITH e AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts_us
+  FROM events),
+gaps AS (
+  SELECT user_id, event_id, value, ts_us,
+         epoch_us(ts_us) - LAG(epoch_us(ts_us))
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+  FROM e),
+seqs AS (
+  SELECT user_id, value, ts_us,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us >= 600000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps)
+SELECT MIN(ts_us) AS window_start,
+       MAX(ts_us) + INTERVAL 10 MINUTE AS window_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM seqs
+GROUP BY user_id, session_seq
+ORDER BY user_id, window_start
+"""
+
+
 def q_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     df = op("sessionize", e, {"ts_field": "ts", "key": "user_id",
@@ -1539,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "multimodal_meta": q_multimodal_meta,
         "events_window": q_events_window,
+        "events_session_window": q_events_session_window,
         "sessionize": q_sessionize,
         # temporal joins + wider relational surface (SURVEY.md §2.5 gaps)
         "asof_join": q_asof_join,
@@ -1615,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _SQL_ANN_BRUTEFORCE,
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "events_window": _SQL_EVENTS_WINDOW,
+        "events_session_window": _SQL_EVENTS_SESSION_WINDOW,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
         "asof_forward": _SQL_ASOF_FORWARD,

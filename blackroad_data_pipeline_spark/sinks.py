@@ -137,13 +137,19 @@ def sink_parquet(df: DataFrame, config: Mapping) -> int:
     """The native columnar sink. ``partition_by`` columns become
     directory partitions (partition pruning for downstream readers);
     ``sort_by`` sorts within partitions so parquet min/max row-group
-    stats actually skip data for range predicates on those columns."""
+    stats actually skip data for range predicates on those columns;
+    ``max_records_per_file`` bounds file size (the other half of the
+    small-file/huge-file problem — pair with the ``repartition``
+    operator to control file COUNT)."""
     mode = config.get("mode", "overwrite")
 
     def write(d):
         if config.get("sort_by"):
             d = d.sortWithinPartitions(*config["sort_by"])
         writer = d.write.mode(mode)
+        if config.get("max_records_per_file"):
+            writer = writer.option("maxRecordsPerFile",
+                                   int(config["max_records_per_file"]))
         if config.get("partition_by"):
             writer = writer.partitionBy(*config["partition_by"])
         writer.parquet(config["path"])
@@ -205,6 +211,9 @@ def sink_orc(df: DataFrame, config: Mapping) -> int:
         if config.get("sort_by"):
             d = d.sortWithinPartitions(*config["sort_by"])
         writer = d.write.mode(mode)
+        if config.get("max_records_per_file"):
+            writer = writer.option("maxRecordsPerFile",
+                                   int(config["max_records_per_file"]))
         if config.get("partition_by"):
             writer = writer.partitionBy(*config["partition_by"])
         writer.orc(config["path"])

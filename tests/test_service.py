@@ -288,3 +288,19 @@ def test_orc_sink_roundtrip(spark, tmp_path):
     assert write_sink(df, "orc", {"path": p}) == 2
     back = read_source(spark, "orc", {"path": p})
     assert back.count() == 2
+
+
+def test_parquet_sink_max_records_per_file(spark, tmp_path):
+    """File-size control for the small-file/huge-file problem: with
+    max_records_per_file, one task's output splits into bounded
+    files."""
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["x"]).coalesce(1)
+    p = tmp_path / "bounded"
+    assert write_sink(df, "parquet",
+                      {"path": str(p), "max_records_per_file": 30}) == 100
+    parts = list(p.glob("part-*.parquet"))
+    assert len(parts) >= 4  # 100 rows / 30-per-file cap
+    back = spark.read.parquet(str(p))
+    assert back.count() == 100
