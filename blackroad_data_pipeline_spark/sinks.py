@@ -158,6 +158,54 @@ def sink_parquet(df: DataFrame, config: Mapping) -> int:
                           exists=lambda: _target_exists(df, config["path"]))
 
 
+@register("upsert_parquet")
+def sink_upsert_parquet(df: DataFrame, config: Mapping) -> int:
+    """Keyed upsert (MERGE) into a partitioned parquet dataset via
+    DYNAMIC partition overwrite: rows in ``df`` replace same-``key``
+    rows and append new keys, and ONLY the partitions the updates
+    touch are rewritten — untouched partition directories are not
+    read, not rewritten, not listed. This is the incremental-refresh
+    primitive at 100 TB: the job cost is proportional to the touched
+    partitions, not the dataset.
+
+    ``partition_by`` is required — an unpartitioned upsert would
+    rewrite the whole dataset, which should be an explicit
+    ``parquet`` overwrite instead, not an implicit one. The merged
+    slice (touched partitions only) is eagerly materialized before
+    the write because Spark cannot overwrite a path it is still
+    reading from.
+    """
+    path = config["path"]
+    keys = [config["key"]] if isinstance(config.get("key"), str) else list(config["key"])
+    parts = config.get("partition_by")
+    if not parts:
+        raise ValueError("upsert_parquet requires partition_by — an "
+                         "unpartitioned upsert rewrites the whole dataset; "
+                         "use the parquet sink with mode=overwrite for that")
+    parts = [parts] if isinstance(parts, str) else list(parts)
+
+    def write(d):
+        (d.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(*parts)
+         .parquet(path))
+
+    if not _target_exists(df, path):
+        return _write_counted(df, "overwrite", write)
+
+    spark = df.sparkSession
+    existing = spark.read.parquet(path)
+    # partition pruning: only the updates' partitions are ever read
+    touched = df.select(*parts).dropDuplicates()
+    old_slice = existing.join(F.broadcast(touched), parts, "left_semi")
+    survivors = old_slice.join(df.select(*keys).dropDuplicates(), keys, "left_anti")
+    merged = survivors.select(*df.columns).unionByName(df)
+    merged = merged.localCheckpoint(eager=True)  # break lineage to `path`
+    obs = Observation()
+    write(merged.observe(obs, F.count(F.lit(1)).alias("n")))
+    return int(obs.get["n"])
+
+
 @register("bucketed_table")
 def sink_bucketed_table(df: DataFrame, config: Mapping) -> int:
     """Bucketed (and optionally sorted) managed table via

@@ -14,6 +14,7 @@ import sqlite3
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SourceFn = Callable[[SparkSession, Mapping], DataFrame]
 
@@ -187,3 +188,35 @@ def src_range(spark: SparkSession, config: Mapping) -> DataFrame:
     """Synthetic integer range — handy for generators and tests."""
     return spark.range(config.get("start", 0), config["end"],
                        config.get("step", 1))
+
+
+@register("text")
+def src_text(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Raw text files — the LLM-corpus ingestion primitive. Default:
+    one row per LINE (column ``value``; splittable, scales to any file
+    size). ``whole_file=True``: one row per FILE with its path
+    (column ``value`` + ``path`` via the metadata column) for
+    document-per-file corpora; files are not split, so pair it with
+    many input files rather than one giant one."""
+    if config.get("whole_file"):
+        df = spark.read.text(config["path"], wholetext=True)
+        return df.select(F.col("value"),
+                         F.col("_metadata.file_path").alias("path"))
+    return spark.read.text(config["path"])
+
+
+@register("binary_files")
+def src_binary_files(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Opaque binary ingestion (images/audio/video) via Spark's
+    ``binaryFile`` format: (path, modificationTime, length, content).
+    ``content`` plugs straight into the multimodal operators
+    (decode_image / audio_features / frame_sample take it as the
+    payload column). ``glob`` filters by filename pattern, e.g.
+    ``*.png``. Files are read whole per row; control task size with
+    spark.sql.files.maxPartitionBytes when payloads are large."""
+    reader = spark.read.format("binaryFile")
+    if config.get("glob"):
+        reader = reader.option("pathGlobFilter", config["glob"])
+    if config.get("recursive"):
+        reader = reader.option("recursiveFileLookup", True)
+    return reader.load(config["path"])

@@ -304,3 +304,76 @@ def test_parquet_sink_max_records_per_file(spark, tmp_path):
     assert len(parts) >= 4  # 100 rows / 30-per-file cap
     back = spark.read.parquet(str(p))
     assert back.count() == 100
+
+
+def test_text_source_lines_and_whole_file(spark, tmp_path):
+    from blackroad_data_pipeline_spark.sources.readers import read_source
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("doc b\n")
+    lines = read_source(spark, "text", {"path": str(d)})
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "doc b", "line one", "line two"]
+    whole = read_source(spark, "text", {"path": str(d), "whole_file": True})
+    got = {r["path"].rsplit("/", 1)[-1]: r["value"] for r in whole.collect()}
+    assert got == {"a.txt": "line one\nline two\n", "b.txt": "doc b\n"}
+
+
+def test_binary_files_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingestion plugs straight into the multimodal ops:
+    content is the payload column."""
+    import blackroad_data_pipeline_spark.llmops  # noqa: F401
+    from blackroad_data_pipeline_spark.operators import apply_operator as op
+    from blackroad_data_pipeline_spark.sources.readers import read_source
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"payload-bytes-0123456789" * 4)
+    (d / "skip.txt").write_bytes(b"nope")
+    df = read_source(spark, "binary_files", {"path": str(d), "glob": "*.bin"})
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["length"] == 96
+    frames = op("frame_sample", df.withColumnRenamed("content", "payload")
+                .selectExpr("monotonically_increasing_id() AS doc_id", "payload"),
+                {"n_frames": 2}).collect()
+    assert len(frames) == 2
+
+
+def test_upsert_parquet_rewrites_only_touched_partitions(spark, tmp_path):
+    """The 100 TB refresh primitive: an upsert touching partition k=a
+    must update/insert its rows AND leave partition k=b's files
+    physically untouched (dynamic partition overwrite, partition-
+    pruned read of the old slice)."""
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    p = tmp_path / "ds"
+    base = spark.createDataFrame(
+        [(1, "a", "v1"), (2, "a", "v2"), (3, "b", "v3")], ["id", "k", "v"])
+    assert write_sink(base, "upsert_parquet",
+                      {"path": str(p), "key": "id", "partition_by": "k"}) == 3
+
+    b_files_before = sorted(f.name for f in (p / "k=b").glob("*.parquet"))
+    b_mtimes_before = [f.stat().st_mtime_ns for f in sorted((p / "k=b").glob("*.parquet"))]
+
+    updates = spark.createDataFrame(
+        [(2, "a", "v2-new"), (9, "a", "v9")], ["id", "k", "v"])
+    assert write_sink(updates, "upsert_parquet",
+                      {"path": str(p), "key": "id", "partition_by": "k"}) == 3
+
+    got = {r["id"]: (r["k"], r["v"]) for r in spark.read.parquet(str(p)).collect()}
+    assert got == {1: ("a", "v1"), 2: ("a", "v2-new"),
+                   3: ("b", "v3"), 9: ("a", "v9")}
+    # partition k=b physically untouched
+    assert sorted(f.name for f in (p / "k=b").glob("*.parquet")) == b_files_before
+    assert [f.stat().st_mtime_ns
+            for f in sorted((p / "k=b").glob("*.parquet"))] == b_mtimes_before
+
+
+def test_upsert_parquet_requires_partitioning(spark, tmp_path):
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    df = spark.createDataFrame([(1, "x")], ["id", "v"])
+    with pytest.raises(ValueError, match="partition_by"):
+        write_sink(df, "upsert_parquet", {"path": str(tmp_path / "d"), "key": "id"})
