@@ -894,6 +894,50 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_embedding_parity(spark, sf_dir):
+    """Greedy embedding near-dedup at the recall~1 multi-table config:
+    survivors must equal the SQL survivors derived from exact cosine
+    pairs (drop every vector with a >=threshold partner of smaller id)."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("dedup_embedding", e,
+            {"threshold": 0.3, "dim": 64, "n_planes": 2, "n_tables": 30})
+    df = op("select", df, {"fields": ["vec_id"]})
+    return op("sort", df, {"fields": ["vec_id"]})
+
+
+_SQL_DEDUP_EMBEDDING_PARITY = f"""
+WITH pairs AS ({_SQL_SIMILARITY_PARITY})
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY vec_id
+"""
+
+
+def q_dedup_embedding_groups_parity(spark, sf_dir):
+    """Transitive embedding near-dedup (connected components over
+    cosine pairs) vs a recursive-CTE closure of the exact pair set."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("dedup_embedding_groups", e,
+            {"threshold": 0.3, "dim": 64, "n_planes": 2, "n_tables": 30})
+    df = op("select", df, {"fields": ["vec_id"]})
+    return op("sort", df, {"fields": ["vec_id"]})
+
+
+_SQL_DEDUP_EMBEDDING_GROUPS_PARITY = f"""
+WITH RECURSIVE pairs AS ({_SQL_SIMILARITY_PARITY}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM comp WHERE component < id)
+ORDER BY vec_id
+"""
+
+
 def q_simhash_gate(spark, sf_dir):
     """Containment gate for near_dup_simhash: every emitted pair's
     hamming distance, recomputed INDEPENDENTLY of the banded candidate
@@ -1610,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_parity": q_dedup_near_parity,
         "dedup_groups_parity": q_dedup_groups_parity,
         "similarity_parity": q_similarity_parity,
+        "dedup_embedding_parity": q_dedup_embedding_parity,
+        "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "simhash_gate": q_simhash_gate,
         "ann_lsh_gate": q_ann_lsh_gate,
         "ann_ivf_gate": q_ann_ivf_gate,
@@ -1675,6 +1721,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_parity": _SQL_DEDUP_NEAR_PARITY,
         "dedup_groups_parity": _SQL_DEDUP_GROUPS_PARITY,
         "similarity_parity": _SQL_SIMILARITY_PARITY,
+        "dedup_embedding_parity": _SQL_DEDUP_EMBEDDING_PARITY,
+        "dedup_embedding_groups_parity": _SQL_DEDUP_EMBEDDING_GROUPS_PARITY,
         "simhash_gate": _SQL_SIMHASH_GATE,
         "ann_lsh_gate": _SQL_ANN_GATE,
         "ann_ivf_gate": _SQL_ANN_GATE,

@@ -221,3 +221,53 @@ def test_split_assign_partitions_and_roughly_honors_fractions(spark, n, seed_shi
     if n >= 200:                              # loose binomial bound
         frac = got.count("train") / n
         assert 0.55 < frac < 0.95
+
+
+# -- corpus-prep ops (round 2) ------------------------------------------------
+
+docs_st = st.lists(
+    st.text(alphabet="ab ", max_size=40),  # whitespace-heavy token streams
+    min_size=1, max_size=12,
+)
+
+
+@given(texts=docs_st,
+       chunk=st.integers(min_value=2, max_value=8),
+       overlap=st.integers(min_value=0, max_value=3))
+@settings(**SETTINGS)
+def test_chunk_text_reconstructs_token_stream(spark, texts, chunk, overlap):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0)
+    and concatenating reconstructs the original token stream exactly —
+    chunking loses nothing and duplicates exactly the overlap."""
+    if overlap >= chunk:
+        overlap = chunk - 1
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        op("chunk_text", df, {"chunk_tokens": chunk, "overlap": overlap}).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    by_doc = {}
+    for r in out:
+        toks = r["chunk_text"].split()
+        if r["chunk_idx"] > 0:
+            toks = toks[overlap:]
+        by_doc.setdefault(r["doc_id"], []).extend(toks)
+    for i, t in rows:
+        assert by_doc.get(i, []) == t.split(), (i, t)
+
+
+@given(texts=docs_st, seq=st.integers(min_value=1, max_value=20))
+@settings(**SETTINGS)
+def test_pack_sequences_never_splits_and_covers_all(spark, texts, seq):
+    """Every doc gets exactly one pack; within a shard, pack ids are
+    contiguous bins of the cumulative token count (never split, never
+    dropped, deterministic under repartitioning)."""
+    rows = [(i, t, i % 2) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, shard int")
+    out = op("pack_sequences", df, {"seq_tokens": seq, "shard_by": "shard"})
+    got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    assert set(got) == {i for i, _, _ in rows}
+    again = {r["doc_id"]: r["pack_id"] for r in
+             op("pack_sequences", df.repartition(5), {
+                 "seq_tokens": seq, "shard_by": "shard"}).collect()}
+    assert again == got
