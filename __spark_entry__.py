@@ -691,6 +691,23 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
+def q_parse_props(spark, sf_dir):
+    """Typed JSON parsing (from_json with a declared schema, flattened)
+    — the schema-first alternative to per-path get_json_object."""
+    e = _t(spark, sf_dir, "events")
+    df = op("parse_json", e, {"field": "props", "schema": "k int",
+                              "flatten": True})
+    df = op("select", df, {"fields": ["event_id", "k"]})
+    return op("sort", df, {"fields": ["event_id"]})
+
+
+_SQL_PARSE_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+ORDER BY event_id
+"""
+
+
 def q_profile(spark, sf_dir):
     """Single-pass per-column profile of orders (rows/nulls/distinct/
     min/max) — the data-quality primitive."""
@@ -891,6 +908,122 @@ comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s)
 SELECT doc_id, lang FROM documents
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
 ORDER BY doc_id
+"""
+
+
+def q_components(spark, sf_dir):
+    """connected_components directly: exact ngram pairs -> (id, min
+    reachable id). The iterative pointer-jumping loop vs a recursive-
+    CTE transitive closure — label-for-label."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = op("ngram_jaccard_join", d,
+               {"field": "text", "id_field": "doc_id",
+                "shingle_size": 5, "threshold": 0.8})
+    df = op("connected_components", pairs, {}, views={})
+    return op("sort", df, {"fields": ["id"]})
+
+
+_SQL_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+SELECT s AS id, LEAST(s, MIN(d)) AS component
+FROM reach GROUP BY s
+ORDER BY id
+"""
+
+
+def q_decode_meta(spark, sf_dir):
+    """The decode_image stub contract, fully value-checked: pseudo
+    dims are sha256-derived byte arithmetic DuckDB can mirror (the
+    codec seam's deterministic fallback is a real, testable contract,
+    not dead plumbing)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("attach_binary", d, {"field": "text"})
+    df = op("decode_image", df, {"fake_decode": True})
+    df = op("select", df, {"fields": ["doc_id", "img_width", "img_height",
+                                      "img_mode"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_DECODE_META = """
+SELECT doc_id,
+       16 + CAST('0x' || substring(sha256(text), 1, 2) AS INTEGER) % 240
+         AS img_width,
+       16 + CAST('0x' || substring(sha256(text), 3, 2) AS INTEGER) % 240
+         AS img_height,
+       'STUB' AS img_mode
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_audio_meta(spark, sf_dir):
+    """audio_features stub contract: sample count / duration / rms all
+    derive deterministically from payload bytes + sha256."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("attach_binary", d, {"field": "text"})
+    df = op("audio_features", df, {"fake_decode": True, "sample_rate": 16000})
+    df = op("select", df, {"fields": ["doc_id", "audio_seconds",
+                                      "audio_samples", "audio_rms"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_AUDIO_META = """
+SELECT doc_id,
+       (octet_length(encode(text)) * 4) / 16000.0 AS audio_seconds,
+       CAST(octet_length(encode(text)) * 4 AS BIGINT) AS audio_samples,
+       CAST('0x' || substring(sha256(text), 5, 2) AS INTEGER) / 255.0
+         AS audio_rms
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_resize_meta(spark, sf_dir):
+    """resize_image stub contract: dimensions + the truncated payload
+    (compared as hex — binary wire types differ between engines)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("attach_binary", d, {"field": "text"})
+    df = op("resize_image", df, {"fake_decode": True,
+                                 "target_w": 64, "target_h": 64})
+    return op("sql", df, {"query": """
+        SELECT doc_id, resized_w, resized_h,
+               hex(resized_payload) AS resized_hex
+        FROM self ORDER BY doc_id"""}, views={})
+
+
+_SQL_RESIZE_META = """
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS resized_w,
+       CAST(64 AS INTEGER) AS resized_h,
+       substring(hex(encode(text)), 1, 128) AS resized_hex
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_ivf_assign_gate(spark, sf_dir):
+    """ivf_assign gate: every vector gets a cell in [0, n_cells), the
+    corpus count is value-checked, and the quantizer actually uses
+    multiple cells."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("ivf_assign", e, {"n_cells": 8, "dim": 64, "refine": 1})
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.min("ivf_cell") >= 0).alias("cells_lower_ok"),
+        (F.max("ivf_cell") < 8).alias("cells_upper_ok"),
+        (F.countDistinct("ivf_cell") >= 2).alias("multi_cell"),
+    )
+
+
+_SQL_IVF_ASSIGN_GATE = """
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_rows,
+       TRUE AS cells_lower_ok, TRUE AS cells_upper_ok, TRUE AS multi_cell
 """
 
 
@@ -1637,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,
         "expr_funcs": q_expr_funcs,
         "json_extract": q_json_extract,
+        "parse_props": q_parse_props,
         "monthly_revenue": q_monthly_revenue,
         # scale-configuration runs (bucket-geometry outputs, rows-only) —
         # each is anchored by a *_parity/*_gate query below
@@ -1656,6 +1790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_parity": q_similarity_parity,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
+        "components": q_components,
+        "decode_meta": q_decode_meta,
+        "audio_meta": q_audio_meta,
+        "resize_meta": q_resize_meta,
+        "ivf_assign_gate": q_ivf_assign_gate,
         "simhash_gate": q_simhash_gate,
         "ann_lsh_gate": q_ann_lsh_gate,
         "ann_ivf_gate": q_ann_ivf_gate,
@@ -1715,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect": _SQL_SET_INTERSECT,
         "expr_funcs": _SQL_EXPR_FUNCS,
         "json_extract": _SQL_JSON_EXTRACT,
+        "parse_props": _SQL_PARSE_PROPS,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "minhash_parity": _SQL_MINHASH_PARITY,
@@ -1723,6 +1863,11 @@ def oracle_sql() -> dict[str, str]:
         "similarity_parity": _SQL_SIMILARITY_PARITY,
         "dedup_embedding_parity": _SQL_DEDUP_EMBEDDING_PARITY,
         "dedup_embedding_groups_parity": _SQL_DEDUP_EMBEDDING_GROUPS_PARITY,
+        "components": _SQL_COMPONENTS,
+        "decode_meta": _SQL_DECODE_META,
+        "audio_meta": _SQL_AUDIO_META,
+        "resize_meta": _SQL_RESIZE_META,
+        "ivf_assign_gate": _SQL_IVF_ASSIGN_GATE,
         "simhash_gate": _SQL_SIMHASH_GATE,
         "ann_lsh_gate": _SQL_ANN_GATE,
         "ann_ivf_gate": _SQL_ANN_GATE,
