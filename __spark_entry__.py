@@ -1089,7 +1089,8 @@ def q_simhash_gate(spark, sf_dir):
         .withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
     )
     return chk.agg(
-        F.sum((F.col("ham") > 3).cast("long")).alias("n_violations"),
+        F.coalesce(F.sum((F.col("ham") > 3).cast("long")),
+                   F.lit(0).cast("long")).alias("n_violations"),
         (F.count(F.lit(1)) >= 1).alias("pairs_found"),
     )
 
@@ -1147,8 +1148,8 @@ def q_split_assign_gate(spark, sf_dir):
         F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b"))
     joined = a.join(b, a.doc_id == b.doc_id_b, "full_outer")
     return joined.agg(
-        F.sum((~F.col("split").eqNullSafe(F.col("split_b")))
-              .cast("long")).alias("n_mismatch"),
+        F.coalesce(F.sum((~F.col("split").eqNullSafe(F.col("split_b")))
+                         .cast("long")), F.lit(0).cast("long")).alias("n_mismatch"),
         F.count(F.lit(1)).alias("n_rows"),
         ((F.avg((F.col("split") == "train").cast("double")) - 0.9).between(-0.05, 0.05)
          ).alias("train_frac_ok"),
@@ -1369,7 +1370,7 @@ def q_sample_gate(spark, sf_dir):
                             for x in (F.lit(kv[0]), F.lit(kv[1]))])
     return j.agg(
         F.count(F.lit(1)).alias("n_strata"),
-        F.max(F.abs(F.col("n_s") / F.col("n_b")
+        F.min(F.abs(F.col("n_s") / F.col("n_b")
                     - target[F.col("l_returnflag")]) < 0.05
               ).alias("fracs_ok"),
         F.min(F.col("n_s") < F.col("n_b")).alias("proper_subset"),

@@ -51,8 +51,11 @@ def op_dedup_exact(df: DataFrame, config: Mapping, views) -> DataFrame:
 
 
 def shingles_col(col: Column, k: int) -> Column:
-    """Distinct k-token shingles of a text column."""
-    toks = tokens_col(col)
+    """Distinct k-token shingles of a text column. NULL text shingles
+    like the empty string (one empty shingle) — identical to the Arrow
+    kernels' _shingle_set, so candidate generation and exact
+    verification agree on null docs."""
+    toks = tokens_col(F.coalesce(col, F.lit("")))
     n = F.size(toks)
     return F.when(n >= k, F.array_distinct(
         F.transform(
@@ -80,97 +83,96 @@ def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
     return F.array(*[F.array_min(hashed(i)) for i in range(num_hashes)])
 
 
-def minhash_kernel(num_hashes: int, seed: int = 0x5EED):
-    """Arrow-batched minhash signatures: md5 each BATCH-UNIQUE shingle
-    once (the Zipf argument from the simhash kernel — digest calls
-    dominate, vocab is far smaller than the shingle stream), then all
-    ``num_hashes`` families come from one vectorized affine transform
-    h_i(x) = a_i*x + b_i over uint64 (natural mod-2^64 wrap, odd a_i),
-    and per-doc minima are numpy gathers over the shared (V, H) hash
-    matrix. ~num_hashes-fold fewer digest calls than the JVM
-    expression path, which re-hashes every shingle per family.
-    Deterministic across processes/partitions (md5 + fixed seed)."""
+def _affine_family(num_hashes: int, seed: int):
+    """The shared minhash hash family: odd multipliers + offsets for
+    h_i(x) = a_i*x + b_i over uint64 (natural mod-2^64 wrap)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     a = ((rng.randint(1, 2 ** 62, size=num_hashes).astype(np.uint64)
           << np.uint64(1)) | np.uint64(1))
     b = rng.randint(0, 2 ** 62, size=num_hashes).astype(np.uint64)
+    return a, b
+
+
+def _shingle_set(text: str | None, k: int) -> dict:
+    """Distinct k-token shingles of one document (insertion-ordered
+    dict-as-set) — the single Python-side shingling definition, kept
+    identical to shingles_col. None-safe (NULL text -> one empty
+    shingle, matching array_join(null tokens) semantics)."""
+    toks = (text or "").split()
+    if len(toks) >= k:
+        return dict.fromkeys(" ".join(toks[i:i + k])
+                             for i in range(len(toks) - k + 1))
+    return {" ".join(toks): None}
+
+
+def _vocab_index(shingle_iter, vocab: dict):
+    """Index one doc's shingles into the batch vocab; returns the
+    int64 index array. None entries hash as the empty string (the JVM
+    path's null-tolerant behavior, not a crash)."""
+    import numpy as np
+
+    sh = list(shingle_iter)
+    idxs = np.empty(len(sh), dtype=np.int64)
+    for j, s in enumerate(sh):
+        if s is None:
+            s = ""
+        v = vocab.get(s)
+        if v is None:
+            v = vocab[s] = len(vocab)
+        idxs[j] = v
+    return idxs
+
+
+def _signatures(idx_lists, vocab: dict, a, b, num_hashes: int):
+    """Per-doc minhash minima over the shared (V, H) hash matrix: md5
+    each batch-unique shingle once, vectorized affine families, numpy
+    gathers per doc."""
+    import numpy as np
+
+    empty_sig = np.full(num_hashes, 2 ** 63 - 1, dtype=np.int64)
+    if not vocab:
+        return [empty_sig] * len(idx_lists)
+    digests = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in vocab)
+    x = np.frombuffer(digests, dtype="<u8")                # (V,)
+    hashes = x[:, None] * a[None, :] + b[None, :]          # (V, H) wraps
+    return [empty_sig if len(ix) == 0
+            else np.ascontiguousarray(hashes[ix].min(axis=0)).view(np.int64)
+            for ix in idx_lists]
+
+
+def minhash_kernel(num_hashes: int, seed: int = 0x5EED):
+    """Arrow-batched minhash signatures from SHINGLE ARRAYS: md5 each
+    BATCH-UNIQUE shingle once (the Zipf argument from the simhash
+    kernel — digest calls dominate, vocab is far smaller than the
+    shingle stream), then all families via one vectorized affine
+    transform. Deterministic across processes/partitions."""
+    a, b = _affine_family(num_hashes, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(shingles: pd.Series) -> pd.Series:
-        import numpy as np
-
         vocab: dict[str, int] = {}
-        idx_lists = []
-        for sh in shingles:
-            idxs = np.empty(len(sh), dtype=np.int64)
-            for j, s in enumerate(sh):
-                v = vocab.get(s)
-                if v is None:
-                    v = vocab[s] = len(vocab)
-                idxs[j] = v
-            idx_lists.append(idxs)
-        empty_sig = np.full(num_hashes, 2 ** 63 - 1, dtype=np.int64)
-        if not vocab:
-            return pd.Series([empty_sig] * len(idx_lists))
-        digests = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in vocab)
-        x = np.frombuffer(digests, dtype="<u8")                # (V,)
-        hashes = x[:, None] * a[None, :] + b[None, :]          # (V, H) wraps
-        out = [empty_sig if len(ix) == 0
-               else np.ascontiguousarray(hashes[ix].min(axis=0)).view(np.int64)
-               for ix in idx_lists]
-        return pd.Series(out)
+        idx_lists = [_vocab_index(sh, vocab) for sh in shingles]
+        return pd.Series(_signatures(idx_lists, vocab, a, b, num_hashes))
 
     return sig
 
 
 def minhash_text_kernel(k: int, num_hashes: int, seed: int = 0x5EED):
-    """Text -> minhash signature in ONE Arrow kernel: tokenize
-    (whitespace, identical to tokens_col), build distinct k-token
-    shingles, hash batch-unique shingles once (md5 + vectorized affine
-    families — same math as minhash_kernel). Only the text strings
-    cross the Arrow boundary, not the ~k-times-larger shingle arrays,
-    and the interpreted JVM higher-order shingling (the measured
-    bottleneck) is replaced by a tight Python loop over batch-deduped
-    shingles."""
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    a = ((rng.randint(1, 2 ** 62, size=num_hashes).astype(np.uint64)
-          << np.uint64(1)) | np.uint64(1))
-    b = rng.randint(0, 2 ** 62, size=num_hashes).astype(np.uint64)
+    """Text -> minhash signature in ONE Arrow kernel: tokenize +
+    k-shingle (_shingle_set, identical semantics to shingles_col) and
+    hash batch-deduped shingles (same family as minhash_kernel). Only
+    the text strings cross the Arrow boundary, not the ~k-times-larger
+    shingle arrays, and the interpreted JVM higher-order shingling
+    (the measured bottleneck) is replaced by a tight Python loop."""
+    a, b = _affine_family(num_hashes, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        import numpy as np
-
         vocab: dict[str, int] = {}
-        idx_lists = []
-        for text in texts.fillna(""):
-            toks = text.split()
-            if len(toks) >= k:
-                sh = dict.fromkeys(" ".join(toks[i:i + k])
-                                   for i in range(len(toks) - k + 1))
-            else:
-                sh = {" ".join(toks): None}
-            idxs = np.empty(len(sh), dtype=np.int64)
-            for j, s in enumerate(sh):
-                v = vocab.get(s)
-                if v is None:
-                    v = vocab[s] = len(vocab)
-                idxs[j] = v
-            idx_lists.append(idxs)
-        empty_sig = np.full(num_hashes, 2 ** 63 - 1, dtype=np.int64)
-        if not vocab:
-            return pd.Series([empty_sig] * len(idx_lists))
-        digests = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in vocab)
-        x = np.frombuffer(digests, dtype="<u8")
-        hashes = x[:, None] * a[None, :] + b[None, :]
-        out = [empty_sig if len(ix) == 0
-               else np.ascontiguousarray(hashes[ix].min(axis=0)).view(np.int64)
-               for ix in idx_lists]
-        return pd.Series(out)
+        idx_lists = [_vocab_index(_shingle_set(t, k), vocab) for t in texts]
+        return pd.Series(_signatures(idx_lists, vocab, a, b, num_hashes))
 
     return sig
 
@@ -194,13 +196,7 @@ def shingle_explode(df: DataFrame, id_field: str, field: str, k: int) -> DataFra
         for pdf in batches:
             ids, ns, ss = [], [], []
             for doc_id, text in zip(pdf[id_field], pdf[field]):
-                toks = (text or "").split()
-                if len(toks) >= k:
-                    sh = list(dict.fromkeys(
-                        " ".join(toks[i:i + k])
-                        for i in range(len(toks) - k + 1)))
-                else:
-                    sh = [" ".join(toks)]
+                sh = list(_shingle_set(text, k))
                 n = len(sh)
                 ids.extend([doc_id] * n)
                 ns.extend([n] * n)

@@ -608,13 +608,15 @@ def op_window(df: DataFrame, config: Mapping, views) -> DataFrame:
     if fn not in _WINDOW_FNS:
         raise ValueError(f"unknown window function: {fn!r}")
     partition_by = config.get("partition_by", [])
-    if not partition_by and config.get("frame") and not config.get("allow_global"):
-        # An unpartitioned ordered frame plans a single-partition
-        # WindowExec — every row moves to ONE task, which is the
-        # scale-killer at 100 TB. Legit on provably small data
+    if (not partition_by and (config.get("frame") or config.get("order_by"))
+            and not config.get("allow_global")):
+        # ANY ordered window without partitioning (frame or not — a
+        # global row_number is the same physical shape) plans a
+        # single-partition WindowExec: every row moves to ONE task,
+        # the scale-killer at 100 TB. Legit on provably small data
         # (e.g. a post-aggregation running total), so it's opt-in.
         raise ValueError(
-            "window with a frame and empty partition_by moves ALL rows to "
+            "an ordered window with empty partition_by moves ALL rows to "
             "one partition; pass allow_global: true if the input is known "
             "to be small (post-aggregation), or add partition_by keys")
     w = Window.partitionBy(*partition_by)

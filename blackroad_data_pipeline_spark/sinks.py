@@ -110,10 +110,14 @@ def sink_csv(df: DataFrame, config: Mapping) -> int:
 
     Empty-input parity (reference: empty data -> no file,
     main.py:319-320) is enforced AFTER the single write from the
-    observed count — a pre-count would compute the plan twice."""
+    observed count — a pre-count would compute the plan twice. The
+    cleanup removes the empty directory ONLY when this write created
+    it: never in append mode, and never when the target pre-existed
+    (deleting there would destroy earlier data, not enforce parity)."""
     mode = config.get("mode", "overwrite")
     path = config.get("path", "output.csv")
-    skipped = mode == "ignore" and _target_exists(df, path)
+    existed_before = _target_exists(df, path)
+    skipped = mode == "ignore" and existed_before
 
     def write(d):
         if config.get("single_file"):
@@ -124,8 +128,9 @@ def sink_csv(df: DataFrame, config: Mapping) -> int:
          .csv(path))
 
     n = _write_counted(df, mode, write, exists=lambda: skipped)
-    if n == 0 and not skipped and not config.get("write_empty"):
-        # remove the just-written empty directory (reference parity)
+    if (n == 0 and not skipped and not existed_before
+            and mode != "append" and not config.get("write_empty")):
+        # remove the just-created empty directory (reference parity)
         spark = df.sparkSession
         jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
         jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
@@ -162,11 +167,15 @@ def sink_parquet(df: DataFrame, config: Mapping) -> int:
 def sink_upsert_parquet(df: DataFrame, config: Mapping) -> int:
     """Keyed upsert (MERGE) into a partitioned parquet dataset via
     DYNAMIC partition overwrite: rows in ``df`` replace same-``key``
-    rows and append new keys, and ONLY the partitions the updates
-    touch are rewritten — untouched partition directories are not
-    read, not rewritten, not listed. This is the incremental-refresh
-    primitive at 100 TB: the job cost is proportional to the touched
-    partitions, not the dataset.
+    rows and append new keys, and ONLY the partitions holding updated
+    keys are rewritten — untouched partition directories are not
+    rewritten. This is the incremental-refresh primitive at 100 TB:
+    the rewrite cost is proportional to the touched partitions, not
+    the dataset. Keys that MOVE between partitions are handled (their
+    old copy is found via a key/partition-column-pruned scan and
+    removed, and a partition left empty by the move is deleted);
+    ``assume_partition_stable_keys: true`` skips that scan when the
+    caller guarantees keys never change partition.
 
     ``partition_by`` is required — an unpartitioned upsert would
     rewrite the whole dataset, which should be an explicit
@@ -195,14 +204,38 @@ def sink_upsert_parquet(df: DataFrame, config: Mapping) -> int:
 
     spark = df.sparkSession
     existing = spark.read.parquet(path)
-    # partition pruning: only the updates' partitions are ever read
-    touched = df.select(*parts).dropDuplicates()
+    upd_keys = df.select(*keys).dropDuplicates()
+    if config.get("assume_partition_stable_keys"):
+        # caller guarantees a key never changes partition value: only
+        # the updates' own partitions need reading
+        touched = df.select(*parts).dropDuplicates()
+    else:
+        # a key may MOVE partitions (e.g. re-dated row): its old copy
+        # lives in a partition the updates don't mention, and skipping
+        # it would leave a stale duplicate. Find every partition that
+        # holds an updated key — a key+partition-column-pruned scan
+        # (cheap next to the rewrite), skippable via the flag above.
+        touched = (existing.join(F.broadcast(upd_keys), keys, "left_semi")
+                   .select(*parts)
+                   .unionByName(df.select(*parts))
+                   .dropDuplicates())
     old_slice = existing.join(F.broadcast(touched), parts, "left_semi")
-    survivors = old_slice.join(df.select(*keys).dropDuplicates(), keys, "left_anti")
+    survivors = old_slice.join(F.broadcast(upd_keys), keys, "left_anti")
     merged = survivors.select(*df.columns).unionByName(df)
     merged = merged.localCheckpoint(eager=True)  # break lineage to `path`
+    # a partition whose ONLY rows were moved-away keys is now empty;
+    # dynamic overwrite never rewrites a partition it writes no rows
+    # to, so those directories must be deleted explicitly (the
+    # touched-partition list is small — it was broadcast)
+    emptied = [tuple(r) for r in
+               touched.exceptAll(merged.select(*parts).dropDuplicates()).collect()]
     obs = Observation()
     write(merged.observe(obs, F.count(F.lit(1)).alias("n")))
+    fs_conf = spark._jsc.hadoopConfiguration()
+    for vals in emptied:
+        seg = "/".join(f"{c}={v}" for c, v in zip(parts, vals))
+        jp = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{seg}")
+        jp.getFileSystem(fs_conf).delete(jp, True)
     return int(obs.get["n"])
 
 

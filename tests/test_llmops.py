@@ -534,3 +534,19 @@ def test_pack_sequences_shards_are_independent(spark):
     # packing overflows a pack by at most one doc, never splits one)
     assert [out[i] for i in (1, 3, 5)] == ["0#0", "0#0", "0#1"]
     assert out[2] == "1#0"  # shard 1 starts fresh
+
+
+def test_minhash_kernels_null_safe(spark):
+    """NULL text must hash like the empty string on every signature
+    path (the JVM path tolerated nulls; the Arrow kernels must too)."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "a b c d")],
+                               "doc_id long, text string")
+    rows = op("minhash", df, {"num_hashes": 8, "shingle_size": 2}).collect()
+    sigs = {r["doc_id"]: tuple(r["minhash_sig"]) for r in rows}
+    assert sigs[1] == sigs[2]              # null == empty
+    assert sigs[3] != sigs[1]
+    pairs = op("near_dup_minhash", df,
+               {"threshold": 0.5, "shingle_size": 2,
+                "bands": 8, "rows_per_band": 1}).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

@@ -266,9 +266,13 @@ def test_window_global_frame_guarded(spark):
                             "order_by": ["v"], "frame": "running",
                             "allow_global": True, "alias": "rs"})
     assert sorted(rows(out, "k", "rs")) == [("a", 1.0), ("b", 3.0)]
-    # frameless global windows (e.g. rank over everything) stay allowed
+    # frameless ordered global windows are the same single-partition
+    # shape — guarded too, opt-in via allow_global
+    with pytest.raises(ValueError, match="one partition"):
+        op("window", df, {"function": "row_number", "order_by": ["v"],
+                          "alias": "rn"})
     rn = op("window", df, {"function": "row_number", "order_by": ["v"],
-                           "alias": "rn"})
+                           "allow_global": True, "alias": "rn"})
     assert sorted(rows(rn, "k", "rn")) == [("a", 1), ("b", 2)]
 
 

@@ -377,3 +377,36 @@ def test_upsert_parquet_requires_partitioning(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], ["id", "v"])
     with pytest.raises(ValueError, match="partition_by"):
         write_sink(df, "upsert_parquet", {"path": str(tmp_path / "d"), "key": "id"})
+
+
+def test_upsert_parquet_handles_moving_keys(spark, tmp_path):
+    """A key whose update changes its partition value must not leave a
+    stale copy in the old partition — and a partition emptied by the
+    move disappears entirely."""
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    p = tmp_path / "mv"
+    base = spark.createDataFrame(
+        [(1, "a", "v1"), (2, "b", "v2")], ["id", "k", "v"])
+    write_sink(base, "upsert_parquet",
+               {"path": str(p), "key": "id", "partition_by": "k"})
+    # id=2 moves from partition b to partition c
+    upd = spark.createDataFrame([(2, "c", "v2-moved")], ["id", "k", "v"])
+    write_sink(upd, "upsert_parquet",
+               {"path": str(p), "key": "id", "partition_by": "k"})
+    got = {r["id"]: (r["k"], r["v"]) for r in spark.read.parquet(str(p)).collect()}
+    assert got == {1: ("a", "v1"), 2: ("c", "v2-moved")}  # no stale b-copy
+    assert not (p / "k=b").exists()  # emptied partition removed
+
+
+def test_csv_sink_empty_append_preserves_existing(spark, tmp_path):
+    """Empty-input cleanup must never destroy pre-existing data: an
+    empty append leaves earlier rows intact."""
+    from blackroad_data_pipeline_spark.sinks import write_sink
+
+    p = tmp_path / "appendable"
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    assert write_sink(df, "csv", {"path": str(p), "mode": "append"}) == 2
+    empty = df.filter("x > 99")
+    assert write_sink(empty, "csv", {"path": str(p), "mode": "append"}) == 0
+    assert spark.read.option("header", True).csv(str(p)).count() == 2

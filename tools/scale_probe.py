@@ -53,16 +53,18 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         times = {}
+        # one untimed warm-up at the smallest SF so codegen/Python-worker
+        # spin-up doesn't inflate the first timed measurement
+        fn(spark, "/root/testdata/sf0.001").count()
         for sf_name, _ in SFS:
             sf_dir = f"/root/testdata/{sf_name}"
-            # warm the plan/JIT once at the smallest SF only
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             times[sf_name] = round(time.perf_counter() - t0, 4)
         # fit on the two largest SFs: rows scale 10x between them
         alpha = math.log(max(times["sf0.1"], 1e-9) /
                          max(times["sf0.01"], 1e-9)) / math.log(10)
-        results[name] = {**times, "alpha_01_to_1": round(alpha, 3)}
+        results[name] = {**times, "alpha_0p01_to_0p1": round(alpha, 3)}
         print(f"{name:22s} {times['sf0.001']:7.2f} {times['sf0.01']:7.2f} "
               f"{times['sf0.1']:7.2f}  alpha={alpha:5.2f}")
     with open("/root/repo/SCALE_PROBE.json", "w") as f:
@@ -71,7 +73,7 @@ def main() -> None:
     print("|---|---|---|---|---|")
     for name, r in results.items():
         print(f"| {name} | {r['sf0.001']} | {r['sf0.01']} | {r['sf0.1']} "
-              f"| {r['alpha_01_to_1']} |")
+              f"| {r['alpha_0p01_to_0p1']} |")
 
 
 if __name__ == "__main__":
