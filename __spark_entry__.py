@@ -691,6 +691,33 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
+def q_quantiles(spark, sf_dir):
+    """Per-group percentiles (p50/p95) of order totals — the skew/
+    distribution primitive for data profiling. approx_percentile at
+    accuracy 100k is exact at these group sizes and matches DuckDB's
+    discrete quantile value-for-value; at larger scale the same plan
+    degrades gracefully to a bounded-error sketch instead of a sort."""
+    o = _t(spark, sf_dir, "orders")
+    df = op("sql", o, {"query": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               approx_percentile(o_totalprice, 0.5, 100000) AS p50_total,
+               approx_percentile(o_totalprice, 0.95, 100000) AS p95_total
+        FROM self GROUP BY o_orderstatus"""}, views={})
+    return op("sort", df, {"fields": ["o_orderstatus"]})
+
+
+_SQL_QUANTILES = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       quantile_disc(o_totalprice, 0.5) AS p50_total,
+       quantile_disc(o_totalprice, 0.95) AS p95_total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def q_parse_props(spark, sf_dir):
     """Typed JSON parsing (from_json with a declared schema, flattened)
     — the schema-first alternative to per-path get_json_object."""
@@ -1772,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_funcs": q_expr_funcs,
         "json_extract": q_json_extract,
         "parse_props": q_parse_props,
+        "quantiles": q_quantiles,
         "monthly_revenue": q_monthly_revenue,
         # scale-configuration runs (bucket-geometry outputs, rows-only) —
         # each is anchored by a *_parity/*_gate query below
@@ -1856,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         "expr_funcs": _SQL_EXPR_FUNCS,
         "json_extract": _SQL_JSON_EXTRACT,
         "parse_props": _SQL_PARSE_PROPS,
+        "quantiles": _SQL_QUANTILES,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "minhash_parity": _SQL_MINHASH_PARITY,
