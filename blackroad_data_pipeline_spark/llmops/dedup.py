@@ -11,6 +11,7 @@ minhash → band → bucket-join → verify) expressed as DataFrame ops.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Mapping
 
 import pandas as pd
@@ -95,12 +96,20 @@ def _affine_family(num_hashes: int, seed: int):
     return a, b
 
 
+# Java's \s (Spark's split regex) is ASCII-only: [ \t\n\x0B\f\r].
+# Python str.split() would ALSO split on Unicode whitespace (NBSP,
+# U+2028, ...), silently diverging from the JVM tokenization — the
+# kernels must match shingles_col exactly or candidate generation and
+# exact verification disagree on such documents.
+_JVM_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _shingle_set(text: str | None, k: int) -> dict:
     """Distinct k-token shingles of one document (insertion-ordered
     dict-as-set) — the single Python-side shingling definition, kept
-    identical to shingles_col. None-safe (NULL text -> one empty
-    shingle, matching array_join(null tokens) semantics)."""
-    toks = (text or "").split()
+    identical to shingles_col (including ASCII-only whitespace
+    splitting). None-safe (NULL text shingles as empty)."""
+    toks = [t for t in _JVM_WS.split(text or "") if t]
     if len(toks) >= k:
         return dict.fromkeys(" ".join(toks[i:i + k])
                              for i in range(len(toks) - k + 1))

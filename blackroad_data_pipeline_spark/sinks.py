@@ -109,15 +109,18 @@ def sink_csv(df: DataFrame, config: Mapping) -> int:
     default is a partitioned directory (the scale path).
 
     Empty-input parity (reference: empty data -> no file,
-    main.py:319-320) is enforced AFTER the single write from the
-    observed count — a pre-count would compute the plan twice. The
-    cleanup removes the empty directory ONLY when this write created
-    it: never in append mode, and never when the target pre-existed
-    (deleting there would destroy earlier data, not enforce parity)."""
+    main.py:319-320): a LIMIT-1 emptiness probe decides up front —
+    near-free on non-empty input (first row short-circuits) — and an
+    empty input skips the write entirely, so no file is created AND a
+    pre-existing target is never destroyed or replaced by an empty
+    directory. The full row count still comes from the write-side
+    Observation, never a separate count of the plan."""
     mode = config.get("mode", "overwrite")
     path = config.get("path", "output.csv")
-    existed_before = _target_exists(df, path)
-    skipped = mode == "ignore" and existed_before
+    if mode == "ignore" and _target_exists(df, path):
+        return 0
+    if not config.get("write_empty") and df.isEmpty():
+        return 0  # reference parity: empty data -> no write at all
 
     def write(d):
         if config.get("single_file"):
@@ -127,14 +130,8 @@ def sink_csv(df: DataFrame, config: Mapping) -> int:
          .option("sep", config.get("delimiter", ","))
          .csv(path))
 
-    n = _write_counted(df, mode, write, exists=lambda: skipped)
-    if (n == 0 and not skipped and not existed_before
-            and mode != "append" and not config.get("write_empty")):
-        # remove the just-created empty directory (reference parity)
-        spark = df.sparkSession
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
-    return n
+    return _write_counted(df, mode, write,
+                          exists=lambda: _target_exists(df, path))
 
 
 @register("parquet")
@@ -219,6 +216,12 @@ def sink_upsert_parquet(df: DataFrame, config: Mapping) -> int:
                    .select(*parts)
                    .unionByName(df.select(*parts))
                    .dropDuplicates())
+    if set(existing.columns) != set(df.columns):
+        # a narrower update batch would silently rewrite touched
+        # partitions WITHOUT the missing columns — refuse loudly
+        raise ValueError(
+            f"upsert_parquet schema mismatch: dataset has "
+            f"{sorted(existing.columns)}, updates have {sorted(df.columns)}")
     old_slice = existing.join(F.broadcast(touched), parts, "left_semi")
     survivors = old_slice.join(F.broadcast(upd_keys), keys, "left_anti")
     merged = survivors.select(*df.columns).unionByName(df)
@@ -229,14 +232,20 @@ def sink_upsert_parquet(df: DataFrame, config: Mapping) -> int:
     # touched-partition list is small — it was broadcast)
     emptied = [tuple(r) for r in
                touched.exceptAll(merged.select(*parts).dropDuplicates()).collect()]
-    obs = Observation()
-    write(merged.observe(obs, F.count(F.lit(1)).alias("n")))
+    n = _write_counted(merged, "overwrite", write)
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     fs_conf = spark._jsc.hadoopConfiguration()
     for vals in emptied:
-        seg = "/".join(f"{c}={v}" for c, v in zip(parts, vals))
+        # Spark's own Hive path escaping, so special-char and NULL
+        # partition values resolve to the real directory names
+        seg = "/".join(
+            f"{esc.escapePathName(c)}="
+            + ("__HIVE_DEFAULT_PARTITION__" if v is None
+               else esc.escapePathName(str(v)))
+            for c, v in zip(parts, vals))
         jp = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{seg}")
         jp.getFileSystem(fs_conf).delete(jp, True)
-    return int(obs.get["n"])
+    return n
 
 
 @register("bucketed_table")

@@ -550,3 +550,24 @@ def test_minhash_kernels_null_safe(spark):
                {"threshold": 0.5, "shingle_size": 2,
                 "bands": 8, "rows_per_band": 1}).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_shingle_kernels_match_jvm_on_unicode_whitespace(spark):
+    """Python str.split() also splits on Unicode whitespace (NBSP...);
+    the kernels must split ASCII-only like Spark's \\s regex, or
+    candidate generation and exact verification disagree."""
+    text = "a b c d a b c d x"  # NBSP inside a token
+    df = spark.createDataFrame([(1, text), (2, text + " y")],
+                               ["doc_id", "text"])
+    from pyspark.sql import functions as F
+    from blackroad_data_pipeline_spark.llmops.dedup import (
+        shingles_col, _shingle_set)
+    jvm = set(df.filter("doc_id = 1")
+              .select(shingles_col(F.col("text"), 2).alias("sh"))
+              .collect()[0]["sh"])
+    assert set(_shingle_set(text, 2)) == jvm
+    # and the full pipeline agrees: this near-dup pair is found
+    pairs = op("near_dup_minhash", df,
+               {"threshold": 0.5, "shingle_size": 2,
+                "bands": 8, "rows_per_band": 1}).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]

@@ -266,7 +266,9 @@ def test_csv_sink_single_job(spark, tmp_path):
     df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
     counted = spark.createDataFrame(df.rdd.mapPartitions(bump), df.schema)
     assert write_sink(counted, "csv", {"path": str(tmp_path / "once")}) == 10
-    assert acc.value == 10  # 20 would mean the plan executed twice
+    # one full pass (10) + the LIMIT-1 emptiness probe's short-circuit
+    # (a row or two); a second full pass would read 20
+    assert acc.value < 15
 
 
 def test_orc_source_roundtrip(spark, tmp_path):
