@@ -547,6 +547,42 @@ ORDER BY 1, 3
 """
 
 
+def q_events_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (1 hour every 30 minutes): each event
+    lands in exactly two overlapping windows. The oracle reconstructs
+    the window set from a 30-minute time_bucket grid (both engines
+    align sub-hour grids to midnight)."""
+    e = _t(spark, sf_dir, "events")
+    df = op("windowed_agg", e, {
+        "ts_field": "ts", "window": "1 hour", "slide": "30 minutes",
+        "group_by": ["event_type"],
+        "aggregates": [
+            {"field": "event_id", "function": "count", "alias": "n_events"},
+            {"field": "value", "function": "sum", "alias": "sum_value"},
+        ]})
+    return op("sort", df, {"fields": ["window_start", "event_type"]})
+
+
+_SQL_EVENTS_SLIDING_WINDOW = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts_us, event_type, value FROM events),
+w AS (
+  SELECT ts_us, event_type, value,
+         time_bucket(INTERVAL '30 minutes', ts_us)
+           - k.k * INTERVAL '30 minutes' AS window_start
+  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+SELECT window_start,
+       window_start + INTERVAL '60 minutes' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM w
+WHERE ts_us >= window_start AND ts_us < window_start + INTERVAL '60 minutes'
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+"""
+
+
 def q_events_session_window(spark, sf_dir):
     """Gap-based session windows (F.session_window, 10-minute gap) per
     user: one row per (user, session) with count + decimal-deterministic
@@ -1786,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "multimodal_meta": q_multimodal_meta,
         "events_window": q_events_window,
+        "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
         "sessionize": q_sessionize,
         # temporal joins + wider relational surface (SURVEY.md §2.5 gaps)
@@ -1872,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _SQL_ANN_BRUTEFORCE,
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "events_window": _SQL_EVENTS_WINDOW,
+        "events_sliding_window": _SQL_EVENTS_SLIDING_WINDOW,
         "events_session_window": _SQL_EVENTS_SESSION_WINDOW,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
