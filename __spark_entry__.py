@@ -1598,6 +1598,73 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping-set
+    combinations in one map-side-expanded pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = op("aggregate", li, {
+        "grouping": "cube", "group_by": ["l_returnflag", "l_linestatus"],
+        "aggregates": [
+            {"field": "l_quantity", "function": "sum", "alias": "sum_qty"},
+            {"field": "l_orderkey", "function": "count", "alias": "n_items"},
+        ]})
+    return op("sort", df, {"fields": ["l_returnflag", "l_linestatus"]})
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_dispersion(spark, sf_dir):
+    """Per-group dispersion stats. stddev comes from decimal-exact
+    sum/sumsq components (Spark's built-in stddev merges partial
+    moments in task-completion order — run-to-run ulp drift — while
+    decimal sums are partition-order-invariant and match DuckDB
+    bit-for-bit); median is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = op("sql", li, {"query": """
+        WITH s AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(38,10))) AS s1,
+                 SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS s2,
+                 MEDIAN(l_quantity) AS med_qty
+          FROM self GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               SQRT((CAST(CAST(s2 AS STRING) AS DOUBLE)
+                     - CAST(CAST(s1 AS STRING) AS DOUBLE)
+                       * CAST(CAST(s1 AS STRING) AS DOUBLE) / n)
+                    / (n - 1)) AS sd_qty,
+               med_qty
+        FROM s"""}, views={})
+    return op("sort", df, {"fields": ["l_returnflag"]})
+
+
+_SQL_DISPERSION = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(38,10))) AS s1,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS s2,
+         MEDIAN(l_quantity) AS med_qty
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       SQRT((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+            / (n - 1)) AS sd_qty,
+       med_qty
+FROM s
+ORDER BY l_returnflag
+"""
+
+
 def q_pivot(spark, sf_dir):
     """Lineitem quantity pivoted by linestatus (explicit value list —
     no distinct-discovery scan at scale)."""
@@ -1830,6 +1897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "range_join": q_range_join,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "dispersion": q_dispersion,
         "pivot": q_pivot,
         "set_except": q_set_except,
         "set_intersect": q_set_intersect,
@@ -1916,6 +1985,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward": _SQL_ASOF_FORWARD,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
+        "cube": _SQL_CUBE,
+        "dispersion": _SQL_DISPERSION,
         "pivot": _SQL_PIVOT,
         "set_except": _SQL_SET_EXCEPT,
         "set_intersect": _SQL_SET_INTERSECT,
