@@ -1621,6 +1621,31 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — per-flag and per-status marginals in
+    one pass, without the full cube's cross combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = op("aggregate", li, {
+        "grouping": "grouping_sets",
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "sets": [["l_returnflag"], ["l_linestatus"]],
+        "aggregates": [
+            {"field": "l_quantity", "function": "sum", "alias": "sum_qty"},
+            {"field": "l_orderkey", "function": "count", "alias": "n_items"},
+        ]})
+    return op("sort", df, {"fields": ["l_returnflag", "l_linestatus"]})
+
+
+_SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_dispersion(spark, sf_dir):
     """Per-group dispersion stats. stddev comes from decimal-exact
     sum/sumsq components (Spark's built-in stddev merges partial
@@ -1898,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rollup": q_rollup,
         "cube": q_cube,
+        "grouping_sets": q_grouping_sets,
         "dispersion": q_dispersion,
         "pivot": q_pivot,
         "set_except": q_set_except,
@@ -1986,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,
+        "grouping_sets": _SQL_GROUPING_SETS,
         "dispersion": _SQL_DISPERSION,
         "pivot": _SQL_PIVOT,
         "set_except": _SQL_SET_EXCEPT,
