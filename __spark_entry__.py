@@ -1358,6 +1358,69 @@ ORDER BY doc_id
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals over a deterministically
+    re-lined corpus: the synthetic documents are single-line, so every
+    5-token group is terminated with a newline first to give the line
+    stats real duplicate structure (the tiny vocabulary makes repeated
+    lines and 2-grams common)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("sql", d, {"query": r"""
+        SELECT doc_id,
+               regexp_replace(text, '((\\S+ ){4}\\S+) ', '$1\n') AS text
+        FROM self"""}, views={})
+    df = op("repetition_stats", df, {"field": "text", "id_field": "doc_id"})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_REPETITION_STATS = f"""
+WITH prep AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){{4}}\\S+) ', '\\1' || chr(10), 'g') AS text
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         {_D_TOKS} AS toks
+  FROM prep),
+scal AS (
+  SELECT doc_id, lines,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_distinct_lines,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS grams
+  FROM base),
+lcounts AS (
+  SELECT doc_id, val, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(lines) AS val FROM scal)
+  GROUP BY 1, 2),
+lstats AS (
+  SELECT doc_id,
+         MAX(c) AS top_line_count,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN LENGTH(val) * c END), 0) AS BIGINT)
+           AS dup_line_chars,
+         CAST(SUM(LENGTH(val) * c) AS BIGINT) AS line_chars
+  FROM lcounts GROUP BY 1),
+gcounts AS (
+  SELECT doc_id, val, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS val FROM scal)
+  GROUP BY 1, 2),
+gstats AS (SELECT doc_id, MAX(c) AS top_2gram_count FROM gcounts GROUP BY 1)
+SELECT s.doc_id AS doc_id, s.n_lines, s.n_distinct_lines, s.n_tokens,
+       l.top_line_count, g.top_2gram_count,
+       1.0 - CAST(s.n_distinct_lines AS DOUBLE) / s.n_lines AS dup_line_ratio,
+       CASE WHEN l.line_chars > 0
+            THEN CAST(l.dup_line_chars AS DOUBLE) / l.line_chars
+            ELSE 0.0 END AS dup_line_char_ratio,
+       CASE WHEN s.n_tokens >= 2
+            THEN 2.0 * g.top_2gram_count / s.n_tokens END AS top_2gram_ratio
+FROM scal s JOIN lstats l USING (doc_id) LEFT JOIN gstats g USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_stateful_dedup_stream(spark, sf_dir):
     """applyInPandasWithState dedup executed as a real stream: emit the
     first event per (user_id, event_type) across micro-batches, drain
@@ -1968,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "sample_gate": q_sample_gate,
         "corpus_prep": q_corpus_prep,
@@ -2044,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "contamination": _SQL_CONTAMINATION,
         "pii_scrub": _SQL_PII_SCRUB,
+        "repetition_stats": _SQL_REPETITION_STATS,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "sample_gate": _SQL_SAMPLE_GATE,
         "corpus_prep": _SQL_CORPUS_PREP,

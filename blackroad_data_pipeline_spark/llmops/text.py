@@ -234,6 +234,84 @@ def op_pii_scrub(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.withColumn(out, col)
 
 
+@register("repetition_stats")
+def op_repetition_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line
+    ratios and the most-repeated 2-gram's share of tokens — the
+    standard "remove boilerplate / keyboard-mash" quality filters.
+
+    One aggregation pipeline, no self-join: the per-doc scalars
+    (n_lines, n_tokens, ...) are computed before the explode and ride
+    through the shuffle as grouping keys (functionally dependent on
+    the id, so the key distribution is still the id's). Lines and
+    2-grams explode as one tagged union, so the word-count-shaped
+    groupBy (with map-side partial aggregation) runs once — this is
+    the scan-once shape that survives a 100 TB corpus, unlike a
+    per-doc O(lines^2) higher-order-function count.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    col = F.col(field)
+    lines = F.split(col, "\n")
+    toks = tokens_col(col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    units = F.concat(
+        F.transform(lines, lambda x: F.struct(
+            F.lit("line").alias("kind"), x.alias("val"))),
+        F.transform(grams, lambda g: F.struct(
+            F.lit("gram").alias("kind"), g.alias("val"))),
+    )
+    scalar_cols = ["n_lines", "n_distinct_lines", "n_tokens"]
+    exploded = (
+        df.select(
+            F.col(id_field),
+            F.size(lines).alias("n_lines"),
+            F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+            F.size(toks).alias("n_tokens"),
+            # lines is never empty (split yields [""] for empty text),
+            # so explode never drops a document
+            F.explode(units).alias("__u"),
+        )
+        .select(id_field, *scalar_cols,
+                F.col("__u.kind").alias("__kind"),
+                F.col("__u.val").alias("__val"))
+    )
+    counts = (exploded
+              .groupBy(id_field, *scalar_cols, "__kind", "__val")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    is_line = F.col("__kind") == "line"
+    unit_chars = F.length("__val") * F.col("__c")
+    stats = counts.groupBy(id_field, *scalar_cols).agg(
+        F.max(F.when(is_line, F.col("__c"))).alias("top_line_count"),
+        F.max(F.when(~is_line, F.col("__c"))).alias("top_2gram_count"),
+        F.coalesce(
+            F.sum(F.when(is_line & (F.col("__c") > 1), unit_chars)),
+            F.lit(0).cast("long")).alias("__dup_line_chars"),
+        F.sum(F.when(is_line, unit_chars)).alias("__line_chars"),
+    )
+    n_lines = F.col("n_lines")
+    n_tokens = F.col("n_tokens")
+    return stats.select(
+        id_field, *scalar_cols, "top_line_count", "top_2gram_count",
+        (F.lit(1.0) - F.col("n_distinct_lines").cast("double") / n_lines)
+        .alias("dup_line_ratio"),
+        F.when(F.col("__line_chars") > 0,
+               F.col("__dup_line_chars").cast("double")
+               / F.col("__line_chars")).otherwise(F.lit(0.0))
+        .alias("dup_line_char_ratio"),
+        F.when(n_tokens >= 2,
+               F.lit(2.0) * F.col("top_2gram_count") / n_tokens)
+        .alias("top_2gram_ratio"),
+    )
+
+
 @register("pack_sequences")
 def op_pack_sequences(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences

@@ -501,6 +501,37 @@ def test_pii_scrub_redacts_typed_spans(spark):
     assert got == "mail <EMAIL> see <URL> host <IPV4> call <PHONE> done"
 
 
+def test_repetition_stats_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            # 3 lines, "a b" twice; top 2-gram "a b" x2 of 5 gram slots
+            (1, "a b c\na b c\nx y z"),
+            (2, "solo"),                    # 1 line, 1 token: no 2-grams
+            (3, "dup\ndup\ndup"),           # all lines identical
+        ],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           op("repetition_stats", df, {}).collect()}
+    r1 = got[1]
+    assert (r1["n_lines"], r1["n_distinct_lines"], r1["n_tokens"]) == (3, 2, 9)
+    assert r1["top_line_count"] == 2
+    # grams: a b, b c, c a, a b, b c, c x, x y, y z -> "a b"/"b c" x2
+    assert r1["top_2gram_count"] == 2
+    assert r1["dup_line_ratio"] == pytest.approx(1 / 3)
+    # dup chars: "a b c" x2 = 10 of 15 line chars
+    assert r1["dup_line_char_ratio"] == pytest.approx(10 / 15)
+    assert r1["top_2gram_ratio"] == pytest.approx(4 / 9)
+    r2 = got[2]
+    assert (r2["n_lines"], r2["n_tokens"]) == (1, 1)
+    assert r2["top_2gram_count"] is None
+    assert r2["top_2gram_ratio"] is None
+    assert r2["dup_line_char_ratio"] == 0.0
+    r3 = got[3]
+    assert r3["dup_line_ratio"] == pytest.approx(2 / 3)
+    assert r3["dup_line_char_ratio"] == 1.0
+    assert r3["top_line_count"] == 3
+
+
 def test_ngram_jaccard_releases_cache(spark, docs):
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
