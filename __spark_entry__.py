@@ -1376,7 +1376,9 @@ def q_repetition_stats(spark, sf_dir):
 _SQL_REPETITION_STATS = f"""
 WITH prep AS (
   SELECT doc_id,
-         regexp_replace(text, '((\\S+ ){{4}}\\S+) ', '\\1' || chr(10), 'g') AS text
+         COALESCE(
+           regexp_replace(text, '((\\S+ ){{4}}\\S+) ', '\\1' || chr(10), 'g'),
+           '') AS text
   FROM documents),
 base AS (
   SELECT doc_id,
@@ -1415,7 +1417,8 @@ SELECT s.doc_id AS doc_id, s.n_lines, s.n_distinct_lines, s.n_tokens,
             THEN CAST(l.dup_line_chars AS DOUBLE) / l.line_chars
             ELSE 0.0 END AS dup_line_char_ratio,
        CASE WHEN s.n_tokens >= 2
-            THEN 2.0 * g.top_2gram_count / s.n_tokens END AS top_2gram_ratio
+            THEN LEAST(1.0, 2.0 * g.top_2gram_count / s.n_tokens)
+       END AS top_2gram_ratio
 FROM scal s JOIN lstats l USING (doc_id) LEFT JOIN gstats g USING (doc_id)
 ORDER BY doc_id
 """

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.registry import register
-from .text import tokens_col
+from .text import kgrams_col, tokens_col
 
 
 # --------------------------------------------------------------------------
@@ -56,13 +56,10 @@ def shingles_col(col: Column, k: int) -> Column:
     like the empty string (one empty shingle) — identical to the Arrow
     kernels' _shingle_set, so candidate generation and exact
     verification agree on null docs."""
+    kg = kgrams_col(col, k)
     toks = tokens_col(F.coalesce(col, F.lit("")))
-    n = F.size(toks)
-    return F.when(n >= k, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ))).otherwise(F.array(F.array_join(toks, " ")))
+    return F.when(F.size(kg) > 0, F.array_distinct(kg)).otherwise(
+        F.array(F.array_join(toks, " ")))
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:

@@ -22,6 +22,20 @@ def tokens_col(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != F.lit(""))
 
 
+def kgrams_col(col: Column, k: int) -> Column:
+    """All k-token shingles of a text column, duplicates kept, in
+    document order; NULL text tokenizes as empty. Empty array when the
+    document has fewer than k tokens. The distinct-shingle variant for
+    dedup candidate generation (shingles_col in llmops/dedup.py) is a
+    thin wrapper over this."""
+    toks = tokens_col(F.coalesce(col, F.lit("")))
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
 # A "BPE-ish" word/number/punctuation segmentation for token counting —
 # letters runs, digit runs, and single non-space symbols, the shape a
 # byte-pair tokenizer's pre-tokenizer uses.
@@ -251,17 +265,12 @@ def op_repetition_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
     """
     field = config.get("field", "text")
     id_field = config.get("id_field", "doc_id")
-    col = F.col(field)
+    # NULL text behaves like the empty string (one empty line, zero
+    # tokens) so no document ever drops out of the signal table
+    col = F.coalesce(F.col(field), F.lit(""))
     lines = F.split(col, "\n")
     toks = tokens_col(col)
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = kgrams_col(col, 2)
     units = F.concat(
         F.transform(lines, lambda x: F.struct(
             F.lit("line").alias("kind"), x.alias("val"))),
@@ -306,8 +315,12 @@ def op_repetition_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
                F.col("__dup_line_chars").cast("double")
                / F.col("__line_chars")).otherwise(F.lit(0.0))
         .alias("dup_line_char_ratio"),
+        # overlapping occurrences each claim 2 tokens, so the raw
+        # product can exceed the token count ("x x x x x" -> 4 dups of
+        # "x x"); cap at 1.0 to keep the column a [0,1] share
         F.when(n_tokens >= 2,
-               F.lit(2.0) * F.col("top_2gram_count") / n_tokens)
+               F.least(F.lit(1.0),
+                       F.lit(2.0) * F.col("top_2gram_count") / n_tokens))
         .alias("top_2gram_ratio"),
     )
 

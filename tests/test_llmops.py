@@ -508,6 +508,8 @@ def test_repetition_stats_known_answers(spark):
             (1, "a b c\na b c\nx y z"),
             (2, "solo"),                    # 1 line, 1 token: no 2-grams
             (3, "dup\ndup\ndup"),           # all lines identical
+            (4, None),                      # null text must not drop out
+            (5, "x x x x x"),               # overlapping top gram
         ],
         ["doc_id", "text"])
     got = {r["doc_id"]: r for r in
@@ -530,6 +532,13 @@ def test_repetition_stats_known_answers(spark):
     assert r3["dup_line_ratio"] == pytest.approx(2 / 3)
     assert r3["dup_line_char_ratio"] == 1.0
     assert r3["top_line_count"] == 3
+    r4 = got[4]  # null text -> one empty line, zero tokens
+    assert (r4["n_lines"], r4["n_tokens"]) == (1, 0)
+    assert r4["dup_line_ratio"] == 0.0
+    assert r4["top_2gram_ratio"] is None
+    r5 = got[5]  # "x x" occurs 4x overlapping; share capped at 1.0
+    assert r5["top_2gram_count"] == 4
+    assert r5["top_2gram_ratio"] == 1.0
 
 
 def test_ngram_jaccard_releases_cache(spark, docs):
