@@ -1424,6 +1424,44 @@ ORDER BY doc_id
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms. The compared columns are the
+    integers (tf, doc_freq, rank): the float score's ORDER decides the
+    rank identically in both engines (exact score ties share identical
+    (tf, doc_freq) so the term tiebreak resolves them the same way,
+    and distinct (tf, doc_freq) score gaps are far above ln() ulp
+    differences), but the raw double itself is libm-dependent and is
+    deliberately left out of the hash."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("tfidf_topk", d, {"field": "text", "id_field": "doc_id",
+                              "k": 5, "lowercase": True})
+    df = op("select", df, {"fields": ["doc_id", "term", "tf", "doc_freq",
+                                      "tfidf_rank"]})
+    return op("sort", df, {"fields": ["doc_id", "tfidf_rank"]})
+
+
+_SQL_TFIDF_TOPK = f"""
+WITH pairs AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_D_TOKS_LOWER}) AS t FROM documents)
+  GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfs AS (SELECT term, COUNT(*) AS doc_freq FROM pairs GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.doc_freq,
+         p.tf * (ln((n.n_docs + 1.0) / (d.doc_freq + 1.0)) + 1.0) AS score
+  FROM pairs p JOIN dfs d USING (term) CROSS JOIN nd n),
+ranked AS (
+  SELECT doc_id, term, tf, doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS tfidf_rank
+  FROM scored)
+SELECT doc_id, term, tf, doc_freq, tfidf_rank
+FROM ranked WHERE tfidf_rank <= 5
+ORDER BY doc_id, tfidf_rank
+"""
+
+
 def q_stateful_dedup_stream(spark, sf_dir):
     """applyInPandasWithState dedup executed as a real stream: emit the
     first event per (user_id, event_type) across micro-batches, drain
@@ -2035,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
+        "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "sample_gate": q_sample_gate,
         "corpus_prep": q_corpus_prep,
@@ -2112,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _SQL_CONTAMINATION,
         "pii_scrub": _SQL_PII_SCRUB,
         "repetition_stats": _SQL_REPETITION_STATS,
+        "tfidf_topk": _SQL_TFIDF_TOPK,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "sample_gate": _SQL_SAMPLE_GATE,
         "corpus_prep": _SQL_CORPUS_PREP,

@@ -248,6 +248,64 @@ def op_pii_scrub(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.withColumn(out, col)
 
 
+@register("tfidf_topk")
+def op_tfidf_topk(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-document top-k terms by smooth TF-IDF
+    (tf * (ln((N+1)/(df+1)) + 1), sklearn's smoothing) — the classic
+    keyword/topic signal for corpus exploration and filter design.
+
+    Shapes, at scale: term counting is the word-count pipeline
+    (explode -> map-side partial agg -> one shuffle on (doc, term));
+    document frequency aggregates those per-doc pairs again (a term
+    repeated in one doc counts once); the corpus size N attaches as a
+    broadcast 1-row aggregate, never a driver action; the idf join
+    keys on term (AQE broadcasts it when the vocab is small — and a
+    skew-join split handles stopword terms when it isn't); top-k uses
+    row_number with a deterministic (score desc, term asc) order,
+    which Spark rewrites to WindowGroupLimit so only k rows per doc
+    survive the final shuffle. TF-IDF is inherently two-pass: the
+    pairs pipeline is evaluated once per join side (column pruning
+    specializes the copies, so the exchange can't be reused), each
+    collapsing map-side before its shuffle; callers doing repeated
+    corpus analysis should persist or write out the input once. The
+    skew-prone alternative (doc_freq as a count window partitioned by
+    term) would buffer every stopword's doc set in one window
+    partition, which is the worse trade at corpus scale.
+    """
+    from pyspark.sql import Window
+
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("k", 5))
+    lower = bool(config.get("lowercase", True))
+    col = F.col(field)
+    toks = tokens_col(F.lower(col) if lower else col)
+    pairs = (
+        df.select(F.col(id_field), F.explode(toks).alias("term"))
+        .groupBy(id_field, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    doc_freq = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"))
+    scored = (
+        pairs.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n_docs") + F.lit(1.0))
+                     / (F.col("doc_freq") + F.lit(1.0))) + F.lit(1.0)))
+    )
+    w = (Window.partitionBy(id_field)
+         .orderBy(F.col("tfidf").desc(), F.col("term")))
+    return (
+        scored.withColumn("tfidf_rank", F.row_number().over(w))
+        .filter(F.col("tfidf_rank") <= k)
+        .select(id_field, "term", "tf", "doc_freq", "tfidf_rank", "tfidf")
+    )
+
+
 @register("repetition_stats")
 def op_repetition_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Gopher-style repetition signals per document: duplicate-line

@@ -501,6 +501,27 @@ def test_pii_scrub_redacts_typed_spans(spark):
     assert got == "mail <EMAIL> see <URL> host <IPV4> call <PHONE> done"
 
 
+def test_tfidf_topk_ranks_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana unique"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry cherry"),
+        ],
+        ["doc_id", "text"])
+    out = op("tfidf_topk", df, {"k": 3}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["tfidf_rank"])
+    # idf: unique ln(4/2)+1 > apple/banana ln(4/3)+1; tf lifts apple
+    assert [r["term"] for r in d1] == ["apple", "unique", "banana"]
+    assert (d1[0]["tf"], d1[0]["doc_freq"]) == (2, 2)
+    # exact score tie (same tf, df) resolves by term ascending
+    d2 = sorted(by_doc[2], key=lambda r: r["tfidf_rank"])
+    assert [r["term"] for r in d2] == ["banana", "cherry"]
+
+
 def test_repetition_stats_known_answers(spark):
     df = spark.createDataFrame(
         [
