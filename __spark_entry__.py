@@ -1226,6 +1226,55 @@ SELECT CAST(0 AS BIGINT) AS n_mismatch,
 """
 
 
+def q_mix_corpus_gate(spark, sf_dir):
+    """mix_corpus's contract: the keep set is partition-invariant
+    (n_mismatch = 0 under an adversarial repartition), a rate-1.0
+    stratum survives in full (zh_full — value-checked against DuckDB's
+    zh count), the stratum inventory is untouched (n_strata), and
+    realized keep rates sit near the requested mixture."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = {"by": "lang", "rates": {"en": 0.5, "zh": 1.0},
+           "default_rate": 0.8, "on": ["doc_id"]}
+    a = op("mix_corpus", d, cfg)
+    b = op("mix_corpus", d.repartition(7, "source"), cfg)
+    pair = (a.select("doc_id")
+            .join(b.select(F.col("doc_id").alias("doc_id_b")),
+                  F.col("doc_id") == F.col("doc_id_b"), "full_outer"))
+    mismatch = pair.agg(
+        F.coalesce(F.sum((F.col("doc_id").isNull()
+                          | F.col("doc_id_b").isNull()).cast("long")),
+                   F.lit(0).cast("long")).alias("n_mismatch"))
+    target = (F.when(F.col("lang") == "en", 0.5)
+              .when(F.col("lang") == "zh", 1.0).otherwise(0.8))
+    per_stratum = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+        .join(a.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+              "lang", "left")
+        .select("lang", "n_total",
+                F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+                target.alias("target")))
+    stratum_checks = per_stratum.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.bool_and(
+            F.abs(F.col("n_kept").cast("double") / F.col("n_total")
+                  - F.col("target")) <= 0.2).alias("rates_ok"),
+        F.bool_and(F.when(F.col("target") < 1.0, F.lit(True))
+                   .otherwise(F.col("n_kept") == F.col("n_total")))
+        .alias("zh_full"),
+        F.sum(F.when(F.col("lang") == "zh", F.col("n_kept"))
+              .otherwise(F.lit(0))).alias("n_zh_kept"))
+    return mismatch.crossJoin(stratum_checks)
+
+
+_SQL_MIX_CORPUS_GATE = """
+SELECT CAST(0 AS BIGINT) AS n_mismatch,
+       (SELECT COUNT(DISTINCT lang) FROM documents) AS n_strata,
+       TRUE AS rates_ok,
+       TRUE AS zh_full,
+       (SELECT COUNT(*) FROM documents WHERE lang = 'zh') AS n_zh_kept
+"""
+
+
 # --------------------------------------------------------------------------
 # training-corpus prep extensions (round 2): chunking, vocab stats,
 # benchmark decontamination, PII scrubbing — all fully oracle-checked
@@ -2064,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_gate": q_ann_lsh_gate,
         "ann_ivf_gate": q_ann_ivf_gate,
         "split_assign_gate": q_split_assign_gate,
+        "mix_corpus_gate": q_mix_corpus_gate,
         # streaming execution surfaced to the driver
         "events_window_stream": q_events_window_stream,
         "stateful_dedup_stream": q_stateful_dedup_stream,
@@ -2144,6 +2194,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_gate": _SQL_ANN_GATE,
         "ann_ivf_gate": _SQL_ANN_GATE,
         "split_assign_gate": _SQL_SPLIT_ASSIGN_GATE,
+        "mix_corpus_gate": _SQL_MIX_CORPUS_GATE,
         "events_window_stream": _SQL_EVENTS_WINDOW,
         "stateful_dedup_stream": _SQL_STATEFUL_DEDUP_STREAM,
         "chunk_text": _SQL_CHUNK_TEXT,

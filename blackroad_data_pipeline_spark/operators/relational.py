@@ -575,6 +575,47 @@ def op_split_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.withColumn(config.get("as", "split"), out)
 
 
+@register("mix_corpus")
+def op_mix_corpus(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Deterministic corpus mixing: keep each stratum (source,
+    language, ...) at a target rate via content-hash bucketing — the
+    training-mixture rebalance step ("downsample web crawl to 30%,
+    keep all code"). Same machinery as split_assign, so the mixture is
+    reproducible across reruns, repartitioning, and incremental
+    appends (a seeded Bernoulli sample is not: row membership moves
+    with partitioning). A salted hash decorrelates the keep decision
+    from any split_assign on the same key columns — otherwise
+    "train" rows would be kept preferentially. No shuffle — a filter
+    the scan pipeline absorbs.
+
+    config: ``by`` stratum column, ``rates`` {stratum value: keep
+    rate in [0,1]}, ``on`` hash key columns, ``default_rate`` for
+    unlisted strata (default 1.0), ``salt``/``buckets`` as
+    split_assign.
+    """
+    by = config["by"]
+    on = [F.col(c) for c in config["on"]]
+    rates = {str(k): float(v) for k, v in config["rates"].items()}
+    default_rate = float(config.get("default_rate", 1.0))
+    buckets = int(config.get("buckets", 1_000_000))
+    salt = str(config.get("salt", "mix"))
+    for name, rate in [*rates.items(), ("default_rate", default_rate)]:
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"keep rate for {name!r} must be in [0,1], "
+                             f"got {rate}")
+    h = F.pmod(F.xxhash64(*on, F.lit(salt)), F.lit(buckets))
+    threshold = None
+    stratum = F.col(by).cast("string")
+    for value, rate in rates.items():
+        lit = F.lit(int(round(rate * buckets)))
+        threshold = (F.when(stratum == value, lit) if threshold is None
+                     else threshold.when(stratum == value, lit))
+    default_lit = F.lit(int(round(default_rate * buckets)))
+    threshold = (default_lit if threshold is None
+                 else threshold.otherwise(default_lit))
+    return df.filter(h < threshold)
+
+
 # --------------------------------------------------------------------------
 # window — absent from the reference (SURVEY.md §2.5); first-class here
 # --------------------------------------------------------------------------

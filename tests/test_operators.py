@@ -334,6 +334,37 @@ def test_split_assign_appends_stable(spark):
     assert all(b[k] == v for k, v in a.items())
 
 
+def test_mix_corpus_rates_and_stability(spark):
+    import pyspark.sql.functions as F
+
+    df = (spark.range(0, 3000).withColumnRenamed("id", "k")
+          .withColumn("grp", F.when(F.col("k") % 3 == 0, "web")
+                      .when(F.col("k") % 3 == 1, "code")
+                      .otherwise("books")))
+    cfg = {"by": "grp", "on": ["k"],
+           "rates": {"web": 0.3, "code": 1.0}, "default_rate": 0.0}
+    out = op("mix_corpus", df, cfg)
+    counts = {r["grp"]: r["count"]
+              for r in out.groupBy("grp").count().collect()}
+    assert counts["code"] == 1000            # rate 1.0 keeps everything
+    assert "books" not in counts             # default_rate 0.0 drops stratum
+    assert 200 < counts["web"] < 400         # ~30%
+    # keep set is partition-invariant and append-stable
+    a = {r["k"] for r in out.select("k").collect()}
+    b = {r["k"] for r in
+         op("mix_corpus", df.repartition(13), cfg).select("k").collect()}
+    assert a == b
+    small = {r["k"] for r in
+             op("mix_corpus", df.filter("k < 1000"), cfg).select("k").collect()}
+    assert small == {k for k in a if k < 1000}
+
+
+def test_mix_corpus_rejects_bad_rate(spark):
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="keep rate"):
+        op("mix_corpus", df, {"by": "k", "on": ["k"], "rates": {"0": 1.5}})
+
+
 def test_profile_single_pass(spark):
     df = spark.createDataFrame(
         [(1, None, "x"), (2, 5.0, "y"), (2, 7.5, None)],
