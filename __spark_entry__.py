@@ -1226,6 +1226,25 @@ SELECT CAST(0 AS BIGINT) AS n_mismatch,
 """
 
 
+def q_shuffle_rows(spark, sf_dir):
+    """Reproducible corpus shuffle: the exported md5 shuffle key IS
+    the ordering (any consumer sorts by it), so value-checking the
+    key against DuckDB's md5 proves the permutation — no row-order
+    hashing needed."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("shuffle_rows", d, {"on": ["doc_id"], "salt": "epoch0",
+                                "as": "shuffle_key"})
+    return op("select", df, {"fields": ["doc_id", "shuffle_key"]})
+
+
+_SQL_SHUFFLE_ROWS = """
+SELECT doc_id,
+       md5('epoch0' || chr(31) || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key
+"""
+
+
 def q_mix_corpus_gate(spark, sf_dir):
     """mix_corpus's contract: the keep set is partition-invariant
     (n_mismatch = 0 under an adversarial repartition), a rate-1.0
@@ -2114,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_gate": q_ann_ivf_gate,
         "split_assign_gate": q_split_assign_gate,
         "mix_corpus_gate": q_mix_corpus_gate,
+        "shuffle_rows": q_shuffle_rows,
         # streaming execution surfaced to the driver
         "events_window_stream": q_events_window_stream,
         "stateful_dedup_stream": q_stateful_dedup_stream,
@@ -2195,6 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_gate": _SQL_ANN_GATE,
         "split_assign_gate": _SQL_SPLIT_ASSIGN_GATE,
         "mix_corpus_gate": _SQL_MIX_CORPUS_GATE,
+        "shuffle_rows": _SQL_SHUFFLE_ROWS,
         "events_window_stream": _SQL_EVENTS_WINDOW,
         "stateful_dedup_stream": _SQL_STATEFUL_DEDUP_STREAM,
         "chunk_text": _SQL_CHUNK_TEXT,

@@ -575,6 +575,30 @@ def op_split_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.withColumn(config.get("as", "split"), out)
 
 
+@register("shuffle_rows")
+def op_shuffle_rows(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Reproducible global shuffle — the training-order randomization
+    step. Rows order by md5(salt <unit-sep> key columns): md5, not
+    xxhash64, so the permutation is identical in any engine and any
+    run; vary ``salt`` per epoch for fresh orders. At scale this is a
+    total sort, and Spark range-partitions on sampled key boundaries —
+    the md5 keyspace is uniform, so the output stages are balanced
+    with no single-task sort (unlike ordering by a skewed natural
+    key). Duplicate ``on`` keys tie-break by the key columns so the
+    full order stays deterministic. ``as`` keeps the shuffle key as a
+    column (consumers re-sorting shards locally need it).
+    """
+    on = config["on"]
+    salt = str(config.get("salt", "epoch0"))
+    key = F.md5(F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in on]))
+    out_col = config.get("as")
+    if out_col:
+        df = df.withColumn(out_col, key)
+        return df.orderBy(F.col(out_col), *[F.col(c) for c in on])
+    return df.orderBy(key, *[F.col(c) for c in on])
+
+
 @register("mix_corpus")
 def op_mix_corpus(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Deterministic corpus mixing: keep each stratum (source,

@@ -334,6 +334,25 @@ def test_split_assign_appends_stable(spark):
     assert all(b[k] == v for k, v in a.items())
 
 
+def test_shuffle_rows_reproducible_order(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    cfg = {"on": ["k"], "salt": "epoch0", "as": "skey"}
+    rows = op("shuffle_rows", df, cfg).collect()
+    # the realized row order IS the key order
+    keys = [r["skey"] for r in rows]
+    assert keys == sorted(keys)
+    # the permutation actually shuffles and is repartition-invariant
+    order_a = [r["k"] for r in rows]
+    assert order_a != sorted(order_a)
+    order_b = [r["k"] for r in
+               op("shuffle_rows", df.repartition(13), cfg).collect()]
+    assert order_a == order_b
+    # a different epoch salt yields a different permutation
+    order_c = [r["k"] for r in
+               op("shuffle_rows", df, {"on": ["k"], "salt": "epoch1"}).collect()]
+    assert order_c != order_a
+
+
 def test_mix_corpus_rates_and_stability(spark):
     import pyspark.sql.functions as F
 
