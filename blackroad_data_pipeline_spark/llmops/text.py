@@ -22,18 +22,32 @@ def tokens_col(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != F.lit(""))
 
 
-def kgrams_col(col: Column, k: int) -> Column:
-    """All k-token shingles of a text column, duplicates kept, in
-    document order; NULL text tokenizes as empty. Empty array when the
-    document has fewer than k tokens. The distinct-shingle variant for
-    dedup candidate generation (shingles_col in llmops/dedup.py) is a
-    thin wrapper over this."""
-    toks = tokens_col(F.coalesce(col, F.lit("")))
+def kgrams_from_tokens(toks: Column, k: int) -> Column:
+    """All k-token shingles from a token array, duplicates kept, in
+    document order; empty array below k tokens.
+
+    PERF: expressions inside a higher-order-function lambda body are
+    re-evaluated PER ELEMENT (no subexpression sharing with the outer
+    row) — so ``toks`` should be a materialized attribute (stage the
+    token array with .select/.withColumn first), not the tokenization
+    expression itself; passing `tokens_col(...)` directly makes each
+    gram re-split the document: O(tokens²) per doc (measured 8×
+    slower on repetition_stats at sf0.1)."""
     n = F.size(toks)
     return F.when(n >= k, F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
     )).otherwise(F.array().cast("array<string>"))
+
+
+def kgrams_col(col: Column, k: int) -> Column:
+    """All k-token shingles of a text column, duplicates kept, in
+    document order; NULL text tokenizes as empty. Empty array when the
+    document has fewer than k tokens. The distinct-shingle variant for
+    dedup candidate generation (shingles_col in llmops/dedup.py) is a
+    thin wrapper over this. See kgrams_from_tokens for the per-element
+    re-evaluation caveat on hot paths."""
+    return kgrams_from_tokens(tokens_col(F.coalesce(col, F.lit(""))), k)
 
 
 # A "BPE-ish" word/number/punctuation segmentation for token counting —
@@ -326,9 +340,18 @@ def op_repetition_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
     # NULL text behaves like the empty string (one empty line, zero
     # tokens) so no document ever drops out of the signal table
     col = F.coalesce(F.col(field), F.lit(""))
-    lines = F.split(col, "\n")
-    toks = tokens_col(col)
-    grams = kgrams_col(col, 2)
+    # stage the arrays as attributes FIRST: lambda bodies re-evaluate
+    # outer expressions per element, so building grams straight off
+    # tokens_col(...) would re-split the text once per gram (O(n²)
+    # per doc — measured 8× on this operator). CollapseProject keeps
+    # the stage because inlining would duplicate non-trivial exprs.
+    staged = df.select(
+        F.col(id_field),
+        F.split(col, "\n").alias("__lines"),
+        tokens_col(col).alias("__toks"),
+    )
+    lines = F.col("__lines")
+    grams = kgrams_from_tokens(F.col("__toks"), 2)
     units = F.concat(
         F.transform(lines, lambda x: F.struct(
             F.lit("line").alias("kind"), x.alias("val"))),
@@ -337,11 +360,11 @@ def op_repetition_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
     )
     scalar_cols = ["n_lines", "n_distinct_lines", "n_tokens"]
     exploded = (
-        df.select(
+        staged.select(
             F.col(id_field),
             F.size(lines).alias("n_lines"),
             F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
-            F.size(toks).alias("n_tokens"),
+            F.size(F.col("__toks")).alias("n_tokens"),
             # lines is never empty (split yields [""] for empty text),
             # so explode never drops a document
             F.explode(units).alias("__u"),
