@@ -2049,6 +2049,138 @@ FROM m ORDER BY order_month
 """
 
 
+def q_dedup_against(spark, sf_dir):
+    """Incremental corpus dedup: odd-doc_id batch anti-joined against
+    the even-doc_id history on the normalized-content fingerprint,
+    then deduped within the batch — the continuous-crawl ingestion
+    contract (llmops/dedup.py op_dedup_against)."""
+    d = _t(spark, sf_dir, "documents")
+    history = op("filter", op("expr", d, {"exprs": {"par": "doc_id % 2"}}),
+                 {"field": "par", "op": "eq", "value": 0})
+    batch = op("filter", op("expr", d, {"exprs": {"par": "doc_id % 2"}}),
+               {"field": "par", "op": "eq", "value": 1})
+    df = op("dedup_against", batch,
+            {"field": "text", "id_field": "doc_id", "history": history,
+             "broadcast": True}, views={})
+    return op("select", df, {"fields": ["doc_id", "lang", "source"]})
+
+
+_SQL_DEDUP_AGAINST = """
+WITH fp AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+batch AS (
+  SELECT * FROM fp WHERE doc_id % 2 = 1
+  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0))
+SELECT doc_id, lang, source FROM batch
+WHERE doc_id IN (SELECT min(doc_id) FROM batch GROUP BY fp)
+"""
+
+
+def q_cap_per_group(spark, sf_dir):
+    """Per-source document cap (anti-monoculture guard): at most 10
+    docs per (lang, source), selected by the stable md5-hash order so
+    the kept set is an unbiased reproducible sample
+    (operators/relational.py op_cap_per_group)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("cap_per_group", d, {"partition_by": ["lang", "source"],
+                                 "n": 10, "id_field": "doc_id",
+                                 "salt": "r2"})
+    return op("select", df, {"fields": ["doc_id", "lang", "source"]})
+
+
+_SQL_CAP_PER_GROUP = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || chr(31) || 'r2')) AS rn
+  FROM documents)
+WHERE rn <= 10
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """Fixed-width price histogram over lineitem: 22 × 5000-wide bins,
+    values clamped into the edge bins — O(bins) output no matter the
+    input size (operators/relational.py op_histogram)."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = op("histogram", li, {"field": "l_extendedprice", "lo": 0.0,
+                              "hi": 110000.0, "n_bins": 22})
+    return op("sort", df, {"fields": ["bin"]})
+
+
+_SQL_HISTOGRAM = """
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                                   / 5000.0) AS BIGINT), 0), 21) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+SELECT bin, 0.0 + bin * 5000.0 AS bin_start, COUNT(*) AS n
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def q_clean_lines(spark, sf_dir):
+    """C4-style line cleaning: the fixture corpus is single-line, so a
+    deterministic pre-step breaks it at ' a ' separators; then lines
+    under 6 words or containing 'customer' are dropped and docs left
+    under 20 words are removed (llmops/text.py op_clean_lines)."""
+    d = _t(spark, sf_dir, "documents")
+    d = op("expr", d, {"exprs": {"lined": "replace(text, ' a ', '\n')"}})
+    df = op("clean_lines", d, {"field": "lined", "as": "text", "min_words": 6,
+                               "min_doc_words": 20,
+                               "blacklist": ["customer"]})
+    return op("select", df, {"fields": ["doc_id", "text"]})
+
+
+_SQL_CLEAN_LINES = """
+WITH d AS (
+  SELECT doc_id, replace(text, ' a ', chr(10)) AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         array_to_string(list_filter(
+           list_transform(string_split(t, chr(10)), x -> trim(x)),
+           x -> len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                y -> y <> '')) >= 6
+                AND NOT contains(lower(x), 'customer')), chr(10)) AS text
+  FROM d)
+SELECT doc_id, text FROM c
+WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      y -> y <> '')) >= 20
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality signal (llmops/text.py op_unigram_logprob).
+    The oracle compares the EXACT integer columns (n_tokens,
+    sum_corpus_count — the full explode→count→join→agg path); the
+    float mean_logprob is ln()-based and engine-libm-dependent, so it
+    is dropped here and value-checked in pytest against a Python
+    model."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("unigram_logprob", d, {"field": "text", "id_field": "doc_id"})
+    return op("select", df, {"fields": ["doc_id", "n_tokens",
+                                        "sum_corpus_count"]})
+
+
+_SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKS_LOWER}) AS token FROM documents),
+vocab AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY token)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.sum_corpus_count, 0) AS sum_corpus_count
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN (
+  SELECT toks.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(vocab.c) AS BIGINT) AS sum_corpus_count
+  FROM toks JOIN vocab USING (token)
+  GROUP BY toks.doc_id) s USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2147,6 +2279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "sample_gate": q_sample_gate,
         "corpus_prep": q_corpus_prep,
+        "dedup_against": q_dedup_against,
+        "cap_per_group": q_cap_per_group,
+        "histogram": q_histogram,
+        "clean_lines": q_clean_lines,
+        "unigram_logprob": q_unigram_logprob,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2227,6 +2364,11 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "sample_gate": _SQL_SAMPLE_GATE,
         "corpus_prep": _SQL_CORPUS_PREP,
+        "dedup_against": _SQL_DEDUP_AGAINST,
+        "cap_per_group": _SQL_CAP_PER_GROUP,
+        "histogram": _SQL_HISTOGRAM,
+        "clean_lines": _SQL_CLEAN_LINES,
+        "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,

@@ -648,3 +648,50 @@ def op_contamination_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+@register("dedup_against")
+def op_dedup_against(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Incremental corpus dedup: drop rows whose normalized-content
+    fingerprint already exists in a HISTORY table — the "don't
+    re-ingest what the corpus already holds" step of a continuously
+    crawling training pipeline. The reference has no incremental
+    notion at all (its run_pipeline re-reads everything,
+    main.py:437-442); this is the Spark-native replacement.
+
+    Shape: fingerprint both sides with the same normalization as
+    ``dedup_exact`` and LEFT ANTI join on the fingerprint. An anti
+    join is the cheapest possible contract at scale — it shuffles only
+    the two fingerprint columns (narrow projection on the history
+    side), streams map-side under AQE when the history fingerprint set
+    is broadcastable, and never materializes matches. History can be a
+    raw corpus (``history_field``, fingerprinted on the fly) or a
+    precomputed fingerprint store (``history_is_fingerprint: true`` —
+    the 100 TB path: keep a narrow md5 table instead of re-reading old
+    text). Optionally also dedups WITHIN the batch (``within_batch``,
+    default true) so the output is ingestible as-is.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    history = config["history"]
+    if isinstance(history, str):
+        history = views[history]
+
+    def fingerprint(col: Column) -> Column:
+        return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+    if config.get("history_is_fingerprint"):
+        h_fp = history.select(
+            F.col(config.get("history_field", "fp")).alias("__fp"))
+    else:
+        h_field = config.get("history_field", field)
+        h_fp = history.select(fingerprint(F.col(h_field)).alias("__fp"))
+    out = df.withColumn("__fp", fingerprint(F.col(field)))
+    if config.get("broadcast"):
+        h_fp = F.broadcast(h_fp)
+    out = out.join(h_fp, "__fp", "left_anti")
+    if config.get("within_batch", True):
+        keep = (out.groupBy("__fp").agg(F.min(id_field).alias(id_field))
+                .drop("__fp"))
+        out = out.join(keep, id_field, "left_semi")
+    return out.drop("__fp")

@@ -443,3 +443,96 @@ def op_pack_sequences(df: DataFrame, config: Mapping, views) -> DataFrame:
                                 F.floor(cum_before / seq_tokens).cast("string")))
         .withColumnRenamed("__n_tok", "n_tokens")
     )
+
+
+@register("clean_lines")
+def op_clean_lines(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """C4-style line-level cleaning: split the document on newlines,
+    trim each line, keep only lines that (a) have at least
+    ``min_words`` whitespace-separated words, (b) end in terminal
+    punctuation when ``require_terminal: true``, and (c) contain none
+    of the ``blacklist`` substrings (case-insensitive); reassemble
+    with newlines and drop documents left with fewer than
+    ``min_doc_words`` words. This is the boilerplate-stripping pass
+    (nav menus, cookie banners, one-word lines) every web-corpus
+    pipeline runs before dedup.
+
+    All higher-order array functions on the JVM — no shuffle, no
+    Python; scales as a pure map. Word counting matches tokens_col
+    (trimmed whitespace split) so cleaned docs compose with
+    token_count/quality_score stats.
+    """
+    field = config.get("field", "text")
+    out_field = config.get("as", field)
+    min_words = int(config.get("min_words", 3))
+    min_doc_words = int(config.get("min_doc_words", 5))
+    blacklist = [s.lower() for s in config.get("blacklist", [])]
+    require_terminal = bool(config.get("require_terminal", False))
+
+    def line_ok(line: Column) -> Column:
+        ok = F.size(tokens_col(line)) >= min_words
+        if require_terminal:
+            ok = ok & line.rlike(r"[.!?]$")
+        for s in blacklist:
+            ok = ok & ~F.contains(F.lower(line), F.lit(s))
+        return ok
+
+    lines = F.transform(F.split(F.coalesce(F.col(field), F.lit("")), "\n"),
+                        lambda x: F.trim(x))
+    cleaned = F.array_join(F.filter(lines, line_ok), "\n")
+    out = df.withColumn(out_field, cleaned)
+    return out.filter(F.size(tokens_col(F.col(out_field))) >= min_doc_words)
+
+
+@register("unigram_logprob")
+def op_unigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    add-k-smoothed unigram distribution — the cheap LM-quality signal
+    (perplexity proxy) used to drop gibberish/boilerplate before the
+    expensive model-based filters: ln p(tok) = ln((c_tok + k) /
+    (T + k·V)), doc score = mean over token occurrences.
+
+    Shape at scale: (1) corpus token counts — word-count, map-side
+    partial agg, one shuffle keyed by token; (2) the two scalars T and
+    V — a bounded driver collect of one row; (3) exploded tokens joined
+    back to the vocab. The vocab is sublinear in the corpus (~100M
+    rows at web scale) so it BROADCASTS by default; set ``broadcast:
+    false`` to fall back to a shuffled join — then stopword keys are
+    the skew hazard, which AQE skew-join splitting absorbs. The
+    per-doc mean is an ordinary groupBy(doc_id) partial agg.
+
+    Output: id, n_tokens (long), mean_logprob (double; NULL for empty
+    docs). Exact cross-engine float parity of ln() is NOT guaranteed
+    (libm differences) — oracle checks compare the integer columns,
+    pytest checks the float against a Python model.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = float(config.get("smoothing_k", 1.0))
+    lower = bool(config.get("lowercase", True))
+    tok_expr = tokens_col(F.lower(F.col(field)) if lower else F.col(field))
+
+    toks = df.select(F.col(id_field), F.explode(tok_expr).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    tv = vocab.agg(F.sum("__c").alias("t"), F.count(F.lit(1)).alias("v")).first()
+    denom = float(tv["t"] or 0) + k * float(tv["v"] or 0)
+    if config.get("broadcast", True):
+        vocab = F.broadcast(vocab)
+    scored = toks.join(vocab, "token")
+    out = (
+        scored.groupBy(id_field)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             # exact integer twin of the float score: the sum of corpus
+             # counts over the doc's occurrences — what an external
+             # engine can reproduce bit-for-bit to audit the join+agg
+             F.sum("__c").alias("sum_corpus_count"),
+             F.avg(F.log((F.col("__c") + F.lit(k)) / F.lit(denom)))
+             .alias("mean_logprob"))
+    )
+    # empty docs produce no exploded rows — restore them with NULL score
+    return (
+        df.select(id_field).distinct()
+        .join(out, id_field, "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .withColumn("sum_corpus_count", F.coalesce("sum_corpus_count", F.lit(0)))
+    )

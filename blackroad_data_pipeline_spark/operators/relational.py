@@ -729,3 +729,80 @@ def op_topk_per_group(df: DataFrame, config: Mapping, views) -> DataFrame:
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+@register("cap_per_group")
+def op_cap_per_group(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Cap rows per group — "at most N documents per domain/source",
+    the standard anti-monoculture guard when assembling a training
+    corpus (a handful of mega-domains otherwise dominate the mix).
+
+    Same WindowGroupLimit top-k physical shape as ``topk_per_group``
+    (partial per-partition limit BEFORE the shuffle — each map task
+    forwards at most N rows per group it sees, so a 10M-row spam
+    domain costs its partition count × N rows of shuffle, not 10M).
+
+    Ordering: explicit ``order_by`` keeps the "best" N (e.g. by
+    quality score); the default ``order: hash`` keeps a STABLE UNBIASED
+    sample — rows ordered by md5(id, salt), so the kept set is
+    reproducible across runs/partitionings and uncorrelated with
+    crawl order. md5 (not xxhash64) so an external system — or the
+    DuckDB oracle — can reproduce the exact selection.
+    """
+    keys = list(config["partition_by"])
+    n = int(config["n"])
+    if config.get("order_by"):
+        cols = [F.col(c).desc() if config.get("descending") else F.col(c)
+                for c in config["order_by"]]
+    else:
+        id_field = config.get("id_field", "doc_id")
+        salt = str(config.get("salt", ""))
+        cols = [F.md5(F.concat_ws("\x1f", F.col(id_field).cast("string"),
+                                  F.lit(salt)))]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+@register("histogram")
+def op_histogram(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Fixed-width histogram of a numeric column: ``n_bins`` equal
+    bins over [lo, hi). One narrow shuffle of at most n_bins rows
+    after map-side partial aggregation — the profiling primitive that
+    stays O(bins) no matter the input size (vs collecting values).
+
+    ``lo``/``hi`` default to the column min/max computed in a first
+    pass (fine interactively; pass explicit bounds in a pipeline to
+    keep it single-pass). Values outside [lo, hi] clamp into the edge
+    bins when ``clamp: true`` (default) else are dropped. Bin index
+    arithmetic is plain double ops (floor((x-lo)/width)) so any engine
+    reproduces the exact binning.
+    """
+    field = config["field"]
+    n_bins = int(config.get("n_bins", 20))
+    lo, hi = config.get("lo"), config.get("hi")
+    if lo is None or hi is None:
+        row = df.agg(F.min(field).alias("lo"), F.max(field).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else float(lo)
+        hi = float(row["hi"]) if hi is None else float(hi)
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / n_bins
+    col = F.col(field).cast("double")
+    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("long")
+    if config.get("clamp", True):
+        idx = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+        out = df.filter(col.isNotNull())
+    else:
+        idx = raw
+        out = df.filter(col.isNotNull() & (raw >= 0) & (raw < n_bins))
+    return (
+        out.select(idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin",
+                (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_start"),
+                "n")
+    )

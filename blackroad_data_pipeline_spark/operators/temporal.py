@@ -21,6 +21,16 @@ def _resolve(right, views):
     return views[right] if isinstance(right, str) else right
 
 
+def epoch_seconds(col: F.Column) -> F.Column:
+    """Event-time column -> epoch seconds (long), tolerant of
+    TIMESTAMP_NTZ inputs: NTZ has no instant semantics so Spark refuses
+    a direct long cast; routing through TimestampType interprets the
+    wall-clock in the session timezone (pinned UTC at our ingestion
+    seams), which is the only consistent reading. Plain timestamps and
+    numeric columns pass through unchanged (cast is a no-op/identity)."""
+    return col.cast("timestamp").cast("long")
+
+
 @register("asof_join")
 def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """As-of join: for each left row, attach the most recent right row
@@ -101,7 +111,7 @@ def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
 
     tol = config.get("tolerance_seconds")
     if tol is not None:
-        lead = F.col("__ts").cast("long") - F.col("__m.__rts").cast("long")
+        lead = epoch_seconds(F.col("__ts")) - epoch_seconds(F.col("__m.__rts"))
         age = lead if backward else -lead
         out = out.withColumn(
             "__m", F.when(age <= int(tol), F.col("__m")))
@@ -139,11 +149,11 @@ def op_range_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     bw = int(config.get("bucket_seconds", 3600))
     prefix = config.get("prefix", "r_")
 
-    lb = F.floor(F.col(lts).cast("long") / bw)
+    lb = F.floor(epoch_seconds(F.col(lts)) / bw)
     left = df.withColumn("__b", lb)
 
-    rb_lo = F.floor(F.col(start).cast("long") / bw)
-    rb_hi = F.floor(F.col(end).cast("long") / bw)
+    rb_lo = F.floor(epoch_seconds(F.col(start)) / bw)
+    rb_hi = F.floor(epoch_seconds(F.col(end)) / bw)
     right = right_df.select(
         *[F.col(c).alias(f"{prefix}{c}") for c in right_df.columns],
         F.explode(F.sequence(rb_lo, rb_hi)).alias("__b"),
@@ -152,8 +162,8 @@ def op_range_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     joined = left.join(right, [*[
         left[k] == right[f"{prefix}{k}"] for k in by
     ], left["__b"] == right["__b"]] if by else [left["__b"] == right["__b"]])
-    pt = F.col(lts).cast("long")
-    lo = F.col(f"{prefix}{start}").cast("long")
-    hi = F.col(f"{prefix}{end}").cast("long")
+    pt = epoch_seconds(F.col(lts))
+    lo = epoch_seconds(F.col(f"{prefix}{start}"))
+    hi = epoch_seconds(F.col(f"{prefix}{end}"))
     contained = (pt >= lo) & (pt <= hi if config.get("end_inclusive") else pt < hi)
     return joined.filter(contained).drop("__b")

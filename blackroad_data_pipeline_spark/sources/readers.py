@@ -40,14 +40,25 @@ def read_source(spark: SparkSession, source_type: str, config: Mapping) -> DataF
 
 
 def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
-    """Convert an epoch-nanoseconds long column (how we ingest parquet
-    TIMESTAMP(NANOS) under spark.sql.legacy.parquet.nanosAsLong) to a
-    microsecond TimestampType. Integer `div` — a double round-trip
-    would lose precision at epoch-ns magnitude (~1.7e18 > 2^53)."""
+    """Normalize an event-time column to session-TZ TimestampType.
+
+    Handles both parquet encodings the fixture generator has produced:
+    - epoch-nanoseconds long (TIMESTAMP(NANOS) read under
+      spark.sql.legacy.parquet.nanosAsLong): integer `div` — a double
+      round-trip would lose precision at epoch-ns magnitude
+      (~1.7e18 > 2^53).
+    - TIMESTAMP_NTZ (isAdjustedToUTC=false micros): cast to TimestampType;
+      the session timezone is pinned to UTC everywhere we read fixtures,
+      so the wall-clock value is preserved and downstream epoch casts
+      (`cast(ts as bigint)` = epoch seconds) resolve.
+    """
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get(col) == "bigint":
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -100,7 +100,8 @@ def op_sessionize(df: DataFrame, config: Mapping, views) -> DataFrame:
     # deterministic when timestamps collide
     order_cols = [ts, *config.get("tiebreak", [])]
     w = Window.partitionBy(key).orderBy(*order_cols)
-    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    from ..operators.temporal import epoch_seconds
+    gap = epoch_seconds(F.col(ts)) - F.lag(epoch_seconds(F.col(ts))).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
     return (
         df.withColumn("__new", is_new)

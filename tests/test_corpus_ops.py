@@ -1,0 +1,204 @@
+"""Value tests for the round-2 corpus-curation operators
+(dedup_against, cap_per_group, histogram, clean_lines) and the
+TIMESTAMP_NTZ event-time regression (the driver fixtures moved from
+parquet TIMESTAMP(NANOS) to TIMESTAMP(MICROS, isAdjustedToUTC=false),
+which Spark reads as timestamp_ntz)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[col] for r in df.collect())
+
+
+# -- dedup_against ---------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_against_drops_history_matches(spark):
+    history = _docs(spark, [(1, "the cat sat"), (2, "old news")])
+    batch = _docs(spark, [(10, "THE  cat   sat"),  # normalizes to history #1
+                          (11, "fresh content"),
+                          (12, "fresh  CONTENT"),  # dup of 11 within batch
+                          (13, "other")])
+    out = op("dedup_against", batch,
+             {"field": "text", "history": history}, views={})
+    assert _ids(out) == [11, 13]
+
+
+def test_dedup_against_fingerprint_store(spark):
+    """The 100 TB path: history is a narrow md5 table, not re-read text."""
+    history = _docs(spark, [(1, "the cat sat")])
+    fps = history.select(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"))
+    batch = _docs(spark, [(10, "the cat sat"), (11, "new")])
+    out = op("dedup_against", batch,
+             {"field": "text", "history": fps,
+              "history_is_fingerprint": True}, views={})
+    assert _ids(out) == [11]
+
+
+def test_dedup_against_keeps_batch_dups_when_disabled(spark):
+    history = _docs(spark, [(1, "x")])
+    batch = _docs(spark, [(10, "same"), (11, "same")])
+    out = op("dedup_against", batch,
+             {"field": "text", "history": history, "within_batch": False},
+             views={})
+    assert _ids(out) == [10, 11]
+
+
+# -- cap_per_group ---------------------------------------------------------
+
+
+def test_cap_per_group_caps_and_is_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 20 else "small") for i in range(26)],
+        ["doc_id", "source"])
+    cfg = {"partition_by": ["source"], "n": 5, "id_field": "doc_id",
+           "salt": "s1"}
+    a = _ids(op("cap_per_group", df, cfg))
+    b = _ids(op("cap_per_group", df.repartition(7), cfg))
+    assert a == b  # md5-hash order is stable under repartitioning
+    counts = (op("cap_per_group", df, cfg).groupBy("source").count().collect())
+    assert {r["source"]: r["count"] for r in counts} == {"big": 5, "small": 5}
+
+
+def test_cap_per_group_order_by_keeps_best(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.7)],
+        ["doc_id", "source", "score"])
+    out = op("cap_per_group", df,
+             {"partition_by": ["source"], "n": 2, "order_by": ["score"],
+              "descending": True})
+    assert _ids(out) == [1, 3]
+
+
+def test_cap_per_group_salt_changes_selection(spark):
+    df = spark.createDataFrame([(i, "g") for i in range(50)],
+                               ["doc_id", "source"])
+    base = {"partition_by": ["source"], "n": 10, "id_field": "doc_id"}
+    a = _ids(op("cap_per_group", df, {**base, "salt": "s1"}))
+    b = _ids(op("cap_per_group", df, {**base, "salt": "s2"}))
+    assert len(a) == len(b) == 10 and a != b
+
+
+# -- histogram -------------------------------------------------------------
+
+
+def test_histogram_clamp_and_drop(spark):
+    df = spark.createDataFrame([(float(v),) for v in [-1, 0, 1, 5, 9, 10, 99]],
+                               ["x"])
+    clamped = {r["bin"]: r["n"] for r in op(
+        "histogram", df, {"field": "x", "lo": 0, "hi": 10, "n_bins": 2}
+    ).collect()}
+    assert clamped == {0: 3, 1: 4}  # -1 clamps into bin 0; 10, 99 into bin 1
+    dropped = {r["bin"]: r["n"] for r in op(
+        "histogram", df,
+        {"field": "x", "lo": 0, "hi": 10, "n_bins": 2, "clamp": False}
+    ).collect()}
+    assert dropped == {0: 2, 1: 2}  # -1, 10, 99 fall outside [0, 10)
+
+
+def test_histogram_auto_bounds_and_bin_start(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], ["x"])
+    rows = {r["bin"]: (r["bin_start"], r["n"]) for r in op(
+        "histogram", df, {"field": "x", "n_bins": 2}).collect()}
+    # hi=max clamps the max value into the top bin
+    assert rows == {0: (0.0, 1), 1: (5.0, 2)}
+
+
+# -- clean_lines -----------------------------------------------------------
+
+
+def test_clean_lines_filters_and_reassembles(spark):
+    text = "one two three four\nshort\nBuy now cheap pills here\nfive six seven eight"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = op("clean_lines", df,
+             {"field": "text", "min_words": 4, "min_doc_words": 4,
+              "blacklist": ["cheap pills"]}).collect()
+    assert out[0]["text"] == "one two three four\nfive six seven eight"
+
+
+def test_clean_lines_terminal_punct_and_doc_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "a proper sentence ends here.\nno terminal punct line"),
+         (2, "too short now.")],
+        ["doc_id", "text"])
+    out = op("clean_lines", df,
+             {"field": "text", "min_words": 3, "min_doc_words": 5,
+              "require_terminal": True})
+    assert out.count() == 1
+    assert out.collect()[0]["text"] == "a proper sentence ends here."
+
+
+def test_clean_lines_null_text_dropped(spark):
+    df = spark.createDataFrame([(1, None), (2, "w1 w2 w3 w4 w5 w6")],
+                               ["doc_id", "text"])
+    out = op("clean_lines", df, {"field": "text", "min_words": 2,
+                                 "min_doc_words": 2})
+    assert _ids(out) == [2]
+
+
+# -- TIMESTAMP_NTZ event-time regression -----------------------------------
+
+
+def _ntz_events(spark):
+    df = spark.createDataFrame(
+        [(1, 100, 1), (2, 500, 1), (3, 5000, 1)], ["event_id", "sec", "user_id"])
+    return df.withColumn(
+        "ts", F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz")).drop("sec")
+
+
+def test_sessionize_accepts_ntz(spark):
+    out = op("sessionize", _ntz_events(spark),
+             {"ts_field": "ts", "key": "user_id", "gap_seconds": 600,
+              "tiebreak": ["event_id"]})
+    sessions = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert sessions[1] == sessions[2] != sessions[3]
+
+
+def test_range_join_accepts_ntz(spark):
+    left = _ntz_events(spark)
+    right = (_ntz_events(spark)
+             .select(F.col("user_id"), F.col("event_id").alias("win_id"),
+                     F.col("ts").alias("w_start"),
+                     (F.col("ts") + F.expr("INTERVAL 700 SECONDS")).alias("w_end")))
+    out = op("range_join", left,
+             {"right": right, "by": ["user_id"], "left_ts": "ts",
+              "start_field": "w_start", "end_field": "w_end",
+              "bucket_seconds": 600}, views={})
+    pairs = {(r["event_id"], r["r_win_id"]) for r in out.collect()}
+    # [start, end) is half-open: event 2 (t=500) is in win 1 [100, 800)
+    # and at the exact start of win 2 [500, 1200)
+    assert pairs == {(1, 1), (2, 1), (2, 2), (3, 3)}
+
+
+# -- unigram_logprob -------------------------------------------------------
+
+
+def test_unigram_logprob_matches_python_model(spark):
+    import math
+
+    docs = [(1, "a a b"), (2, "b c"), (3, None)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in op(
+        "unigram_logprob", df,
+        {"field": "text", "id_field": "doc_id", "smoothing_k": 1.0}
+    ).collect()}
+
+    # python model: counts a=2 b=2 c=1, T=5, V=3, denom=T+k*V=8
+    def lp(c):
+        return math.log((c + 1.0) / 8.0)
+
+    assert out[1]["n_tokens"] == 3 and out[1]["sum_corpus_count"] == 6
+    assert abs(out[1]["mean_logprob"] - (2 * lp(2) + lp(2)) / 3) < 1e-12
+    assert out[2]["n_tokens"] == 2 and out[2]["sum_corpus_count"] == 3
+    assert abs(out[2]["mean_logprob"] - (lp(2) + lp(1)) / 2) < 1e-12
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_logprob"] is None
