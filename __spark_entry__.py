@@ -2181,6 +2181,38 @@ LEFT JOIN (
 """
 
 
+def q_stream_join(spark, sf_dir):
+    """Interval (stream-stream-shaped) join: purchases within 30 min
+    AFTER each click, per user (streaming/ops.py op_stream_join). The
+    driver runs the batch execution; tests/test_streaming.py proves
+    the identical config produces the same rows as a real
+    watermarked stream-stream join."""
+    e = _t(spark, sf_dir, "events")
+    clicks = op("filter", e, {"field": "event_type", "op": "eq",
+                              "value": "click"})
+    clicks = op("select", clicks, {"fields": ["event_id", "user_id", "ts"]})
+    purchases = op("filter", e, {"field": "event_type", "op": "eq",
+                                 "value": "purchase"})
+    purchases = op("select", purchases,
+                   {"fields": ["event_id", "user_id", "ts"]})
+    df = op("stream_join", clicks,
+            {"right": purchases, "by": ["user_id"], "before": 0,
+             "after": 1800}, views={})
+    return op("select", df, {"fields": ["event_id", "r_event_id", "user_id"]})
+
+
+_SQL_STREAM_JOIN = """
+WITH c AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id AS r_event_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t
+           FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, p.r_event_id, c.user_id
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.t >= c.t AND p.t <= c.t + CAST(1800 AS BIGINT) * 1000000
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2284,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "clean_lines": q_clean_lines,
         "unigram_logprob": q_unigram_logprob,
+        "stream_join": q_stream_join,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2369,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram": _SQL_HISTOGRAM,
         "clean_lines": _SQL_CLEAN_LINES,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
+        "stream_join": _SQL_STREAM_JOIN,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,

@@ -216,3 +216,55 @@ def run_stream_incremental(df: DataFrame, path: str, checkpoint: str,
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+@register("stream_join")
+def op_stream_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Event-time interval join — the stream-stream join shape
+    (clicks ⋈ impressions within N seconds). Equality on ``by`` plus a
+    bounded time condition ``right_ts ∈ [left_ts - before, left_ts +
+    after]``; on streams BOTH sides carry watermarks and the time bound
+    lets Spark expire join state (an unbounded-time stream-stream join
+    would hold every row forever). Works identically on batch frames —
+    there the time bound is just a join predicate Catalyst folds into
+    the equi-join.
+
+    Config: ``right`` (view name or DataFrame), ``by`` (key columns),
+    ``left_ts``/``right_ts`` (default "ts"), ``before``/``after``
+    (seconds, default 0/3600), ``watermark``/``right_watermark``
+    (e.g. "10 minutes"; applied only to streaming inputs), ``prefix``
+    for right columns (default "r\\_"), ``how`` (inner default; left
+    outer emits NULL-padded lefts once state expires).
+
+    At 100 TB of events: one shuffle per side on the ``by`` keys; the
+    state store keeps only rows inside the watermark+interval horizon,
+    so state is bounded by rate × window, not history.
+    """
+    right_df = config["right"]
+    if isinstance(right_df, str):
+        right_df = views[right_df]
+    by = list(config.get("by", []))
+    lts = config.get("left_ts", "ts")
+    rts = config.get("right_ts", lts)
+    before = int(config.get("before", 0))
+    after = int(config.get("after", 3600))
+    prefix = config.get("prefix", "r_")
+    how = config.get("how", "inner")
+
+    if df.isStreaming and config.get("watermark"):
+        df = df.withWatermark(lts, config["watermark"])
+    if right_df.isStreaming:
+        wm = config.get("right_watermark", config.get("watermark"))
+        if wm:
+            right_df = right_df.withWatermark(rts, wm)
+
+    right_sel = right_df.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_df.columns])
+    conds = [df[k] == right_sel[f"{prefix}{k}"] for k in by]
+    rt, lt = F.col(f"{prefix}{rts}"), F.col(lts)
+    conds.append(rt >= lt - F.expr(f"INTERVAL {before} SECONDS"))
+    conds.append(rt <= lt + F.expr(f"INTERVAL {after} SECONDS"))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return df.join(right_sel, cond, how)

@@ -173,3 +173,32 @@ def test_incremental_ingestion_processes_only_new_files(spark, tmp_path):
     run_stream_incremental(stream2, out, ckpt)
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]  # batch1 NOT reprocessed (no dup 1,2)
+
+
+def test_stream_join_stream_stream_matches_batch(spark):
+    """Interval join clicks->purchases: both sides real streams with
+    watermarks; the result set must equal the batch execution of the
+    identical operator config."""
+    cfg = {"by": ["user_id"], "left_ts": "ts", "right_ts": "ts",
+           "before": 0, "after": 1800, "watermark": "30 minutes"}
+
+    def split(df):
+        clicks = df.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts")
+        purchases = df.filter("event_type = 'purchase'").select(
+            "event_id", "user_id", "ts")
+        return clicks, purchases
+
+    bc, bp = split(_events_batch(spark))
+    batch = {(r["event_id"], r["r_event_id"]) for r in op(
+        "stream_join", bc, {**cfg, "right": bp}, views={}).collect()}
+    assert batch  # sanity: the fixture produces matches
+
+    sc_, sp = split(nanos_to_timestamp(
+        read_events_stream(spark, f"{SF}/events.parquet"), "ts"))
+    joined = op("stream_join", sc_, {**cfg, "right": sp}, views={})
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "sj_out", output_mode="append")
+    streamed = {(r["event_id"], r["r_event_id"])
+                for r in spark.sql("SELECT * FROM sj_out").collect()}
+    assert streamed == batch
