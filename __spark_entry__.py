@@ -931,6 +931,13 @@ def q_similarity_parity(spark, sf_dir):
     verification removes every false positive. Ids only — the cosine
     doubles agree between engines only to 1 ulp."""
     e = _t(spark, sf_dir, "embeddings")
+    # deterministic quarter of the corpus: a recall~1 config does
+    # near-all-pairs work BY DESIGN (that is what makes it a gate), so
+    # the subset bounds the gate's O(n^2) cost while exercising the
+    # identical code path; the scale-config run (similarity_join)
+    # still covers the full corpus
+    e = op("filter", op("expr", e, {"exprs": {"m4": "vec_id % 4"}}),
+           {"field": "m4", "op": "eq", "value": 0})
     df = op("similarity_join", e,
             {"threshold": 0.3, "dim": 64, "n_planes": 2, "n_tables": 30})
     df = op("select", df, {"fields": ["id_a", "id_b"]})
@@ -940,7 +947,8 @@ def q_similarity_parity(spark, sf_dir):
 _SQL_SIMILARITY_PARITY = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+  AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
       >= 0.3
@@ -1095,6 +1103,8 @@ def q_dedup_embedding_parity(spark, sf_dir):
     survivors must equal the SQL survivors derived from exact cosine
     pairs (drop every vector with a >=threshold partner of smaller id)."""
     e = _t(spark, sf_dir, "embeddings")
+    e = op("filter", op("expr", e, {"exprs": {"m4": "vec_id % 4"}}),
+           {"field": "m4", "op": "eq", "value": 0})
     df = op("dedup_embedding", e,
             {"threshold": 0.3, "dim": 64, "n_planes": 2, "n_tables": 30})
     df = op("select", df, {"fields": ["vec_id"]})
@@ -1104,7 +1114,7 @@ def q_dedup_embedding_parity(spark, sf_dir):
 _SQL_DEDUP_EMBEDDING_PARITY = f"""
 WITH pairs AS ({_SQL_SIMILARITY_PARITY})
 SELECT vec_id FROM embeddings
-WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+WHERE vec_id % 4 = 0 AND vec_id NOT IN (SELECT id_b FROM pairs)
 ORDER BY vec_id
 """
 
@@ -1113,6 +1123,8 @@ def q_dedup_embedding_groups_parity(spark, sf_dir):
     """Transitive embedding near-dedup (connected components over
     cosine pairs) vs a recursive-CTE closure of the exact pair set."""
     e = _t(spark, sf_dir, "embeddings")
+    e = op("filter", op("expr", e, {"exprs": {"m4": "vec_id % 4"}}),
+           {"field": "m4", "op": "eq", "value": 0})
     df = op("dedup_embedding_groups", e,
             {"threshold": 0.3, "dim": 64, "n_planes": 2, "n_tables": 30})
     df = op("select", df, {"fields": ["vec_id"]})
@@ -1129,7 +1141,8 @@ reach(s, d) AS (
   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
 comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s)
 SELECT vec_id FROM embeddings
-WHERE vec_id NOT IN (SELECT id FROM comp WHERE component < id)
+WHERE vec_id % 4 = 0
+  AND vec_id NOT IN (SELECT id FROM comp WHERE component < id)
 ORDER BY vec_id
 """
 
