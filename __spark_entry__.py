@@ -2226,6 +2226,41 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order layout key over (l_partkey, l_suppkey) — 16-bit
+    quantization + Morton interleave, pure integer bitwise ops
+    (operators/relational.py op_zorder). The oracle reproduces the
+    magic-number spread bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = op("zorder", li, {"cols": ["l_partkey", "l_suppkey"], "bits": 16,
+                           "bounds": {"l_partkey": [0.0, 20000.0],
+                                      "l_suppkey": [0.0, 1000.0]}})
+    return op("select", df, {"fields": ["l_orderkey", "l_linenumber",
+                                        "zvalue"]})
+
+
+_SQL_ZORDER = """
+WITH q AS (
+  SELECT l_orderkey, l_linenumber,
+    LEAST(GREATEST(CAST(floor((CAST(l_partkey AS DOUBLE) - 0.0)
+                              / 20000.0 * 65535.0) AS BIGINT), 0), 65535) AS a,
+    LEAST(GREATEST(CAST(floor((CAST(l_suppkey AS DOUBLE) - 0.0)
+                              / 1000.0 * 65535.0) AS BIGINT), 0), 65535) AS b
+  FROM lineitem),
+s1 AS (SELECT l_orderkey, l_linenumber,
+        (a | (a << 16)) & 281470681808895 AS a, (b | (b << 16)) & 281470681808895 AS b FROM q),
+s2 AS (SELECT l_orderkey, l_linenumber,
+        (a | (a << 8)) & 71777214294589695 AS a, (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+s3 AS (SELECT l_orderkey, l_linenumber,
+        (a | (a << 4)) & 1085102592571150095 AS a, (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+s4 AS (SELECT l_orderkey, l_linenumber,
+        (a | (a << 2)) & 3689348814741910323 AS a, (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+s5 AS (SELECT l_orderkey, l_linenumber,
+        (a | (a << 1)) & 6148914691236517205 AS a, (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+SELECT l_orderkey, l_linenumber, a | (b << 1) AS zvalue FROM s5
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2330,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,
         "unigram_logprob": q_unigram_logprob,
         "stream_join": q_stream_join,
+        "zorder": q_zorder,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2416,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_lines": _SQL_CLEAN_LINES,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
         "stream_join": _SQL_STREAM_JOIN,
+        "zorder": _SQL_ZORDER,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,

@@ -806,3 +806,74 @@ def op_histogram(df: DataFrame, config: Mapping, views) -> DataFrame:
                 (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_start"),
                 "n")
     )
+
+
+def _morton_spread(c: F.Column) -> F.Column:
+    """Spread the low 32 bits of a long into the even bit positions
+    (Morton/Z-curve interleave, standard magic-number form). Pure
+    64-bit integer bitwise ops — any engine reproduces it exactly."""
+    c = c.bitwiseAND(F.lit(0xFFFFFFFF))
+    c = (c.bitwiseOR(F.shiftleft(c, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return c
+
+
+@register("zorder")
+def op_zorder(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Z-order (Morton-curve) layout key over two numeric columns —
+    the multi-dimensional data-skipping layout: sorting by the
+    interleaved key clusters rows that are close in BOTH dimensions
+    into the same parquet row groups, so min/max statistics prune
+    scans filtered on either column (a plain sort only skips on the
+    leading one).
+
+    Each column is quantized to ``bits`` (default 16, max 32) levels
+    over its ``bounds`` ([lo, hi]; clamped like histogram), then the
+    quantized values interleave via the magic-number Morton spread —
+    all integer bitwise ops, exactly reproducible by any engine.
+
+    ``layout: true`` additionally range-partitions and locally sorts
+    by the key (the write-side shape: repartitionByRange gives
+    balanced output files, sortWithinPartitions gives tight per-file
+    min/max on BOTH source columns). Default false returns the
+    ``as`` column (default "zvalue") for inspection/pipelining.
+
+    Explicit bounds keep the op single-pass at 100 TB (pass corpus
+    min/max from a prior profile run); omitted bounds cost one extra
+    min/max scan.
+    """
+    cols = list(config["cols"])
+    if len(cols) != 2:
+        raise ValueError("zorder interleaves exactly 2 columns")
+    bits = int(config.get("bits", 16))
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits={bits} out of range (1..32)")
+    target = config.get("as", "zvalue")
+    bounds = dict(config.get("bounds") or {})
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        row = df.agg(*[f(c).alias(f"{c}__{n}") for c in missing
+                       for n, f in (("lo", F.min), ("hi", F.max))]).first()
+        for c in missing:
+            bounds[c] = [float(row[f"{c}__lo"]), float(row[f"{c}__hi"])]
+    levels = (1 << bits) - 1
+
+    def quantized(c: str) -> F.Column:
+        lo, hi = float(bounds[c][0]), float(bounds[c][1])
+        width = (hi - lo) or 1.0
+        q = F.floor((F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(width) * F.lit(float(levels))).cast("long")
+        return F.least(F.greatest(q, F.lit(0)), F.lit(levels))
+
+    z = _morton_spread(quantized(cols[0])).bitwiseOR(
+        F.shiftleft(_morton_spread(quantized(cols[1])), 1))
+    out = df.withColumn(target, z)
+    if config.get("layout"):
+        n = config.get("n_partitions")
+        parts = [int(n)] if n else []
+        out = (out.repartitionByRange(*parts, F.col(target))
+               .sortWithinPartitions(target))
+    return out

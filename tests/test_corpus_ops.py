@@ -202,3 +202,46 @@ def test_unigram_logprob_matches_python_model(spark):
     assert out[2]["n_tokens"] == 2 and out[2]["sum_corpus_count"] == 3
     assert abs(out[2]["mean_logprob"] - (lp(2) + lp(1)) / 2) < 1e-12
     assert out[3]["n_tokens"] == 0 and out[3]["mean_logprob"] is None
+
+
+# -- zorder ----------------------------------------------------------------
+
+
+def _morton2(x, y):
+    def spread(c):
+        c &= 0xFFFFFFFF
+        c = (c | (c << 16)) & 0x0000FFFF0000FFFF
+        c = (c | (c << 8)) & 0x00FF00FF00FF00FF
+        c = (c | (c << 4)) & 0x0F0F0F0F0F0F0F0F
+        c = (c | (c << 2)) & 0x3333333333333333
+        c = (c | (c << 1)) & 0x5555555555555555
+        return c
+    return spread(x) | (spread(y) << 1)
+
+
+def test_zorder_matches_python_morton(spark):
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255), (256, 1), (65535, 65535)])]
+    df = spark.createDataFrame(rows, "rid int, a double, b double")
+    out = {r["rid"]: r["zvalue"] for r in op(
+        "zorder", df,
+        {"cols": ["a", "b"], "bits": 16,
+         "bounds": {"a": [0.0, 65535.0], "b": [0.0, 65535.0]}}).collect()}
+    for rid, a, b in rows:
+        assert out[rid] == _morton2(int(a), int(b)), (rid, a, b)
+
+
+def test_zorder_layout_globally_sorted(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "rid int, a double, b double")
+    out = op("zorder", df, {"cols": ["a", "b"], "bits": 8, "layout": True,
+                            "n_partitions": 4,
+                            "bounds": {"a": [0.0, 100.0], "b": [0.0, 100.0]}})
+    zs = [r["zvalue"] for r in out.collect()]
+    assert len(zs) == 500
+    # repartitionByRange + sortWithinPartitions => partition-concatenated
+    # collect order is globally z-sorted (tight per-file min/max)
+    assert zs == sorted(zs)
