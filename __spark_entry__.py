@@ -2261,6 +2261,26 @@ SELECT l_orderkey, l_linenumber, a | (b << 1) AS zvalue FROM s5
 """
 
 
+def q_key_skew(spark, sf_dir):
+    """Shuffle-key skew diagnosis on events.user_id
+    (operators/relational.py op_key_skew_stats): one row of the
+    distribution stats that pick a partitioning strategy."""
+    e = _t(spark, sf_dir, "events")
+    return op("key_skew_stats", e, {"keys": ["user_id"]})
+
+
+_SQL_KEY_SKEW = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       MAX(n) AS max_count,
+       quantile_disc(n, 0.5) AS p50_count,
+       quantile_disc(n, 0.99) AS p99_count,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS max_share
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2366,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "stream_join": q_stream_join,
         "zorder": q_zorder,
+        "key_skew": q_key_skew,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2453,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
         "stream_join": _SQL_STREAM_JOIN,
         "zorder": _SQL_ZORDER,
+        "key_skew": _SQL_KEY_SKEW,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,

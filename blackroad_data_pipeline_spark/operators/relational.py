@@ -877,3 +877,33 @@ def op_zorder(df: DataFrame, config: Mapping, views) -> DataFrame:
         out = (out.repartitionByRange(*parts, F.col(target))
                .sortWithinPartitions(target))
     return out
+
+
+@register("key_skew_stats")
+def op_key_skew_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Shuffle-key skew diagnosis: reduce per-key counts to the
+    distribution stats that decide a partitioning strategy before a
+    big join/agg — key cardinality, max and percentile key sizes, and
+    ``max_share`` (the fraction of all rows behind the hottest key:
+    with E executors, a key whose share exceeds ~1/E caps the stage on
+    one task — salt it, or rely on AQE skew splitting for joins).
+
+    Two narrow aggregations: word-count on the keys (map-side partial
+    agg), then global stats over the count column (single reduce of
+    one row per key). Output is ONE row regardless of input size.
+    approx_percentile at accuracy 100k is exact below 100k distinct
+    counts and degrades to a bounded-error sketch beyond — the right
+    trade at 100 TB where an exact percentile would sort the counts.
+    """
+    keys = list(config["keys"])
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    acc = 100_000
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_count"),
+        F.expr(f"approx_percentile(__n, 0.5, {acc})").alias("p50_count"),
+        F.expr(f"approx_percentile(__n, 0.99, {acc})").alias("p99_count"),
+    ).withColumn(
+        "max_share",
+        F.col("max_count").cast("double") / F.col("n_rows").cast("double"))
