@@ -2281,6 +2281,24 @@ FROM c
 """
 
 
+def q_hash_columns(spark, sf_dir):
+    """Salted-sha256 pseudonymization of the source column
+    (llmops/text.py op_hash_columns) — joinability-preserving,
+    truncated to a 16-hex (64-bit) prefix."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("hash_columns", d, {"fields": ["source"], "salt": "k1",
+                                "truncate": 16})
+    return op("select", df, {"fields": ["doc_id", "source"]})
+
+
+_SQL_HASH_COLUMNS = """
+SELECT doc_id,
+       CASE WHEN source IS NOT NULL
+            THEN substr(sha256(source || chr(31) || 'k1'), 1, 16) END AS source
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2387,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "zorder": q_zorder,
         "key_skew": q_key_skew,
+        "hash_columns": q_hash_columns,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2475,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_join": _SQL_STREAM_JOIN,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
+        "hash_columns": _SQL_HASH_COLUMNS,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,

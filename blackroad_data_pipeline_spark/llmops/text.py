@@ -536,3 +536,31 @@ def op_unigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
         .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
         .withColumn("sum_corpus_count", F.coalesce("sum_corpus_count", F.lit(0)))
     )
+
+
+@register("hash_columns")
+def op_hash_columns(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Pseudonymize identifier columns with salted sha256 — the
+    reversible-nowhere replacement for user ids / emails before a
+    corpus leaves its trust boundary, while keeping JOINABILITY: the
+    same (value, salt) always maps to the same digest, so keyed joins
+    and groupBys still line up across tables hashed with the same
+    salt.
+
+    Pure projection (sha2 is JVM-side, codegen'd, no shuffle). NULLs
+    stay NULL (they carry no identity). ``truncate`` keeps the first N
+    hex chars when a shorter key is acceptable (64-bit prefixes are
+    plenty below ~10^9 distinct values — birthday bound).
+    """
+    fields = list(config["fields"])
+    salt = str(config.get("salt", ""))
+    truncate = config.get("truncate")
+    for f in fields:
+        col = F.sha2(F.concat_ws("\x1f", F.col(f).cast("string"),
+                                 F.lit(salt)), 256)
+        if truncate:
+            col = F.substring(col, 1, int(truncate))
+        out = config.get("as", {}).get(f, f) if isinstance(
+            config.get("as"), Mapping) else f
+        df = df.withColumn(out, F.when(F.col(f).isNotNull(), col))
+    return df

@@ -245,3 +245,26 @@ def test_zorder_layout_globally_sorted(spark):
     # repartitionByRange + sortWithinPartitions => partition-concatenated
     # collect order is globally z-sorted (tight per-file min/max)
     assert zs == sorted(zs)
+
+
+# -- hash_columns ----------------------------------------------------------
+
+
+def test_hash_columns_joinable_and_null_safe(spark):
+    a = spark.createDataFrame([(1, "u1"), (2, "u2"), (3, None)],
+                              ["rid", "user"])
+    b = spark.createDataFrame([("u1", "x"), ("u2", "y")], ["user", "tag"])
+    cfg = {"fields": ["user"], "salt": "s", "truncate": 16}
+    ha, hb = op("hash_columns", a, cfg), op("hash_columns", b, cfg)
+    joined = ha.join(hb, "user")
+    assert {(r["rid"], r["tag"]) for r in joined.collect()} == {(1, "x"), (2, "y")}
+    nulls = ha.filter("user IS NULL").collect()
+    assert [r["rid"] for r in nulls] == [3]
+    assert all(len(r["user"]) == 16 for r in ha.filter("user IS NOT NULL").collect())
+
+
+def test_hash_columns_salt_separates(spark):
+    df = spark.createDataFrame([(1, "u1")], ["rid", "user"])
+    h1 = op("hash_columns", df, {"fields": ["user"], "salt": "a"}).collect()[0]["user"]
+    h2 = op("hash_columns", df, {"fields": ["user"], "salt": "b"}).collect()[0]["user"]
+    assert h1 != h2 and len(h1) == 64
