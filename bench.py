@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
@@ -54,6 +56,16 @@ def main() -> None:
 
     # warm the JVM / codegen / file-listing paths
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ... and the Arrow/Python worker pool (daemon + worker fork +
+    # first-Arrow-batch costs ~4s once per session; the gate is
+    # warm-session steady state, same as the JVM warmup above)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(32, numPartitions=32).select(_warm("id")).collect()
 
     bench_queries = dict(entry_mod.queries())
     bench_queries["dedup_sort"] = q_dedup_sort
