@@ -42,6 +42,13 @@ PROBED = [
     "ann_lsh",
     "ann_ivf",
     "dedup_exact",
+    # round-2 additions: corpus curation + layout ops (expected
+    # alpha ~ 1: maps, word-count aggs, anti-joins, range sort)
+    "dedup_against",
+    "clean_lines",
+    "unigram_logprob",
+    "contamination",
+    "zorder",
 ]
 
 
