@@ -196,3 +196,48 @@ def test_ivf_assign_write_enables_partition_pruning(spark, tmp_path):
     # and the filter really pruned: only the probed cells' rows return
     cells = {r["ivf_cell"] for r in back.select("ivf_cell").distinct().collect()}
     assert cells <= {1, 2}
+
+
+def test_clean_lines_is_pure_map(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = op("clean_lines", docs, {"field": "text", "min_words": 2})
+    plans.assert_no_row_python(df)
+    plans.assert_max_shuffles(df, 0)
+
+
+def test_zorder_key_is_shuffle_free_and_layout_is_one_range_shuffle(lineitem):
+    cfg = {"cols": ["l_partkey", "l_suppkey"], "bits": 16,
+           "bounds": {"l_partkey": [0.0, 20000.0], "l_suppkey": [0.0, 1000.0]}}
+    plans.assert_max_shuffles(op("zorder", lineitem, cfg), 0)
+    plans.assert_no_row_python(op("zorder", lineitem, cfg))
+    laid = op("zorder", lineitem, {**cfg, "layout": True, "n_partitions": 4})
+    plans.assert_max_shuffles(laid, 1)
+
+
+def test_dedup_against_anti_join_broadcasts_fingerprints(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    history = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    df = op("dedup_against", batch,
+            {"field": "text", "history": history, "broadcast": True,
+             "within_batch": False}, views={})
+    plans.assert_broadcast_join(df)
+    plans.assert_no_row_python(df)
+    # broadcast anti join: the batch side never shuffles
+    plans.assert_max_shuffles(df, 0)
+
+
+def test_key_skew_stats_two_narrow_aggregations(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    df = op("key_skew_stats", events, {"keys": ["user_id"]})
+    plans.assert_no_row_python(df)
+    # per-key count (1 exchange) + global stats reduce (1 single-
+    # partition exchange of one row per key)
+    plans.assert_max_shuffles(df, 2)
+
+
+def test_hash_columns_is_pure_projection(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = op("hash_columns", docs, {"fields": ["source"], "salt": "s"})
+    plans.assert_no_row_python(df)
+    plans.assert_max_shuffles(df, 0)
