@@ -789,7 +789,9 @@ def op_histogram(df: DataFrame, config: Mapping, views) -> DataFrame:
         lo = float(row["lo"]) if lo is None else float(lo)
         hi = float(row["hi"]) if hi is None else float(hi)
     lo, hi = float(lo), float(hi)
-    width = (hi - lo) / n_bins
+    # constant column (or degenerate explicit bounds): every non-null
+    # value is lo — clamp puts them all in bin 0 with a sane width
+    width = ((hi - lo) / n_bins) or 1.0
     col = F.col(field).cast("double")
     raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("long")
     if config.get("clamp", True):

@@ -268,3 +268,9 @@ def test_hash_columns_salt_separates(spark):
     h1 = op("hash_columns", df, {"fields": ["user"], "salt": "a"}).collect()[0]["user"]
     h2 = op("hash_columns", df, {"fields": ["user"], "salt": "b"}).collect()[0]["user"]
     assert h1 != h2 and len(h1) == 64
+
+
+def test_histogram_constant_column(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
+    rows = op("histogram", df, {"field": "x", "n_bins": 4}).collect()
+    assert [(r["bin"], r["n"]) for r in rows] == [(0, 2)]
