@@ -786,8 +786,13 @@ def op_histogram(df: DataFrame, config: Mapping, views) -> DataFrame:
     lo, hi = config.get("lo"), config.get("hi")
     if lo is None or hi is None:
         row = df.agg(F.min(field).alias("lo"), F.max(field).alias("hi")).first()
-        lo = float(row["lo"]) if lo is None else float(lo)
-        hi = float(row["hi"]) if hi is None else float(hi)
+        if row["lo"] is None and (lo is None or hi is None):
+            # no non-null values: the histogram is empty whatever the
+            # bounds; 0-width bins would NaN, so pick any finite range
+            lo, hi = 0.0, 1.0
+        else:
+            lo = float(row["lo"]) if lo is None else float(lo)
+            hi = float(row["hi"]) if hi is None else float(hi)
     lo, hi = float(lo), float(hi)
     # constant column (or degenerate explicit bounds): every non-null
     # value is lo — clamp puts them all in bin 0 with a sane width
@@ -860,7 +865,10 @@ def op_zorder(df: DataFrame, config: Mapping, views) -> DataFrame:
         row = df.agg(*[f(c).alias(f"{c}__{n}") for c in missing
                        for n, f in (("lo", F.min), ("hi", F.max))]).first()
         for c in missing:
-            bounds[c] = [float(row[f"{c}__lo"]), float(row[f"{c}__hi"])]
+            lo, hi = row[f"{c}__lo"], row[f"{c}__hi"]
+            # all-NULL column: any bounds work (quantize clamps NULL
+            # arithmetic to NULL keys; rows keep flowing)
+            bounds[c] = [float(lo), float(hi)] if lo is not None else [0.0, 1.0]
     levels = (1 << bits) - 1
 
     def quantized(c: str) -> F.Column:
