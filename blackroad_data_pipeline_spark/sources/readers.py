@@ -64,6 +64,10 @@ def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
 
 @register("parquet")
 def src_parquet(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Parquet scan — the columnar default at scale: splittable,
+    predicate-pushdown + column pruning, row-group min/max skipping.
+    ``nanos_timestamp_cols`` normalizes event-time columns (see
+    nanos_to_timestamp)."""
     df = spark.read.parquet(config["path"])
     for c in config.get("nanos_timestamp_cols", []):
         df = nanos_to_timestamp(df, c)
@@ -72,6 +76,8 @@ def src_parquet(spark: SparkSession, config: Mapping) -> DataFrame:
 
 @register("orc")
 def src_orc(spark: SparkSession, config: Mapping) -> DataFrame:
+    """ORC scan — same columnar properties as parquet for
+    ORC-standardized lakes."""
     return spark.read.orc(config["path"])
 
 
