@@ -138,6 +138,18 @@ def op_stateful_dedup(df: DataFrame, config: Mapping, views) -> DataFrame:
     if not df.isStreaming:
         return df.dropDuplicates(keys)
 
+    if config.get("impl") == "native":
+        # JVM-native bounded-state path (dropDuplicatesWithinWatermark):
+        # no Python state worker, state expires at the EVENT-TIME
+        # watermark instead of a processing-time TTL. Needs an
+        # event-time column + watermark; semantics differ from the
+        # default path only for keys recurring after expiry (watermark
+        # vs TTL horizon) — the same accepted trade, bounded by data
+        # time rather than wall-clock.
+        ts = config.get("ts_field", "ts")
+        wm = config.get("watermark", "10 minutes")
+        return df.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
+
     ttl_ms = config.get("ttl_ms")
     out_schema = df.schema
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])

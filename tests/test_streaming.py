@@ -202,3 +202,20 @@ def test_stream_join_stream_stream_matches_batch(spark):
     streamed = {(r["event_id"], r["r_event_id"])
                 for r in spark.sql("SELECT * FROM sj_out").collect()}
     assert streamed == batch
+
+
+def test_stateful_dedup_native_matches_state_path(spark):
+    """The JVM-native dropDuplicatesWithinWatermark path emits exactly
+    one row per key over a finite stream, same as the Python-state
+    path (all fixture events fall inside one watermark horizon)."""
+    stream = nanos_to_timestamp(
+        read_events_stream(spark, f"{SF}/events.parquet"), "ts")
+    deduped = op("stateful_dedup", stream,
+                 {"keys": ["user_id"], "impl": "native",
+                  "ts_field": "ts", "watermark": "10 years"})
+    run_stream_to_memory(deduped, "dedup_native_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM dedup_native_out").collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))
+    batch_users = {r["user_id"] for r in _events_batch(spark).collect()}
+    assert set(users) == batch_users
