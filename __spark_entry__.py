@@ -2299,6 +2299,33 @@ FROM documents
 """
 
 
+def q_ntile(spark, sf_dir):
+    """Decile assignment of orders by total price within each order
+    status (window op: ntile + percent_rank; WindowExec partitioned by
+    status — no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    df = op("window", o, {"function": "ntile", "n": 10,
+                          "partition_by": ["o_orderstatus"],
+                          "order_by": ["o_totalprice", "o_orderkey"],
+                          "alias": "decile"})
+    df = op("window", df, {"function": "percent_rank",
+                           "partition_by": ["o_orderstatus"],
+                           "order_by": ["o_totalprice", "o_orderkey"],
+                           "alias": "pct_rank"})
+    return op("select", df, {"fields": ["o_orderkey", "o_orderstatus",
+                                        "decile", "pct_rank"]})
+
+
+_SQL_NTILE = """
+SELECT o_orderkey, o_orderstatus,
+       NTILE(10) OVER w AS decile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2406,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "key_skew": q_key_skew,
         "hash_columns": q_hash_columns,
+        "ntile": q_ntile,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2495,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,
+        "ntile": _SQL_NTILE,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,

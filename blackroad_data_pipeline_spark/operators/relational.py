@@ -659,6 +659,10 @@ _WINDOW_FNS = {
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
     "count": lambda c: F.count(c),
+    "percent_rank": lambda c: F.percent_rank(),
+    "cume_dist": lambda c: F.cume_dist(),
+    "first_value": lambda c: F.first(c, ignorenulls=True),
+    "last_value": lambda c: F.last(c, ignorenulls=True),
 }
 
 # applied to the windowed expression AFTER .over()
@@ -670,7 +674,7 @@ _WINDOW_POST = {
 @register("window")
 def op_window(df: DataFrame, config: Mapping, views) -> DataFrame:
     fn = config["function"]
-    if fn not in _WINDOW_FNS:
+    if fn not in _WINDOW_FNS and fn != "ntile":
         raise ValueError(f"unknown window function: {fn!r}")
     partition_by = config.get("partition_by", [])
     if (not partition_by and (config.get("frame") or config.get("order_by"))
@@ -702,7 +706,11 @@ def op_window(df: DataFrame, config: Mapping, views) -> DataFrame:
         lo, hi = config["frame_bounds"]
         w = w.rangeBetween(int(lo), int(hi))
     field = config.get("field")
-    expr = _WINDOW_FNS[fn](F.col(field) if field else None).over(w)
+    if fn == "ntile":
+        # bucket count rides the config, not a column
+        expr = F.ntile(int(config.get("n", 4))).over(w)
+    else:
+        expr = _WINDOW_FNS[fn](F.col(field) if field else None).over(w)
     if fn in _WINDOW_POST:
         expr = _WINDOW_POST[fn](expr)
     alias = config.get("alias", f"{field or 'w'}_{fn}")
