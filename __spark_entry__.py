@@ -2326,6 +2326,34 @@ WINDOW w AS (PARTITION BY o_orderstatus
 """
 
 
+def q_ts_features(spark, sf_dir):
+    """Per-user time-series features over events in ONE window
+    partitioning: previous value (lag) and a trailing 4-row moving
+    average (rows frame) — the feature-engineering shape for
+    sequence models; one shuffle on user_id serves both. Float
+    parity: a ROWS frame is an ORDERED small sum, so both engines
+    evaluate the same additions in the same order (verified
+    bit-exact over 10k rows at sf0.01)."""
+    e = _t(spark, sf_dir, "events")
+    cfg = {"partition_by": ["user_id"], "order_by": ["ts", "event_id"]}
+    df = op("window", e, {**cfg, "function": "lag", "field": "value",
+                          "alias": "prev_value"})
+    df = op("window", df, {**cfg, "function": "avg", "field": "value",
+                           "frame": "rows", "frame_bounds": [-3, 0],
+                           "alias": "ma4"})
+    return op("select", df, {"fields": ["event_id", "user_id",
+                                        "prev_value", "ma4"]})
+
+
+_SQL_TS_FEATURES = """
+SELECT event_id, user_id,
+       LAG(value) OVER w AS prev_value,
+       AVG(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2434,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "hash_columns": q_hash_columns,
         "ntile": q_ntile,
+        "ts_features": q_ts_features,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2524,6 +2553,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,
         "ntile": _SQL_NTILE,
+        "ts_features": _SQL_TS_FEATURES,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,
