@@ -2354,6 +2354,26 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_fillna_dropna(spark, sf_dir):
+    """NULL hygiene over events: drop rows with NULL user_id, fill
+    NULL value with 0.0 and NULL props with '{}' — filter + projection
+    only, IsNotNull pushes to the scan."""
+    e = _t(spark, sf_dir, "events")
+    df = op("dropna", e, {"subset": ["user_id"]})
+    df = op("fillna", df, {"values": {"value": 0.0, "props": "{}"}})
+    return op("select", df, {"fields": ["event_id", "user_id", "value",
+                                        "props"]})
+
+
+_SQL_FILLNA_DROPNA = """
+SELECT event_id, user_id,
+       COALESCE(value, 0.0) AS value,
+       COALESCE(props, '{}') AS props
+FROM events
+WHERE user_id IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2463,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_columns": q_hash_columns,
         "ntile": q_ntile,
         "ts_features": q_ts_features,
+        "fillna_dropna": q_fillna_dropna,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2554,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_columns": _SQL_HASH_COLUMNS,
         "ntile": _SQL_NTILE,
         "ts_features": _SQL_TS_FEATURES,
+        "fillna_dropna": _SQL_FILLNA_DROPNA,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,

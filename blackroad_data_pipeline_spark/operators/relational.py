@@ -925,3 +925,45 @@ def op_key_skew_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
     ).withColumn(
         "max_share",
         F.col("max_count").cast("double") / F.col("n_rows").cast("double"))
+
+
+@register("fillna")
+def op_fillna(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Replace NULLs: ``values`` maps column -> constant. Strategy
+    variants per column via ``strategy``: {col: "mean" | "median" |
+    "zero" | "empty"} — mean/median compute ONE tiny aggregate row
+    (approx median at scale accuracy) and fill with the result;
+    a pure projection afterwards, no shuffle of the data itself."""
+    values = dict(config.get("values") or {})
+    strategy = dict(config.get("strategy") or {})
+    if strategy:
+        aggs = []
+        for col, how in strategy.items():
+            if how == "mean":
+                aggs.append(F.avg(F.col(col).cast("double")).alias(col))
+            elif how == "median":
+                aggs.append(F.expr(
+                    f"approx_percentile({col}, 0.5, 100000)").alias(col))
+            elif how == "zero":
+                values.setdefault(col, 0)
+            elif how == "empty":
+                values.setdefault(col, "")
+            else:
+                raise ValueError(f"unknown fillna strategy: {how!r}")
+        if aggs:
+            row = df.agg(*aggs).first()
+            for col in list(strategy):
+                if row is not None and col in row.asDict() and row[col] is not None:
+                    values.setdefault(col, row[col])
+    return df.fillna(values) if values else df
+
+
+@register("dropna")
+def op_dropna(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Drop rows with NULLs: ``how`` = "any" (default) | "all",
+    optionally restricted to ``subset`` columns or requiring at least
+    ``thresh`` non-null values. A pushdown-friendly filter — IsNotNull
+    predicates reach the parquet scan for the subset form."""
+    return df.dropna(how=config.get("how", "any"),
+                     thresh=config.get("thresh"),
+                     subset=config.get("subset"))

@@ -274,3 +274,26 @@ def test_histogram_constant_column(spark):
     df = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
     rows = op("histogram", df, {"field": "x", "n_bins": 4}).collect()
     assert [(r["bin"], r["n"]) for r in rows] == [(0, 2)]
+
+
+# -- fillna / dropna -------------------------------------------------------
+
+
+def test_fillna_strategies(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, None), (3, 20.0, "b")],
+        "rid int, v double, s string")
+    out = {r["rid"]: (r["v"], r["s"]) for r in op(
+        "fillna", df, {"strategy": {"v": "mean", "s": "empty"}}).collect()}
+    assert out[2] == (15.0, "")
+    assert out[1] == (10.0, "a")
+
+
+def test_dropna_modes(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (None, None, None), (3, 2.0, None)],
+        "a int, b double, c string")
+    assert op("dropna", df, {}).count() == 0
+    assert op("dropna", df, {"how": "all"}).count() == 2
+    assert op("dropna", df, {"subset": ["a"]}).count() == 2
+    assert op("dropna", df, {"thresh": 2}).count() == 2
