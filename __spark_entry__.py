@@ -2374,6 +2374,44 @@ WHERE user_id IS NOT NULL
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality signal (llmops/text.py op_bigram_logprob).
+    As with unigram_logprob, the oracle compares the EXACT integer
+    twin columns (the full bigram-explode -> count -> double-join ->
+    agg path); the ln float is pytest-checked vs a Python model."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("bigram_logprob", d, {"field": "text", "id_field": "doc_id"})
+    return op("select", df, {"fields": ["doc_id", "n_bigrams",
+                                        "sum_bigram_count",
+                                        "sum_prefix_count"]})
+
+
+_SQL_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, {_D_TOKS_LOWER} AS t FROM documents),
+bigs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) - 1),
+                               i -> t[i+1] || ' ' || t[i+2])) AS bigram
+  FROM toks WHERE len(t) >= 2),
+uc AS (SELECT token, COUNT(*) AS c1
+      FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+bc AS (SELECT bigram, COUNT(*) AS c12 FROM bigs GROUP BY bigram)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.sum_bigram_count, 0) AS sum_bigram_count,
+       COALESCE(s.sum_prefix_count, 0) AS sum_prefix_count
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN (
+  SELECT bigs.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(bc.c12) AS BIGINT) AS sum_bigram_count,
+         CAST(SUM(uc.c1) AS BIGINT) AS sum_prefix_count
+  FROM bigs JOIN bc USING (bigram)
+  JOIN uc ON uc.token = split_part(bigram, ' ', 1)
+  GROUP BY bigs.doc_id) s USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2484,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile": q_ntile,
         "ts_features": q_ts_features,
         "fillna_dropna": q_fillna_dropna,
+        "bigram_logprob": q_bigram_logprob,
         "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
@@ -2576,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "ntile": _SQL_NTILE,
         "ts_features": _SQL_TS_FEATURES,
         "fillna_dropna": _SQL_FILLNA_DROPNA,
+        "bigram_logprob": _SQL_BIGRAM_LOGPROB,
         "profile": _SQL_PROFILE,
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,

@@ -564,3 +564,65 @@ def op_hash_columns(df: DataFrame, config: Mapping, views) -> DataFrame:
             config.get("as"), Mapping) else f
         df = df.withColumn(out, F.when(F.col(f).isNotNull(), col))
     return df
+
+
+@register("bigram_logprob")
+def op_bigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own add-k-smoothed bigram model: ln p(w2|w1) =
+    ln((c(w1 w2) + k) / (c(w1) + k·V)) averaged over the document's
+    bigram occurrences — one modeling step past `unigram_logprob`:
+    word-salad that passes unigram frequency checks fails here because
+    its TRANSITIONS are improbable.
+
+    Same scale shape as the unigram op: two word-count aggregations
+    (bigram and unigram tables, map-side partials), V+T as a bounded
+    one-row collect, then the exploded bigram stream joins both count
+    tables — broadcast by default (bigram vocab is still sublinear in
+    the corpus; set ``broadcast: false`` past broadcast range and let
+    AQE skew-split the stopword-pair keys).
+
+    Output: id, n_bigrams (long), sum_bigram_count / sum_prefix_count
+    (exact integer twins of the float for cross-engine audit),
+    mean_logprob (double; NULL for docs under 2 tokens).
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = float(config.get("smoothing_k", 1.0))
+    lower = bool(config.get("lowercase", True))
+    tok_expr = tokens_col(F.lower(F.col(field)) if lower else F.col(field))
+
+    staged = df.select(F.col(id_field), tok_expr.alias("__toks"))
+    bigs = staged.select(
+        F.col(id_field),
+        F.explode(kgrams_from_tokens(F.col("__toks"), 2)).alias("bigram"))
+    uni = (staged.select(F.explode("__toks").alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("__c1")))
+    v = uni.agg(F.count(F.lit(1)).alias("v")).first()["v"] or 0
+    big_counts = bigs.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c12"))
+    prefix_counts = uni.select(F.col("token").alias("__w1"),
+                               F.col("__c1").alias("__cw1"))
+    if config.get("broadcast", True):
+        big_counts = F.broadcast(big_counts)
+        prefix_counts = F.broadcast(prefix_counts)
+    scored = (
+        bigs.join(big_counts, "bigram")
+        .withColumn("__w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(prefix_counts, "__w1")
+    )
+    out = (
+        scored.groupBy(id_field)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("__c12").alias("sum_bigram_count"),
+             F.sum("__cw1").alias("sum_prefix_count"),
+             F.avg(F.log((F.col("__c12") + F.lit(k))
+                         / (F.col("__cw1") + F.lit(k * v))))
+             .alias("mean_logprob"))
+    )
+    return (
+        df.select(id_field).distinct()
+        .join(out, id_field, "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+        .withColumn("sum_bigram_count", F.coalesce("sum_bigram_count", F.lit(0)))
+        .withColumn("sum_prefix_count", F.coalesce("sum_prefix_count", F.lit(0)))
+    )

@@ -297,3 +297,30 @@ def test_dropna_modes(spark):
     assert op("dropna", df, {"how": "all"}).count() == 2
     assert op("dropna", df, {"subset": ["a"]}).count() == 2
     assert op("dropna", df, {"thresh": 2}).count() == 2
+
+
+def test_bigram_logprob_matches_python_model(spark):
+    import math
+
+    docs = [(1, "a b a b"), (2, "b a"), (3, "x"), (4, None)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in op(
+        "bigram_logprob", df,
+        {"field": "text", "id_field": "doc_id", "smoothing_k": 1.0}
+    ).collect()}
+    # bigrams: doc1 = [a b, b a, a b]; doc2 = [b a]
+    # counts: c(a b)=2? no: doc1 contributes "a b","b a","a b"; doc2 "b a"
+    #   c("a b")=2, c("b a")=2; unigrams: a=3? a appears a,b,a,b + b,a + x
+    #   a: doc1 2 + doc2 1 = 3; b: doc1 2 + doc2 1 = 3; x: 1 -> V=3
+    def lp(c12, cw1):
+        return math.log((c12 + 1.0) / (cw1 + 3.0))
+
+    r1 = out[1]
+    assert (r1["n_bigrams"], r1["sum_bigram_count"], r1["sum_prefix_count"]) \
+        == (3, 2 + 2 + 2, 3 + 3 + 3)
+    want1 = (lp(2, 3) + lp(2, 3) + lp(2, 3)) / 3
+    assert abs(r1["mean_logprob"] - want1) < 1e-12
+    assert out[2]["n_bigrams"] == 1 and abs(
+        out[2]["mean_logprob"] - lp(2, 3)) < 1e-12
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] is None
+    assert out[4]["n_bigrams"] == 0
