@@ -458,6 +458,14 @@ def q_ngram_jaccard(spark, sf_dir):
                "shingle_size": 5, "threshold": 0.8})
 
 
+def _ngram_jaccard_sql(src: str = "documents") -> str:
+    """Exact 5-gram jaccard pair SQL over ``src`` (a table name or
+    parenthesized subquery) — shared by ngram_jaccard and the minhash
+    parity gates (which run it over a deterministic corpus quarter)."""
+    return _SQL_NGRAM_JACCARD.replace(
+        "FROM documents)", f"FROM {src})", 1)
+
+
 _SQL_NGRAM_JACCARD = f"""
 WITH docs AS (
   SELECT doc_id,
@@ -887,6 +895,24 @@ ORDER BY doc_id, frame_idx
 # --------------------------------------------------------------------------
 
 
+_QHALF = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+
+
+def _quarter_docs(spark, sf_dir):
+    """Deterministic half of the documents corpus for the recall~1
+    parity gates: their candidate count approaches all-pairs BY DESIGN
+    (that is what makes them exact-equality gates), so the subset
+    bounds the O(n^2) cost while exercising the identical code path
+    and keeping a meaningful pair population at sf0.01. The
+    scale-config runs (near_dup_minhash etc.) still cover the full
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    d = op("expr", d, {"exprs": {"m4": "doc_id % 2"}})
+    d = op("filter", d, {"field": "m4", "op": "eq", "value": 0})
+    return op("select", d, {"fields": ["doc_id", "text", "lang", "source",
+                                      "n_chars"]})
+
+
 def q_minhash_parity(spark, sf_dir):
     """near_dup_minhash at rows_per_band=1, bands=16: a true pair at
     jaccard >= 0.8 is missed with probability (1-j)^16 <= 6.6e-12, and
@@ -894,7 +920,7 @@ def q_minhash_parity(spark, sf_dir):
     output must equal the brute-force exact pair set, value-for-value
     (this gate caught a real bug: a two-arg transform lambda silently
     binding the minhash seed to the array index)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _quarter_docs(spark, sf_dir)
     df = op("near_dup_minhash", d,
             {"field": "text", "id_field": "doc_id", "shingle_size": 5,
              "bands": 16, "rows_per_band": 1, "threshold": 0.8})
@@ -904,7 +930,7 @@ def q_minhash_parity(spark, sf_dir):
 def q_dedup_near_parity(spark, sf_dir):
     """Greedy near-dup dedup at the recall~1 banding == SQL survivors
     (docs with no >=0.8-jaccard partner of smaller id)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _quarter_docs(spark, sf_dir)
     df = op("dedup_near_minhash", d,
             {"field": "text", "id_field": "doc_id", "shingle_size": 5,
              "bands": 16, "rows_per_band": 1, "threshold": 0.8})
@@ -915,7 +941,7 @@ def q_dedup_near_parity(spark, sf_dir):
 def q_dedup_groups_parity(spark, sf_dir):
     """Transitive (connected-components) dedup at the recall~1 banding
     == SQL survivors from a recursive-CTE transitive closure."""
-    d = _t(spark, sf_dir, "documents")
+    d = _quarter_docs(spark, sf_dir)
     df = op("dedup_near_groups", d,
             {"field": "text", "id_field": "doc_id", "shingle_size": 5,
              "bands": 16, "rows_per_band": 1, "threshold": 0.8})
@@ -958,17 +984,17 @@ ORDER BY id_a, id_b
 
 # parity oracles reuse the exact-jaccard SQL (already oracle-green as
 # ngram_jaccard); the dedup variants derive survivors from those pairs
-_SQL_MINHASH_PARITY = _SQL_NGRAM_JACCARD
+_SQL_MINHASH_PARITY = _ngram_jaccard_sql(_QHALF)
 
 _SQL_DEDUP_NEAR_PARITY = f"""
-WITH pairs AS ({_SQL_NGRAM_JACCARD})
+WITH pairs AS ({_ngram_jaccard_sql(_QHALF)})
 SELECT doc_id, lang FROM documents
-WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT id_b FROM pairs)
 ORDER BY doc_id
 """
 
 _SQL_DEDUP_GROUPS_PARITY = f"""
-WITH RECURSIVE pairs AS ({_SQL_NGRAM_JACCARD}),
+WITH RECURSIVE pairs AS ({_ngram_jaccard_sql(_QHALF)}),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
@@ -977,7 +1003,8 @@ reach(s, d) AS (
   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
 comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s)
 SELECT doc_id, lang FROM documents
-WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
+WHERE doc_id % 2 = 0
+  AND doc_id NOT IN (SELECT id FROM comp WHERE component < id)
 ORDER BY doc_id
 """
 
