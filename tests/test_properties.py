@@ -374,3 +374,71 @@ def test_dedup_against_disjoint_and_idempotent(spark, rows):
     hist_norm = {norm(r["tag"]) for r in history.collect()}
     for r in once.collect():
         assert norm(r["tag"]) not in hist_norm
+
+
+lm_docs = st.lists(
+    st.one_of(st.none(), st.text(alphabet="ab \t", max_size=12)),
+    min_size=0, max_size=8,
+).map(lambda ts: [(i, t) for i, t in enumerate(ts)])
+
+
+@given(docs=lm_docs)
+@settings(**SETTINGS)
+def test_unigram_logprob_matches_model_for_any_corpus(spark, docs):
+    import math
+
+    df = (spark.createDataFrame(docs, "doc_id int, text string") if docs
+          else spark.createDataFrame([], "doc_id int, text string"))
+    got = {r["doc_id"]: r for r in op(
+        "unigram_logprob", df, {"field": "text", "id_field": "doc_id"}
+    ).collect()}
+
+    toks = {i: (t or "").lower().split() for i, t in docs}
+    counts: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    T, V = sum(counts.values()), len(counts)
+    for i, ws in toks.items():
+        r = got[i]
+        assert r["n_tokens"] == len(ws)
+        assert r["sum_corpus_count"] == sum(counts[w] for w in ws)
+        if ws:
+            want = sum(math.log((counts[w] + 1.0) / (T + V)) for w in ws) / len(ws)
+            assert abs(r["mean_logprob"] - want) < 1e-9
+        else:
+            assert r["mean_logprob"] is None
+
+
+@given(docs=lm_docs)
+@settings(**SETTINGS)
+def test_bigram_logprob_matches_model_for_any_corpus(spark, docs):
+    import math
+
+    df = (spark.createDataFrame(docs, "doc_id int, text string") if docs
+          else spark.createDataFrame([], "doc_id int, text string"))
+    got = {r["doc_id"]: r for r in op(
+        "bigram_logprob", df, {"field": "text", "id_field": "doc_id"}
+    ).collect()}
+
+    toks = {i: (t or "").lower().split() for i, t in docs}
+    uni: dict = {}
+    bi: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    V = len(uni)
+    for i, ws in toks.items():
+        r = got[i]
+        pairs = list(zip(ws, ws[1:]))
+        assert r["n_bigrams"] == len(pairs)
+        assert r["sum_bigram_count"] == sum(bi[p] for p in pairs)
+        assert r["sum_prefix_count"] == sum(uni[a] for a, _ in pairs)
+        if pairs:
+            want = sum(math.log((bi[p] + 1.0) / (uni[p[0]] + V))
+                       for p in pairs) / len(pairs)
+            assert abs(r["mean_logprob"] - want) < 1e-9
+        else:
+            assert r["mean_logprob"] is None
