@@ -898,7 +898,7 @@ ORDER BY doc_id, frame_idx
 _QHALF = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
 
 
-def _quarter_docs(spark, sf_dir):
+def _half_docs(spark, sf_dir):
     """Deterministic half of the documents corpus for the recall~1
     parity gates: their candidate count approaches all-pairs BY DESIGN
     (that is what makes them exact-equality gates), so the subset
@@ -920,7 +920,7 @@ def q_minhash_parity(spark, sf_dir):
     output must equal the brute-force exact pair set, value-for-value
     (this gate caught a real bug: a two-arg transform lambda silently
     binding the minhash seed to the array index)."""
-    d = _quarter_docs(spark, sf_dir)
+    d = _half_docs(spark, sf_dir)
     df = op("near_dup_minhash", d,
             {"field": "text", "id_field": "doc_id", "shingle_size": 5,
              "bands": 16, "rows_per_band": 1, "threshold": 0.8})
@@ -930,7 +930,7 @@ def q_minhash_parity(spark, sf_dir):
 def q_dedup_near_parity(spark, sf_dir):
     """Greedy near-dup dedup at the recall~1 banding == SQL survivors
     (docs with no >=0.8-jaccard partner of smaller id)."""
-    d = _quarter_docs(spark, sf_dir)
+    d = _half_docs(spark, sf_dir)
     df = op("dedup_near_minhash", d,
             {"field": "text", "id_field": "doc_id", "shingle_size": 5,
              "bands": 16, "rows_per_band": 1, "threshold": 0.8})
@@ -941,7 +941,7 @@ def q_dedup_near_parity(spark, sf_dir):
 def q_dedup_groups_parity(spark, sf_dir):
     """Transitive (connected-components) dedup at the recall~1 banding
     == SQL survivors from a recursive-CTE transitive closure."""
-    d = _quarter_docs(spark, sf_dir)
+    d = _half_docs(spark, sf_dir)
     df = op("dedup_near_groups", d,
             {"field": "text", "id_field": "doc_id", "shingle_size": 5,
              "bands": 16, "rows_per_band": 1, "threshold": 0.8})
@@ -1012,8 +1012,11 @@ ORDER BY doc_id
 def q_components(spark, sf_dir):
     """connected_components directly: exact ngram pairs -> (id, min
     reachable id). The iterative pointer-jumping loop vs a recursive-
-    CTE transitive closure — label-for-label."""
-    d = _t(spark, sf_dir, "documents")
+    CTE transitive closure — label-for-label. Runs on the same
+    deterministic corpus half as the minhash parity gates (the exact
+    pair generation is the quadratic-ish cost; the full-corpus run is
+    already covered by ngram_jaccard)."""
+    d = _half_docs(spark, sf_dir)
     pairs = op("ngram_jaccard_join", d,
                {"field": "text", "id_field": "doc_id",
                 "shingle_size": 5, "threshold": 0.8})
@@ -1022,7 +1025,7 @@ def q_components(spark, sf_dir):
 
 
 _SQL_COMPONENTS = f"""
-WITH RECURSIVE pairs AS ({_SQL_NGRAM_JACCARD}),
+WITH RECURSIVE pairs AS ({_ngram_jaccard_sql(_QHALF)}),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
