@@ -184,7 +184,7 @@ def minhash_text_kernel(k: int, num_hashes: int, seed: int = 0x5EED):
 
 
 def shingle_explode(df: DataFrame, id_field: str, field: str, k: int) -> DataFrame:
-    """Corpus -> (\_\_id, \_\_n, \_\_s) posting rows in one Arrow pass:
+    """Corpus -> (``__id``, ``__n``, ``__s``) posting rows in one Arrow pass:
     tokenize + k-shingle + dedup in a tight Python loop and emit the
     exploded stream directly (with the doc's distinct-shingle count
     riding every row, so prefix filtering needs no extra aggregation).
