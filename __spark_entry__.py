@@ -678,59 +678,13 @@ FROM seqs
 """
 
 
-# rows-only extension queries (hash-based candidates — not SQL-expressible)
-
-
-def q_near_dup_minhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return op("near_dup_minhash", d,
-              {"field": "text", "id_field": "doc_id", "shingle_size": 5,
-               "bands": 8, "rows_per_band": 4, "threshold": 0.8})
-
-
-def q_dedup_near_minhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    df = op("dedup_near_minhash", d,
-            {"field": "text", "id_field": "doc_id", "shingle_size": 5,
-             "bands": 8, "rows_per_band": 4, "threshold": 0.8})
-    return op("select", df, {"fields": ["doc_id", "lang", "source"]})
-
-
-def q_dedup_near_groups(spark, sf_dir):
-    """Transitive near-dup dedup: LSH pairs -> connected components
-    (pointer-jumping label propagation) -> keep min id per cluster."""
-    d = _t(spark, sf_dir, "documents")
-    df = op("dedup_near_groups", d,
-            {"field": "text", "id_field": "doc_id", "shingle_size": 5,
-             "bands": 8, "rows_per_band": 4, "threshold": 0.8})
-    return op("select", df, {"fields": ["doc_id", "lang", "source"]})
-
-
-def q_near_dup_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return op("near_dup_simhash", d,
-              {"field": "text", "id_field": "doc_id", "max_distance": 3})
-
-
-def q_ann_lsh(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    # n_planes=12 (4096 buckets) is the scale shape: at corpus scale the
-    # candidate set is corpus/2^n_planes, so few-plane configs degrade to
-    # quadratic work inside giant buckets. probe_radius=2 restores recall.
-    return op("ann_lsh", e, {"probe_id": 0, "k": 10, "dim": 64,
-                             "n_planes": 12, "probe_radius": 2})
-
-
-def q_ann_ivf(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    return op("ann_ivf", e, {"probe_id": 0, "k": 10, "dim": 64,
-                             "n_cells": 8, "nprobe": 3, "refine": 1})
-
-
-def q_similarity_join(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    return op("similarity_join", e,
-              {"threshold": 0.3, "dim": 64, "n_planes": 12})
+# Hash-based operators: every CONTRACT entry below is oracle-anchored
+# (recall~1 parity configs whose output must equal the exact SQL
+# result, or containment/recall gates whose pass criteria DuckDB
+# states). The corpus-scale bucket-geometry configs (bands=8 x rows=4,
+# n_planes=12, ...) are NON-CONTRACT probes: bench.py times them every
+# round (BENCH_DETAIL.json *_scale entries) and tests/test_llmops.py +
+# test_plans.py exercise their code paths and plan shapes.
 
 
 def q_unpivot(spark, sf_dir):
@@ -860,11 +814,29 @@ WHERE scored.quality_score >= 0.66
 
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test assignment over documents (content
-    hash — stable across reruns/repartitioning, unlike randomSplit)."""
+    hash — stable across reruns/repartitioning, unlike randomSplit).
+    md5-bucketed, so the full assignment is value-checked against
+    DuckDB recomputing it in plain SQL (round 3 — was xxhash64 and
+    rows-only)."""
     d = _t(spark, sf_dir, "documents")
     df = op("split_assign", d, {"on": ["doc_id"],
                                 "splits": {"train": 0.9, "val": 0.05, "test": 0.05}})
     return op("select", df, {"fields": ["doc_id", "split"]})
+
+
+_SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat_ws(chr(31), 'split',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+"""
 
 
 def q_frame_sample(spark, sf_dir):
@@ -899,15 +871,16 @@ ORDER BY doc_id, frame_idx
 
 
 # --------------------------------------------------------------------------
-# oracle-anchored gates for the hash-based (rows-only) operators.
+# hash-based operators, oracle-anchored (round 3: these ARE the
+# contract entries — the scale-geometry configs moved to bench.py
+# probes so every driver-sampled query has an oracle).
 #
-# The plain near_dup_minhash / ann_lsh / ... queries above run the
-# SCALE configurations, whose outputs depend on hash-bucket geometry
-# and so have no SQL twin. Each gate below pins the same machinery to
-# a driver-visible pass criterion:
-#   * parity gates run the operator at a recall~1 configuration where
-#     LSH theory says the output must EQUAL the exact result, and
-#     oracle-check the full row set against DuckDB;
+# Outputs at corpus-scale bucket geometry depend on the hash family
+# and have no SQL twin, so each contract query pins the machinery to
+# a driver-visible pass criterion instead:
+#   * parity queries run the operator at a recall~1 configuration
+#     where LSH theory says the output must EQUAL the exact result,
+#     and oracle-check the full row set against DuckDB;
 #   * recall gates compute containment/recall against the exact
 #     operator (itself oracle-checked) inside Spark and emit scale-
 #     independent booleans/zeros the oracle states as constants.
@@ -932,7 +905,7 @@ def _half_docs(spark, sf_dir):
                                       "n_chars"]})
 
 
-def q_minhash_parity(spark, sf_dir):
+def q_near_dup_minhash(spark, sf_dir):
     """near_dup_minhash at rows_per_band=1, bands=16: a true pair at
     jaccard >= 0.8 is missed with probability (1-j)^16 <= 6.6e-12, and
     exact-jaccard verification removes every false positive — so the
@@ -946,7 +919,7 @@ def q_minhash_parity(spark, sf_dir):
     return op("sort", df, {"fields": ["id_a", "id_b"]})
 
 
-def q_dedup_near_parity(spark, sf_dir):
+def q_dedup_near_minhash(spark, sf_dir):
     """Greedy near-dup dedup at the recall~1 banding == SQL survivors
     (docs with no >=0.8-jaccard partner of smaller id)."""
     d = _half_docs(spark, sf_dir)
@@ -957,7 +930,7 @@ def q_dedup_near_parity(spark, sf_dir):
     return op("sort", df, {"fields": ["doc_id"]})
 
 
-def q_dedup_groups_parity(spark, sf_dir):
+def q_dedup_near_groups(spark, sf_dir):
     """Transitive (connected-components) dedup at the recall~1 banding
     == SQL survivors from a recursive-CTE transitive closure."""
     d = _half_docs(spark, sf_dir)
@@ -968,7 +941,7 @@ def q_dedup_groups_parity(spark, sf_dir):
     return op("sort", df, {"fields": ["doc_id"]})
 
 
-def q_similarity_parity(spark, sf_dir):
+def q_similarity_join(spark, sf_dir):
     """similarity_join with multi-table amplification tuned for
     recall~1 at this threshold (L=30 tables of b=2 planes: a pair at
     cos 0.3 is missed with prob (1-0.597^2)^30 ~ 2e-6): the candidate
@@ -1196,7 +1169,7 @@ ORDER BY vec_id
 """
 
 
-def q_simhash_gate(spark, sf_dir):
+def q_near_dup_simhash(spark, sf_dir):
     """Containment gate for near_dup_simhash: every emitted pair's
     hamming distance, recomputed INDEPENDENTLY of the banded candidate
     path (JVM bit_count over the stored 64-bit simhashes), must be
@@ -1233,7 +1206,7 @@ def _recall_gate(approx: DataFrame, exact: DataFrame, floor: int) -> DataFrame:
         hit.agg((F.count(F.lit(1)) >= floor).alias("recall_floor_met")))
 
 
-def q_ann_lsh_gate(spark, sf_dir):
+def q_ann_lsh(spark, sf_dir):
     """Recall gate for LSH ANN vs the (oracle-checked) exact top-10:
     multi-probe at radius 3 over 32 buckets must recover >= 7 of the
     true neighbors. Bucket geometry is corpus-size-appropriate here —
@@ -1245,7 +1218,7 @@ def q_ann_lsh_gate(spark, sf_dir):
     return _recall_gate(approx, exact, 7)
 
 
-def q_ann_ivf_gate(spark, sf_dir):
+def q_ann_ivf(spark, sf_dir):
     """Recall gate for IVF ANN vs exact top-10: scanning 4 of 8 cells
     must recover >= 6 of the true neighbors."""
     e = _t(spark, sf_dir, "embeddings")
@@ -2517,8 +2490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_props": q_parse_props,
         "quantiles": q_quantiles,
         "monthly_revenue": q_monthly_revenue,
-        # scale-configuration runs (bucket-geometry outputs, rows-only) —
-        # each is anchored by a *_parity/*_gate query below
+        # hash-based operators, oracle-anchored (recall~1 parity
+        # configs / containment gates — scale configs are bench.py
+        # probes, see the comment block above q_near_dup_minhash)
         "near_dup_minhash": q_near_dup_minhash,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_near_groups": q_dedup_near_groups,
@@ -2528,11 +2502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "frame_sample": q_frame_sample,
         "split_assign": q_split_assign,
-        # oracle-anchored gates for the hash-based operators
-        "minhash_parity": q_minhash_parity,
-        "dedup_near_parity": q_dedup_near_parity,
-        "dedup_groups_parity": q_dedup_groups_parity,
-        "similarity_parity": q_similarity_parity,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "components": q_components,
@@ -2540,9 +2509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "resize_meta": q_resize_meta,
         "ivf_assign_gate": q_ivf_assign_gate,
-        "simhash_gate": q_simhash_gate,
-        "ann_lsh_gate": q_ann_lsh_gate,
-        "ann_ivf_gate": q_ann_ivf_gate,
         "split_assign_gate": q_split_assign_gate,
         "mix_corpus_gate": q_mix_corpus_gate,
         "shuffle_rows": q_shuffle_rows,
@@ -2624,10 +2590,14 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": _SQL_QUANTILES,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "frame_sample": _SQL_FRAME_SAMPLE,
-        "minhash_parity": _SQL_MINHASH_PARITY,
-        "dedup_near_parity": _SQL_DEDUP_NEAR_PARITY,
-        "dedup_groups_parity": _SQL_DEDUP_GROUPS_PARITY,
-        "similarity_parity": _SQL_SIMILARITY_PARITY,
+        "near_dup_minhash": _SQL_MINHASH_PARITY,
+        "dedup_near_minhash": _SQL_DEDUP_NEAR_PARITY,
+        "dedup_near_groups": _SQL_DEDUP_GROUPS_PARITY,
+        "near_dup_simhash": _SQL_SIMHASH_GATE,
+        "ann_lsh": _SQL_ANN_GATE,
+        "ann_ivf": _SQL_ANN_GATE,
+        "similarity_join": _SQL_SIMILARITY_PARITY,
+        "split_assign": _SQL_SPLIT_ASSIGN,
         "dedup_embedding_parity": _SQL_DEDUP_EMBEDDING_PARITY,
         "dedup_embedding_groups_parity": _SQL_DEDUP_EMBEDDING_GROUPS_PARITY,
         "components": _SQL_COMPONENTS,
@@ -2635,9 +2605,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta": _SQL_AUDIO_META,
         "resize_meta": _SQL_RESIZE_META,
         "ivf_assign_gate": _SQL_IVF_ASSIGN_GATE,
-        "simhash_gate": _SQL_SIMHASH_GATE,
-        "ann_lsh_gate": _SQL_ANN_GATE,
-        "ann_ivf_gate": _SQL_ANN_GATE,
         "split_assign_gate": _SQL_SPLIT_ASSIGN_GATE,
         "mix_corpus_gate": _SQL_MIX_CORPUS_GATE,
         "shuffle_rows": _SQL_SHUFFLE_ROWS,

@@ -38,6 +38,50 @@ def q_dedup_sort(spark, sf_dir):
     return op("select", df, {"fields": ["l_orderkey", "l_linenumber", "l_extendedprice"]})
 
 
+# Corpus-scale bucket-geometry probes (NON-contract: their outputs
+# depend on the hash family so they have no SQL oracle — the contract
+# queries of the same names run recall~1 parity / containment-gate
+# configs instead; see __spark_entry__.py. Timed every round so the
+# scale shapes stay measured.)
+_MINHASH_SCALE = {"field": "text", "id_field": "doc_id", "shingle_size": 5,
+                  "bands": 8, "rows_per_band": 4, "threshold": 0.8}
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+SCALE_PROBES = {
+    "near_dup_minhash_scale": lambda s, d: op(
+        "near_dup_minhash", _docs(s, d), _MINHASH_SCALE),
+    "dedup_near_minhash_scale": lambda s, d: op(
+        "dedup_near_minhash", _docs(s, d), _MINHASH_SCALE).select(
+            "doc_id", "lang", "source"),
+    "dedup_near_groups_scale": lambda s, d: op(
+        "dedup_near_groups", _docs(s, d), _MINHASH_SCALE).select(
+            "doc_id", "lang", "source"),
+    "near_dup_simhash_scale": lambda s, d: op(
+        "near_dup_simhash", _docs(s, d),
+        {"field": "text", "id_field": "doc_id", "max_distance": 3}),
+    # n_planes=12 (4096 buckets): at corpus scale the candidate set is
+    # corpus/2^n_planes, so few-plane configs degrade to quadratic
+    # work inside giant buckets; probe_radius=2 restores recall.
+    "ann_lsh_scale": lambda s, d: op(
+        "ann_lsh", _embs(s, d), {"probe_id": 0, "k": 10, "dim": 64,
+                                 "n_planes": 12, "probe_radius": 2}),
+    "ann_ivf_scale": lambda s, d: op(
+        "ann_ivf", _embs(s, d), {"probe_id": 0, "k": 10, "dim": 64,
+                                 "n_cells": 8, "nprobe": 3, "refine": 1}),
+    "similarity_join_scale": lambda s, d: op(
+        "similarity_join", _embs(s, d),
+        {"threshold": 0.3, "dim": 64, "n_planes": 12}),
+}
+
+
 def run_once(fn, spark, sf_dir) -> float:
     """Time plan CONSTRUCTION + execution: queries with driver-side
     stages (IVF centroid fit, connected-components iterations) do real
@@ -69,6 +113,7 @@ def main() -> None:
 
     bench_queries = dict(entry_mod.queries())
     bench_queries["dedup_sort"] = q_dedup_sort
+    bench_queries.update(SCALE_PROBES)
 
     headline = ("filter_agg", "join", "dedup_sort")
     if len(sys.argv) > 1:  # subset mode for local iteration

@@ -581,10 +581,19 @@ def op_split_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
     the first split whose cumulative fraction covers their hash
     bucket. No shuffle — a projection.
     """
-    on = [F.col(c) for c in config["on"]]
     splits = config.get("splits", {"train": 0.98, "val": 0.01, "test": 0.01})
     buckets = int(config.get("buckets", 1_000_000))
-    h = F.pmod(F.xxhash64(*on), F.lit(buckets))
+    # md5 (not xxhash64) so the assignment is reproducible from ANY
+    # engine — auditors can recompute membership in SQL
+    # (CAST(concat('0x', substring(md5(...), 1, 15)) AS BIGINT) in
+    # DuckDB): 15 hex chars = 60 bits, exact in a long, then pmod.
+    # Key layout matches shuffle_rows: salt + unit-separator-joined
+    # key columns (concat_ws skips NULL keys on both engines).
+    salt = str(config.get("salt", "split"))
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in config["on"]])
+    h = F.pmod(F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+               F.lit(buckets))
     expr = None
     acc = 0.0
     for name, frac in splits.items():
@@ -647,7 +656,12 @@ def op_mix_corpus(df: DataFrame, config: Mapping, views) -> DataFrame:
         if not 0.0 <= rate <= 1.0:
             raise ValueError(f"keep rate for {name!r} must be in [0,1], "
                              f"got {rate}")
-    h = F.pmod(F.xxhash64(*on, F.lit(salt)), F.lit(buckets))
+    # md5 like split_assign/shuffle_rows: the keep decision is
+    # reproducible from any engine (auditable in plain SQL)
+    key = F.concat_ws("\x1f", F.lit(salt),
+                      *[c.cast("string") for c in on])
+    h = F.pmod(F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+               F.lit(buckets))
     threshold = None
     stratum = F.col(by).cast("string")
     for value, rate in rates.items():

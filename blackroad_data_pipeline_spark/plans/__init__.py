@@ -3,6 +3,7 @@
 from .quality import (  # noqa: F401
     arrow_python_nodes,
     assert_broadcast_join,
+    assert_exchange_reuse,
     assert_max_shuffles,
     assert_no_cartesian,
     assert_no_row_python,
@@ -14,6 +15,7 @@ from .quality import (  # noqa: F401
     has_node,
     join_strategies,
     pushed_filters,
+    reused_exchange_count,
     row_python_nodes,
     scan_read_schemas,
     shuffle_exchange_count,

@@ -96,6 +96,18 @@ def shuffle_exchange_count(df: DataFrame) -> int:
     return n
 
 
+def reused_exchange_count(df: DataFrame) -> int:
+    """``ReusedExchange`` nodes — when N plan branches need the same
+    shuffle output, Spark's ReuseExchange rule keeps ONE Exchange and
+    replaces the other N-1 consumers with ReusedExchange references.
+    Self-joins built on a shared ``.repartition(key)`` (the LSH bucket
+    joins) rely on this: without reuse each branch re-executes the
+    whole upstream plan — including the signature kernel — per
+    consumer (measured 3.6x on candidate generation)."""
+    text = explain_text(df)
+    return len(re.findall(r"^\s*\(\d+\)\s+ReusedExchange", text, re.M))
+
+
 def join_strategies(df: DataFrame) -> list[str]:
     """Join node types in plan order, e.g. ['BroadcastHashJoin',
     'SortMergeJoin']."""
@@ -188,3 +200,15 @@ def assert_no_cartesian(df: DataFrame) -> None:
 def assert_max_shuffles(df: DataFrame, n: int) -> None:
     got = shuffle_exchange_count(df)
     assert got <= n, f"plan has {got} shuffles, budget is {n}:\n{explain_text(df)}"
+
+
+def assert_exchange_reuse(df: DataFrame, min_reused: int = 1) -> None:
+    """Assert the plan shares at least ``min_reused`` exchanges across
+    branches (self-join candidate generation must not re-execute its
+    upstream per branch)."""
+    got = reused_exchange_count(df)
+    assert got >= min_reused, (
+        f"plan has {got} ReusedExchange nodes, expected >= {min_reused} "
+        f"— a shared shuffle is being re-executed per consumer:\n"
+        f"{explain_text(df)}"
+    )

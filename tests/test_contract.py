@@ -18,16 +18,25 @@ def test_every_oracle_key_has_a_query():
     assert set(o) <= set(q), set(o) - set(q)
 
 
-def test_rows_only_queries_are_the_known_hash_configs():
+def test_every_contract_query_is_oracle_anchored():
+    """Round 3: NO rows-only contract entries — every queries() entry
+    has an oracle_sql() twin, so any driver sample is fully value-
+    checked. Scale-geometry configs live in bench.SCALE_PROBES (non-
+    contract) instead."""
     q, o = entry.queries(), entry.oracle_sql()
-    rows_only = set(q) - set(o)
-    # every rows-only query must be a hash-based scale config anchored
-    # by an oracle-checked gate — keep this list short and deliberate
-    assert rows_only == {
-        "near_dup_minhash", "dedup_near_minhash", "dedup_near_groups",
-        "near_dup_simhash", "ann_lsh", "ann_ivf", "similarity_join",
-        "split_assign",
-    }, rows_only
+    assert set(q) == set(o), set(q) ^ set(o)
+
+
+def test_scale_probes_are_disjoint_from_contract():
+    import bench
+
+    q = entry.queries()
+    assert set(bench.SCALE_PROBES).isdisjoint(q)
+    # every contract hash-op keeps a *_scale probe riding bench
+    for name in ("near_dup_minhash", "dedup_near_minhash",
+                 "dedup_near_groups", "near_dup_simhash", "ann_lsh",
+                 "ann_ivf", "similarity_join"):
+        assert f"{name}_scale" in bench.SCALE_PROBES, name
 
 
 def test_most_queries_are_documented():

@@ -38,7 +38,6 @@ PROBED = [
     "dedup_near_groups",
     "near_dup_simhash",
     "similarity_join",
-    "similarity_parity",
     "ann_lsh",
     "ann_ivf",
     "dedup_exact",
