@@ -480,12 +480,15 @@ def q_ngram_jaccard(spark, sf_dir):
 def _ngram_jaccard_sql(src: str = "documents") -> str:
     """Exact 5-gram jaccard pair SQL over ``src`` (a table name or
     parenthesized subquery) — shared by ngram_jaccard and the minhash
-    parity gates (which run it over a deterministic corpus quarter)."""
-    return _SQL_NGRAM_JACCARD.replace(
-        "FROM documents)", f"FROM {src})", 1)
+    parity gates (which run it over a deterministic corpus half).
+    The template carries an explicit {SRC} placeholder (round-3
+    ADVICE fix: the old substring-replace of live SQL text would
+    silently patch the wrong relation if the template ever gained a
+    second 'FROM documents)' occurrence)."""
+    return _SQL_NGRAM_JACCARD_TEMPLATE.replace("{SRC}", src)
 
 
-_SQL_NGRAM_JACCARD = f"""
+_SQL_NGRAM_JACCARD_TEMPLATE = f"""
 WITH docs AS (
   SELECT doc_id,
          CASE WHEN len({_D_TOKS}) >= 5 THEN
@@ -493,7 +496,7 @@ WITH docs AS (
              range(1, len({_D_TOKS}) - 3),
              i -> array_to_string(({_D_TOKS})[i:i+4], ' ')))
          ELSE [array_to_string({_D_TOKS}, ' ')] END AS sh
-  FROM documents),
+  FROM {{SRC}}),
 sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
 inverted AS (SELECT doc_id, unnest(sh) AS s FROM docs),
 shared AS (
@@ -508,6 +511,8 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
 """
+
+_SQL_NGRAM_JACCARD = _ngram_jaccard_sql()
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -2103,7 +2108,7 @@ def q_dedup_against(spark, sf_dir):
 _SQL_DEDUP_AGAINST = """
 WITH fp AS (
   SELECT doc_id, lang, source,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
   FROM documents),
 batch AS (
   SELECT * FROM fp WHERE doc_id % 2 = 1
@@ -2348,6 +2353,34 @@ WINDOW w AS (PARTITION BY o_orderstatus
 """
 
 
+def q_first_last(spark, sf_dir):
+    """ANSI FIRST_VALUE/LAST_VALUE over an explicit whole-partition
+    frame (RESPECT NULLS default — round-3 ADVICE fix: was
+    ignorenulls=True, silently diverging from SQL; the ignore-nulls
+    variant is opt-in via ``ignore_nulls: true`` and pytest-covered)."""
+    o = _t(spark, sf_dir, "orders")
+    w = {"partition_by": ["o_orderstatus"],
+         "order_by": ["o_totalprice", "o_orderkey"],
+         "frame": "rows", "frame_bounds": ["unbounded", "unbounded"]}
+    df = op("window", o, {**w, "function": "first_value",
+                          "field": "o_totalprice", "alias": "cheapest"})
+    df = op("window", df, {**w, "function": "last_value",
+                           "field": "o_totalprice", "alias": "priciest"})
+    return op("select", df, {"fields": ["o_orderkey", "o_orderstatus",
+                                        "cheapest", "priciest"]})
+
+
+_SQL_FIRST_LAST = """
+SELECT o_orderkey, o_orderstatus,
+       FIRST_VALUE(o_totalprice) OVER w AS cheapest,
+       LAST_VALUE(o_totalprice) OVER w AS priciest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_ts_features(spark, sf_dir):
     """Per-user time-series features over events in ONE window
     partitioning: previous value (lag) and a trailing 4-row moving
@@ -2535,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "hash_columns": q_hash_columns,
         "ntile": q_ntile,
+        "first_last": q_first_last,
         "ts_features": q_ts_features,
         "fillna_dropna": q_fillna_dropna,
         "bigram_logprob": q_bigram_logprob,
@@ -2629,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,
         "ntile": _SQL_NTILE,
+        "first_last": _SQL_FIRST_LAST,
         "ts_features": _SQL_TS_FEATURES,
         "fillna_dropna": _SQL_FILLNA_DROPNA,
         "bigram_logprob": _SQL_BIGRAM_LOGPROB,

@@ -695,7 +695,12 @@ def op_dedup_against(df: DataFrame, config: Mapping, views) -> DataFrame:
         history = views[history]
 
     def fingerprint(col: Column) -> Column:
-        return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+        # coalesce to '' BEFORE hashing (matches clean_lines' NULL
+        # handling): a NULL fingerprint never matches in the anti
+        # join (Spark keeps it; SQL's NOT IN drops it — engines
+        # diverge), so NULL text dedups as empty text instead
+        return F.md5(F.regexp_replace(
+            F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+", " "))
 
     if config.get("history_is_fingerprint"):
         h_fp = history.select(

@@ -493,9 +493,12 @@ def op_unigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     (T + k·V)), doc score = mean over token occurrences.
 
     Shape at scale: (1) corpus token counts — word-count, map-side
-    partial agg, one shuffle keyed by token; (2) the two scalars T and
-    V — a bounded driver collect of one row; (3) exploded tokens joined
-    back to the vocab. The vocab is sublinear in the corpus (~100M
+    partial agg, one shuffle keyed by token, materialized EAGERLY
+    (localCheckpoint) at operator-construction time so the scalar
+    collect and the join share one execution — this operator is an
+    exception to the lazy-transform contract; (2) the two scalars T
+    and V — a bounded driver collect of one row; (3) exploded tokens
+    joined back to the vocab. The vocab is sublinear in the corpus (~100M
     rows at web scale) so it BROADCASTS by default; set ``broadcast:
     false`` to fall back to a shuffled join — then stopword keys are
     the skew hazard, which AQE skew-join splitting absorbs. The
@@ -513,7 +516,14 @@ def op_unigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     tok_expr = tokens_col(F.lower(F.col(field)) if lower else F.col(field))
 
     toks = df.select(F.col(id_field), F.explode(tok_expr).alias("token"))
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    # Materialize the vocab ONCE (eager localCheckpoint): the T/V
+    # scalar collect below would otherwise re-run the full corpus
+    # token aggregation a second time when the join consumes the same
+    # lazy frame (round-3 ADVICE fix). This is the operator's one
+    # eager step; the blocks are vocab-sized (sublinear in corpus)
+    # and live until the returned frame is released.
+    vocab = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+             .localCheckpoint(eager=True))
     tv = vocab.agg(F.sum("__c").alias("t"), F.count(F.lit(1)).alias("v")).first()
     denom = float(tv["t"] or 0) + k * float(tv["v"] or 0)
     if config.get("broadcast", True):
@@ -576,9 +586,11 @@ def op_bigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     its TRANSITIONS are improbable.
 
     Same scale shape as the unigram op: two word-count aggregations
-    (bigram and unigram tables, map-side partials), V+T as a bounded
-    one-row collect, then the exploded bigram stream joins both count
-    tables — broadcast by default (bigram vocab is still sublinear in
+    (bigram and unigram tables, map-side partials; the unigram table
+    is eagerly materialized so the scalar collect shares one execution
+    with the prefix join — same lazy-contract exception as
+    unigram_logprob), V as a bounded one-row collect, then the
+    exploded bigram stream joins both count tables — broadcast by default (bigram vocab is still sublinear in
     the corpus; set ``broadcast: false`` past broadcast range and let
     AQE skew-split the stopword-pair keys).
 
@@ -596,8 +608,12 @@ def op_bigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     bigs = staged.select(
         F.col(id_field),
         F.explode(kgrams_from_tokens(F.col("__toks"), 2)).alias("bigram"))
+    # eager materialization for the same reason as unigram_logprob:
+    # the V collect must not re-run the unigram aggregation the
+    # prefix join consumes
     uni = (staged.select(F.explode("__toks").alias("token"))
-           .groupBy("token").agg(F.count(F.lit(1)).alias("__c1")))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("__c1"))
+           .localCheckpoint(eager=True))
     v = uni.agg(F.count(F.lit(1)).alias("v")).first()["v"] or 0
     big_counts = bigs.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c12"))
     prefix_counts = uni.select(F.col("token").alias("__w1"),

@@ -695,8 +695,15 @@ _WINDOW_FNS = {
     "count": lambda c: F.count(c),
     "percent_rank": lambda c: F.percent_rank(),
     "cume_dist": lambda c: F.cume_dist(),
-    "first_value": lambda c: F.first(c, ignorenulls=True),
-    "last_value": lambda c: F.last(c, ignorenulls=True),
+    # SQL default semantics: RESPECT NULLS (ANSI FIRST_VALUE /
+    # LAST_VALUE). op_window rebinds these to ignorenulls=True when
+    # the config passes ``ignore_nulls: true``. NOTE: with an ordered
+    # window and no explicit frame the default frame ends at the
+    # CURRENT ROW, so last_value returns the current row's value —
+    # pass frame: "rows" with unbounded bounds for whole-partition
+    # first/last (mirrors every SQL engine, including the oracle).
+    "first_value": lambda c: F.first(c, ignorenulls=False),
+    "last_value": lambda c: F.last(c, ignorenulls=False),
 }
 
 # applied to the windowed expression AFTER .over()
@@ -728,21 +735,34 @@ def op_window(df: DataFrame, config: Mapping, views) -> DataFrame:
         cols = [F.col(c).desc() if config.get("descending") else F.col(c) for c in order_by]
         w = w.orderBy(*cols)
     frame = config.get("frame")
+
+    def _bound(v, default):
+        # "unbounded" in frame_bounds maps to the open frame edge —
+        # needed for whole-partition first_value/last_value
+        if v in ("unbounded", None):
+            return default
+        return int(v)
+
     if frame == "running":
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     elif frame == "rows":
         lo, hi = config["frame_bounds"]  # e.g. [-3, 0] = last 4 rows
-        w = w.rowsBetween(int(lo), int(hi))
+        w = w.rowsBetween(_bound(lo, Window.unboundedPreceding),
+                          _bound(hi, Window.unboundedFollowing))
     elif frame == "range":
         # value-based frame over the (single) order column — e.g.
         # bounds [-3600, 0] with an epoch-seconds order column is a
         # trailing one-hour window regardless of row density
         lo, hi = config["frame_bounds"]
-        w = w.rangeBetween(int(lo), int(hi))
+        w = w.rangeBetween(_bound(lo, Window.unboundedPreceding),
+                           _bound(hi, Window.unboundedFollowing))
     field = config.get("field")
     if fn == "ntile":
         # bucket count rides the config, not a column
         expr = F.ntile(int(config.get("n", 4))).over(w)
+    elif fn in ("first_value", "last_value") and config.get("ignore_nulls"):
+        expr = (F.first if fn == "first_value" else F.last)(
+            F.col(field), ignorenulls=True).over(w)
     else:
         expr = _WINDOW_FNS[fn](F.col(field) if field else None).over(w)
     if fn in _WINDOW_POST:
@@ -908,8 +928,8 @@ def op_zorder(df: DataFrame, config: Mapping, views) -> DataFrame:
                        for n, f in (("lo", F.min), ("hi", F.max))]).first()
         for c in missing:
             lo, hi = row[f"{c}__lo"], row[f"{c}__hi"]
-            # all-NULL column: any bounds work (quantize clamps NULL
-            # arithmetic to NULL keys; rows keep flowing)
+            # all-NULL column: any bounds work (quantized() maps NULL
+            # values to NULL keys; rows keep flowing)
             bounds[c] = [float(lo), float(hi)] if lo is not None else [0.0, 1.0]
     levels = (1 << bits) - 1
 
@@ -918,7 +938,15 @@ def op_zorder(df: DataFrame, config: Mapping, views) -> DataFrame:
         width = (hi - lo) or 1.0
         q = F.floor((F.col(c).cast("double") - F.lit(lo))
                     / F.lit(width) * F.lit(float(levels))).cast("long")
-        return F.least(F.greatest(q, F.lit(0)), F.lit(levels))
+        # preserve NULLs explicitly: Spark's greatest() SKIPS nulls,
+        # so without the guard a NULL value would silently clamp into
+        # bin 0 and co-locate with genuine minimums (round-3 ADVICE
+        # fix). A NULL in either column nulls the whole z-key, and
+        # repartitionByRange orders NULLS FIRST — NULL rows cluster
+        # in their own leading files instead of polluting the low
+        # corner's min/max stats.
+        return F.when(F.col(c).isNull(), F.lit(None).cast("long")).otherwise(
+            F.least(F.greatest(q, F.lit(0)), F.lit(levels)))
 
     z = _morton_spread(quantized(cols[0])).bitwiseOR(
         F.shiftleft(_morton_spread(quantized(cols[1])), 1))

@@ -1,13 +1,32 @@
 from __future__ import annotations
 
+import glob
+import os
+
 import pytest
 
 from blackroad_data_pipeline_spark.session import get_spark
 
 
+def _jdbc_driver_jar() -> str | None:
+    """A DuckDB JDBC driver jar if one is cached locally — lets the
+    jdbc source run against a REAL driver (in-memory DuckDB) instead
+    of staying code-path-only. Purely opportunistic: absent jar just
+    skips the test."""
+    hits = glob.glob(os.path.expanduser(
+        "~/.cache/coursier/**/duckdb_jdbc*.jar"), recursive=True)
+    return hits[0] if hits else None
+
+
+JDBC_JAR = _jdbc_driver_jar()
+
+
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "4"})
+    extra = {"spark.sql.shuffle.partitions": "4"}
+    if JDBC_JAR:
+        extra["spark.jars"] = JDBC_JAR
+    s = get_spark("tests", extra_conf=extra)
     yield s
 
 

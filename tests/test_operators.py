@@ -447,6 +447,30 @@ def test_window_rows_and_range_frames(spark):
     assert got == {1: 10.0, 2: 30.0, 10: 30.0}
 
 
+def test_first_last_value_null_semantics(spark):
+    """ANSI default: FIRST_VALUE/LAST_VALUE RESPECT NULLS; the
+    ignore-nulls variant is opt-in (ignore_nulls: true)."""
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 20.0), ("a", 3, None)],
+        "k string, t int, v double")
+    base = {"partition_by": ["k"], "order_by": ["t"], "frame": "rows",
+            "frame_bounds": ["unbounded", "unbounded"]}
+    out = op("window", df, {**base, "function": "first_value",
+                            "field": "v", "alias": "fv"})
+    out = op("window", out, {**base, "function": "last_value",
+                             "field": "v", "alias": "lv"})
+    r = out.filter("t = 2").collect()[0]
+    assert r["fv"] is None and r["lv"] is None  # RESPECT NULLS
+    out2 = op("window", df, {**base, "function": "first_value",
+                             "field": "v", "alias": "fv",
+                             "ignore_nulls": True})
+    out2 = op("window", out2, {**base, "function": "last_value",
+                               "field": "v", "alias": "lv",
+                               "ignore_nulls": True})
+    r2 = out2.filter("t = 2").collect()[0]
+    assert r2["fv"] == 20.0 and r2["lv"] == 20.0
+
+
 def test_parse_json(spark):
     df = spark.createDataFrame([(1, '{"k": 7, "tag": "x"}')], ["id", "props"])
     out = op("parse_json", df, {"field": "props",
