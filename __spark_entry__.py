@@ -2118,6 +2118,79 @@ WHERE doc_id IN (SELECT min(doc_id) FROM batch GROUP BY fp)
 """
 
 
+def q_budget_select(spark, sf_dir):
+    """Token-budget corpus selection: highest-quality documents until
+    a 12k-token budget fills (distributed prefix sum — range
+    partitions, per-partition offsets to the driver, parallel
+    per-partition window cumsums; see op_budget_select). Oracle: the
+    same running sum as a single SQL window, value-for-value
+    (the long arithmetic makes the running totals exact on both
+    engines)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("quality_score", d, {"field": "text"})
+    df = op("token_count", df, {"field": "text"})
+    df = op("budget_select", df, {
+        "weight_field": "ws_tokens", "budget": 12000,
+        "order_by": ["quality_score", "doc_id"], "descending": True,
+        "as": "running_tokens"})
+    df = op("select", df, {"fields": ["doc_id", "quality_score",
+                                      "ws_tokens", "running_tokens"]})
+    return op("sort", df, {"fields": ["running_tokens"]})
+
+
+_SQL_BUDGET_SELECT = f"""
+WITH q AS (
+  SELECT doc_id,
+         (CASE WHEN len({_D_TOKS}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN LENGTH(text) = 0 THEN 0.0
+                 WHEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                      AS DOUBLE) / LENGTH(text) < 0.2 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN len(list_intersect({_D_TOKS_LOWER}, {_EN})) >= 1 THEN 1.0 ELSE 0.0 END
+         ) / 3.0 AS quality_score,
+         len({_D_TOKS}) AS ws_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, quality_score, ws_tokens,
+         CAST(SUM(ws_tokens) OVER (ORDER BY quality_score DESC, doc_id DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_tokens
+  FROM q)
+SELECT doc_id, quality_score, ws_tokens, running_tokens
+FROM c WHERE running_tokens <= 12000
+ORDER BY running_tokens
+"""
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff: the previous snapshot is the even-id docs
+    (with drifted text on ids divisible by 8), the current build drops
+    multiples of 3 — every status class (added / removed / changed /
+    unchanged) appears and DuckDB recomputes the classification
+    value-for-value from the same md5 fingerprints."""
+    d = _t(spark, sf_dir, "documents")
+    new = op("sql", d, {"query":
+                        "SELECT * FROM self WHERE doc_id % 3 <> 0"}, views={})
+    old = op("sql", d, {"query": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 8 = 0 THEN text || ' v1' ELSE text END AS text
+        FROM self WHERE doc_id % 2 = 0"""}, views={})
+    df = op("corpus_diff", new, {"other": old, "field": "text",
+                                 "id_field": "doc_id"})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_CORPUS_DIFF = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 <> 0 THEN 'added'
+            WHEN doc_id % 3 = 0 THEN 'removed'
+            WHEN doc_id % 8 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM documents
+WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0
+ORDER BY doc_id
+"""
+
+
 def q_cap_per_group(spark, sf_dir):
     """Per-source document cap (anti-monoculture guard): at most 10
     docs per (lang, source), selected by the stable md5-hash order so
@@ -2559,6 +2632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_gate": q_sample_gate,
         "corpus_prep": q_corpus_prep,
         "dedup_against": q_dedup_against,
+        "budget_select": q_budget_select,
+        "corpus_diff": q_corpus_diff,
         "cap_per_group": q_cap_per_group,
         "histogram": q_histogram,
         "clean_lines": q_clean_lines,
@@ -2654,6 +2729,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_gate": _SQL_SAMPLE_GATE,
         "corpus_prep": _SQL_CORPUS_PREP,
         "dedup_against": _SQL_DEDUP_AGAINST,
+        "budget_select": _SQL_BUDGET_SELECT,
+        "corpus_diff": _SQL_CORPUS_DIFF,
         "cap_per_group": _SQL_CAP_PER_GROUP,
         "histogram": _SQL_HISTOGRAM,
         "clean_lines": _SQL_CLEAN_LINES,

@@ -829,6 +829,107 @@ def op_cap_per_group(df: DataFrame, config: Mapping, views) -> DataFrame:
     )
 
 
+@register("budget_select")
+def op_budget_select(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Fill a token/byte budget with the best rows: keep rows in
+    ``order_by`` order while the running sum of ``weight_field`` stays
+    within ``budget`` — "give me the highest-quality 1B tokens" step
+    of training-corpus assembly.
+
+    A naive global-order cumulative sum is a single-partition
+    WindowExec (every row through one task). This op runs the classic
+    DISTRIBUTED PREFIX SUM instead:
+
+    1. ``repartitionByRange`` on the order key — ordered partitions,
+       balanced by sampled boundaries;
+    2. per-partition weight totals → the driver (N_partitions scalars,
+       bounded) → prefix offsets per partition;
+    3. per-partition cumulative sums — a window partitioned BY the
+       partition id, so every partition computes its cumsum in
+       parallel — plus the broadcast offset;
+    4. filter ``running <= budget``.
+
+    Two passes over the input (totals, then cumsum) — the unavoidable
+    price of an exact global prefix without materializing the corpus.
+    Weights sum as LONGS (token/byte counts), so the running total is
+    exact and order-independent within equal keys — but ``order_by``
+    must still be a TOTAL order (append a unique id) or boundary ties
+    make membership ambiguous. ``as`` keeps the running total as an
+    output column for auditability.
+    """
+    weight = config["weight_field"]
+    budget = int(config["budget"])
+    order = list(config["order_by"])
+    desc = bool(config.get("descending", True))
+    out_col = config.get("as")
+    sort_cols = [F.col(c).desc() if desc else F.col(c) for c in order]
+    n_parts = int(config.get("n_partitions", 0)) or \
+        df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n_parts, *sort_cols)
+              .withColumn("__pid", F.spark_partition_id()))
+    totals = ranged.groupBy("__pid").agg(
+        F.sum(F.col(weight).cast("long")).alias("__w")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += int(r["__w"] or 0)
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__pid")) if offsets else F.lit(0)
+    w = (Window.partitionBy("__pid").orderBy(*sort_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.sum(F.col(weight).cast("long")).over(w) + off
+    out = (ranged.withColumn("__run", running)
+           .filter(F.col("__run") <= F.lit(budget)))
+    if out_col:
+        out = out.withColumn(out_col, F.col("__run"))
+    return out.drop("__pid", "__run")
+
+
+@register("corpus_diff")
+def op_corpus_diff(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Snapshot diff for a continuously assembled corpus: classify
+    every id as ``added`` (only in the current frame), ``removed``
+    (only in the previous snapshot), ``changed`` (both, content
+    fingerprint differs) or ``unchanged`` — the audit step between
+    two corpus builds ("what moved since the last training set?").
+
+    Shape at scale: both sides reduce to (id, md5 fingerprint) narrow
+    projections before a full-outer join on id — the join shuffles
+    two thin columns per side, never text. md5 (not xxhash64) so any
+    engine reproduces the fingerprints.
+
+    ``other``: previous snapshot as a view name or DataFrame.
+    ``other_is_fingerprint``: the 100 TB path — diff against a stored
+    (id, fp) manifest instead of re-reading old text.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    other = config["other"]
+    if isinstance(other, str):
+        other = views[other]
+
+    def fp(col: Column) -> Column:
+        return F.md5(F.regexp_replace(
+            F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+", " "))
+
+    new = df.select(F.col(id_field).alias("__id"), fp(F.col(field)).alias("__fp_new"))
+    if config.get("other_is_fingerprint"):
+        old = other.select(F.col(id_field).alias("__oid"),
+                           F.col(config.get("other_field", "fp")).alias("__fp_old"))
+    else:
+        old = other.select(F.col(id_field).alias("__oid"),
+                           fp(F.col(config.get("other_field", field))).alias("__fp_old"))
+    joined = new.join(old, new["__id"] == old["__oid"], "full_outer")
+    status = (F.when(F.col("__oid").isNull(), F.lit("added"))
+              .when(F.col("__id").isNull(), F.lit("removed"))
+              .when(F.col("__fp_new") != F.col("__fp_old"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return joined.select(
+        F.coalesce(F.col("__id"), F.col("__oid")).alias(id_field),
+        status.alias("status"))
+
+
 @register("histogram")
 def op_histogram(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Fixed-width histogram of a numeric column: ``n_bins`` equal

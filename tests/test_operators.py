@@ -492,3 +492,63 @@ def test_topk_ties_keep(spark):
                                      "order_by": ["score"], "k": 1,
                                      "ties": "keep"})
     assert ties.filter("k = 'a'").count() == 2  # both 9.0 rows survive
+
+
+def test_budget_select_exact_and_partition_invariant(spark):
+    """Distributed prefix-sum selection == the naive model, and the
+    kept set ignores input partitioning."""
+    rows = [(i, float(100 - i), (i * 37) % 50 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "score", "toks"])
+    cfg = {"weight_field": "toks", "budget": 1000,
+           "order_by": ["score", "id"], "descending": True,
+           "as": "run"}
+    got = {r["id"]: r["run"] for r in op("budget_select", df, cfg).collect()}
+    # naive model: sort by (score desc, id desc), accumulate
+    acc, want = 0, {}
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], -r[0])):
+        acc += t
+        if acc > 1000:
+            break
+        want[i] = acc
+    assert got == want
+    got2 = {r["id"]: r["run"]
+            for r in op("budget_select", df.repartition(13), cfg).collect()}
+    assert got2 == want
+    # budget boundary: total of kept <= budget, and adding any dropped
+    # row in order would exceed it
+    assert max(want.values()) <= 1000
+
+
+def test_budget_select_handles_empty_and_small(spark):
+    df = spark.createDataFrame([], "id long, score double, toks long")
+    out = op("budget_select", df, {"weight_field": "toks", "budget": 10,
+                                   "order_by": ["score", "id"]})
+    assert out.count() == 0
+
+
+def test_corpus_diff_statuses(spark):
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (4, "delta CHANGED")],
+        ["doc_id", "text"])
+    old = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma"), (4, "delta")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["status"]
+           for r in op("corpus_diff", new, {"other": old}).collect()}
+    assert out == {1: "added", 2: "unchanged", 3: "removed", 4: "changed"}
+
+
+def test_corpus_diff_fingerprint_store(spark):
+    """The 100 TB path: diff against a stored (id, fp) manifest."""
+    import hashlib
+
+    new = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                                ["doc_id", "text"])
+    fp = lambda t: hashlib.md5(t.encode()).hexdigest()
+    manifest = spark.createDataFrame(
+        [(2, fp("beta")), (9, fp("gone"))], ["doc_id", "fp"])
+    out = {r["doc_id"]: r["status"]
+           for r in op("corpus_diff", new,
+                       {"other": manifest,
+                        "other_is_fingerprint": True}).collect()}
+    assert out == {1: "added", 2: "unchanged", 9: "removed"}
