@@ -2022,6 +2022,112 @@ FROM orders GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# multi-join analytic suite (TPC-H-derived; public spec shapes Q3/Q5/
+# Q6/Q10 adapted to the fixture schema). One SQL text serves BOTH
+# engines: Catalyst broadcasts every dimension side automatically and
+# pushes the date/flag predicates into the parquet scans, and revenue
+# sums use the scaled-long exact pattern (products of 2dp money and
+# 2dp discounts are exact 4dp fixed-point; ROUND(x*10000) never lands
+# on .5, so Spark HALF_UP and DuckDB half-away agree).
+# --------------------------------------------------------------------------
+
+_REV = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+
+
+def _sql_all_tables(spark, sf_dir, query):
+    li = _t(spark, sf_dir, "lineitem")
+    views = {name: _t(spark, sf_dir, name)
+             for name in ("orders", "customer", "supplier", "nation", "region")}
+    return op("sql", li, {"query": query, "self_name": "lineitem"},
+              views=views)
+
+
+_SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       SUM({_REV}) / 1e4 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue — two fact joins with a broadcast customer filter."""
+    return _sql_all_tables(spark, sf_dir, _SQL_SHIPPING_PRIORITY)
+
+
+_SQL_REGIONAL_VOLUME = f"""
+SELECT n_name,
+       SUM({_REV}) / 1e4 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_regional_volume(spark, sf_dir):
+    """TPC-H Q5 shape: local-supplier revenue per ASIA nation — the
+    six-table join; every dimension side broadcasts."""
+    return _sql_all_tables(spark, sf_dir, _SQL_REGIONAL_VOLUME)
+
+
+_SQL_REVENUE_FORECAST = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) / 1e4
+         AS potential_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: discount-elimination what-if — a pure
+    scan+filter+global-agg whose three predicates all push into the
+    parquet scan."""
+    return _sql_all_tables(spark, sf_dir, _SQL_REVENUE_FORECAST)
+
+
+_SQL_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, n_name,
+       SUM({_REV}) / 1e4 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    return _sql_all_tables(spark, sf_dir, _SQL_RETURNED_ITEMS)
+
+
 def q_embedding_stats(spark, sf_dir):
     """Per-dimension range check over the embedding column (explode
     with position -> aggregate) — the vector-column QA primitive.
@@ -2596,6 +2702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_props": q_parse_props,
         "quantiles": q_quantiles,
         "monthly_revenue": q_monthly_revenue,
+        # multi-join analytic suite (TPC-H-derived shapes)
+        "shipping_priority": q_shipping_priority,
+        "regional_volume": q_regional_volume,
+        "revenue_forecast": q_revenue_forecast,
+        "returned_items": q_returned_items,
         # hash-based operators, oracle-anchored (recall~1 parity
         # configs / containment gates — scale configs are bench.py
         # probes, see the comment block above q_near_dup_minhash)
@@ -2698,6 +2809,10 @@ def oracle_sql() -> dict[str, str]:
         "parse_props": _SQL_PARSE_PROPS,
         "quantiles": _SQL_QUANTILES,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
+        "shipping_priority": _SQL_SHIPPING_PRIORITY,
+        "regional_volume": _SQL_REGIONAL_VOLUME,
+        "revenue_forecast": _SQL_REVENUE_FORECAST,
+        "returned_items": _SQL_RETURNED_ITEMS,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "near_dup_minhash": _SQL_MINHASH_PARITY,
         "dedup_near_minhash": _SQL_DEDUP_NEAR_PARITY,

@@ -303,3 +303,21 @@ def test_minhash_runtime_adaptive_plan_reuses_exchanges(spark):
     text = plans.explain_text(df)
     assert "isFinalPlan=true" in text
     assert len(re.findall(r"ReusedExchange", text)) >= 1, text
+
+
+def test_analytic_suite_plans_broadcast_and_push(spark):
+    """TPC-H-derived multi-join suite: dimension joins broadcast (no
+    cartesian products), predicates reach the scans, and each query
+    shuffles only for its aggregate/sort."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("shipping_priority", "regional_volume",
+                 "revenue_forecast", "returned_items"):
+        df = qs[name](spark, SF)
+        plans.assert_no_cartesian(df)
+        assert plans.pushed_filters(df), f"{name}: nothing pushed"
+        assert plans.shuffle_exchange_count(df) <= 3, name
+        plans.assert_no_row_python(df)
+    joins = plans.join_strategies(qs["regional_volume"](spark, SF))
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
