@@ -33,28 +33,38 @@ SFS = [("sf0.001", 0.001), ("sf0.01", 0.01), ("sf0.1", 0.1)]
 # posting lists, banded signatures) — the ones that could go quadratic
 PROBED = [
     "ngram_jaccard",
-    "near_dup_minhash",
-    "dedup_near_minhash",
-    "dedup_near_groups",
-    "near_dup_simhash",
-    "similarity_join",
-    "ann_lsh",
-    "ann_ivf",
+    # round 3: the hash-based CONTRACT queries are now the recall~1
+    # parity/gate configs (near-all-pairs by design — their growth is
+    # intentionally quadratic-ish and bounded to a corpus subset), so
+    # the scaling question belongs to the corpus-scale bucket
+    # geometries, which live in bench.SCALE_PROBES (*_scale below).
+    "near_dup_minhash_scale",
+    "dedup_near_minhash_scale",
+    "dedup_near_groups_scale",
+    "near_dup_simhash_scale",
+    "similarity_join_scale",
+    "ann_lsh_scale",
+    "ann_ivf_scale",
     "dedup_exact",
-    # round-2 additions: corpus curation + layout ops (expected
-    # alpha ~ 1: maps, word-count aggs, anti-joins, range sort)
+    # corpus curation + layout ops (expected alpha ~ 1: maps,
+    # word-count aggs, anti-joins, range sort, prefix sums)
     "dedup_against",
     "clean_lines",
     "unigram_logprob",
     "contamination",
     "zorder",
+    "budget_select",
+    "corpus_diff",
 ]
 
 
 def main() -> None:
     names = sys.argv[1:] or PROBED
     spark = get_spark()
-    qs = entry_mod.queries()
+    import bench
+
+    qs = dict(entry_mod.queries())
+    qs.update(bench.SCALE_PROBES)
     results: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
