@@ -442,3 +442,31 @@ def test_bigram_logprob_matches_model_for_any_corpus(spark, docs):
             assert abs(r["mean_logprob"] - want) < 1e-9
         else:
             assert r["mean_logprob"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6),          # id (may duplicate scores)
+                  st.integers(-50, 50),            # score
+                  st.integers(0, 40)),             # weight
+        min_size=1, max_size=60, unique_by=lambda r: r[0]),
+    budget=st.integers(0, 600),
+    n_parts=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_budget_select_matches_naive_model(spark, rows, budget, n_parts):
+    """Distributed prefix-sum selection == sort-then-accumulate, for
+    any weights (including zero), budgets, and partition counts."""
+    df = spark.createDataFrame(rows, "id long, score long, w long")
+    out = op("budget_select", df, {
+        "weight_field": "w", "budget": budget,
+        "order_by": ["score", "id"], "descending": True,
+        "n_partitions": n_parts, "as": "run"})
+    got = {r["id"]: r["run"] for r in out.collect()}
+    acc, want = 0, {}
+    for i, s, w in sorted(rows, key=lambda r: (-r[1], -r[0])):
+        acc += w
+        if acc > budget:
+            break
+        want[i] = acc
+    assert got == want

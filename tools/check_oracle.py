@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -28,6 +29,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def normalize(v):
     if isinstance(v, float):
         return v
+    if isinstance(v, decimal.Decimal):
+        # a Decimal here usually means an accidental decimal-typed
+        # column (e.g. Spark parsing 10000.0 as DECIMAL) — compare as
+        # float so the report shows a value/type diff instead of a
+        # TypeError traceback
+        return float(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
