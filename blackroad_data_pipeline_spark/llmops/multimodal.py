@@ -74,11 +74,12 @@ def _pil():
 def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Decode image payloads to (width, height, mode) metadata.
 
-    ``fake_decode`` is tri-state: None (default) tries a real PIL
-    decode per payload and falls back to the deterministic stub when
-    PIL is absent or the bytes aren't an image (img_mode='STUB' marks
-    those rows); True always stubs; False is strict — raises if PIL is
-    missing or any payload fails to decode.
+    ``fake_decode`` is tri-state: None (default) tries a real decode
+    per payload — PIL when installed, else the pure-stdlib PNG codec
+    (``_png.py``) — and falls back to the deterministic stub when the
+    bytes aren't a decodable image (img_mode='STUB' marks those rows);
+    True always stubs; False is strict — any payload that fails to
+    decode raises.
     """
     fake = config.get("fake_decode")
     payload_field = config.get("field", "payload")
@@ -92,10 +93,9 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        from blackroad_data_pipeline_spark.llmops import _png
+
         image_mod = None if fake is True else _pil()
-        if fake is False and image_mod is None:
-            raise NotImplementedError(
-                "fake_decode=False requires PIL, which is not installed")
 
         def one(b):
             data = bytes(b)
@@ -103,6 +103,14 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                 try:
                     with image_mod.open(io.BytesIO(data)) as img:
                         return img.width, img.height, img.mode
+                except Exception:
+                    if fake is False:
+                        raise
+            elif fake is not True:
+                # stdlib fallback codec: REAL decode of genuine PNGs
+                # (IHDR parse) even without PIL — see _png.py
+                try:
+                    return _png.png_meta(data)
                 except Exception:
                     if fake is False:
                         raise
@@ -126,7 +134,8 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Resize image payloads to (target_w, target_h).
 
     Same tri-state ``fake_decode`` seam as decode_image: None tries a
-    real PIL open+resize+re-encode (PNG) per payload with stub
+    real open+resize+re-encode per payload (PIL when installed, else
+    the stdlib PNG codec with nearest-neighbor resampling) with stub
     fallback; True always stubs (deterministic truncation); False is
     strict. The Spark contract is identical on every path: payload
     column in, payload column + dimensions out, Arrow-batched, schema
@@ -145,10 +154,9 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        from blackroad_data_pipeline_spark.llmops import _png
+
         image_mod = None if fake is True else _pil()
-        if fake is False and image_mod is None:
-            raise NotImplementedError(
-                "fake_decode=False requires PIL, which is not installed")
 
         def one(b):
             data = bytes(b)
@@ -158,6 +166,14 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                         buf = io.BytesIO()
                         img.resize((tw, th)).save(buf, format="PNG")
                         return buf.getvalue()
+                except Exception:
+                    if fake is False:
+                        raise
+            elif fake is not True:
+                # stdlib fallback: real PNG decode + nearest-neighbor
+                # resample + filter-0 re-encode, no third-party codec
+                try:
+                    return _png.png_resize(data, tw, th)
                 except Exception:
                     if fake is False:
                         raise
@@ -203,9 +219,33 @@ def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
                 import soundfile as sf_mod  # noqa: N813
             except ImportError:
                 sf_mod = None
-        if fake is False and sf_mod is None:
-            raise NotImplementedError(
-                "fake_decode=False requires soundfile, which is not installed")
+
+        def _wav_stdlib(data):
+            # stdlib fallback codec: PCM WAV via the `wave` module —
+            # the real branch stays exercisable without soundfile.
+            # Normalizes ints to [-1, 1) like soundfile's float read.
+            import struct
+            import wave
+
+            with wave.open(io.BytesIO(data), "rb") as wv:
+                n = wv.getnframes()
+                sr = wv.getframerate()
+                width = wv.getsampwidth()
+                nch = wv.getnchannels()
+                raw = wv.readframes(n)
+            fmt = {1: "b", 2: "h", 4: "i"}.get(width)
+            if fmt is None:
+                raise ValueError(f"unsupported WAV sample width {width}")
+            vals = struct.unpack(f"<{n * nch}{fmt}", raw)
+            if width == 1:  # 8-bit WAV is unsigned
+                vals = [v - 128 for v in vals]
+            scale = float(1 << (8 * width - 1))
+            acc = 0.0
+            for v in vals:
+                x = v / scale
+                acc += x * x
+            rms = (acc / len(vals)) ** 0.5 if vals else 0.0
+            return n / sr, n, rms
 
         def one(b):
             data = bytes(b)
@@ -215,6 +255,12 @@ def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
                     n = int(samples.shape[0])
                     rms = float((samples.astype("float64") ** 2).mean() ** 0.5)
                     return n / sr, n, rms
+                except Exception:
+                    if fake is False:
+                        raise
+            elif fake is not True:
+                try:
+                    return _wav_stdlib(data)
                 except Exception:
                     if fake is False:
                         raise

@@ -632,3 +632,97 @@ def test_shingle_kernels_match_jvm_on_unicode_whitespace(spark):
                {"threshold": 0.5, "shingle_size": 2,
                 "bands": 8, "rows_per_band": 1}).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+# -- stdlib codec fallback (round 3): the real-decode branch runs even
+# without PIL/soundfile, via _png.py and the wave module -----------------------
+
+
+def _tiny_png(w, h, ch=3):
+    from blackroad_data_pipeline_spark.llmops import _png
+
+    px = bytearray((x * 7 + y * 13 + c * 29) % 256
+                   for y in range(h) for x in range(w) for c in range(ch))
+    return _png.png_encode(w, h, ch, px), px
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Encoder->decoder roundtrip, and decode of all five scanline
+    filters via a zlib stream we build by hand."""
+    import struct
+    import zlib
+
+    from blackroad_data_pipeline_spark.llmops import _png
+
+    data, px = _tiny_png(17, 9)
+    assert _png.png_meta(data) == (17, 9, "RGB")
+    w, h, ch, got = _png.png_decode(data)
+    assert (w, h, ch) == (17, 9, 3) and bytes(got) == bytes(px)
+    # hand-build a 2x2 grayscale PNG exercising filters Sub and Up
+    rows = b"\x01" + bytes([10, 5]) + b"\x02" + bytes([1, 2])
+    # filter1 row: [10, 10+5=15]; filter2 row adds prev: [11, 17]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = (b"\x89PNG\r\n\x1a\n"
+           + _png._chunk(b"IHDR", ihdr)
+           + _png._chunk(b"IDAT", zlib.compress(rows))
+           + _png._chunk(b"IEND", b""))
+    w, h, ch, got = _png.png_decode(raw)
+    assert bytes(got) == bytes([10, 15, 11, 17])
+
+
+def test_decode_and_resize_via_stdlib_codec(spark):
+    """decode_image/resize_image run their REAL branch on a genuine
+    PNG with no third-party codec installed (strict mode — no stub
+    fallback permitted)."""
+    data, _ = _tiny_png(40, 30)
+    df = spark.createDataFrame([(1, bytearray(data))],
+                               "doc_id long, payload binary")
+    r = op("decode_image", df, {"fake_decode": False}).collect()[0]
+    assert (r["img_width"], r["img_height"], r["img_mode"]) == (40, 30, "RGB")
+    rz = op("resize_image", df, {"target_w": 8, "target_h": 6,
+                                 "fake_decode": False}).collect()[0]
+    from blackroad_data_pipeline_spark.llmops import _png
+
+    w, h, ch, px = _png.png_decode(bytes(rz["resized_payload"]))
+    assert (w, h, ch) == (8, 6, 3)
+    assert (rz["resized_w"], rz["resized_h"]) == (8, 6)
+
+
+def test_audio_features_via_stdlib_wave(spark):
+    """audio_features decodes a genuine PCM WAV through the stdlib
+    wave fallback (strict mode): sample count, duration and RMS match
+    the signal we synthesized."""
+    import io
+    import math
+    import struct
+    import wave
+
+    sr, n = 8000, 800
+    samples = [int(12000 * math.sin(2 * math.pi * 440 * t / sr))
+               for t in range(n)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sr)
+        wv.writeframes(struct.pack(f"<{n}h", *samples))
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, payload binary")
+    r = op("audio_features", df, {"fake_decode": False}).collect()[0]
+    assert r["audio_samples"] == n
+    assert abs(r["audio_seconds"] - n / sr) < 1e-9
+    expect_rms = (sum((v / 32768.0) ** 2 for v in samples) / n) ** 0.5
+    assert abs(r["audio_rms"] - expect_rms) < 1e-9
+
+
+def test_strict_mode_still_raises_on_undecodable(spark):
+    """fake_decode=False on non-image/non-audio bytes must raise even
+    now that stdlib codecs exist (they reject the payload)."""
+    df = spark.createDataFrame([(1, bytearray(b"plainly not media"))],
+                               "doc_id long, payload binary")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    for op_name in ("decode_image", "resize_image", "audio_features"):
+        with pytest.raises((PythonException, Py4JJavaError)):
+            op(op_name, df, {"fake_decode": False}).collect()
