@@ -2297,6 +2297,83 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-global line dedup (C4 move): documents are re-lined at
+    8-word boundaries (the fixture's word-salad has no newlines), then
+    every >=10-char line that occurs anywhere else in the corpus
+    survives only at its smallest (doc_id, line_idx). DuckDB replays
+    the same first-occurrence rule with a window over the exploded
+    lines."""
+    d = _t(spark, sf_dir, "documents")
+    lined = op("sql", d, {"query": r"""
+        SELECT doc_id,
+               regexp_replace(coalesce(text, ''),
+                              '((?:\\S+ ){7}\\S+) ', '$1\n') AS text
+        FROM self"""}, views={})
+    df = op("dedup_lines", lined, {"field": "text", "id_field": "doc_id",
+                                   "min_chars": 10, "as": "text_dedup"})
+    df = op("select", df, {"fields": ["doc_id", "text_dedup"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_DEDUP_LINES = r"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '((?:\S+ ){7}\S+) ',
+                        '\1' || chr(10), 'g') AS text
+  FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM src),
+l AS (SELECT doc_id, unnest(list_zip(range(1, len(arr) + 1), arr)) AS r FROM ls),
+lines AS (
+  SELECT doc_id, CAST(r[1] AS BIGINT) AS idx,
+         trim(CAST(r[2] AS VARCHAR)) AS line
+  FROM l),
+marked AS (
+  SELECT doc_id, idx, line,
+         CASE WHEN length(line) >= 10
+              THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, idx)
+              ELSE 1 END AS rn
+  FROM lines)
+SELECT d.doc_id,
+       coalesce(t.text_dedup, '') AS text_dedup
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text_dedup
+  FROM marked WHERE rn = 1 GROUP BY doc_id) t USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_strip_markup(spark, sf_dir):
+    """Markup stripping over synthesized HTML-wrapped text (the
+    fixture corpus is plain): tags out, entities decoded, whitespace
+    collapsed — identical regex chain in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    wrapped = op("sql", d, {"query": """
+        SELECT doc_id,
+               concat('<p class="x">', text, '</p> &amp; <br/> tail &lt;ok&gt;')
+                 AS text
+        FROM self"""}, views={})
+    df = op("strip_markup", wrapped, {"field": "text", "as": "clean"})
+    df = op("select", df, {"fields": ["doc_id", "clean"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_STRIP_MARKUP = """
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(concat('<p class="x">', text,
+                                 '</p> &amp; <br/> tail &lt;ok&gt;'),
+                          '<[^>]*>', ' ', 'g'),
+           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''),
+         '\\s+', ' ', 'g')) AS clean
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_cap_per_group(spark, sf_dir):
     """Per-source document cap (anti-monoculture guard): at most 10
     docs per (lang, source), selected by the stable md5-hash order so
@@ -2745,6 +2822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "budget_select": q_budget_select,
         "corpus_diff": q_corpus_diff,
+        "dedup_lines": q_dedup_lines,
+        "strip_markup": q_strip_markup,
         "cap_per_group": q_cap_per_group,
         "histogram": q_histogram,
         "clean_lines": q_clean_lines,
@@ -2846,6 +2925,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against": _SQL_DEDUP_AGAINST,
         "budget_select": _SQL_BUDGET_SELECT,
         "corpus_diff": _SQL_CORPUS_DIFF,
+        "dedup_lines": _SQL_DEDUP_LINES,
+        "strip_markup": _SQL_STRIP_MARKUP,
         "cap_per_group": _SQL_CAP_PER_GROUP,
         "histogram": _SQL_HISTOGRAM,
         "clean_lines": _SQL_CLEAN_LINES,

@@ -484,6 +484,85 @@ def op_clean_lines(df: DataFrame, config: Mapping, views) -> DataFrame:
     return out.filter(F.size(tokens_col(F.col(out_field))) >= min_doc_words)
 
 
+@register("strip_markup")
+def op_strip_markup(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Strip HTML/XML markup from crawled text: remove tags
+    (``<...>``), decode the common entities, collapse runs of
+    whitespace to single spaces, trim. The regex-level cleanup a
+    web-corpus pipeline runs before clean_lines — NOT a full HTML
+    parser (no script/style content removal; crawled corpora run
+    extraction upstream, this op sanitizes residual markup).
+
+    Pure JVM projection (regexp_replace chain, codegen) — no shuffle,
+    and the identical regexes run in any SQL engine.
+    """
+    field = config.get("field", "text")
+    out_field = config.get("as", field)
+    col = F.coalesce(F.col(field), F.lit(""))
+    col = F.regexp_replace(col, r"<[^>]*>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+        col = F.regexp_replace(col, ent, rep)
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out_field, col)
+
+
+@register("dedup_lines")
+def op_dedup_lines(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Corpus-GLOBAL line dedup (the C4 move): a line that occurs in
+    more than one document survives only at its first occurrence
+    (smallest (doc_id, line_idx)) — or, with ``policy: "drop_common"``
+    and ``min_docs``, is dropped from EVERY document once it appears
+    in that many distinct docs (boilerplate killer: footers, cookie
+    banners). Lines shorter than ``min_chars`` after trimming are
+    never candidates — they pass through untouched (blank lines and
+    one-word bullets would otherwise collapse corpus-wide).
+
+    Shape at scale: posexplode lines (no shuffle) → groupBy line hash
+    for the first-occurrence/doc-count table (shuffle 1, map-side
+    partial) → join back on the hash (shuffle shared with 1 via
+    exchange reuse) → groupBy doc to reassemble in line order
+    (shuffle 2). Text crosses the wire once per stage as single
+    lines — never whole corpora per key.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    out_field = config.get("as", field)
+    min_chars = int(config.get("min_chars", 10))
+    policy = config.get("policy", "keep_first")
+    min_docs = int(config.get("min_docs", 2))
+    if policy not in ("keep_first", "drop_common"):
+        raise ValueError(f"unknown dedup_lines policy: {policy!r}")
+
+    lines = df.select(
+        F.col(id_field).alias("__id"),
+        F.posexplode(F.split(F.coalesce(F.col(field), F.lit("")), "\n"))
+        .alias("__idx", "__line"))
+    lines = lines.withColumn("__line", F.trim("__line"))
+    cand = F.length("__line") >= min_chars
+    firsts = (lines.filter(cand)
+              .groupBy(F.md5("__line").alias("__h"))
+              .agg(F.min(F.struct("__id", "__idx")).alias("__first"),
+                   F.count_distinct("__id").alias("__ndocs")))
+    joined = lines.join(firsts, F.md5(lines["__line"]) == firsts["__h"], "left")
+    if policy == "drop_common":
+        keep = ~cand | F.col("__ndocs").isNull() | (F.col("__ndocs") < min_docs)
+    else:
+        keep = (~cand | F.col("__ndocs").isNull()
+                | ((F.col("__first.__id") == F.col("__id"))
+                   & (F.col("__first.__idx") == F.col("__idx"))))
+    rebuilt = (joined.filter(keep)
+               .groupBy("__id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                       lambda s: s["__line"]), "\n").alias("__text")))
+    out = (df.join(rebuilt, df[id_field] == rebuilt["__id"], "left")
+           .withColumn(out_field, F.coalesce("__text", F.lit("")))
+           .drop("__id", "__text"))
+    return out
+
+
 @register("unigram_logprob")
 def op_unigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own

@@ -324,3 +324,40 @@ def test_bigram_logprob_matches_python_model(spark):
         out[2]["mean_logprob"] - lp(2, 3)) < 1e-12
     assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] is None
     assert out[4]["n_bigrams"] == 0
+
+
+def test_strip_markup(spark):
+    df = spark.createDataFrame(
+        [(1, '<div id="a">Hello &amp; <b>world</b></div>\n\n &lt;tag&gt;'),
+         (2, None)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"]
+           for r in op("strip_markup", df, {}).collect()}
+    assert got[1] == 'Hello & world <tag>'
+    assert got[2] == ""
+
+
+def test_dedup_lines_keep_first_and_order(spark):
+    shared = "this shared line is long enough"
+    df = spark.createDataFrame(
+        [(1, f"{shared}\nunique to one, also long\n{shared}"),
+         (2, f"top line of doc two here\n{shared}"),
+         (3, "tiny\n" + shared[::-1])], ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"]
+           for r in op("dedup_lines", df, {"min_chars": 10}).collect()}
+    # doc 1 keeps only its FIRST occurrence of the shared line,
+    # in original order; doc 2 loses it entirely
+    assert got[1] == f"{shared}\nunique to one, also long"
+    assert got[2] == "top line of doc two here"
+    # short lines are never candidates; untouched
+    assert got[3].startswith("tiny\n")
+
+
+def test_dedup_lines_drop_common(spark):
+    footer = "copyright footer line repeated everywhere"
+    df = spark.createDataFrame(
+        [(i, f"body line number {i} is unique\n{footer}") for i in range(4)],
+        ["doc_id", "text"])
+    out = op("dedup_lines", df, {"policy": "drop_common", "min_docs": 3})
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert all(footer not in t for t in got.values())
+    assert all(f"body line number {i} is unique" == got[i] for i in range(4))
