@@ -1212,25 +1212,30 @@ def _recall_gate(approx: DataFrame, exact: DataFrame, floor: int) -> DataFrame:
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Recall gate for LSH ANN vs the (oracle-checked) exact top-10:
-    multi-probe at radius 3 over 32 buckets must recover >= 7 of the
-    true neighbors. Bucket geometry is corpus-size-appropriate here —
-    the scale configuration stays in the plain ann_lsh query."""
+    """Exhaustive-probe PARITY gate for LSH ANN (round 3 — the old
+    recall-floor form had a 2-neighbor margin that a fixture redraw
+    could erode): probing every bucket (radius 5 over 5 planes = all
+    32) must recover the exact top-10 bit-for-bit, proving the
+    bucket-route + exact-rescore machinery is lossless when
+    exhaustive. Pruned-probe behavior (n_planes=12, radius 2) stays
+    measured in bench.SCALE_PROBES and pytest."""
     e = _t(spark, sf_dir, "embeddings")
     approx = op("ann_lsh", e, {"probe_id": 0, "k": 10, "dim": 64,
-                               "n_planes": 5, "probe_radius": 3}).select("vec_id")
+                               "n_planes": 5, "probe_radius": 5}).select("vec_id")
     exact = op("ann_bruteforce", e, {"probe_id": 0, "k": 10}).select("vec_id")
-    return _recall_gate(approx, exact, 7)
+    return _recall_gate(approx, exact, 10)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """Recall gate for IVF ANN vs exact top-10: scanning 4 of 8 cells
-    must recover >= 6 of the true neighbors."""
+    """Exhaustive-probe PARITY gate for IVF ANN: scanning all 8 cells
+    with exact refine must equal the brute-force top-10 — the
+    quantizer partition is lossless when unpruned. Pruned nprobe
+    behavior stays in bench.SCALE_PROBES and ivf_assign_gate."""
     e = _t(spark, sf_dir, "embeddings")
     approx = op("ann_ivf", e, {"probe_id": 0, "k": 10, "dim": 64,
-                               "n_cells": 8, "nprobe": 4, "refine": 1}).select("vec_id")
+                               "n_cells": 8, "nprobe": 8, "refine": 1}).select("vec_id")
     exact = op("ann_bruteforce", e, {"probe_id": 0, "k": 10}).select("vec_id")
-    return _recall_gate(approx, exact, 6)
+    return _recall_gate(approx, exact, 10)
 
 
 _SQL_ANN_GATE = """
