@@ -2364,16 +2364,19 @@ def q_strip_markup(spark, sf_dir):
     return op("sort", df, {"fields": ["doc_id"]})
 
 
-_SQL_STRIP_MARKUP = """
+_SQL_STRIP_MARKUP = r"""
 SELECT doc_id,
-       trim(regexp_replace(
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
          replace(replace(replace(replace(replace(replace(
            regexp_replace(concat('<p class="x">', text,
                                  '</p> &amp; <br/> tail &lt;ok&gt;'),
                           '<[^>]*>', ' ', 'g'),
            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
            '&quot;', '"'), '&#39;', ''''),
-         '\\s+', ' ', 'g')) AS clean
+         '[^\S\n]+', ' ', 'g'),
+         ' ?\n ?', chr(10), 'g'),
+         '\n+', chr(10), 'g'),
+         '^\s+|\s+$', '', 'g') AS clean
 FROM documents
 ORDER BY doc_id
 """

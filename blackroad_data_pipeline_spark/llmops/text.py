@@ -488,7 +488,9 @@ def op_clean_lines(df: DataFrame, config: Mapping, views) -> DataFrame:
 def op_strip_markup(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Strip HTML/XML markup from crawled text: remove tags
     (``<...>``), decode the common entities, collapse runs of
-    whitespace to single spaces, trim. The regex-level cleanup a
+    HORIZONTAL whitespace to single spaces (newlines survive — the
+    line-structured downstream ops clean_lines/dedup_lines depend on
+    them), squeeze blank-line runs, trim. The regex-level cleanup a
     web-corpus pipeline runs before clean_lines — NOT a full HTML
     parser (no script/style content removal; crawled corpora run
     extraction upstream, this op sanitizes residual markup).
@@ -503,7 +505,14 @@ def op_strip_markup(df: DataFrame, config: Mapping, views) -> DataFrame:
     for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
                      ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
         col = F.regexp_replace(col, ent, rep)
-    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    # collapse HORIZONTAL whitespace only and trim line edges —
+    # newlines survive so line-structured downstream ops
+    # (clean_lines, dedup_lines) still see lines; blank-line runs
+    # collapse to one newline
+    col = F.regexp_replace(col, r"[^\S\n]+", " ")
+    col = F.regexp_replace(col, r" ?\n ?", "\n")
+    col = F.regexp_replace(col, r"\n+", "\n")
+    col = F.regexp_replace(col, r"^\s+|\s+$", "")
     return df.withColumn(out_field, col)
 
 

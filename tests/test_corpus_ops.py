@@ -332,7 +332,9 @@ def test_strip_markup(spark):
          (2, None)], ["doc_id", "text"])
     got = {r["doc_id"]: r["text"]
            for r in op("strip_markup", df, {}).collect()}
-    assert got[1] == 'Hello & world <tag>'
+    # newlines SURVIVE (blank-line runs squeezed) so line-structured
+    # downstream ops still see lines; horizontal runs collapse
+    assert got[1] == 'Hello & world\n<tag>'
     assert got[2] == ""
 
 

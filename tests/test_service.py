@@ -485,3 +485,42 @@ def test_jdbc_source_real_driver(spark):
     rows = df.collect()
     assert sorted(r["id"] for r in rows) == list(range(100))
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_round3_curation_pipeline_e2e(svc, tmp_path):
+    """The round-3 curation operators composed THROUGH the control
+    plane: strip_markup -> dedup_lines -> corpus_diff-against-history
+    is exercised separately (two-output shape), budget_select caps the
+    output. Proves views wiring and run bookkeeping for the new ops."""
+    p = svc.create_pipeline("curate3")
+    batch = [
+        {"doc_id": 1, "q": 3.0, "toks": 8,
+         "text": "<b>alpha beta gamma delta epsilon</b>\nshared boilerplate footer line"},
+        {"doc_id": 2, "q": 2.0, "toks": 8,
+         "text": "zeta eta theta iota kappa\nshared boilerplate footer line"},
+        {"doc_id": 3, "q": 1.0, "toks": 200,
+         "text": "unique third document body text"},
+    ]
+    svc.add_source(p.id, "batch", "inline", {"data": batch})
+    svc.add_transform(p.id, "strip_markup", {"field": "text"},
+                      order_index=0)
+    svc.add_transform(p.id, "dedup_lines",
+                      {"field": "text", "id_field": "doc_id",
+                       "min_chars": 10}, order_index=1)
+    svc.add_transform(p.id, "budget_select",
+                      {"weight_field": "toks", "budget": 16,
+                       "order_by": ["q", "doc_id"], "descending": True,
+                       "n_partitions": 2}, order_index=2)
+    out = tmp_path / "curated3.json"
+    svc.add_sink(p.id, "json", {"path": str(out)})
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "success"
+    rows = {r["doc_id"]: r for r in json.loads(out.read_text())}
+    # budget 16 keeps the two best-quality docs (8+8 tokens); doc 3
+    # (200 tokens) would blow the budget. strip_markup removed the
+    # <b> tags BEFORE line dedup, so doc 1 and doc 2 share the footer
+    # line and only doc 1 (smaller id) keeps it.
+    assert set(rows) == {1, 2}
+    assert "<b>" not in rows[1]["text"]
+    assert "shared boilerplate footer line" in rows[1]["text"]
+    assert "shared boilerplate footer line" not in rows[2]["text"]
