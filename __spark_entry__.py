@@ -1290,6 +1290,33 @@ ORDER BY shuffle_key
 """
 
 
+def q_mix_corpus(spark, sf_dir):
+    """mix_corpus value-checked row-for-row (round 3): with md5-
+    derived keep buckets DuckDB recomputes the exact keep set — a
+    strictly stronger check than the invariance gate below, which
+    stays for the partition/repartition contract."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("mix_corpus", d, {"by": "lang", "rates": {"en": 0.5, "zh": 1.0},
+                              "default_rate": 0.8, "on": ["doc_id"]})
+    df = op("select", df, {"fields": ["doc_id", "lang", "source"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_MIX_CORPUS = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         CAST(concat('0x', substring(md5(concat_ws(chr(31), 'mix',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bucket
+  FROM documents)
+SELECT doc_id, lang, source
+FROM b
+WHERE bucket < CASE WHEN lang = 'en' THEN 500000
+                    WHEN lang = 'zh' THEN 1000000
+                    ELSE 800000 END
+ORDER BY doc_id
+"""
+
+
 def q_mix_corpus_gate(spark, sf_dir):
     """mix_corpus's contract: the keep set is partition-invariant
     (n_mismatch = 0 under an adversarial repartition), a rate-1.0
@@ -2812,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_meta": q_resize_meta,
         "ivf_assign_gate": q_ivf_assign_gate,
         "split_assign_gate": q_split_assign_gate,
+        "mix_corpus": q_mix_corpus,
         "mix_corpus_gate": q_mix_corpus_gate,
         "shuffle_rows": q_shuffle_rows,
         # streaming execution surfaced to the driver
@@ -2917,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
         "resize_meta": _SQL_RESIZE_META,
         "ivf_assign_gate": _SQL_IVF_ASSIGN_GATE,
         "split_assign_gate": _SQL_SPLIT_ASSIGN_GATE,
+        "mix_corpus": _SQL_MIX_CORPUS,
         "mix_corpus_gate": _SQL_MIX_CORPUS_GATE,
         "shuffle_rows": _SQL_SHUFFLE_ROWS,
         "events_window_stream": _SQL_EVENTS_WINDOW,

@@ -470,3 +470,53 @@ def test_budget_select_matches_naive_model(spark, rows, budget, n_parts):
             break
         want[i] = acc
     assert got == want
+
+
+lines_st = st.lists(
+    st.sampled_from([
+        "a short ln",                      # exactly at min_chars=10
+        "tiny",                            # never a candidate
+        "shared sentence alpha beta gamma",
+        "shared sentence delta epsilon zeta",
+        "some unique filler line %d",
+    ]),
+    min_size=0, max_size=6,
+)
+
+
+@given(docs=st.lists(lines_st, min_size=1, max_size=6),
+       policy=st.sampled_from(["keep_first", "drop_common"]))
+@settings(**SETTINGS)
+def test_dedup_lines_matches_python_model(spark, docs, policy):
+    """dedup_lines == a straightforward per-line Python model, for
+    both policies, arbitrary line mixes and duplicate layouts."""
+    rows = [(i, "\n".join(line % i if "%d" in line else line
+                          for line in doc))
+            for i, doc in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = {"min_chars": 10, "policy": policy, "min_docs": 2}
+    got = {r["doc_id"]: r["text"]
+           for r in op("dedup_lines", df, cfg).collect()}
+
+    # python model over trimmed exploded lines
+    exploded = [(i, j, ln.strip())
+                for i, t in rows for j, ln in enumerate(t.split("\n"))]
+    first, ndocs = {}, {}
+    for i, j, ln in exploded:
+        if len(ln) >= 10:
+            first.setdefault(ln, (i, j))
+            ndocs.setdefault(ln, set()).add(i)
+    want = {}
+    for i, t in rows:
+        kept = []
+        for j, ln in enumerate(t.split("\n")):
+            ln = ln.strip()
+            if len(ln) < 10:
+                kept.append(ln)
+            elif policy == "drop_common":
+                if len(ndocs[ln]) < 2:
+                    kept.append(ln)
+            elif first[ln] == (i, j):
+                kept.append(ln)
+        want[i] = "\n".join(kept)
+    assert got == want
