@@ -2329,6 +2329,32 @@ ORDER BY doc_id
 """
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Edit-distance record-linkage join over 30-char document
+    prefixes (q-gram count filtering + exact levenshtein verify;
+    recall is a theorem so DuckDB's brute-force levenshtein join must
+    match value-for-value)."""
+    d = _t(spark, sf_dir, "documents")
+    pref = op("sql", d, {"query":
+                         "SELECT doc_id, substring(text, 1, 30) AS name "
+                         "FROM self"}, views={})
+    df = op("fuzzy_join", pref, {"field": "name", "id_field": "doc_id",
+                                 "max_distance": 2, "q": 2})
+    return op("sort", df, {"fields": ["id_a", "id_b"]})
+
+
+_SQL_FUZZY_JOIN = """
+WITH p AS (
+  SELECT doc_id, substring(coalesce(text, ''), 1, 30) AS name
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_lines(spark, sf_dir):
     """Corpus-global line dedup (C4 move): documents are re-lined at
     8-word boundaries (the fixture's word-salad has no newlines), then
@@ -2860,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "dedup_lines": q_dedup_lines,
         "strip_markup": q_strip_markup,
+        "fuzzy_join": q_fuzzy_join,
         "cap_per_group": q_cap_per_group,
         "histogram": q_histogram,
         "clean_lines": q_clean_lines,
@@ -2964,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _SQL_CORPUS_DIFF,
         "dedup_lines": _SQL_DEDUP_LINES,
         "strip_markup": _SQL_STRIP_MARKUP,
+        "fuzzy_join": _SQL_FUZZY_JOIN,
         "cap_per_group": _SQL_CAP_PER_GROUP,
         "histogram": _SQL_HISTOGRAM,
         "clean_lines": _SQL_CLEAN_LINES,

@@ -550,6 +550,103 @@ def op_near_dup_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@register("fuzzy_join")
+def op_fuzzy_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Edit-distance self-join for record linkage: pairs (id_a <
+    id_b) with ``levenshtein(a, b) <= max_distance`` over a short
+    string field (names, titles, codes — NOT documents; use the
+    jaccard/minhash family for long text).
+
+    Scale path is classic q-gram COUNT FILTERING (Gravano et al.,
+    VLDB'01 — public literature): pad each string with q-1 sentinel
+    chars, explode its positional q-gram bag, and join on the gram;
+    two strings within edit distance k must share at least
+    max(|Qa|, |Qb|) - k*q bag q-grams, and their lengths differ by at
+    most k. Candidates therefore come from gram posting lists (never
+    an all-pairs cross join), the count filter runs on narrow
+    (id, id) pairs, and only survivors pay the exact JVM
+    ``levenshtein`` verification — so false candidates cost one
+    hash-join row, not an O(len^2) DP. Recall is exact (the bound is
+    a theorem, the verify removes every false positive), which is
+    what lets DuckDB recompute the output value-for-value.
+
+    Caveat stated plainly: on corpora whose strings share most grams
+    (formulaic ids like 'Customer#00000NNN') the posting lists
+    approach all-pairs — q-gram filtering needs gram DIVERSITY, and
+    the operator inherits that from the literature.
+    """
+    field = config.get("field", "name")
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("max_distance", 1))
+    q = int(config.get("q", 2))
+    pad = "\x00" * (q - 1)
+    s = F.coalesce(F.col(field).cast("string"), F.lit(""))
+    base = df.select(F.col(id_field).alias("__id"), s.alias("__s"),
+                     F.length(s).alias("__len"))
+
+    padded = F.concat(F.lit(pad), F.col("__s"), F.lit(pad))
+    # gram BAG with per-gram multiplicities: |Q| = len(s) + q - 1
+    gram_rows = (base.select(
+        "__id", "__len",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length(padded) - (q - 1)),
+            lambda i: padded.substr(i, F.lit(q)))).alias("__g"))
+        .groupBy("__id", "__len", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # one exchange on the gram key shared by both self-join
+        # branches (ReuseExchange — same pattern as the LSH buckets)
+        .repartition("__g"))
+
+    a = gram_rows.select(F.col("__id").alias("id_a"),
+                         F.col("__len").alias("len_a"),
+                         "__g", F.col("__c").alias("ca"))
+    b = gram_rows.select(F.col("__id").alias("id_b"),
+                         F.col("__len").alias("len_b"),
+                         "__g", F.col("__c").alias("cb"))
+    shared = (
+        a.join(b, ["__g"])
+        .filter((F.col("id_a") < F.col("id_b"))
+                # length filter: edit distance >= |len_a - len_b|
+                & (F.abs(F.col("len_a") - F.col("len_b")) <= k))
+        .groupBy("id_a", "id_b", "len_a", "len_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("__shared")))
+    # count filter: distance <= k  =>  shared bag grams >=
+    # max(|Qa|, |Qb|) - k*q  with |Q| = len + q - 1
+    cands = shared.filter(
+        F.col("__shared")
+        >= F.greatest(F.col("len_a"), F.col("len_b")) + (q - 1) - k * q)
+    # exact verify on the pruned candidates only
+    out = (cands
+           .join(base.select(F.col("__id").alias("id_a"),
+                             F.col("__s").alias("sa")), "id_a")
+           .join(base.select(F.col("__id").alias("id_b"),
+                             F.col("__s").alias("sb")), "id_b")
+           .withColumn("distance", F.levenshtein("sa", "sb"))
+           .filter(F.col("distance") <= k)
+           .select("id_a", "id_b", "distance"))
+    # TINY-string fallback: when max(|Qa|,|Qb|) - k*q <= 0 the count
+    # bound degenerates (a within-distance pair may share ZERO grams
+    # and never meet in the gram join). That happens only when both
+    # strings are at most k*q - (q-1) chars — compare those few
+    # all-pairs directly. Identical-tiny-string groups make the
+    # OUTPUT quadratic in the group size; that is the contract of a
+    # pair join, not a plan defect.
+    tiny_max = k * q - (q - 1)
+    tiny = base.filter(F.col("__len") <= tiny_max)
+    tiny_pairs = (
+        tiny.select(F.col("__id").alias("id_a"), F.col("__s").alias("sa"),
+                    F.col("__len").alias("len_a"))
+        .crossJoin(tiny.select(F.col("__id").alias("id_b"),
+                               F.col("__s").alias("sb"),
+                               F.col("__len").alias("len_b")))
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("len_a") - F.col("len_b")) <= k))
+        .withColumn("distance", F.levenshtein("sa", "sb"))
+        .filter(F.col("distance") <= k)
+        .select("id_a", "id_b", "distance"))
+    return out.unionByName(tiny_pairs).dropDuplicates(["id_a", "id_b"])
+
+
 @register("ngram_jaccard_join")
 def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Exact n-gram-set jaccard similarity join with PREFIX FILTERING

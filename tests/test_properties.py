@@ -520,3 +520,37 @@ def test_dedup_lines_matches_python_model(spark, docs, policy):
                 kept.append(ln)
         want[i] = "\n".join(kept)
     assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    names=st.lists(st.text(alphabet="abcx ", max_size=8), min_size=2,
+                   max_size=14),
+    k=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_fuzzy_join_matches_brute_force(spark, names, k):
+    """q-gram count filtering + verify == brute-force levenshtein
+    pairs — including tiny/empty strings (the fallback path) and
+    duplicate values."""
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in op("fuzzy_join", df, {"field": "name", "id_field": "id",
+                                          "max_distance": k}).collect()}
+    want = {(i, j): _lev(a, b)
+            for i, a in rows for j, b in rows
+            if i < j and _lev(a, b) <= k}
+    assert got == want
