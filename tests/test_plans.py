@@ -321,3 +321,10 @@ def test_analytic_suite_plans_broadcast_and_push(spark):
         plans.assert_no_row_python(df)
     joins = plans.join_strategies(qs["regional_volume"](spark, SF))
     assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+
+
+def test_fuzzy_join_reuses_gram_exchange_and_stays_jvm(no_aqe):
+    df = op("fuzzy_join", _docs(no_aqe),
+            {"field": "text", "id_field": "doc_id", "max_distance": 1})
+    plans.assert_exchange_reuse(df, 1)
+    plans.assert_no_row_python(df)
