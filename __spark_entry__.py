@@ -2329,6 +2329,47 @@ ORDER BY doc_id
 """
 
 
+def q_expect(spark, sf_dir):
+    """Row-level data-quality expectations in tag mode over events:
+    every check compiles into one projection (plus one shuffle for
+    the uniqueness proof), and DuckDB recomputes the per-row
+    violation arrays value-for-value."""
+    e = _t(spark, sf_dir, "events")
+    df = op("expect", e, {"on_fail": "tag", "checks": [
+        {"type": "in_range", "field": "value", "min": 0, "max": 100},
+        {"type": "in_set", "field": "event_type",
+         "values": ["click", "view", "signup", "purchase"]},
+        {"type": "not_null", "field": "props"},
+        {"type": "unique", "field": "event_id"},
+        {"type": "matches", "field": "props", "pattern": "^\\{"},
+    ]})
+    df = op("select", df, {"fields": ["event_id", "violations"]})
+    return op("sort", df, {"fields": ["event_id"]})
+
+
+_SQL_EXPECT = r"""
+WITH u AS (
+  SELECT event_id, event_type, value, props,
+         COUNT(*) OVER (PARTITION BY event_id) AS n_id
+  FROM events)
+SELECT event_id,
+       list_filter(list_value(
+         CASE WHEN NOT (value BETWEEN 0 AND 100 OR value IS NULL)
+              THEN 'in_range_value' END,
+         CASE WHEN NOT (event_type IN ('click','view','signup','purchase')
+                        OR event_type IS NULL)
+              THEN 'in_set_event_type' END,
+         CASE WHEN props IS NULL THEN 'not_null_props' END,
+         CASE WHEN NOT (n_id = 1 OR event_id IS NULL)
+              THEN 'unique_event_id' END,
+         CASE WHEN NOT (regexp_matches(props, '^\{') OR props IS NULL)
+              THEN 'matches_props' END
+       ), x -> x IS NOT NULL) AS violations
+FROM u
+ORDER BY event_id
+"""
+
+
 def q_fuzzy_join(spark, sf_dir):
     """Edit-distance record-linkage join over 30-char document
     prefixes (q-gram count filtering + exact levenshtein verify;
@@ -2892,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "strip_markup": q_strip_markup,
         "fuzzy_join": q_fuzzy_join,
+        "expect": q_expect,
         "cap_per_group": q_cap_per_group,
         "histogram": q_histogram,
         "clean_lines": q_clean_lines,
@@ -2997,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _SQL_DEDUP_LINES,
         "strip_markup": _SQL_STRIP_MARKUP,
         "fuzzy_join": _SQL_FUZZY_JOIN,
+        "expect": _SQL_EXPECT,
         "cap_per_group": _SQL_CAP_PER_GROUP,
         "histogram": _SQL_HISTOGRAM,
         "clean_lines": _SQL_CLEAN_LINES,

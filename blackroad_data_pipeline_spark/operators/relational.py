@@ -514,6 +514,82 @@ def op_repartition(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.repartition(int(n))
 
 
+_EXPECT_CHECKS = {
+    # name -> (builder(check_cfg) -> Column that is TRUE when the row
+    # passes). All JVM expressions — the whole check set compiles into
+    # one codegen'd projection.
+    "not_null": lambda c: F.col(c["field"]).isNotNull(),
+    "unique": None,  # handled separately (needs a window)
+    "in_range": lambda c: F.col(c["field"]).cast("double").between(
+        float(c["min"]), float(c["max"])) | F.col(c["field"]).isNull(),
+    "in_set": lambda c: F.col(c["field"]).isin(list(c["values"]))
+    | F.col(c["field"]).isNull(),
+    "matches": lambda c: F.col(c["field"]).rlike(str(c["pattern"]))
+    | F.col(c["field"]).isNull(),
+    "expr": lambda c: F.expr(str(c["sql"])),
+}
+
+
+@register("expect")
+def op_expect(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Row-level data-quality expectations (dbt-test / Great-
+    Expectations shape) — the generalization of the reference's
+    schema-only ``validate_schema`` (main.py:476-497) to value
+    checks. ``checks`` is a list of {type, field, ...}:
+
+    - ``not_null``; ``in_range`` {min,max}; ``in_set`` {values};
+      ``matches`` {pattern}; ``expr`` {sql} (any boolean SQL over the
+      row); ``unique`` {field} (no other row shares the value).
+    - NULL passes the value-shape checks (pair with not_null to
+      reject) — SQL three-valued-logic convention.
+
+    ``on_fail``: ``"filter"`` (default) drops failing rows — the
+    quarantine-the-rest ingestion pattern; ``"tag"`` keeps every row
+    and adds a ``violations`` array column naming the failed checks
+    (route rows where ``size(violations) > 0`` to a quarantine sink).
+
+    Scale shape: everything except ``unique`` is a pure projection
+    the scan absorbs. ``unique`` adds one hash shuffle on the checked
+    field (a count-over window) — the same cost as the groupBy any
+    uniqueness proof needs.
+    """
+    checks = list(config["checks"])
+    on_fail = config.get("on_fail", "filter")
+    if on_fail not in ("filter", "tag"):
+        raise ValueError(f"unknown on_fail mode: {on_fail!r}")
+    out = df
+    flags: list[tuple[str, Column]] = []
+    for i, c in enumerate(checks):
+        ctype = c["type"]
+        name = c.get("name") or (f"{ctype}_{c['field']}" if c.get("field")
+                                 else f"{ctype}_{i}")
+        if ctype == "unique":
+            # SQL UNIQUE-constraint convention: NULLs don't collide
+            w = Window.partitionBy(F.col(c["field"]))
+            flags.append((name, (F.count(F.lit(1)).over(w) == 1)
+                          | F.col(c["field"]).isNull()))
+        elif ctype in _EXPECT_CHECKS:
+            flags.append((name, _EXPECT_CHECKS[ctype](c)))
+        else:
+            raise ValueError(f"unknown expectation type: {ctype!r}")
+    violations = F.filter(
+        F.array(*[F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                  for name, ok in flags]),
+        lambda x: x.isNotNull())
+    if on_fail == "tag":
+        return out.withColumn(config.get("as", "violations"), violations)
+    if not flags:
+        return out
+    # window-backed checks (unique) can't sit in a WHERE clause —
+    # materialize the conjunction as a projected column, filter, drop
+    cond = None
+    for _, ok in flags:
+        cond = ok if cond is None else (cond & ok)
+    return (out.withColumn("__expect_ok", cond)
+            .filter(F.col("__expect_ok"))
+            .drop("__expect_ok"))
+
+
 @register("profile")
 def op_profile(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Per-column data-quality profile in ONE pass: row count, null

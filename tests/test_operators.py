@@ -552,3 +552,39 @@ def test_corpus_diff_fingerprint_store(spark):
                        {"other": manifest,
                         "other_is_fingerprint": True}).collect()}
     assert out == {1: "added", 2: "unchanged", 9: "removed"}
+
+
+def test_expect_filter_and_tag_modes(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 50.0), (3, "zz", -1.0), (4, None, 7.0)],
+        "id long, cat string, v double")
+    checks = [
+        {"type": "in_set", "field": "cat", "values": ["a", "b"]},
+        {"type": "in_range", "field": "v", "min": 0, "max": 10},
+        {"type": "unique", "field": "cat"},
+    ]
+    kept = {r["id"] for r in
+            op("expect", df, {"checks": checks}).collect()}
+    # 1: cat dup fails unique; 2: range+unique; 3: set+range; 4: NULL
+    # cat passes set AND unique (NULL convention), v in range -> kept
+    assert kept == {4}
+    tagged = {r["id"]: list(r["violations"]) for r in
+              op("expect", df, {"checks": checks,
+                                "on_fail": "tag"}).collect()}
+    assert tagged[1] == ["unique_cat"]
+    assert tagged[2] == ["in_range_v", "unique_cat"]
+    assert tagged[3] == ["in_set_cat", "in_range_v"]
+    assert tagged[4] == []
+
+
+def test_expect_expr_matches_and_errors(spark):
+    df = spark.createDataFrame([(1, "ab12"), (2, "nope")], "id long, code string")
+    out = op("expect", df, {"checks": [
+        {"type": "matches", "field": "code", "pattern": "^[a-z]+[0-9]+$"},
+        {"type": "expr", "sql": "id < 10", "name": "id_small"},
+    ]})
+    assert {r["id"] for r in out.collect()} == {1}
+    with pytest.raises(ValueError, match="unknown expectation"):
+        op("expect", df, {"checks": [{"type": "zz", "field": "id"}]})
+    with pytest.raises(ValueError, match="unknown on_fail"):
+        op("expect", df, {"checks": [], "on_fail": "explode"})
