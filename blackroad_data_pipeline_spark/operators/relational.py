@@ -566,12 +566,15 @@ def op_expect(df: DataFrame, config: Mapping, views) -> DataFrame:
         if ctype == "unique":
             # SQL UNIQUE-constraint convention: NULLs don't collide
             w = Window.partitionBy(F.col(c["field"]))
-            flags.append((name, (F.count(F.lit(1)).over(w) == 1)
-                          | F.col(c["field"]).isNull()))
+            ok = (F.count(F.lit(1)).over(w) == 1) | F.col(c["field"]).isNull()
         elif ctype in _EXPECT_CHECKS:
-            flags.append((name, _EXPECT_CHECKS[ctype](c)))
+            ok = _EXPECT_CHECKS[ctype](c)
         else:
             raise ValueError(f"unknown expectation type: {ctype!r}")
+        # a NULL-valued check (possible for user `expr` SQL) counts as
+        # FAILED in BOTH modes — WHERE semantics; without the coalesce
+        # tag mode would silently treat NULL as a pass
+        flags.append((name, F.coalesce(ok, F.lit(False))))
     violations = F.filter(
         F.array(*[F.when(~ok, F.lit(name)).otherwise(F.lit(None))
                   for name, ok in flags]),

@@ -588,3 +588,15 @@ def test_expect_expr_matches_and_errors(spark):
         op("expect", df, {"checks": [{"type": "zz", "field": "id"}]})
     with pytest.raises(ValueError, match="unknown on_fail"):
         op("expect", df, {"checks": [], "on_fail": "explode"})
+
+
+def test_expect_null_valued_expr_fails_both_modes(spark):
+    """A user expr that evaluates to NULL counts as FAILED in both
+    filter and tag modes (WHERE semantics)."""
+    df = spark.createDataFrame([(1, None), (2, 5)], "id long, v int")
+    checks = [{"type": "expr", "sql": "v > 3", "name": "v_gt3"}]
+    kept = {r["id"] for r in op("expect", df, {"checks": checks}).collect()}
+    assert kept == {2}
+    tagged = {r["id"]: list(r["violations"]) for r in
+              op("expect", df, {"checks": checks, "on_fail": "tag"}).collect()}
+    assert tagged == {1: ["v_gt3"], 2: []}
