@@ -1630,6 +1630,56 @@ ORDER BY user_id, event_type
 """
 
 
+def q_corpus_prep_stream(spark, sf_dir):
+    """Corpus-prep operators composed on a STRUCTURED STREAM: stream
+    the documents parquet, break/clean lines, count tokens, and
+    aggregate per-language doc + token totals in complete mode —
+    evidence the curation layer is streaming-compatible (the cleaning
+    chain is pure projection, so it rides micro-batches unchanged;
+    the only stateful piece is the final streaming aggregate). Shares
+    the batch clean_lines/token_count semantics, so the DuckDB batch
+    recomputation is the oracle."""
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        read_events_stream, run_stream_to_memory)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    d = op("expr", stream, {"exprs": {"lined": "replace(text, ' a ', '\n')"}})
+    df = op("clean_lines", d, {"field": "lined", "as": "text",
+                               "min_words": 6, "min_doc_words": 20,
+                               "blacklist": ["customer"]})
+    df = op("token_count", df, {"field": "text"})
+    agg = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"))
+    run_stream_to_memory(agg, "corpus_prep_stream_out",
+                         output_mode="complete")
+    out = spark.table("corpus_prep_stream_out")
+    return op("sort", out, {"fields": ["lang"]})
+
+
+_SQL_CORPUS_PREP_STREAM = """
+WITH d AS (
+  SELECT doc_id, lang, replace(text, ' a ', chr(10)) AS t FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         array_to_string(list_filter(
+           list_transform(string_split(t, chr(10)), x -> trim(x)),
+           x -> len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                y -> y <> '')) >= 6
+                AND NOT contains(lower(x), 'customer')), chr(10)) AS text
+  FROM d),
+k AS (
+  SELECT lang, text FROM c
+  WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        y -> y <> '')) >= 20)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                y -> y <> ''))) AS BIGINT) AS total_ws_tokens
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: shard by doc_id % 8, lay docs out in id order,
     bin by cumulative token count into 512-token packs. Shard-local
@@ -2917,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming execution surfaced to the driver
         "events_window_stream": q_events_window_stream,
         "stateful_dedup_stream": q_stateful_dedup_stream,
+        "corpus_prep_stream": q_corpus_prep_stream,
         # training-corpus prep (round 2)
         "chunk_text": q_chunk_text,
         "vocab_topk": q_vocab_topk,
@@ -3024,6 +3075,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_rows": _SQL_SHUFFLE_ROWS,
         "events_window_stream": _SQL_EVENTS_WINDOW,
         "stateful_dedup_stream": _SQL_STATEFUL_DEDUP_STREAM,
+        "corpus_prep_stream": _SQL_CORPUS_PREP_STREAM,
         "chunk_text": _SQL_CHUNK_TEXT,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "contamination": _SQL_CONTAMINATION,
