@@ -519,7 +519,7 @@ _EXPECT_CHECKS = {
     # passes). All JVM expressions — the whole check set compiles into
     # one codegen'd projection.
     "not_null": lambda c: F.col(c["field"]).isNotNull(),
-    "unique": None,  # handled separately (needs a window)
+    # ("unique" is handled inline in op_expect — it needs a window)
     "in_range": lambda c: F.col(c["field"]).cast("double").between(
         float(c["min"]), float(c["max"])) | F.col(c["field"]).isNull(),
     "in_set": lambda c: F.col(c["field"]).isin(list(c["values"]))
