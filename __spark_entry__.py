@@ -2880,6 +2880,157 @@ LEFT JOIN (
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-based quality gate (llmops/text.py
+    op_gopher_quality): seven per-rule flags + the conjunction, all
+    boolean/int outputs so the oracle compare is exact. Thresholds
+    tuned so the fixture corpus splits on word count, mean word
+    length, and the two-stopword requirement."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("gopher_quality", d, {
+        "field": "text", "min_words": 30, "max_words": 120,
+        "min_mean_word_len": 3.0, "max_mean_word_len": 4.0,
+        "min_stop_hits": 2, "stopwords": ["the", "a"]})
+    return op("select", df, {"fields": [
+        "doc_id", "ok_n_words", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords", "gopher_pass"]})
+
+
+_SQL_GOPHER_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS t,
+         {_D_TOKS.replace("trim(text)", "trim(COALESCE(text, ''))")} AS toks,
+         list_transform(string_split(COALESCE(text, ''), chr(10)),
+                        x -> trim(x)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id, t, toks, lines,
+         len(toks) AS n_words,
+         len(lines) AS n_lines,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) END AS mean_wl,
+         length(t) - length(replace(t, '#', ''))
+           + len(regexp_split_to_array(t, '\\.\\.\\.|…')) - 1 AS n_symbols,
+         len(list_filter(lines, x -> regexp_matches(x, '^[-*•]\\s')))
+           AS bullet_lines,
+         len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+           AS ellipsis_lines,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           AS alpha_words,
+         len(list_filter(['the', 'a'],
+             w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+           AS stop_hits
+  FROM d),
+f AS (
+  SELECT doc_id,
+         n_words BETWEEN 30 AND 120 AS ok_n_words,
+         COALESCE(mean_wl BETWEEN 3.0 AND 4.0, FALSE) AS ok_mean_word_len,
+         CASE WHEN n_words > 0
+              THEN CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+              ELSE FALSE END AS ok_symbol_ratio,
+         CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9 AS ok_bullet_lines,
+         CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3
+           AS ok_ellipsis_lines,
+         CASE WHEN n_words > 0
+              THEN CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+              ELSE FALSE END AS ok_alpha_words,
+         stop_hits >= 2 AS ok_stopwords
+  FROM m)
+SELECT doc_id, ok_n_words, ok_mean_word_len, ok_symbol_ratio,
+       ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+       (ok_n_words AND ok_mean_word_len AND ok_symbol_ratio
+        AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+        AND ok_stopwords) AS gopher_pass
+FROM f
+"""
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-doc duplicated-span stats (llmops/dedup.py
+    op_dup_span_stats): 5-token windows duplicated across >=2 docs,
+    per-doc window + covered-token counts. Integer counts + an exact
+    bigint/bigint double division — oracle-exact."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("dup_span_stats", d, {
+        "field": "text", "id_field": "doc_id", "span": 5, "min_docs": 2})
+    return op("select", df, {"fields": [
+        "doc_id", "n_tokens", "n_windows", "dup_windows", "dup_tokens",
+        "dup_token_fraction"]})
+
+
+_SQL_DUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, {_D_TOKS.replace("trim(text)", "trim(COALESCE(text, ''))")}
+           AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+4], ' ')) AS h
+  FROM d, UNNEST(range(1, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 5),
+dup AS (
+  SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dw AS (SELECT w.* FROM w JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT cp) AS dup_tokens
+  FROM (SELECT doc_id, UNNEST(range(pos, pos + 5)) AS cp FROM dw)
+  GROUP BY doc_id),
+per AS (
+  SELECT d.doc_id,
+         len(d.toks) AS n_tokens,
+         COALESCE(wc.n_windows, 0) AS n_windows,
+         COALESCE(dc.dup_windows, 0) AS dup_windows,
+         COALESCE(cov.dup_tokens, 0) AS dup_tokens
+  FROM d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS n_windows FROM w
+             GROUP BY doc_id) wc USING (doc_id)
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS dup_windows FROM dw
+             GROUP BY doc_id) dc USING (doc_id)
+  LEFT JOIN cov USING (doc_id))
+SELECT doc_id, n_tokens, n_windows, dup_windows, dup_tokens,
+       CASE WHEN n_tokens > 0
+            THEN CAST(dup_tokens AS DOUBLE) / n_tokens
+            ELSE 0.0 END AS dup_token_fraction
+FROM per
+"""
+
+
+def q_embedding_outlier(spark, sf_dir):
+    """Per-label centroid-similarity scoring (llmops/similarity.py
+    op_embedding_outlier). The centroid is a scaled-long fixed-point
+    sum — exact integer arithmetic both engines reproduce bit-for-bit
+    (float->decimal casts have repr ties, q_embedding_stats) — and
+    cosine against the sum equals cosine against the mean."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("embedding_outlier", e, {
+        "field": "embedding", "dim": 64, "by": "label"})
+    return op("select", df, {"fields": ["vec_id", "label", "centroid_sim"]})
+
+
+_SQL_EMBEDDING_OUTLIER = """
+WITH s AS (
+  SELECT label, i,
+         SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+           AS sd
+  FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+  GROUP BY label, i),
+c AS (
+  SELECT label, list(CAST(sd AS DOUBLE) ORDER BY i) AS centroid
+  FROM s GROUP BY label)
+SELECT vec_id, label,
+  list_sum(list_transform(list_zip(embedding, centroid),
+                          x -> CAST(x[1] AS DOUBLE) * x[2]))
+  / (sqrt(list_sum(list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform(centroid, x -> x * x))))
+  AS centroid_sim
+FROM embeddings JOIN c USING (label)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3002,6 +3153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "running_total": q_running_total,
         "embedding_stats": q_embedding_stats,
+        "gopher_quality": q_gopher_quality,
+        "dup_spans": q_dup_spans,
+        "embedding_outlier": q_embedding_outlier,
     }
 
 
@@ -3109,4 +3263,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot": _SQL_UNPIVOT,
         "running_total": _SQL_RUNNING_TOTAL,
         "embedding_stats": _SQL_EMBEDDING_STATS,
+        "gopher_quality": _SQL_GOPHER_QUALITY,
+        "dup_spans": _SQL_DUP_SPANS,
+        "embedding_outlier": _SQL_EMBEDDING_OUTLIER,
     }

@@ -393,3 +393,72 @@ def op_dedup_embedding_groups(df: DataFrame, config: Mapping, views) -> DataFram
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_field))
     return df.join(losers, id_field, "left_anti")
+
+
+@register("embedding_outlier")
+def op_embedding_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Centroid-similarity scoring — the SemDeDup / prototype-distance
+    curation signal: each vector's cosine similarity to its group's
+    centroid (global when ``by`` is unset, else per-``by`` column,
+    e.g. a cluster id from ivf_assign or a source label). Low
+    ``centroid_sim`` = semantic outlier; near-1 = redundant
+    prototype mass. No counterpart in the reference (zero vector ops,
+    SURVEY.md §2).
+
+    Determinism at any partitioning: each element is quantized to a
+    scaled long — floor(x * 10^6) — and summed as exact int64 (float
+    reduction order varies with partitioning; float→decimal casts
+    drift between engines at repr ties, see q_embedding_stats — floor
+    of a double is the one tie-free fixed-point both engines agree
+    on bit-for-bit). Cosine is taken against the quantized SUM
+    vector, which equals cosine against the quantized mean because
+    cosine is scale-invariant — so no division is ever needed and
+    DuckDB reproduces the score exactly. The 1e-6 quantization error
+    on the centroid is ~1e-5 relative for unit-ish embeddings —
+    noise for a curation score (``scale`` overrides the default).
+
+    Scale shape: one map-side-partial aggregation to k×dim longs
+    (k = group count), broadcast back, one codegen'd cosine per row.
+    No per-row Python, no driver collect of vectors.
+
+    ``mode: "filter"`` keeps rows with centroid_sim >= ``min_sim``
+    (drop outliers); ``max_sim`` instead/also drops redundant
+    near-prototype rows (SemDeDup proper). Default annotates.
+    """
+    field = config.get("field", "embedding")
+    dim = int(config.get("dim") or 0)
+    if dim < 1:
+        raise ValueError("embedding_outlier requires dim (vector length)")
+    by = config.get("by")
+    mode = config.get("mode", "annotate")
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"embedding_outlier mode must be annotate|filter, got {mode!r}")
+
+    keys = [by] if by else []
+    scale = float(config.get("scale", 1e6))
+    # scaled-long per-dim sums: exact int64 arithmetic, deterministic
+    # under any partition order, no decimal repr ties. |sum| stays
+    # far under 2^53 for unit-ish embeddings, so the final
+    # long->double centroid cast is exact.
+    sums = df.groupBy(*keys).agg(*[
+        F.sum(F.floor(F.col(field)[i].cast("double") * F.lit(scale)))
+        .alias(f"__s{i}") for i in range(dim)])
+    centroid = sums.select(
+        *keys,
+        F.array(*[F.col(f"__s{i}").cast("double")
+                  for i in range(dim)]).alias("__centroid"))
+    if keys:
+        out = df.join(F.broadcast(centroid), keys, "left")
+    else:
+        out = df.crossJoin(F.broadcast(centroid))
+    out = out.withColumn(
+        "centroid_sim", cosine_col(F.col(field), F.col("__centroid"))
+    ).drop("__centroid")
+    if mode == "filter":
+        cond = F.lit(True)
+        if "min_sim" in config:
+            cond = cond & (F.col("centroid_sim") >= float(config["min_sim"]))
+        if "max_sim" in config:
+            cond = cond & (F.col("centroid_sim") <= float(config["max_sim"]))
+        return out.filter(cond).drop("centroid_sim")
+    return out

@@ -730,3 +730,106 @@ def op_bigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
         .withColumn("sum_bigram_count", F.coalesce("sum_bigram_count", F.lit(0)))
         .withColumn("sum_prefix_count", F.coalesce("sum_prefix_count", F.lit(0)))
     )
+
+
+@register("gopher_quality")
+def op_gopher_quality(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Gopher-style rule-based document quality filter (Rae et al.
+    2021, table A1) — the standard pre-training heuristic gate the
+    reference has no analogue for (its quality notion stops at
+    quality_score's 3 signals).
+
+    Seven rules, each surfaced as its own flag column so downstream
+    mixing can weigh them (`mode: "annotate"`, default) or the gate
+    can drop failures outright (`mode: "filter"`):
+
+    - ``ok_n_words``      min_words <= word count <= max_words
+    - ``ok_mean_word_len`` mean token length in [min_mean_word_len,
+                          max_mean_word_len]
+    - ``ok_symbol_ratio`` (# + ellipsis occurrences) / words
+                          <= max_symbol_ratio
+    - ``ok_bullet_lines`` fraction of lines starting with a bullet
+                          <= max_bullet_ratio
+    - ``ok_ellipsis_lines`` fraction of lines ending in an ellipsis
+                          <= max_ellipsis_line_ratio
+    - ``ok_alpha_words``  fraction of tokens containing a letter
+                          >= min_alpha_ratio
+    - ``ok_stopwords``    >= min_stop_hits distinct tokens from the
+                          required-stopword list
+
+    Everything is built-in-function arithmetic over one staged token /
+    line array — whole-stage codegen, zero shuffle, zero Python rows;
+    at 100 TB this is a free rider on the document scan, prunable and
+    pipelineable like any map. NULL text behaves as the empty string
+    (fails the word-count floor, as it should).
+    """
+    field = config.get("field", "text")
+    mode = config.get("mode", "annotate")
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"gopher_quality mode must be annotate|filter, got {mode!r}")
+    min_words = int(config.get("min_words", 50))
+    max_words = int(config.get("max_words", 100_000))
+    min_mwl = float(config.get("min_mean_word_len", 3.0))
+    max_mwl = float(config.get("max_mean_word_len", 10.0))
+    max_symbol = float(config.get("max_symbol_ratio", 0.1))
+    max_bullet = float(config.get("max_bullet_ratio", 0.9))
+    max_ellipsis = float(config.get("max_ellipsis_line_ratio", 0.3))
+    min_alpha = float(config.get("min_alpha_ratio", 0.8))
+    min_stop_hits = int(config.get("min_stop_hits", 2))
+    stopwords = list(config.get("stopwords",
+                                ["the", "be", "to", "of", "and",
+                                 "that", "have", "with"]))
+
+    col = F.coalesce(F.col(field), F.lit(""))
+    # stage arrays as attributes (kgrams_from_tokens caveat: lambda
+    # bodies re-evaluate outer expressions per element)
+    staged = df.withColumns({
+        "__toks": tokens_col(col),
+        "__lines": F.transform(F.split(col, "\n"), F.trim),
+    })
+    toks, lines = F.col("__toks"), F.col("__lines")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)  # split never yields [], so >= 1
+    # mean word length over tokens; 0-token docs get NULL -> fails the
+    # range check via coalesce(False)
+    sum_len = F.aggregate(toks, F.lit(0),
+                          lambda acc, x: acc + F.length(x))
+    mean_wl = F.when(n_words > 0, sum_len.cast("double") / n_words)
+    # '#' occurrences + ellipsis occurrences ('...' or the one-char
+    # form), counted over raw text
+    n_symbols = (F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+                 + F.size(F.split(col, r"\.\.\.|…")) - 1)
+    bullet_lines = F.size(F.filter(
+        lines, lambda x: x.rlike(r"^[-*•]\s")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.transform(toks, F.lower),
+        F.array(*[F.lit(w) for w in stopwords])))
+
+    flags = {
+        "ok_n_words": n_words.between(min_words, max_words),
+        "ok_mean_word_len": F.coalesce(
+            mean_wl.between(min_mwl, max_mwl), F.lit(False)),
+        "ok_symbol_ratio": F.when(
+            n_words > 0, n_symbols.cast("double") / n_words <= max_symbol
+        ).otherwise(F.lit(False)),
+        "ok_bullet_lines":
+            bullet_lines.cast("double") / n_lines <= max_bullet,
+        "ok_ellipsis_lines":
+            ellipsis_lines.cast("double") / n_lines <= max_ellipsis,
+        "ok_alpha_words": F.when(
+            n_words > 0, alpha_words.cast("double") / n_words >= min_alpha
+        ).otherwise(F.lit(False)),
+        "ok_stopwords": stop_hits >= min_stop_hits,
+    }
+    passed = F.lit(True)
+    for flag in flags.values():
+        passed = passed & flag
+    out = staged.withColumns({**flags, "gopher_pass": passed})
+    out = out.drop("__toks", "__lines")
+    if mode == "filter":
+        return out.filter(F.col("gopher_pass")).drop(
+            *flags.keys(), "gopher_pass")
+    return out

@@ -363,3 +363,114 @@ def test_dedup_lines_drop_common(spark):
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert all(footer not in t for t in got.values())
     assert all(f"body line number {i} is unique" == got[i] for i in range(4))
+
+
+# -- gopher_quality --------------------------------------------------------
+
+
+def _gq(spark, rows, **cfg):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: r.asDict()
+            for r in op("gopher_quality", df,
+                        {"field": "text", **cfg}, views={}).collect()}
+
+
+def test_gopher_quality_word_count_and_stopwords(spark):
+    out = _gq(spark, [
+        (1, "the cat sat on a mat with the dog and a bird today"),
+        (2, "short text"),
+        (3, None),
+    ], min_words=5, max_words=100, min_mean_word_len=2.0,
+        max_mean_word_len=10.0, min_stop_hits=2, stopwords=["the", "a"])
+    assert out[1]["ok_n_words"] and out[1]["ok_stopwords"]
+    assert out[1]["gopher_pass"]
+    assert not out[2]["ok_n_words"]          # 2 words < 5
+    assert not out[2]["ok_stopwords"]        # neither 'the' nor 'a'
+    assert not out[3]["ok_n_words"]          # NULL -> empty -> 0 words
+    assert not out[3]["gopher_pass"]
+
+
+def test_gopher_quality_symbol_bullet_ellipsis_alpha(spark):
+    bullet_doc = "\n".join(["- first point here now", "- second point",
+                            "* third one", "plain line words"])
+    out = _gq(spark, [
+        (1, "good words here " * 5 + "the a"),
+        (2, "words # with # many # hashes # inside # the # a"),
+        (3, bullet_doc),
+        (4, "trailing line goes on and on...\nanother one here too...\nplain"),
+        (5, "12 34 56 78 90 11 22 33 44 55 the a"),
+    ], min_words=3, min_mean_word_len=1.0, max_mean_word_len=10.0,
+        min_stop_hits=1, stopwords=["the", "a"],
+        max_symbol_ratio=0.1, max_bullet_ratio=0.5,
+        max_ellipsis_line_ratio=0.4, min_alpha_ratio=0.8)
+    assert out[1]["ok_symbol_ratio"] and out[1]["ok_alpha_words"]
+    assert not out[2]["ok_symbol_ratio"]     # 6 hashes / 13 words > 0.1
+    assert not out[3]["ok_bullet_lines"]     # 3/4 lines bulleted > 0.5
+    assert not out[4]["ok_ellipsis_lines"]   # 2/3 lines ellipsis > 0.4
+    assert not out[5]["ok_alpha_words"]      # 10/12 digit tokens
+    assert out[5]["ok_symbol_ratio"]
+
+
+def test_gopher_quality_filter_mode_drops_and_strips(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat here now today ok"),
+         (2, "x")], ["doc_id", "text"])
+    out = op("gopher_quality", df,
+             {"field": "text", "mode": "filter", "min_words": 5,
+              "min_mean_word_len": 1.0, "min_stop_hits": 1,
+              "stopwords": ["the"]}, views={})
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    assert "gopher_pass" not in out.columns
+    assert "ok_n_words" not in out.columns
+
+
+# -- dup_span_stats --------------------------------------------------------
+
+
+def test_dup_span_stats_known_answer(spark):
+    # docs 1 and 2 share the 3-token window "b c d" (and 1 shares
+    # nothing else); doc 3 is all-unique; doc 4 too short for windows
+    df = spark.createDataFrame([
+        (1, "a b c d e"),
+        (2, "x b c d y"),
+        (3, "p q r s t"),
+        (4, "u v"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in op("dup_span_stats", df,
+                       {"field": "text", "id_field": "doc_id",
+                        "span": 3, "min_docs": 2}, views={}).collect()}
+    assert out[1]["n_windows"] == 3 and out[1]["dup_windows"] == 1
+    assert out[1]["dup_tokens"] == 3            # positions 1,2,3
+    assert abs(out[1]["dup_token_fraction"] - 3 / 5) < 1e-12
+    assert out[2]["dup_windows"] == 1 and out[2]["dup_tokens"] == 3
+    assert out[3]["dup_windows"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_token_fraction"] == 0.0
+
+
+def test_dup_span_stats_overlapping_windows_union(spark):
+    # "a b c d" duplicated across both docs => windows at pos 0 and 1
+    # overlap; covered positions are the UNION (4 tokens), not 2*span
+    df = spark.createDataFrame([
+        (1, "a b c d"),
+        (2, "a b c d z"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in op("dup_span_stats", df,
+                       {"field": "text", "span": 3, "min_docs": 2},
+                       views={}).collect()}
+    assert out[2]["dup_windows"] == 2
+    assert out[2]["dup_tokens"] == 4
+    assert abs(out[2]["dup_token_fraction"] - 4 / 5) < 1e-12
+
+
+def test_dup_span_stats_filter_mode(spark):
+    df = spark.createDataFrame([
+        (1, "a b c x y z w v"),      # shares 'a b c' only: 3/8 covered
+        (2, "a b c d e"),            # shares 'a b c': 3/5 covered
+        (3, "a b c q r s t u v2 w2 x2 y2"),    # 3/12 covered
+    ], ["doc_id", "text"])
+    out = op("dup_span_stats", df,
+             {"field": "text", "span": 3, "min_docs": 3,
+              "mode": "filter", "max_fraction": 0.45}, views={})
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]

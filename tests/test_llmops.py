@@ -726,3 +726,49 @@ def test_strict_mode_still_raises_on_undecodable(spark):
     for op_name in ("decode_image", "resize_image", "audio_features"):
         with pytest.raises((PythonException, Py4JJavaError)):
             op(op_name, df, {"fake_decode": False}).collect()
+
+
+# -- embedding_outlier -----------------------------------------------------
+
+
+def test_embedding_outlier_global_centroid(spark):
+    import math
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["centroid_sim"]
+           for r in op("embedding_outlier", df,
+                       {"dim": 2, "scale": 1e6}, views={}).collect()}
+    # centroid (scaled sum) = [1e6, 1e5-ish]; python model
+    sums = [math.floor(1.0 * 1e6) + math.floor(1.0 * 1e6)
+            + math.floor(-1.0 * 1e6),
+            math.floor(0.0) + math.floor(0.1 * 1e6) + math.floor(0.0)]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(y * y for y in b)))
+
+    for vid, vec in rows:
+        assert abs(out[vid] - cos(vec, sums)) < 1e-9
+    # the opposite-direction vector is the outlier
+    assert out[2] < out[0] and out[2] < out[1]
+
+
+def test_embedding_outlier_by_group_and_filter(spark):
+    rows = [(0, "a", [1.0, 0.0]), (1, "a", [1.0, 0.05]),
+            (2, "a", [0.0, 1.0]),            # outlier within 'a'
+            (3, "b", [-1.0, 0.0]), (4, "b", [-1.0, -0.05])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    out = {r["vec_id"]: r["centroid_sim"]
+           for r in op("embedding_outlier", df,
+                       {"dim": 2, "by": "label"}, views={}).collect()}
+    assert out[2] < out[0] and out[2] < out[1]
+    # group 'b' scores are against b's own centroid: both near 1
+    assert out[3] > 0.9 and out[4] > 0.9
+    kept = op("embedding_outlier", df,
+              {"dim": 2, "by": "label", "mode": "filter",
+               "min_sim": 0.8}, views={})
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 1, 3, 4]
+    assert "centroid_sim" not in kept.columns
