@@ -55,6 +55,12 @@ PROBED = [
     "zorder",
     "budget_select",
     "corpus_diff",
+    # round-3 additions: dup_spans is the one with real quadratic
+    # potential (window-hash duplicate set); the other two are a pure
+    # map and a 1-shuffle agg + broadcast join
+    "dup_spans",
+    "gopher_quality",
+    "embedding_outlier",
 ]
 
 
