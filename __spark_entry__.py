@@ -3031,6 +3031,49 @@ FROM embeddings JOIN c USING (label)
 """
 
 
+def q_importance_weight(spark, sf_dir):
+    """DSIR importance weighting (llmops/text.py op_importance_weight)
+    with the English subset as the target domain. The oracle compares
+    the exact integer twin columns (n_tokens, sum_target_count,
+    sum_raw_count — the full two-vocab explode→merge→join→agg path);
+    the ln-ratio float is libm-dependent and pytest-checked against a
+    Python model instead."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    df = op("importance_weight", d,
+            {"field": "text", "id_field": "doc_id", "target": target})
+    return op("select", df, {"fields": [
+        "doc_id", "n_tokens", "sum_target_count", "sum_raw_count"]})
+
+
+_SQL_IMPORTANCE_WEIGHT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKS_LOWER}) AS token FROM documents),
+raw_vocab AS (
+  SELECT token, COUNT(*) AS cr FROM toks GROUP BY token),
+tgt_vocab AS (
+  SELECT token, COUNT(*) AS ct
+  FROM (SELECT unnest({_D_TOKS_LOWER}) AS token FROM documents
+        WHERE lang = 'en')
+  GROUP BY token),
+vocab AS (
+  SELECT COALESCE(r.token, t.token) AS token,
+         COALESCE(r.cr, 0) AS cr, COALESCE(t.ct, 0) AS ct
+  FROM raw_vocab r FULL OUTER JOIN tgt_vocab t USING (token))
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.sum_target_count, 0) AS sum_target_count,
+       COALESCE(s.sum_raw_count, 0) AS sum_raw_count
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN (
+  SELECT toks.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(vocab.ct) AS BIGINT) AS sum_target_count,
+         CAST(SUM(vocab.cr) AS BIGINT) AS sum_raw_count
+  FROM toks JOIN vocab USING (token)
+  GROUP BY toks.doc_id) s USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3156,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dup_spans": q_dup_spans,
         "embedding_outlier": q_embedding_outlier,
+        "importance_weight": q_importance_weight,
     }
 
 
@@ -3266,4 +3310,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "dup_spans": _SQL_DUP_SPANS,
         "embedding_outlier": _SQL_EMBEDDING_OUTLIER,
+        "importance_weight": _SQL_IMPORTANCE_WEIGHT,
     }

@@ -833,3 +833,85 @@ def op_gopher_quality(df: DataFrame, config: Mapping, views) -> DataFrame:
         return out.filter(F.col("gopher_pass")).drop(
             *flags.keys(), "gopher_pass")
     return out
+
+
+@register("importance_weight")
+def op_importance_weight(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """DSIR-style data selection signal (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each raw-corpus document by the mean unigram log-likelihood RATIO
+    between a TARGET domain sample and the raw corpus itself —
+    ln p_target(tok) − ln p_raw(tok), add-k smoothed over the union
+    vocabulary. High scores = "looks like the target domain";
+    resampling by the weight shifts the pre-training mixture toward
+    the target without a trained classifier.
+
+    ``target`` is a view name or DataFrame holding the target-domain
+    sample (its ``target_field``, default = ``field``). Both unigram
+    models are word-count aggregations materialized eagerly
+    (localCheckpoint — same single-execution rationale as
+    unigram_logprob) and FULL-OUTER merged so one broadcast join
+    serves both counts; tokens unseen in either side smooth to k.
+    Scale shape: two vocab-sized shuffles (raw corpus + the much
+    smaller target), one broadcast join over the exploded tokens, one
+    per-doc partial agg. No per-row Python.
+
+    Output: id, n_tokens (long), sum_target_count / sum_raw_count
+    (long — the exact integer twins an external engine can audit),
+    mean_llr (double; NULL for empty docs; ln() floats are
+    libm-dependent, so oracles compare the integer columns and pytest
+    checks the float against a Python model).
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = float(config.get("smoothing_k", 1.0))
+    lower = bool(config.get("lowercase", True))
+    target = config["target"]
+    if isinstance(target, str):
+        target = views[target]
+    target_field = config.get("target_field", field)
+
+    def toks_of(frame: DataFrame, f: str) -> DataFrame:
+        expr = tokens_col(F.lower(F.col(f)) if lower else F.col(f))
+        return frame.select(F.explode(expr).alias("token"))
+
+    toks = df.select(
+        F.col(id_field),
+        F.explode(tokens_col(
+            F.lower(F.col(field)) if lower else F.col(field))).alias("token"))
+    raw_vocab = (toks.groupBy("token")
+                 .agg(F.count(F.lit(1)).alias("__cr")))
+    tgt_vocab = (toks_of(target, target_field).groupBy("token")
+                 .agg(F.count(F.lit(1)).alias("__ct")))
+    # union-vocabulary merge: one table, one broadcast, both models
+    vocab = (raw_vocab.join(tgt_vocab, "token", "full_outer")
+             .select("token",
+                     F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                     F.coalesce("__ct", F.lit(0)).alias("__ct"))
+             .localCheckpoint(eager=True))
+    tot = vocab.agg(F.sum("__cr").alias("tr"), F.sum("__ct").alias("tt"),
+                    F.count(F.lit(1)).alias("v")).first()
+    v = float(tot["v"] or 0)
+    denom_raw = float(tot["tr"] or 0) + k * v
+    denom_tgt = float(tot["tt"] or 0) + k * v
+    if config.get("broadcast", True):
+        vocab = F.broadcast(vocab)
+    scored = toks.join(vocab, "token")
+    llr = (F.log((F.col("__ct") + F.lit(k)) / F.lit(denom_tgt))
+           - F.log((F.col("__cr") + F.lit(k)) / F.lit(denom_raw)))
+    out = (
+        scored.groupBy(id_field)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("__ct").alias("sum_target_count"),
+             F.sum("__cr").alias("sum_raw_count"),
+             F.avg(llr).alias("mean_llr"))
+    )
+    return (
+        df.select(id_field).distinct()
+        .join(out, id_field, "left")
+        .withColumns({
+            "n_tokens": F.coalesce("n_tokens", F.lit(0)),
+            "sum_target_count": F.coalesce("sum_target_count", F.lit(0)),
+            "sum_raw_count": F.coalesce("sum_raw_count", F.lit(0)),
+        })
+    )

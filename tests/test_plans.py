@@ -328,3 +328,32 @@ def test_fuzzy_join_reuses_gram_exchange_and_stays_jvm(no_aqe):
             {"field": "text", "id_field": "doc_id", "max_distance": 1})
     plans.assert_exchange_reuse(df, 1)
     plans.assert_no_row_python(df)
+
+
+def test_gopher_quality_is_pure_map(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = op("gopher_quality", docs, {"field": "text", "min_words": 5})
+    plans.assert_no_row_python(df)
+    plans.assert_max_shuffles(df, 0)
+
+
+def test_dup_span_stats_reuses_window_exchange(no_aqe):
+    docs = no_aqe.read.parquet(f"{SF}/documents.parquet")
+    df = op("dup_span_stats", docs,
+            {"field": "text", "span": 5, "min_docs": 2})
+    plans.assert_no_row_python(df)
+    # the positional-window explode must feed its consumers
+    # (duplicate-set agg, semi-join probe, per-doc rollup) through ONE
+    # exchange, not re-execute per branch (static check: AQE off)
+    plans.assert_exchange_reuse(df, 1)
+    plans.assert_no_cartesian(df)
+
+
+def test_embedding_outlier_single_shuffle_broadcast_back(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = op("embedding_outlier", embs, {"dim": 64, "by": "label"})
+    plans.assert_no_row_python(df)
+    # one shuffle for the centroid aggregation; the join back is a
+    # broadcast, never a second fact-side shuffle
+    plans.assert_max_shuffles(df, 1)
+    plans.assert_broadcast_join(df)

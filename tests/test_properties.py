@@ -554,3 +554,40 @@ def test_fuzzy_join_matches_brute_force(spark, names, k):
             for i, a in rows for j, b in rows
             if i < j and _lev(a, b) <= k}
     assert got == want
+
+
+@given(docs=lm_docs)
+@settings(**SETTINGS)
+def test_importance_weight_matches_model_for_any_corpus(spark, docs):
+    import math
+
+    df = (spark.createDataFrame(docs, "doc_id int, text string") if docs
+          else spark.createDataFrame([], "doc_id int, text string"))
+    # target domain: the even-id documents
+    target = df.filter(F.col("doc_id") % 2 == 0)
+    got = {r["doc_id"]: r for r in op(
+        "importance_weight", df,
+        {"field": "text", "id_field": "doc_id", "target": target}
+    ).collect()}
+
+    toks = {i: (t or "").lower().split() for i, t in docs}
+    raw: dict = {}
+    tgt: dict = {}
+    for i, ws in toks.items():
+        for w in ws:
+            raw[w] = raw.get(w, 0) + 1
+            if i % 2 == 0:
+                tgt[w] = tgt.get(w, 0) + 1
+    v = len(raw)  # union vocab == raw vocab (target is a subset corpus)
+    dr, dt = sum(raw.values()) + v, sum(tgt.values()) + v
+    for i, ws in toks.items():
+        r = got[i]
+        assert r["n_tokens"] == len(ws)
+        assert r["sum_raw_count"] == sum(raw[w] for w in ws)
+        assert r["sum_target_count"] == sum(tgt.get(w, 0) for w in ws)
+        if ws:
+            want = sum(math.log((tgt.get(w, 0) + 1.0) / dt)
+                       - math.log((raw[w] + 1.0) / dr) for w in ws) / len(ws)
+            assert abs(r["mean_llr"] - want) < 1e-9
+        else:
+            assert r["mean_llr"] is None
