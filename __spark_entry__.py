@@ -3074,6 +3074,31 @@ LEFT JOIN (
 """
 
 
+def q_quality_classifier_gate(spark, sf_dir):
+    """Model-based quality filter gate (llmops/classify.py
+    op_quality_classifier — the CCNet/GPT-3 hashed-BOW + logistic
+    regression curation step). Training isn't SQL-expressible, so the
+    gate asserts an invariant DuckDB can state as constants: on a
+    label that is a deterministic function of one token (contains
+    'customer'), the classifier must recover the rule — train
+    accuracy >= 0.98 (measured 1.0 at sf0.001/0.01/0.1; the margin
+    absorbs float-reduction noise)."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("lab", F.col("text").contains("customer"))
+    out = op("quality_classifier", d,
+             {"field": "text", "label_field": "lab"})
+    return out.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        (F.sum(F.when(F.col("quality_pred") == F.col("lab"), 1)
+               .otherwise(0)) >= F.count(F.lit(1)) * F.lit(0.98))
+        .alias("accuracy_floor_met"))
+
+
+_SQL_QUALITY_CLASSIFIER_GATE = """
+SELECT COUNT(*) AS n_eval, TRUE AS accuracy_floor_met FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3200,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "embedding_outlier": q_embedding_outlier,
         "importance_weight": q_importance_weight,
+        "quality_classifier_gate": q_quality_classifier_gate,
     }
 
 
@@ -3311,4 +3337,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _SQL_DUP_SPANS,
         "embedding_outlier": _SQL_EMBEDDING_OUTLIER,
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
+        "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,
     }

@@ -1,0 +1,103 @@
+"""Model-based quality classification — the CCNet / GPT-3-style
+"train a cheap linear classifier on hashed bag-of-words, score every
+document" curation step (Wenzek et al. 2019; Brown et al. 2020 §A).
+
+The reference has no ML surface at all; here the classifier is a
+pyspark.ml pipeline (HashingTF → LogisticRegression), so training is
+a handful of JVM treeAggregate passes (gradient of size
+``num_features`` to the driver per iteration — megabytes, never the
+corpus) and scoring is a broadcast-coefficient map over the scan.
+
+At 100 TB you train on a labeled SAMPLE (``train`` view /
+``sample_fraction``) and score the full corpus — scoring cost is one
+tokenize + hash + dot product per document, embarrassingly parallel,
+no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.registry import register
+
+
+@register("quality_classifier")
+def op_quality_classifier(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Train a hashed-bag-of-words logistic-regression quality
+    classifier and score ``df`` with it.
+
+    - ``label_field``: boolean/0-1 column with the training label
+      (e.g. "is known-good source", a gopher_pass flag, or a
+      curated-vs-crawl indicator).
+    - ``train``: optional view name / DataFrame to fit on (default:
+      ``df`` itself — self-training on in-corpus labels);
+      ``sample_fraction`` takes a seeded Bernoulli sample of it
+      first (the 100 TB path: fit on ~1M rows, score everything).
+    - ``num_features``: HashingTF width (default 2^18). Collisions
+      degrade gracefully — this is the fasttext-style tradeoff.
+    - Output: input columns + ``quality_prob`` (double, P(label=1))
+      and ``quality_pred`` (boolean). ``mode: "filter"`` keeps rows
+      with quality_prob >= ``min_prob`` (default 0.5) and drops the
+      score columns.
+
+    Training is an EAGER step at operator-construction time (the one
+    lazy-contract exception shared with unigram_logprob's vocab and
+    IVF's centroid fit); scoring stays lazy. Fixed seed + L-BFGS make
+    refits on identical data reproducible up to float-reduction
+    noise, which only moves probabilities ~1e-12 — decision flips
+    need a genuinely borderline document.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    field = config.get("field", "text")
+    label_field = config["label_field"]
+    num_features = int(config.get("num_features", 1 << 18))
+    max_iter = int(config.get("max_iter", 25))
+    reg = float(config.get("reg_param", 1e-4))
+    lower = bool(config.get("lowercase", True))
+    mode = config.get("mode", "annotate")
+    if mode not in ("annotate", "filter"):
+        raise ValueError(
+            f"quality_classifier mode must be annotate|filter, got {mode!r}")
+
+    train = config.get("train", df)
+    if isinstance(train, str):
+        train = views[train]
+    frac = config.get("sample_fraction")
+    if frac is not None:
+        train = train.sample(float(frac), seed=int(config.get("seed", 7)))
+
+    def featurize(frame: DataFrame) -> DataFrame:
+        col = F.coalesce(F.col(field), F.lit(""))
+        toks = F.filter(F.split(F.trim(F.lower(col) if lower else col),
+                                r"\s+"), lambda x: x != F.lit(""))
+        return frame.withColumn("__toks", toks)
+
+    tf = HashingTF(inputCol="__toks", outputCol="__features",
+                   numFeatures=num_features)
+    fit_input = tf.transform(
+        featurize(train).withColumn(
+            "__label", F.col(label_field).cast("double")))
+    model = LogisticRegression(
+        featuresCol="__features", labelCol="__label",
+        maxIter=max_iter, regParam=reg, standardization=False,
+    ).fit(fit_input.select("__features", "__label"))
+
+    scored = model.transform(tf.transform(featurize(df)))
+    out = (
+        scored.withColumn(
+            "quality_prob", vector_to_array(F.col("probability"))[1])
+        .withColumn("quality_pred", F.col("prediction") == 1.0)
+        .drop("__toks", "__features", "__label",
+              "rawPrediction", "probability", "prediction")
+    )
+    if mode == "filter":
+        return out.filter(
+            F.col("quality_prob") >= float(config.get("min_prob", 0.5))
+        ).drop("quality_prob", "quality_pred")
+    return out

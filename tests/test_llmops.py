@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 import blackroad_data_pipeline_spark.llmops  # noqa: F401  (registers ops)
+from pyspark.sql import functions as F
 from blackroad_data_pipeline_spark.operators import apply_operator as op
 
 
@@ -772,3 +773,50 @@ def test_embedding_outlier_by_group_and_filter(spark):
                "min_sim": 0.8}, views={})
     assert sorted(r["vec_id"] for r in kept.collect()) == [0, 1, 3, 4]
     assert "centroid_sim" not in kept.columns
+
+
+# -- quality_classifier ----------------------------------------------------
+
+
+def _clf_corpus(spark):
+    good = [(i, "the quick brown fox jumps over the lazy dog again", 1.0)
+            for i in range(12)]
+    bad = [(100 + i, "zxq vvk qqj xkz jjq kzx qzv kvv jxq zzz", 0.0)
+           for i in range(12)]
+    return spark.createDataFrame(
+        good + bad, "doc_id long, text string, lab double")
+
+
+def test_quality_classifier_separates_disjoint_vocab(spark):
+    df = _clf_corpus(spark)
+    out = op("quality_classifier", df,
+             {"field": "text", "label_field": "lab",
+              "num_features": 1 << 12}, views={})
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(rows[i]["quality_pred"] for i in range(12))
+    assert not any(rows[100 + i]["quality_pred"] for i in range(12))
+    assert min(rows[i]["quality_prob"] for i in range(12)) > \
+        max(rows[100 + i]["quality_prob"] for i in range(12))
+
+
+def test_quality_classifier_train_view_and_filter(spark):
+    df = _clf_corpus(spark)
+    # fit on half the corpus via a separate train frame, score all
+    train = df.filter((F.col("doc_id") % 2) == 0)
+    kept = op("quality_classifier", df,
+              {"field": "text", "label_field": "lab", "train": train,
+               "num_features": 1 << 12, "mode": "filter",
+               "min_prob": 0.5}, views={})
+    assert sorted(r["doc_id"] for r in kept.collect()) == list(range(12))
+    assert "quality_prob" not in kept.columns
+
+
+def test_quality_classifier_null_text_scores(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox the fox", 1.0),
+         (2, "zxq vvk qqj xkz", 0.0),
+         (3, None, 0.0)], "doc_id long, text string, lab double")
+    out = op("quality_classifier", df,
+             {"field": "text", "label_field": "lab",
+              "num_features": 1 << 10}, views={})
+    assert out.filter(F.col("doc_id") == 3).count() == 1  # NULL survives
