@@ -87,6 +87,22 @@ def op_quality_classifier(df: DataFrame, config: Mapping, views) -> DataFrame:
         featuresCol="__features", labelCol="__label",
         maxIter=max_iter, regParam=reg, standardization=False,
     ).fit(fit_input.select("__features", "__label"))
+    # The freshly-fitted model drags a trainingSummary -> SparkSession
+    # reference into the scoring closure, which is NOT task-serializable
+    # (surfaces as NotSerializableException: ObservationManager under
+    # observe()-instrumented runs, e.g. the pipeline service). A
+    # save/load roundtrip strips the summary — and persisting the model
+    # is the cluster pattern anyway (``model_dir`` points at shared
+    # storage to reuse the fit across jobs; default: driver-local tmp).
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    model_dir = config.get("model_dir")
+    if model_dir is None:
+        import tempfile
+
+        model_dir = tempfile.mkdtemp(prefix="quality_classifier_")
+    model.write().overwrite().save(model_dir)
+    model = LogisticRegressionModel.load(model_dir)
 
     scored = model.transform(tf.transform(featurize(df)))
     out = (

@@ -524,3 +524,43 @@ def test_round3_curation_pipeline_e2e(svc, tmp_path):
     assert "<b>" not in rows[1]["text"]
     assert "shared boilerplate footer line" in rows[1]["text"]
     assert "shared boilerplate footer line" not in rows[2]["text"]
+
+
+def test_curation_gate_chain_e2e(svc, tmp_path):
+    """The session-3 curation gates composed THROUGH the control
+    plane: gopher_quality (rule gate) -> dup_span_stats (cross-doc
+    span filter) -> quality_classifier (model gate trained on the
+    surviving stream's own labels). Each stage drops exactly one
+    designed document."""
+    p = svc.create_pipeline("curate_gates")
+    batch = [
+        {"doc_id": 1, "lab": 1.0,
+         "text": "the quick brown fox jumps over lazy dog"},
+        {"doc_id": 2, "lab": 1.0, "text": "too short"},      # gopher drop
+        {"doc_id": 3, "lab": 1.0,
+         "text": "the alpha beta gamma delta"},              # 80% dup span
+        {"doc_id": 4, "lab": 1.0,
+         "text": "the alpha beta gamma delta plus many extra unique "
+                 "tokens here now today friends"},           # 36% dup: kept
+        {"doc_id": 5, "lab": 0.0,
+         "text": "zxq vvk qqj xkz jjq kzx the qzv"},         # classifier drop
+    ]
+    svc.add_source(p.id, "batch", "inline", {"data": batch})
+    svc.add_transform(p.id, "gopher_quality",
+                      {"field": "text", "mode": "filter", "min_words": 5,
+                       "min_mean_word_len": 3.0, "min_stop_hits": 1,
+                       "stopwords": ["the"]}, order_index=0)
+    svc.add_transform(p.id, "dup_span_stats",
+                      {"field": "text", "id_field": "doc_id", "span": 3,
+                       "min_docs": 2, "mode": "filter",
+                       "max_fraction": 0.5}, order_index=1)
+    svc.add_transform(p.id, "quality_classifier",
+                      {"field": "text", "label_field": "lab",
+                       "num_features": 1 << 12, "mode": "filter",
+                       "min_prob": 0.5}, order_index=2)
+    out = tmp_path / "curated_gates.json"
+    svc.add_sink(p.id, "json", {"path": str(out)})
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "success"
+    rows = json.loads(out.read_text())
+    assert sorted(r["doc_id"] for r in rows) == [1, 4]
