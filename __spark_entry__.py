@@ -3099,6 +3099,40 @@ SELECT COUNT(*) AS n_eval, TRUE AS accuracy_floor_met FROM documents
 """
 
 
+def q_split_paragraphs(spark, sf_dir):
+    """Separator-based paragraph splitting (llmops/text.py
+    op_split_paragraphs). The fixture corpus is single-line, so a
+    deterministic pre-step inserts blank-line breaks at ' a '
+    separators (same trick as clean_lines); fragments under 10 chars
+    drop."""
+    d = _t(spark, sf_dir, "documents")
+    d = op("expr", d, {"exprs": {"broken": "replace(text, ' a ', '\n\n')"}})
+    df = op("split_paragraphs", d, {
+        "field": "broken", "min_chars": 10, "as": "paragraph"})
+    return op("select", df, {"fields": [
+        "doc_id", "para_idx", "paragraph", "para_chars", "para_tokens"]})
+
+
+_SQL_SPLIT_PARAGRAPHS = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_split_to_array(replace(text, ' a ', chr(10) || chr(10)),
+                                   '\\n\\s*\\n'),
+             x -> trim(x)),
+           x -> length(x) >= 10) AS paras
+  FROM documents)
+SELECT doc_id,
+       generate_subscripts(paras, 1) - 1 AS para_idx,
+       UNNEST(paras) AS paragraph,
+       length(UNNEST(paras)) AS para_chars,
+       len(list_filter(regexp_split_to_array(trim(UNNEST(paras)), '\\s+'),
+                       y -> y <> '')) AS para_tokens
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3226,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outlier": q_embedding_outlier,
         "importance_weight": q_importance_weight,
         "quality_classifier_gate": q_quality_classifier_gate,
+        "split_paragraphs": q_split_paragraphs,
     }
 
 
@@ -3338,4 +3373,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outlier": _SQL_EMBEDDING_OUTLIER,
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,
+        "split_paragraphs": _SQL_SPLIT_PARAGRAPHS,
     }

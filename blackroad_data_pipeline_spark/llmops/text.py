@@ -785,7 +785,9 @@ def op_gopher_quality(df: DataFrame, config: Mapping, views) -> DataFrame:
     # bodies re-evaluate outer expressions per element)
     staged = df.withColumns({
         "__toks": tokens_col(col),
-        "__lines": F.transform(F.split(col, "\n"), F.trim),
+        # single-parameter lambda required: bare F.trim would bind
+        # transform's (element, index) to trim(col, trimstr)
+        "__lines": F.transform(F.split(col, "\n"), lambda x: F.trim(x)),
     })
     toks, lines = F.col("__toks"), F.col("__lines")
     n_words = F.size(toks)
@@ -915,3 +917,42 @@ def op_importance_weight(df: DataFrame, config: Mapping, views) -> DataFrame:
             "sum_raw_count": F.coalesce("sum_raw_count", F.lit(0)),
         })
     )
+
+
+@register("split_paragraphs")
+def op_split_paragraphs(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Separator-based document splitting — the structure-aware
+    companion to chunk_text's fixed token windows: one output row per
+    paragraph (default separator: blank line), carrying
+    (``para_idx``, paragraph text, ``para_chars``, ``para_tokens``).
+    Sentence-ish splitting is the same op with ``separator:
+    '(?<=[.!?])\\s+'``; RAG prep composes split_paragraphs ->
+    chunk_text so only over-long paragraphs pay the window explode.
+
+    Pure codegen: regex split + trim + posexplode, zero shuffle, no
+    Python. ``min_chars`` drops boilerplate fragments (default 1 —
+    empty fragments always drop); ``keep_doc_cols`` (default true)
+    carries the remaining input columns onto every paragraph row.
+    NULL text yields zero rows (nothing to split — documents with no
+    usable text leave the chunk stream, matching chunk_text).
+    """
+    field = config.get("field", "text")
+    sep = config.get("separator", r"\n\s*\n")
+    min_chars = int(config.get("min_chars", 1))
+    out_field = config.get("as", "paragraph")
+    # NOTE: lambda must be single-parameter — F.trim passed bare would
+    # bind transform's (element, index) pair to trim(col, trimstr)
+    # (the repo-wide two-arg-lambda trap; gopher_quality's line
+    # staging hit the same thing)
+    paras = F.filter(
+        F.transform(F.split(F.col(field), sep), lambda x: F.trim(x)),
+        lambda x: F.length(x) >= min_chars)
+    cols = [c for c in df.columns if c != field] \
+        if config.get("keep_doc_cols", True) else \
+        [c for c in (config.get("id_field", "doc_id"),) if c in df.columns]
+    out = df.select(
+        *cols, F.posexplode(paras).alias("para_idx", out_field))
+    return out.withColumns({
+        "para_chars": F.length(F.col(out_field)),
+        "para_tokens": F.size(tokens_col(F.col(out_field))),
+    })

@@ -391,7 +391,9 @@ def test_gopher_quality_word_count_and_stopwords(spark):
 
 
 def test_gopher_quality_symbol_bullet_ellipsis_alpha(spark):
-    bullet_doc = "\n".join(["- first point here now", "- second point",
+    # leading indentation must not hide a bullet (lines are trimmed
+    # per element — regression for the bare-F.trim two-arg-lambda bug)
+    bullet_doc = "\n".join(["  - first point here now", "- second point",
                             "* third one", "plain line words"])
     out = _gq(spark, [
         (1, "good words here " * 5 + "the a"),
@@ -474,3 +476,32 @@ def test_dup_span_stats_filter_mode(spark):
              {"field": "text", "span": 3, "min_docs": 3,
               "mode": "filter", "max_fraction": 0.45}, views={})
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+# -- split_paragraphs ------------------------------------------------------
+
+
+def test_split_paragraphs_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "first paragraph here\n\nsecond one\n\n\n  third  "),
+         (2, "single block"),
+         (3, None)], ["doc_id", "text"])
+    out = op("split_paragraphs", df, {"field": "text"}, views={}).collect()
+    rows = [(r["doc_id"], r["para_idx"], r["paragraph"]) for r in out]
+    assert rows == [(1, 0, "first paragraph here"), (1, 1, "second one"),
+                    (1, 2, "third"), (2, 0, "single block")]
+    by_idx = {(r["doc_id"], r["para_idx"]): r for r in out}
+    assert by_idx[(1, 0)]["para_tokens"] == 3
+    assert by_idx[(1, 2)]["para_chars"] == 5
+
+
+def test_split_paragraphs_min_chars_and_sentence_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "Long enough sentence one. No! Tiny. Another good sentence?")],
+        ["doc_id", "text"])
+    out = op("split_paragraphs", df,
+             {"field": "text", "separator": r"(?<=[.!?])\s+",
+              "min_chars": 8, "as": "sentence"}, views={}).collect()
+    assert [r["sentence"] for r in out] == [
+        "Long enough sentence one.", "Another good sentence?"]
+    assert [r["para_idx"] for r in out] == [0, 1]
