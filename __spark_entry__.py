@@ -3133,6 +3133,54 @@ FROM d
 """
 
 
+def q_dup_spans_remove(spark, sf_dir):
+    """Exact-substring REMOVAL (llmops/dedup.py op_dup_span_stats
+    mode=remove): tokens covered by a cross-doc duplicated 5-token
+    window are cut everywhere except the minimum-id canonical copy;
+    text reassembles space-joined. Fully value-checked — the oracle
+    reproduces the canonical-owner policy and the positional rebuild."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("dup_span_stats", d, {
+        "field": "text", "id_field": "doc_id", "span": 5, "min_docs": 2,
+        "mode": "remove"})
+    return op("select", df, {"fields": ["doc_id", "text"]})
+
+
+_SQL_DUP_SPANS_REMOVE = f"""
+WITH d AS (
+  SELECT doc_id, {_D_TOKS.replace("trim(text)", "trim(COALESCE(text, ''))")}
+           AS toks, text AS orig
+  FROM documents),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+4], ' ')) AS h
+  FROM d, UNNEST(range(1, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 5),
+dupmin AS (
+  SELECT h, MIN(doc_id) AS keeper
+  FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+rem AS (
+  SELECT DISTINCT w.doc_id, cp
+  FROM w JOIN dupmin USING (h), UNNEST(range(w.pos, w.pos + 5)) AS u(cp)
+  WHERE w.doc_id <> dupmin.keeper),
+touched AS (SELECT DISTINCT doc_id FROM rem),
+toks_pos AS (
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS p,
+         UNNEST(toks) AS tok
+  FROM d WHERE doc_id IN (SELECT doc_id FROM touched)),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS rebuilt
+  FROM toks_pos t
+  WHERE NOT EXISTS (SELECT 1 FROM rem
+                    WHERE rem.doc_id = t.doc_id AND rem.cp = t.p)
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id IN (SELECT doc_id FROM touched)
+            THEN COALESCE(k.rebuilt, '') ELSE d.orig END AS text
+FROM d LEFT JOIN kept k USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3261,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weight": q_importance_weight,
         "quality_classifier_gate": q_quality_classifier_gate,
         "split_paragraphs": q_split_paragraphs,
+        "dup_spans_remove": q_dup_spans_remove,
     }
 
 
@@ -3374,4 +3423,5 @@ def oracle_sql() -> dict[str, str]:
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,
         "split_paragraphs": _SQL_SPLIT_PARAGRAPHS,
+        "dup_spans_remove": _SQL_DUP_SPANS_REMOVE,
     }

@@ -841,6 +841,15 @@ def op_dup_span_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
     docs" gate; default ``"annotate"`` returns the per-doc stats
     joined onto the input.
 
+    ``mode: "remove"`` performs the actual Lee-et-al removal: tokens
+    covered by a duplicated window are cut from every document EXCEPT
+    the canonical copy (the minimum id owning that window hash — so
+    each duplicated passage survives exactly once in the corpus), and
+    the text reassembles space-joined (original inter-token
+    whitespace is not preserved; run before any layout-sensitive
+    step). Removal rebuilds only documents that LOST tokens; the
+    untouched majority streams through a left join.
+
     Scale shape: ONE shuffle keyed on the window hash builds the
     global duplicate set (count-distinct-docs with map-side partial
     aggregation over md5 keys — never the window text); the join back
@@ -857,8 +866,9 @@ def op_dup_span_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
         raise ValueError(f"span must be >= 1, got {span}")
     min_docs = int(config.get("min_docs", 2))
     mode = config.get("mode", "annotate")
-    if mode not in ("annotate", "filter"):
-        raise ValueError(f"dup_span_stats mode must be annotate|filter, got {mode!r}")
+    if mode not in ("annotate", "filter", "remove"):
+        raise ValueError(
+            f"dup_span_stats mode must be annotate|filter|remove, got {mode!r}")
 
     from .text import kgrams_from_tokens, tokens_col
 
@@ -887,6 +897,47 @@ def op_dup_span_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
         .filter(F.col("__docs") >= min_docs)
         .select("__h")
     )
+    if mode == "remove":
+        # canonical owner per duplicated hash: the minimum id — that
+        # copy survives, every other occurrence is cut
+        dup_min = (
+            windows.filter(F.col("__h").isNotNull())
+            .groupBy("__h")
+            .agg(F.count_distinct(id_field).alias("__docs"),
+                 F.min(id_field).alias("__keeper"))
+            .filter(F.col("__docs") >= min_docs)
+            .select("__h", "__keeper"))
+        # positions to cut: non-canonical occurrences only
+        rem_pos = (
+            windows.join(dup_min, "__h")
+            .filter(F.col(id_field) != F.col("__keeper"))
+            .select(id_field,
+                    F.explode(F.sequence(
+                        F.col("__pos"),
+                        F.col("__pos") + F.lit(span - 1))).alias("__pos")))
+        touched = rem_pos.select(id_field).dropDuplicates()
+        # rebuild ONLY touched documents: positional anti join drops
+        # the cut tokens, order restores via array_sort on (pos, tok)
+        toks_pos = (
+            staged.join(touched, id_field, "left_semi")
+            .select(F.col(id_field),
+                    F.posexplode("__toks").alias("__pos", "__tok")))
+        kept_text = (
+            toks_pos.join(rem_pos, [id_field, "__pos"], "left_anti")
+            .groupBy(id_field)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda x: x["__tok"]), " ").alias("__rebuilt")))
+        rebuilt = (
+            touched.join(kept_text, id_field, "left")
+            # fully-cut documents rebuild to the empty string
+            .withColumn("__rebuilt", F.coalesce("__rebuilt", F.lit(""))))
+        return (
+            df.join(rebuilt, id_field, "left")
+            .withColumn(field, F.coalesce("__rebuilt", F.col(field)))
+            .drop("__rebuilt"))
+
     dup_windows = windows.join(dup_hashes, "__h", "left_semi")
     # distinct covered positions: explode [pos, pos+span) of the
     # duplicated minority only

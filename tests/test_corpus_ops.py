@@ -505,3 +505,24 @@ def test_split_paragraphs_min_chars_and_sentence_mode(spark):
     assert [r["sentence"] for r in out] == [
         "Long enough sentence one.", "Another good sentence?"]
     assert [r["para_idx"] for r in out] == [0, 1]
+
+
+def test_dup_span_stats_remove_mode_keeps_canonical_copy(spark):
+    df = spark.createDataFrame([
+        (1, "a b c d e"),          # canonical owner of 'a b c'
+        (2, "x  a b c  y"),        # loses the shared span, keeps x/y
+        (3, "p q r"),              # canonical identical pair
+        (4, "p q r"),              # fully cut -> empty string
+        (5, "totally unrelated words here"),
+        (6, None),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in op("dup_span_stats", df,
+                       {"field": "text", "span": 3, "min_docs": 2,
+                        "mode": "remove"}, views={}).collect()}
+    assert out[1] == "a b c d e"                 # untouched, original text
+    assert out[2] == "x y"                       # span cut, rejoined
+    assert out[3] == "p q r"
+    assert out[4] == ""
+    assert out[5] == "totally unrelated words here"
+    assert out[6] is None                        # NULL rides through

@@ -591,3 +591,41 @@ def test_importance_weight_matches_model_for_any_corpus(spark, docs):
             assert abs(r["mean_llr"] - want) < 1e-9
         else:
             assert r["mean_llr"] is None
+
+
+dup_docs = st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet="abc \n", max_size=20)),
+    min_size=0, max_size=8,
+).map(lambda ts: [(i, t) for i, t in enumerate(ts)])
+
+
+@given(docs=dup_docs, span=st.integers(1, 3), min_docs=st.integers(2, 3))
+@settings(**SETTINGS)
+def test_dup_span_stats_matches_model_for_any_corpus(
+        spark, docs, span, min_docs):
+    df = (spark.createDataFrame(docs, "doc_id int, text string") if docs
+          else spark.createDataFrame([], "doc_id int, text string"))
+    got = {r["doc_id"]: r for r in op(
+        "dup_span_stats", df,
+        {"field": "text", "id_field": "doc_id", "span": span,
+         "min_docs": min_docs}, views={}).collect()}
+
+    toks = {i: (t or "").split() for i, t in docs}
+    wins = {i: [tuple(ws[p:p + span]) for p in range(len(ws) - span + 1)]
+            for i, ws in toks.items()}
+    owners: dict = {}
+    for i, ws in wins.items():
+        for w in set(ws):
+            owners.setdefault(w, set()).add(i)
+    dup = {w for w, os in owners.items() if len(os) >= min_docs}
+    for i, ws in toks.items():
+        r = got[i]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_windows"] == len(wins[i])
+        assert r["dup_windows"] == sum(w in dup for w in wins[i])
+        covered = {q for p, w in enumerate(wins[i]) if w in dup
+                   for q in range(p, p + span)}
+        assert r["dup_tokens"] == len(covered)
+        want = len(covered) / len(ws) if ws else 0.0
+        assert abs(r["dup_token_fraction"] - want) < 1e-12
