@@ -2120,7 +2120,8 @@ _REV = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
 def _sql_all_tables(spark, sf_dir, query):
     li = _t(spark, sf_dir, "lineitem")
     views = {name: _t(spark, sf_dir, name)
-             for name in ("orders", "customer", "supplier", "nation", "region")}
+             for name in ("orders", "customer", "supplier", "nation",
+                          "region", "part")}
     return op("sql", li, {"query": query, "self_name": "lineitem"},
               views=views)
 
@@ -3181,6 +3182,58 @@ FROM d LEFT JOIN kept k USING (doc_id)
 """
 
 
+_SQL_SMALL_QTY_REVENUE = """
+WITH agg AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         COUNT(*) AS nq
+  FROM lineitem GROUP BY l_partkey)
+SELECT COUNT(*) AS n_small,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 700 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN agg ON agg.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#12'
+  AND 5 * CAST(l_quantity AS BIGINT) * nq < sq
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue), decorrelated:
+    the correlated `l_quantity < 0.2 * avg(l_quantity per part)`
+    subquery becomes a per-part aggregate joined back, and the
+    fractional comparison is restated in EXACT integer arithmetic
+    (5·q·n < Σq ⟺ q < 0.2·avg) so no float average ever crosses
+    engines. One shared SQL text serves Spark and DuckDB."""
+    return _sql_all_tables(spark, sf_dir, _SQL_SMALL_QTY_REVENUE)
+
+
+_SQL_LARGE_VOLUME_ORDERS = """
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY total_cents DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+def q_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the IN-subquery on a
+    grouped HAVING plans as a shuffled semi join against the
+    aggregate; quantities sum as exact bigints and the price exports
+    as cents."""
+    return _sql_all_tables(spark, sf_dir, _SQL_LARGE_VOLUME_ORDERS)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3310,6 +3363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_gate": q_quality_classifier_gate,
         "split_paragraphs": q_split_paragraphs,
         "dup_spans_remove": q_dup_spans_remove,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_orders": q_large_volume_orders,
     }
 
 
@@ -3424,4 +3479,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,
         "split_paragraphs": _SQL_SPLIT_PARAGRAPHS,
         "dup_spans_remove": _SQL_DUP_SPANS_REMOVE,
+        "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+        "large_volume_orders": _SQL_LARGE_VOLUME_ORDERS,
     }

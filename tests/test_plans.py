@@ -312,12 +312,16 @@ def test_analytic_suite_plans_broadcast_and_push(spark):
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    for name in ("shipping_priority", "regional_volume",
-                 "revenue_forecast", "returned_items"):
+    # fact-fact shapes (Q17/Q18: lineitem joined against its own
+    # aggregate) legitimately shuffle more than the dim-join queries
+    budgets = {"shipping_priority": 3, "regional_volume": 3,
+               "revenue_forecast": 3, "returned_items": 3,
+               "small_qty_revenue": 6, "large_volume_orders": 6}
+    for name, budget in budgets.items():
         df = qs[name](spark, SF)
         plans.assert_no_cartesian(df)
         assert plans.pushed_filters(df), f"{name}: nothing pushed"
-        assert plans.shuffle_exchange_count(df) <= 3, name
+        assert plans.shuffle_exchange_count(df) <= budget, name
         plans.assert_no_row_python(df)
     joins = plans.join_strategies(qs["regional_volume"](spark, SF))
     assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
