@@ -526,3 +526,22 @@ def test_dup_span_stats_remove_mode_keeps_canonical_copy(spark):
     assert out[4] == ""
     assert out[5] == "totally unrelated words here"
     assert out[6] is None                        # NULL rides through
+
+
+def test_new_ops_reject_bad_configs(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="annotate|filter"):
+        op("gopher_quality", df, {"mode": "delete"}, views={})
+    with pytest.raises(ValueError, match="annotate|filter|remove"):
+        op("dup_span_stats", df, {"mode": "purge"}, views={})
+    with pytest.raises(ValueError, match="span"):
+        op("dup_span_stats", df, {"span": 0}, views={})
+    emb = spark.createDataFrame([(1, [0.1, 0.2])],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        op("embedding_outlier", emb, {}, views={})
+    with pytest.raises(ValueError, match="annotate|filter"):
+        op("quality_classifier", df,
+           {"label_field": "x", "mode": "nope"}, views={})

@@ -629,3 +629,52 @@ def test_dup_span_stats_matches_model_for_any_corpus(
         assert r["dup_tokens"] == len(covered)
         want = len(covered) / len(ws) if ws else 0.0
         assert abs(r["dup_token_fraction"] - want) < 1e-12
+
+
+gopher_docs = st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet="ab# .!\n-*…", max_size=30)),
+    min_size=0, max_size=6,
+).map(lambda ts: [(i, t) for i, t in enumerate(ts)])
+
+
+@given(docs=gopher_docs)
+@settings(**SETTINGS)
+def test_gopher_quality_matches_model_for_any_corpus(spark, docs):
+    import re as _re
+
+    cfg = {"field": "text", "min_words": 2, "max_words": 10,
+           "min_mean_word_len": 1.0, "max_mean_word_len": 3.0,
+           "max_symbol_ratio": 0.2, "max_bullet_ratio": 0.4,
+           "max_ellipsis_line_ratio": 0.4, "min_alpha_ratio": 0.5,
+           "min_stop_hits": 1, "stopwords": ["a", "ab"]}
+    df = (spark.createDataFrame(docs, "doc_id int, text string") if docs
+          else spark.createDataFrame([], "doc_id int, text string"))
+    got = {r["doc_id"]: r for r in op(
+        "gopher_quality", df, cfg, views={}).collect()}
+
+    for i, t in docs:
+        t = t or ""
+        toks = t.split()
+        lines = [x.strip() for x in t.split("\n")]
+        n, nl = len(toks), len(lines)
+        mean_wl = sum(len(w) for w in toks) / n if n else None
+        symbols = t.count("#") + len(_re.findall(r"\.\.\.|…", t))
+        bullets = sum(bool(_re.match(r"^[-*•]\s", x)) for x in lines)
+        ellipsis = sum(bool(_re.search(r"(\.\.\.|…)$", x)) for x in lines)
+        alpha = sum(bool(_re.search("[A-Za-z]", w)) for w in toks)
+        stops = len({w.lower() for w in toks} & {"a", "ab"})
+        want = {
+            "ok_n_words": 2 <= n <= 10,
+            "ok_mean_word_len":
+                mean_wl is not None and 1.0 <= mean_wl <= 3.0,
+            "ok_symbol_ratio": n > 0 and symbols / n <= 0.2,
+            "ok_bullet_lines": bullets / nl <= 0.4,
+            "ok_ellipsis_lines": ellipsis / nl <= 0.4,
+            "ok_alpha_words": n > 0 and alpha / n >= 0.5,
+            "ok_stopwords": stops >= 1,
+        }
+        r = got[i]
+        for flag, val in want.items():
+            assert r[flag] == val, (i, flag, t)
+        assert r["gopher_pass"] == all(want.values()), (i, t)
