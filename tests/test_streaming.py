@@ -219,3 +219,45 @@ def test_stateful_dedup_native_matches_state_path(spark):
     assert len(users) == len(set(users))
     batch_users = {r["user_id"] for r in _events_batch(spark).collect()}
     assert set(users) == batch_users
+
+
+def test_stream_ingest_dedup_cross_batch_fingerprint_store(spark, tmp_path):
+    """Incremental crawl intake: batch 2 re-crawls batch-1 content
+    (different ids, same normalized text) plus an internal dup — the
+    persistent fingerprint store drops the re-crawl, within-batch
+    dedup keeps one of the internal pair, and the checkpoint prevents
+    reprocessing on the second drain."""
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_ingest_dedup,
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    out = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fingerprints")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "the cat sat"), (2, "fresh content")], schema
+    ).write.parquet(str(src / "drop1.parquet"))
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", True).parquet(str(src))
+    run_stream_ingest_dedup(stream, out, ckpt, fps)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) \
+        == [1, 2]
+
+    spark.createDataFrame(
+        [(10, "THE  cat   SAT"),        # re-crawl of doc 1 -> dropped
+         (11, "brand new text"),
+         (12, "brand  NEW   text"),     # within-batch dup of 11
+         (13, "other novel words")], schema
+    ).write.parquet(str(src / "drop2.parquet"))
+    stream2 = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", True).parquet(str(src))
+    run_stream_ingest_dedup(stream2, out, ckpt, fps)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11, 13]
+    # the store holds one narrow row per kept fingerprint
+    store = spark.read.parquet(fps)
+    assert store.count() == 4 and set(store.columns) == {"fp", "ingest_batch"}
