@@ -3234,6 +3234,50 @@ def q_large_volume_orders(spark, sf_dir):
     return _sql_all_tables(spark, sf_dir, _SQL_LARGE_VOLUME_ORDERS)
 
 
+def q_phash(spark, sf_dir):
+    """Perceptual image hash (llmops/multimodal.py op_phash_image,
+    STUB path): dHash-64 over the deterministic iterated-sha256 9x8
+    grid. The oracle regenerates the grid from sha256 hex in SQL and
+    re-derives all 64 difference bits — the full bit pipeline is
+    value-checked, signed two's-complement included."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("attach_binary", d, {"field": "text"})
+    df = op("phash_image", df, {"fake_decode": True})
+    df = op("select", df, {"fields": ["doc_id", "phash"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+def _phash_oracle_sql() -> str:
+    """Generated dHash oracle: gray grid = first 72 bytes of
+    sha256(text) || sha256(hex) || sha256(hex2); bit j (j = r*8+c) is
+    g[r*9+c] > g[r*9+c+1]; bit 63 carries the sign."""
+    terms = []
+    for j in range(63):
+        r, c = divmod(j, 8)
+        li, ri = r * 9 + c + 1, r * 9 + c + 2  # 1-based list indexes
+        terms.append(f"CASE WHEN gv[{li}] > gv[{ri}] "
+                     f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END")
+    sign = ("CASE WHEN gv[71] > gv[72] "
+            "THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END")
+    return f"""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS d0 FROM documents),
+h2 AS (SELECT doc_id, d0 || sha256(d0) || sha256(sha256(d0)) AS D FROM h),
+g AS (
+  SELECT doc_id,
+         list_transform(range(0, 72),
+           i -> CAST('0x' || substring(D, CAST(2*i+1 AS INTEGER), 2)
+                     AS INTEGER)) AS gv
+  FROM h2)
+SELECT doc_id,
+       CAST({' + '.join(terms)} AS BIGINT) + {sign} AS phash
+FROM g ORDER BY doc_id
+"""
+
+
+_SQL_PHASH = _phash_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3365,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_remove": q_dup_spans_remove,
         "small_qty_revenue": q_small_qty_revenue,
         "large_volume_orders": q_large_volume_orders,
+        "phash": q_phash,
     }
 
 
@@ -3481,4 +3526,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_remove": _SQL_DUP_SPANS_REMOVE,
         "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
         "large_volume_orders": _SQL_LARGE_VOLUME_ORDERS,
+        "phash": _SQL_PHASH,
     }

@@ -516,33 +516,12 @@ def op_near_dup_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     Candidates via the 4x16-bit piece trick (two sketches within
     hamming 3 must agree on at least one 16-bit piece), so the join
     shuffles on piece values, not the corpus."""
-    id_field = config.get("id_field", "doc_id")
-    max_distance = int(config.get("max_distance", 3))
-    docs = op_simhash(df, config, views).select(
-        F.col(id_field).alias("__id"), "simhash")
-    pieces = F.array(*[
-        F.struct(F.lit(p).alias("piece_idx"),
-                 F.shiftrightunsigned("simhash", p * 16).bitwiseAND(F.lit(0xFFFF))
-                 .alias("piece_val"))
-        for p in range(4)
-    ])
-    # repartition on the piece key so both self-join branches share one
-    # exchange — and one simhash-kernel pass (see near_dup_minhash)
-    b = (docs.select("__id", "simhash", F.explode(pieces).alias("p"))
-         .repartition("p"))
-    left = b.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"), "p")
-    right = b.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"), "p")
-    return (
-        left.join(right, ["p"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # hamming check BEFORE the pair-dedup: bit_count is nearly free
-        # on the join output, while dropDuplicates shuffles every
-        # candidate — filter first so only true near-dups pay it
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_distance)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "hamming")
-    )
+    # sketch, then delegate candidate generation + verification to the
+    # generic 64-bit hamming backend (piece trick, shared exchange,
+    # verify-before-dedup — see op_near_dup_hamming)
+    docs = op_simhash(df, config, views)
+    return op_near_dup_hamming(
+        docs, {**config, "hash_field": "simhash"}, views)
 
 
 # --------------------------------------------------------------------------
@@ -971,3 +950,53 @@ def op_dup_span_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
         ).select(id_field)
         return df.join(keep, id_field, "left_semi")
     return df.join(per_doc, id_field, "left")
+
+
+@register("near_dup_hamming")
+def op_near_dup_hamming(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Near-dup pairs by hamming distance over ANY 64-bit sketch
+    column (``hash_field``) — the generic backend behind
+    near_dup_simhash, and the image-dedup step over
+    ``phash_image``'s output. Candidates via the pigeonhole piece
+    trick: with ``pieces`` equal slices of the 64-bit word (default
+    4x16), two sketches within hamming distance pieces-1 must agree
+    on at least one slice, so the self-join shuffles on slice values,
+    never all pairs. Exact bit_count verification runs BEFORE the
+    pair-dedup shuffle.
+
+    ``max_distance`` beyond pieces-1 lowers recall (documented
+    tradeoff — raise ``pieces`` to widen the guarantee: 8 pieces
+    guarantee distance <= 7).
+    """
+    id_field = config.get("id_field", "doc_id")
+    hash_field = config.get("hash_field", "simhash")
+    max_distance = int(config.get("max_distance", 3))
+    n_pieces = int(config.get("pieces", 4))
+    if 64 % n_pieces:
+        raise ValueError(f"pieces must divide 64, got {n_pieces}")
+    width = 64 // n_pieces
+    mask = (1 << width) - 1
+    docs = df.select(F.col(id_field).alias("__id"),
+                     F.col(hash_field).alias("__sk"))
+    pieces = F.array(*[
+        F.struct(F.lit(p).alias("piece_idx"),
+                 F.shiftrightunsigned("__sk", p * width)
+                 .bitwiseAND(F.lit(mask)).alias("piece_val"))
+        for p in range(n_pieces)
+    ])
+    # one exchange on the piece key serves both self-join branches
+    b = (docs.select("__id", "__sk", F.explode(pieces).alias("p"))
+         .repartition("p"))
+    left = b.select(F.col("__id").alias("id_a"),
+                    F.col("__sk").alias("sk_a"), "p")
+    right = b.select(F.col("__id").alias("id_b"),
+                     F.col("__sk").alias("sk_b"), "p")
+    return (
+        left.join(right, ["p"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))))
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )

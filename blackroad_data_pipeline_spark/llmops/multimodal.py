@@ -309,3 +309,96 @@ def op_frame_sample(df: DataFrame, config: Mapping, views) -> DataFrame:
                                               "frame_offset_bytes", "frame_payload"])
 
     return df.select(id_field, payload_field).mapInPandas(sample, schema)
+
+
+def _stub_gray_grid(data: bytes) -> list:
+    """Deterministic 9x8 pseudo-grayscale grid from iterated sha256 —
+    the decode-free stand-in, reproducible by ANY engine (the phash
+    oracle regenerates it from sha256 hex in SQL)."""
+    d0 = hashlib.sha256(data).hexdigest()
+    d1 = hashlib.sha256(d0.encode()).hexdigest()
+    d2 = hashlib.sha256(d1.encode()).hexdigest()
+    return list(bytes.fromhex(d0 + d1 + d2)[:72])
+
+
+def _dhash_from_grid(g: list) -> int:
+    """64-bit difference hash over a 9x8 grid (row-major): bit
+    (r*8+c) = g[r][c] > g[r][c+1], returned as SIGNED int64 (two's
+    complement) so it fits a Spark LongType."""
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if g[r * 9 + c] > g[r * 9 + c + 1]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@register("phash_image")
+def op_phash_image(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Perceptual (difference) hash of image payloads — the
+    image-dedup primitive: near-identical images (re-encodes, small
+    crops, brightness shifts) land within a few bits of hamming
+    distance, so near-dup pairs come from ``near_dup_hamming`` over
+    the ``phash`` column, exactly like simhash over text.
+
+    Same tri-state ``fake_decode`` seam as decode_image: None tries a
+    real decode (PIL when installed, else the stdlib PNG codec) and
+    computes dHash over a nearest-neighbor 9x8 grayscale grid; bytes
+    that aren't decodable fall back to the deterministic sha256 stub
+    grid (True always stubs; False is strict). NOTE: real-path hash
+    values depend on the resampling codec (PIL NEAREST vs the stdlib
+    sampler) — cross-engine-stable values come from the STUB path,
+    which the contract oracle recomputes bit-for-bit in SQL.
+
+    Arrow-batched mapInPandas, fixed schema, no shuffle.
+    """
+    fake = config.get("fake_decode")
+    payload_field = config.get("field", "payload")
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("phash", T.LongType())])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from blackroad_data_pipeline_spark.llmops import _png
+
+        image_mod = None if fake is True else _pil()
+
+        def grid_real_png(data: bytes) -> list:
+            w, h, ch, px = _png.png_decode(data)
+            g = []
+            for ty in range(8):
+                sy = min(h - 1, (ty * h) // 8)
+                for tx in range(9):
+                    sx = min(w - 1, (tx * w) // 9)
+                    s = (sy * w + sx) * ch
+                    if ch >= 3:
+                        g.append((px[s] + px[s + 1] + px[s + 2]) // 3)
+                    else:
+                        g.append(px[s])
+            return g
+
+        def one(b) -> int:
+            data = bytes(b)
+            if image_mod is not None:
+                try:
+                    with image_mod.open(io.BytesIO(data)) as img:
+                        small = img.convert("L").resize(
+                            (9, 8), image_mod.NEAREST)
+                        return _dhash_from_grid(list(small.getdata()))
+                except Exception:
+                    if fake is False:
+                        raise
+            elif fake is not True:
+                try:
+                    return _dhash_from_grid(grid_real_png(data))
+                except Exception:
+                    if fake is False:
+                        raise
+            return _dhash_from_grid(_stub_gray_grid(data))
+
+        for pdf in batches:
+            yield pdf.assign(
+                phash=pdf[payload_field].map(one).astype("int64"))
+
+    return df.mapInPandas(kernel, schema)

@@ -820,3 +820,73 @@ def test_quality_classifier_null_text_scores(spark):
              {"field": "text", "label_field": "lab",
               "num_features": 1 << 10}, views={})
     assert out.filter(F.col("doc_id") == 3).count() == 1  # NULL survives
+
+
+# -- phash_image / near_dup_hamming ----------------------------------------
+
+
+def _png_bytes(pixel_fn, w=32, h=32):
+    from blackroad_data_pipeline_spark.llmops._png import png_encode
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.extend(pixel_fn(x, y))
+    return png_encode(w, h, 3, bytes(px))
+
+
+def test_phash_real_png_locality_and_hamming_pairs(spark):
+    """REAL stdlib-PNG decode path: a gradient, the same gradient with
+    a tiny brightness shift (near-dup), and an inverted gradient
+    (far). dHash must put the near pair within a few bits and the far
+    pair near ~32; near_dup_hamming then recovers exactly the near
+    pair via the piece-bucket join."""
+    grad = _png_bytes(lambda x, y: (x * 8 % 256, x * 8 % 256, x * 8 % 256))
+    shifted = _png_bytes(
+        lambda x, y: (min(255, x * 8 % 256 + 3),) * 3)
+    inverted = _png_bytes(lambda x, y: (255 - x * 8 % 256,) * 3)
+    df = spark.createDataFrame(
+        [(1, grad), (2, shifted), (3, inverted)],
+        "doc_id long, payload binary")
+    hashed = op("phash_image", df, {"fake_decode": False}, views={})
+    hs = {r["doc_id"]: r["phash"] for r in hashed.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hs[1], hs[2]) <= 3
+    assert ham(hs[1], hs[3]) > 16
+    pairs = op("near_dup_hamming", hashed,
+               {"hash_field": "phash", "max_distance": 3}, views={})
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_phash_stub_deterministic_and_matches_model(spark):
+    from blackroad_data_pipeline_spark.llmops.multimodal import (
+        _dhash_from_grid,
+        _stub_gray_grid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"some bytes"), (2, b"other payload"), (3, b"some bytes")],
+        "doc_id long, payload binary")
+    hs = {r["doc_id"]: r["phash"]
+          for r in op("phash_image", df, {"fake_decode": True},
+                      views={}).collect()}
+    assert hs[1] == hs[3] != hs[2]
+    assert hs[1] == _dhash_from_grid(_stub_gray_grid(b"some bytes"))
+
+
+def test_near_dup_hamming_pieces_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pieces"):
+        op("near_dup_hamming", df, {"pieces": 7}, views={})
+    # 8 pieces widen the pigeonhole guarantee to distance 7
+    wide = spark.createDataFrame(
+        [(1, 0), (2, 0b1111111)], "doc_id long, phash long")
+    pairs = op("near_dup_hamming", wide,
+               {"hash_field": "phash", "max_distance": 7, "pieces": 8},
+               views={}).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 7)]
