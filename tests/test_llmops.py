@@ -890,3 +890,26 @@ def test_near_dup_hamming_pieces_validation(spark):
                {"hash_field": "phash", "max_distance": 7, "pieces": 8},
                views={}).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 7)]
+
+
+def test_video_frame_dedup_composition(spark):
+    """Multimodal pipeline composition: frame_sample -> phash_image on
+    the frame payloads -> near_dup_hamming. Two 'videos' sharing their
+    byte content produce identical stub frames, so every frame pairs
+    with its twin at hamming 0; the distinct third video pairs with
+    nothing."""
+    payload = bytes(range(256)) * 4
+    other = bytes(reversed(range(256))) * 4
+    df = spark.createDataFrame(
+        [(1, payload), (2, payload), (3, other)],
+        "doc_id long, payload binary")
+    frames = op("frame_sample", df, {"n_frames": 3}, views={})
+    frames = frames.withColumn(
+        "frame_id", F.col("doc_id") * 10 + F.col("frame_idx"))
+    hashed = op("phash_image", frames,
+                {"field": "frame_payload", "fake_decode": True}, views={})
+    pairs = op("near_dup_hamming", hashed,
+               {"id_field": "frame_id", "hash_field": "phash",
+                "max_distance": 0}, views={})
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == [(10, 20), (11, 21), (12, 22)]
