@@ -3278,6 +3278,37 @@ FROM g ORDER BY doc_id
 _SQL_PHASH = _phash_oracle_sql()
 
 
+def q_quantize_embedding(spark, sf_dir):
+    """int8 scalar quantization (llmops/similarity.py
+    op_quantize_embedding) with per-dim exact min/max codebook;
+    flattened to (vec_id, pos, qv) rows. floor() on identical IEEE
+    doubles is tie-free, so every code is oracle-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("quantize_embedding", e, {"dim": 64, "bits": 8})
+    df = op("explode", df, {"field": "embedding", "as": "qv",
+                            "with_position": True})
+    return op("select", df, {"fields": ["vec_id", "pos", "qv"]})
+
+
+_SQL_QUANTIZE_EMBEDDING = """
+WITH b AS (
+  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+  FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+  GROUP BY i),
+e AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings)
+SELECT vec_id, pos,
+       CAST(LEAST(GREATEST(FLOOR(
+         (x - lo) / (CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END) * 255.0),
+         0), 255) AS INTEGER) AS qv
+FROM e JOIN b ON b.i = e.pos + 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3410,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_volume_orders": q_large_volume_orders,
         "phash": q_phash,
+        "quantize_embedding": q_quantize_embedding,
     }
 
 
@@ -3527,4 +3559,5 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
         "large_volume_orders": _SQL_LARGE_VOLUME_ORDERS,
         "phash": _SQL_PHASH,
+        "quantize_embedding": _SQL_QUANTIZE_EMBEDDING,
     }

@@ -462,3 +462,83 @@ def op_embedding_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
             cond = cond & (F.col("centroid_sim") <= float(config["max_sim"]))
         return out.filter(cond).drop("centroid_sim")
     return out
+
+
+@register("quantize_embedding")
+def op_quantize_embedding(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Scalar quantization of an embedding column — the fp32 -> intN
+    storage path for 100 TB vector corpora (4x smaller at 8 bits
+    before compression, and parquet dictionary/RLE bites much harder
+    on small ints). Each dimension quantizes independently:
+    q = clamp(floor((x - lo_d) / (hi_d - lo_d) * (2^bits - 1))).
+
+    Per-dim bounds come from an exact min/max aggregation (min/max
+    are reduction-order-independent, so the codebook is deterministic
+    at any partitioning — no decimal machinery needed), or pass
+    ``bounds: [lo, hi]`` to apply one global range with zero extra
+    passes (the profile-then-quantize production shape). The bounds
+    used are attached as ``q_lo``/``q_hi`` array columns so
+    dequantize_embedding is self-contained.
+
+    floor() on identical IEEE doubles is tie-free in every engine —
+    the quantized codes are exactly reproducible (oracle-checked).
+    NULL embeddings stay NULL.
+    """
+    field = config.get("field", "embedding")
+    dim = int(config.get("dim") or 0)
+    if dim < 1:
+        raise ValueError("quantize_embedding requires dim (vector length)")
+    bits = int(config.get("bits", 8))
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits={bits} out of range (1..16)")
+    levels = (1 << bits) - 1
+    out_field = config.get("as", field)
+
+    bounds = config.get("bounds")
+    if bounds is not None:
+        lo_arr = F.array(*[F.lit(float(bounds[0]))] * dim)
+        hi_arr = F.array(*[F.lit(float(bounds[1]))] * dim)
+        src = df
+    else:
+        agg = df.agg(*(
+            [F.min(F.col(field)[i].cast("double")).alias(f"__lo{i}")
+             for i in range(dim)]
+            + [F.max(F.col(field)[i].cast("double")).alias(f"__hi{i}")
+               for i in range(dim)]))
+        code = agg.select(
+            F.array(*[F.col(f"__lo{i}") for i in range(dim)]).alias("__lo"),
+            F.array(*[F.col(f"__hi{i}") for i in range(dim)]).alias("__hi"))
+        src = df.crossJoin(F.broadcast(code))
+        lo_arr, hi_arr = F.col("__lo"), F.col("__hi")
+
+    x = F.transform(F.col(field), lambda v: v.cast("double"))
+    width = F.zip_with(hi_arr, lo_arr, lambda h, l:
+                       F.when(h > l, h - l).otherwise(F.lit(1.0)))
+    shifted = F.zip_with(x, lo_arr, lambda v, l: v - l)
+    q = F.zip_with(shifted, width, lambda s, w: F.least(
+        F.greatest(F.floor(s / w * F.lit(float(levels))), F.lit(0)),
+        F.lit(levels)).cast("int"))
+    out = (src.withColumns({"q_lo": lo_arr, "q_hi": hi_arr})
+           .withColumn(out_field, q))
+    return out.drop("__lo", "__hi")
+
+
+@register("dequantize_embedding")
+def op_dequantize_embedding(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Inverse of quantize_embedding: midpoint reconstruction
+    x ~ lo_d + (q + 0.5) * (hi_d - lo_d) / (2^bits - 1), reading the
+    ``q_lo``/``q_hi`` codebook columns the quantizer attached.
+    Reconstruction error is bounded by half a quantization step per
+    dimension (property-tested)."""
+    field = config.get("field", "embedding")
+    bits = int(config.get("bits", 8))
+    levels = float((1 << bits) - 1)
+    out_field = config.get("as", field)
+    lo, hi = F.col("q_lo"), F.col("q_hi")
+    width = F.zip_with(hi, lo, lambda h, l:
+                       F.when(h > l, h - l).otherwise(F.lit(1.0)))
+    recon = F.zip_with(
+        F.zip_with(F.col(field), width, lambda q, w:
+                   (q.cast("double") + F.lit(0.5)) * w / F.lit(levels)),
+        lo, lambda v, l: v + l)
+    return df.withColumn(out_field, recon).drop("q_lo", "q_hi")

@@ -913,3 +913,42 @@ def test_video_frame_dedup_composition(spark):
                 "max_distance": 0}, views={})
     got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
     assert got == [(10, 20), (11, 21), (12, 22)]
+
+
+# -- quantize / dequantize embedding ---------------------------------------
+
+
+def test_quantize_dequantize_roundtrip_error_bound(spark):
+    rows = [(i, [(-1.0) ** i * (i / 10.0), 0.25 * i]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = op("quantize_embedding", df, {"dim": 2, "bits": 8}, views={})
+    codes = {r["vec_id"]: r["embedding"] for r in q.collect()}
+    assert all(0 <= v <= 255 for c in codes.values() for v in c)
+    import numpy as np
+
+    back = op("dequantize_embedding", q, {"bits": 8}, views={})
+    # the column stores float32 — bound the error against what Spark
+    # actually held, not the Python doubles
+    orig = {i: [float(np.float32(a)), float(np.float32(b))]
+            for i, (a, b) in rows}
+    lo0, hi0 = min(v[0] for v in orig.values()), max(v[0] for v in orig.values())
+    lo1, hi1 = min(v[1] for v in orig.values()), max(v[1] for v in orig.values())
+    steps = ((hi0 - lo0) / 255, (hi1 - lo1) / 255)
+    for r in back.collect():
+        for d in (0, 1):
+            err = abs(r["embedding"][d] - orig[r["vec_id"]][d])
+            assert err <= steps[d] / 2 + 1e-9, (r["vec_id"], d, err)
+    assert "q_lo" not in back.columns
+
+
+def test_quantize_embedding_explicit_bounds_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [2.0, -1.0]), (3, None)],
+        "vec_id long, embedding array<float>")
+    q = {r["vec_id"]: r["embedding"]
+         for r in op("quantize_embedding", df,
+                     {"dim": 2, "bits": 8, "bounds": [0.0, 1.0]},
+                     views={}).collect()}
+    assert q[1] == [0, 255]
+    assert q[2] == [255, 0]      # clamped both ways
+    assert q[3] is None          # NULL embedding rides through
