@@ -61,6 +61,12 @@ PROBED = [
     "dup_spans",
     "gopher_quality",
     "embedding_outlier",
+    # late round 3: removal rebuild (touched-docs-only), two-vocab LM
+    # ratio, Arrow phash kernel, min/max-codebook quantization
+    "dup_spans_remove",
+    "importance_weight",
+    "phash",
+    "quantize_embedding",
 ]
 
 
@@ -89,8 +95,17 @@ def main() -> None:
         results[name] = {**times, "alpha_0p01_to_0p1": round(alpha, 3)}
         print(f"{name:22s} {times['sf0.001']:7.2f} {times['sf0.01']:7.2f} "
               f"{times['sf0.1']:7.2f}  alpha={alpha:5.2f}")
-    with open("/root/repo/SCALE_PROBE.json", "w") as f:
-        json.dump(results, f, indent=2)
+    # MERGE into the existing record: a subset run (names on argv)
+    # must not clobber the other queries' measurements
+    path = "/root/repo/SCALE_PROBE.json"
+    try:
+        with open(path) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
     print("\n| query | sf0.001 s | sf0.01 s | sf0.1 s | alpha (0.01->0.1) |")
     print("|---|---|---|---|---|")
     for name, r in results.items():
