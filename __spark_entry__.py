@@ -3309,6 +3309,36 @@ FROM e JOIN b ON b.i = e.pos + 1
 """
 
 
+def q_dedup_near_against(spark, sf_dir):
+    """Incremental near-dup vs a history corpus (llmops/dedup.py
+    op_dedup_near_against): even-id docs are the history, odd-id docs
+    the batch; at the recall~1 banding (bands=16, rows=1) every
+    cross-half pair at jaccard >= 0.8 is caught and exact
+    verification removes false positives, so the surviving batch ==
+    the SQL set of odd docs with no >=0.8 even partner."""
+    d = _t(spark, sf_dir, "documents")
+    d = op("expr", d, {"exprs": {"m2": "doc_id % 2"}})
+    history = op("filter", d, {"field": "m2", "op": "eq", "value": 0})
+    batch = op("filter", d, {"field": "m2", "op": "eq", "value": 1})
+    df = op("dedup_near_against", batch,
+            {"field": "text", "id_field": "doc_id", "history": history,
+             "shingle_size": 5, "bands": 16, "rows_per_band": 1,
+             "threshold": 0.8})
+    df = op("select", df, {"fields": ["doc_id", "lang"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_DEDUP_NEAR_AGAINST = f"""
+WITH pairs AS ({_ngram_jaccard_sql("documents")})
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (
+    SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END
+    FROM pairs WHERE (id_a % 2) <> (id_b % 2))
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3442,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_orders": q_large_volume_orders,
         "phash": q_phash,
         "quantize_embedding": q_quantize_embedding,
+        "dedup_near_against": q_dedup_near_against,
     }
 
 
@@ -3560,4 +3591,5 @@ def oracle_sql() -> dict[str, str]:
         "large_volume_orders": _SQL_LARGE_VOLUME_ORDERS,
         "phash": _SQL_PHASH,
         "quantize_embedding": _SQL_QUANTIZE_EMBEDDING,
+        "dedup_near_against": _SQL_DEDUP_NEAR_AGAINST,
     }

@@ -265,15 +265,7 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
         sigs = base.withColumn(
             "__sig", minhash_text_kernel(k, num_hashes)(F.col("__t")))
 
-    band_entries = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.xxhash64(F.array_join(
-                F.transform(F.slice("__sig", b * rows + 1, rows),
-                            lambda x: x.cast("string")), ",")).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
+    band_entries = _band_entries_col(bands, rows)
     # band join on ids ONLY — shuffling signatures or text through the
     # bucket explosion would multiply the payload by `bands`. The
     # explicit repartition on the bucket key makes BOTH self-join
@@ -1000,3 +992,114 @@ def op_near_dup_hamming(df: DataFrame, config: Mapping, views) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _band_entries_col(bands: int, rows: int) -> Column:
+    """(band_idx, band_hash) structs from the ``__sig`` signature
+    column — the banding shared by near_dup_minhash, minhash_bands
+    and dedup_near_against (identical hashing, so a stored band table
+    is joinable against any freshly-signed batch)."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(F.array_join(
+                F.transform(F.slice("__sig", b * rows + 1, rows),
+                            lambda x: x.cast("string")), ",")).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+
+
+@register("minhash_bands")
+def op_minhash_bands(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """The NARROW minhash band store for a corpus: one (id, band_idx,
+    band_hash) row per band per document. Written once per corpus
+    generation (a few narrow longs per doc instead of the text),
+    this is what incremental near-dup joins new batches against at
+    100 TB — `dedup_near_against` with ``history_is_bands`` never
+    re-reads or re-signs history text."""
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("shingle_size", 3))
+    bands = int(config.get("bands", 8))
+    rows = int(config.get("rows_per_band", 4))
+    base = df.select(F.col(id_field), F.col(field).alias("__t"))
+    if config.get("sig_impl", "arrow") == "jvm":
+        sigs = base.withColumn(
+            "__sig", minhash_signature(shingles_col(F.col("__t"), k),
+                                       bands * rows))
+    else:
+        sigs = base.withColumn(
+            "__sig", minhash_text_kernel(k, bands * rows)(F.col("__t")))
+    return (sigs.select(id_field,
+                        F.explode(_band_entries_col(bands, rows)).alias("b"))
+            .select(id_field, F.col("b.band_idx").alias("band_idx"),
+                    F.col("b.band_hash").alias("band_hash")))
+
+
+@register("dedup_near_against")
+def op_dedup_near_against(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Incremental NEAR-dup corpus dedup: drop batch rows that are
+    near-duplicates of a HISTORY corpus — the continuous-crawl
+    companion to ``dedup_against``'s exact fingerprints, and the
+    reason a crawler doesn't re-ingest yesterday's article under a
+    new doc_id with one word changed.
+
+    Candidates come from a band join between the batch's freshly-
+    computed minhash bands and the history's — where history is
+    either a raw corpus (``history_field``, signed on the fly) or a
+    precomputed ``minhash_bands`` store (``history_is_bands: true``;
+    the 100 TB path — the join touches a few narrow longs per
+    history doc, never its text). With raw history, candidates are
+    verified by EXACT shingle-set jaccard >= ``threshold`` on the
+    semi-join-pruned pair set (LSH tuning can only lose recall,
+    never create false drops); with a band store there is no text to
+    verify against, so band agreement itself decides — size
+    bands/rows_per_band for the precision the corpus needs.
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("shingle_size", 3))
+    threshold = float(config.get("threshold", 0.8))
+    history = config["history"]
+    if isinstance(history, str):
+        history = views[history]
+
+    batch_bands = op_minhash_bands(df, config, views).select(
+        F.col(id_field).alias("__bid"), "band_idx", "band_hash")
+    if config.get("history_is_bands"):
+        h_id = config.get("history_id_field", id_field)
+        hist_bands = history.select(F.col(h_id).alias("__hid"),
+                                    "band_idx", "band_hash")
+        verify = False
+    else:
+        h_field = config.get("history_field", field)
+        h_id = config.get("history_id_field", id_field)
+        hist_bands = op_minhash_bands(
+            history, {**config, "field": h_field, "id_field": h_id}, views
+        ).select(F.col(h_id).alias("__hid"), "band_idx", "band_hash")
+        verify = True
+
+    cands = (batch_bands.join(hist_bands, ["band_idx", "band_hash"])
+             .select("__bid", "__hid").dropDuplicates(["__bid", "__hid"]))
+
+    if verify:
+        # exact verification over the pruned candidate pair set only
+        b_sets = (df.join(cands.select(F.col("__bid").alias(id_field))
+                          .dropDuplicates(), id_field, "left_semi")
+                  .select(F.col(id_field).alias("__bid"),
+                          shingles_col(F.col(field), k).alias("sh_b")))
+        h_sets = (history.join(cands.select(F.col("__hid").alias(h_id))
+                               .dropDuplicates(), h_id, "left_semi")
+                  .select(F.col(h_id).alias("__hid"),
+                          shingles_col(F.col(config.get("history_field",
+                                                        field)), k)
+                          .alias("sh_h")))
+        attached = cands.join(b_sets, "__bid").join(h_sets, "__hid")
+        inter = F.size(F.array_intersect("sh_b", "sh_h")).cast("double")
+        union = F.size(F.array_union("sh_b", "sh_h")).cast("double")
+        losers = (attached.filter(inter / union >= threshold)
+                  .select(F.col("__bid").alias(id_field)).dropDuplicates())
+    else:
+        losers = cands.select(F.col("__bid").alias(id_field)).dropDuplicates()
+    return df.join(losers, id_field, "left_anti")

@@ -952,3 +952,42 @@ def test_quantize_embedding_explicit_bounds_and_nulls(spark):
     assert q[1] == [0, 255]
     assert q[2] == [255, 0]      # clamped both ways
     assert q[3] is None          # NULL embedding rides through
+
+
+# -- dedup_near_against / minhash_bands ------------------------------------
+
+
+def test_dedup_near_against_raw_history(spark):
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated historical content here now")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog yesterday"),
+         (11, "novel fresh writing with no history twin at all")],
+        ["doc_id", "text"])
+    out = op("dedup_near_against", batch,
+             {"field": "text", "history": history, "shingle_size": 3,
+              "bands": 16, "rows_per_band": 1, "threshold": 0.5},
+             views={})
+    assert sorted(r["doc_id"] for r in out.collect()) == [11]
+
+
+def test_dedup_near_against_band_store(spark):
+    """The 100 TB path: history is a precomputed minhash_bands table;
+    band agreement decides without any history text."""
+    cfg = {"field": "text", "shingle_size": 3, "bands": 4,
+           "rows_per_band": 4}
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"])
+    store = op("minhash_bands", history, cfg, views={})
+    assert store.columns == ["doc_id", "band_idx", "band_hash"]
+    assert store.count() == 4
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "entirely different words that share no band")],
+        ["doc_id", "text"])
+    out = op("dedup_near_against", batch,
+             {**cfg, "history": store, "history_is_bands": True}, views={})
+    assert sorted(r["doc_id"] for r in out.collect()) == [11]
