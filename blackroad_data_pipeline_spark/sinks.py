@@ -310,3 +310,58 @@ def sink_orc(df: DataFrame, config: Mapping) -> int:
 
     return _write_counted(df, mode, write,
                           exists=lambda: _target_exists(df, config["path"]))
+
+
+def compact_parquet(spark, src_path: str, dst_path: str,
+                    target_file_mb: int = 512,
+                    sort_by: list | None = None) -> tuple[int, int]:
+    """Small-file compaction — the maintenance pass every
+    streaming/incremental sink eventually needs at 100 TB (each
+    availableNow drain and each upsert generation leaves its own
+    files; thousands of small files turn listing + scan planning into
+    the bottleneck long before the bytes do).
+
+    Reads ``src_path``, sizes the output from the ACTUAL on-disk
+    bytes (Hadoop FS ``getContentSummary`` — no sampling pass), and
+    rewrites to ``dst_path`` as ceil(bytes / target_file_mb) files,
+    optionally sorted (``sort_by`` — restores row-group min/max
+    selectivity that interleaved appends destroy). Compaction writes
+    to a NEW path by design: the parquet dataset swap (rename or view
+    repoint) is the caller's atomic step; an in-place rewrite could
+    not be made atomic on a plain filesystem and a half-finished one
+    would destroy the only copy.
+
+    Returns (n_files_before, n_files_after).
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def data_files(path: str) -> tuple[int, int]:
+        """(count, bytes) of DATA files under path — skips _SUCCESS /
+        hidden markers, recurses into partition directories."""
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        it = fs.listFiles(p, True)
+        n = b = 0
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+                b += st.getLen()
+        return n, b
+
+    n_before, n_bytes = data_files(src_path)
+    n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(src_path)
+    if sort_by:
+        # repartitionByRange + sortWithinPartitions: balanced output
+        # files AND tight per-file min/max on the sort keys
+        df = (df.repartitionByRange(int(n_files), *sort_by)
+              .sortWithinPartitions(*sort_by))
+    else:
+        df = df.coalesce(int(n_files))
+    df.write.mode("error").parquet(dst_path)
+    n_after, _ = data_files(dst_path)
+    return int(n_before), int(n_after)

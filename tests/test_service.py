@@ -564,3 +564,30 @@ def test_curation_gate_chain_e2e(svc, tmp_path):
     assert result["status"] == "success"
     rows = json.loads(out.read_text())
     assert sorted(r["doc_id"] for r in rows) == [1, 4]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction after incremental ingest: 12 tiny per-batch files
+    collapse to one right-sized file in a NEW dataset path (the swap
+    stays the caller's atomic step), values intact; sort_by rewrites
+    clustered so row-group stats become selective again."""
+    from blackroad_data_pipeline_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    for i in range(12):
+        spark.createDataFrame([(i * 10 + j, f"v{i}") for j in range(5)],
+                              "id long, v string").coalesce(1).write.mode(
+            "append").parquet(src)
+    before, after = compact_parquet(
+        spark, src, str(tmp_path / "compacted"), target_file_mb=512)
+    assert before >= 12 and after == 1
+    got = sorted(r["id"] for r in
+                 spark.read.parquet(str(tmp_path / "compacted")).collect())
+    assert got == sorted(i * 10 + j for i in range(12) for j in range(5))
+
+    b2, a2 = compact_parquet(
+        spark, src, str(tmp_path / "sorted"), target_file_mb=512,
+        sort_by=["id"])
+    assert a2 == 1
+    first = spark.read.parquet(str(tmp_path / "sorted")).first()
+    assert first["id"] == 0  # sorted layout
