@@ -3339,6 +3339,48 @@ ORDER BY doc_id
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-step conversion funnel view -> click -> purchase per
+    user (operators/temporal.py op_funnel, summary mode): step k
+    counts users whose earliest step-k event strictly follows their
+    step k-1 time. Counts are exact bigints; conversion is an exact
+    bigint/bigint double division."""
+    e = _t(spark, sf_dir, "events")
+    df = op("funnel", e, {"steps": ["view", "click", "purchase"],
+                          "key": "user_id", "mode": "summary"})
+    return op("sort", df, {"fields": ["step_idx"]})
+
+
+_SQL_FUNNEL = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u1.t1
+  GROUP BY e.user_id),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+  GROUP BY e.user_id),
+n AS (SELECT (SELECT COUNT(*) FROM u1) AS n1,
+             (SELECT COUNT(*) FROM u2) AS n2,
+             (SELECT COUNT(*) FROM u3) AS n3)
+SELECT 1 AS step_idx, 'view' AS step, n1 AS n_reached,
+       CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 ELSE 0.0 END
+         AS conversion FROM n
+UNION ALL
+SELECT 2, 'click', n2,
+       CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 ELSE 0.0 END FROM n
+UNION ALL
+SELECT 3, 'purchase', n3,
+       CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 ELSE 0.0 END FROM n
+ORDER BY step_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3473,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash": q_phash,
         "quantize_embedding": q_quantize_embedding,
         "dedup_near_against": q_dedup_near_against,
+        "funnel": q_funnel,
     }
 
 
@@ -3592,4 +3635,5 @@ def oracle_sql() -> dict[str, str]:
         "phash": _SQL_PHASH,
         "quantize_embedding": _SQL_QUANTIZE_EMBEDDING,
         "dedup_near_against": _SQL_DEDUP_NEAR_AGAINST,
+        "funnel": _SQL_FUNNEL,
     }

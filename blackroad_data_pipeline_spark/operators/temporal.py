@@ -167,3 +167,71 @@ def op_range_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     hi = epoch_seconds(F.col(f"{prefix}{end}"))
     contained = (pt >= lo) & (pt <= hi if config.get("end_inclusive") else pt < hi)
     return joined.filter(contained).drop("__b")
+
+
+@register("funnel")
+def op_funnel(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Ordered-step funnel analysis over an event stream: for each
+    ``key``, step k is reached at the EARLIEST event of type
+    ``steps[k]`` that happens strictly after step k-1 was reached
+    (the classic product-analytics conversion funnel). Optional
+    ``within_seconds`` bounds the whole journey from step 1.
+
+    Shape at scale: the chained step times are window minima over the
+    SAME partitioning (each step's condition references the previous
+    step's column), so Catalyst plans ONE hash shuffle on the key and
+    evaluates the k Window nodes over the shared sort — never k scans
+    or a per-step join cascade. The per-key rollup then reuses the
+    partitioning.
+
+    ``mode: "users"`` (default) returns one row per key with
+    ``step_1_ts..step_k_ts`` timestamps (NULL = never reached);
+    ``mode: "summary"`` returns one row per step with ``n_reached``
+    and ``conversion`` (share of step-1 reachers, exact
+    bigint/bigint double division).
+    """
+    steps = list(config["steps"])
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    key = config.get("key", "user_id")
+    ts_field = config.get("ts_field", "ts")
+    type_field = config.get("type_field", "event_type")
+    mode = config.get("mode", "users")
+    if mode not in ("users", "summary"):
+        raise ValueError(f"funnel mode must be users|summary, got {mode!r}")
+    within = config.get("within_seconds")
+
+    w = Window.partitionBy(key)
+    out = df
+    prev = None
+    deadline = None
+    for i, step in enumerate(steps, start=1):
+        col = f"step_{i}_ts"
+        cond = F.col(type_field) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_field) > F.col(prev))
+        if deadline is not None and prev is not None:
+            cond = cond & (F.col(ts_field) <= deadline)
+        out = out.withColumn(
+            col, F.min(F.when(cond, F.col(ts_field))).over(w))
+        if i == 1 and within is not None:
+            deadline = F.col("step_1_ts") + F.expr(
+                f"INTERVAL {int(within)} SECONDS")
+        prev = col
+    ts_cols = [f"step_{i}_ts" for i in range(1, len(steps) + 1)]
+    users = (out.groupBy(key)
+             .agg(*[F.first(c).alias(c) for c in ts_cols]))
+    if mode == "users":
+        return users
+    counts = users.agg(*[
+        F.count(c).alias(f"__n{i}") for i, c in enumerate(ts_cols, 1)])
+    rows = None
+    for i, step in enumerate(steps, start=1):
+        one = counts.select(
+            F.lit(i).alias("step_idx"), F.lit(step).alias("step"),
+            F.col(f"__n{i}").alias("n_reached"),
+            F.when(F.col("__n1") > 0,
+                   F.col(f"__n{i}").cast("double") / F.col("__n1"))
+            .otherwise(F.lit(0.0)).alias("conversion"))
+        rows = one if rows is None else rows.unionByName(one)
+    return rows

@@ -361,3 +361,13 @@ def test_embedding_outlier_single_shuffle_broadcast_back(spark):
     # broadcast, never a second fact-side shuffle
     plans.assert_max_shuffles(df, 1)
     plans.assert_broadcast_join(df)
+
+
+def test_funnel_users_mode_single_shuffle(spark):
+    """The chained step windows share one key partitioning, and the
+    per-key rollup reuses it — k steps must never mean k shuffles."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    df = op("funnel", e, {"steps": ["view", "click", "purchase"],
+                          "key": "user_id"})
+    plans.assert_no_row_python(df)
+    plans.assert_max_shuffles(df, 1)

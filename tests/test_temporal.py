@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from blackroad_data_pipeline_spark.operators import apply_operator as op
 
 
@@ -147,3 +149,51 @@ def test_asof_bad_direction(trades, quotes):
                                  "left_ts": "tts", "right_ts": "qts",
                                  "values": ["price"], "direction": "up"},
            views={})
+
+
+# -- funnel ----------------------------------------------------------------
+
+
+def _funnel_events(spark, rows):
+    df = spark.createDataFrame(rows, ["user_id", "sec", "event_type"])
+    return df.withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+
+
+def test_funnel_users_strict_ordering(spark):
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),  # full
+        (2, 10, "click"), (2, 20, "view"),                       # click BEFORE view
+        (2, 30, "click"),                                        # ...then after: step 2 ok
+        (3, 10, "view"),                                         # stalls at step 1
+        (4, 10, "purchase"),                                     # never views
+    ]
+    out = {r["user_id"]: r for r in op(
+        "funnel", _funnel_events(spark, rows),
+        {"steps": ["view", "click", "purchase"]}, views={}).collect()}
+    assert out[1]["step_3_ts"] is not None
+    assert out[2]["step_2_ts"] is not None      # the t=30 click counts
+    assert out[2]["step_3_ts"] is None
+    assert out[3]["step_2_ts"] is None
+    assert out[4]["step_1_ts"] is None
+
+
+def test_funnel_within_seconds_deadline(spark):
+    rows = [(1, 0, "view"), (1, 50, "click"),
+            (2, 0, "view"), (2, 500, "click")]
+    out = {r["user_id"]: r for r in op(
+        "funnel", _funnel_events(spark, rows),
+        {"steps": ["view", "click"], "within_seconds": 100},
+        views={}).collect()}
+    assert out[1]["step_2_ts"] is not None
+    assert out[2]["step_2_ts"] is None          # click past the deadline
+
+
+def test_funnel_summary_counts(spark):
+    rows = [(1, 10, "view"), (1, 20, "click"),
+            (2, 10, "view"),
+            (3, 5, "click")]                    # clicks but never views
+    got = [(r["step"], r["n_reached"], r["conversion"]) for r in op(
+        "funnel", _funnel_events(spark, rows),
+        {"steps": ["view", "click"], "mode": "summary"},
+        views={}).orderBy("step_idx").collect()]
+    assert got == [("view", 2, 1.0), ("click", 1, 0.5)]
