@@ -3381,6 +3381,60 @@ ORDER BY step_idx
 """
 
 
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (operators/temporal.py
+    op_retention_cohorts): users bucketed by first-activity week,
+    counted in each later active week. Offsets are exact epoch-day
+    integer division."""
+    e = _t(spark, sf_dir, "events")
+    df = op("retention_cohorts", e, {"key": "user_id", "period": "week"})
+    return op("sort", df, {"fields": ["cohort", "period_offset"]})
+
+
+_SQL_RETENTION = """
+WITH f AS (
+  -- DuckDB's date_trunc yields DATE; Spark's yields TIMESTAMP — cast
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS p FROM events)
+SELECT f.cohort,
+       datediff('day', f.cohort, a.p) // 7 AS period_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort, period_offset
+ORDER BY cohort, period_offset
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order event-flow counts + probabilities
+    (operators/temporal.py op_event_transitions): lead() over each
+    user's (ts, type)-ordered timeline. Rows tied on (ts, type) are
+    interchangeable, so the (src, dst) multiset is order-stable
+    across engines."""
+    e = _t(spark, sf_dir, "events")
+    df = op("event_transitions", e,
+            {"key": "user_id", "probability": True})
+    return op("sort", df, {"fields": ["src", "dst"]})
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_type) AS dst
+  FROM events),
+c AS (
+  SELECT src, dst, COUNT(*) AS n FROM nxt
+  WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+FROM c ORDER BY src, dst
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3516,6 +3570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embedding": q_quantize_embedding,
         "dedup_near_against": q_dedup_near_against,
         "funnel": q_funnel,
+        "retention": q_retention,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -3636,4 +3692,6 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embedding": _SQL_QUANTIZE_EMBEDDING,
         "dedup_near_against": _SQL_DEDUP_NEAR_AGAINST,
         "funnel": _SQL_FUNNEL,
+        "retention": _SQL_RETENTION,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
     }

@@ -235,3 +235,71 @@ def op_funnel(df: DataFrame, config: Mapping, views) -> DataFrame:
             .otherwise(F.lit(0.0)).alias("conversion"))
         rows = one if rows is None else rows.unionByName(one)
     return rows
+
+
+@register("retention_cohorts")
+def op_retention_cohorts(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (``period``: day/week/month via date_trunc), counted in
+    each subsequent period they returned. Output rows
+    (cohort, period_offset, n_active) — the classic retention
+    triangle.
+
+    Shape: one aggregation keyed on the user for first-seen, one
+    distinct over (user, period) — both map-side-partial; the cohort
+    attach broadcasts the (user, cohort) table when it fits and
+    shuffle-joins otherwise. Offsets are exact integer arithmetic on
+    epoch days (no interval float math)."""
+    key = config.get("key", "user_id")
+    ts_field = config.get("ts_field", "ts")
+    period = config.get("period", "week")
+    per_days = {"day": 1, "week": 7, "month": 30}.get(period)
+    if per_days is None:
+        raise ValueError(f"period must be day|week|month, got {period!r}")
+    trunc = F.date_trunc(period, F.col(ts_field))
+    firsts = (df.groupBy(key)
+              .agg(F.min(trunc).alias("cohort")))
+    active = (df.select(F.col(key), trunc.alias("__p"))
+              .dropDuplicates([key, "__p"]))
+    if config.get("broadcast", True):
+        firsts = F.broadcast(firsts)
+    # month offsets use calendar months (months_between on truncated
+    # stamps is integral); day/week use exact epoch-day division
+    joined = active.join(firsts, key)
+    if period == "month":
+        offset = F.months_between(F.col("__p"), F.col("cohort")).cast("long")
+    else:
+        offset = (F.datediff(F.col("__p"), F.col("cohort"))
+                  / F.lit(per_days)).cast("long")
+    return (joined.withColumn("period_offset", offset)
+            .groupBy("cohort", "period_offset")
+            .agg(F.count_distinct(key).alias("n_active")))
+
+
+@register("event_transitions")
+def op_event_transitions(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """First-order event-flow graph: counts of (event_type -> next
+    event_type) transitions within each key's timeline — the Sankey /
+    Markov-chain view of user behavior. ``probability`` adds the
+    per-source transition probability (exact bigint/bigint double).
+
+    One window shuffle on the key (lead over the shared sort), one
+    pair-count aggregation. Ties on the timestamp order by
+    ``tiebreak`` (default the type column) so the chain is
+    deterministic."""
+    key = config.get("key", "user_id")
+    ts_field = config.get("ts_field", "ts")
+    type_field = config.get("type_field", "event_type")
+    tiebreak = config.get("tiebreak", [type_field])
+    w = Window.partitionBy(key).orderBy(F.col(ts_field), *[
+        F.col(c) for c in tiebreak])
+    pairs = (df.withColumn("__next", F.lead(type_field).over(w))
+             .filter(F.col("__next").isNotNull())
+             .groupBy(F.col(type_field).alias("src"),
+                      F.col("__next").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    if config.get("probability"):
+        tot = Window.partitionBy("src")
+        pairs = pairs.withColumn(
+            "p", F.col("n").cast("double") / F.sum("n").over(tot))
+    return pairs

@@ -197,3 +197,33 @@ def test_funnel_summary_counts(spark):
         {"steps": ["view", "click"], "mode": "summary"},
         views={}).orderBy("step_idx").collect()]
     assert got == [("view", 2, 1.0), ("click", 1, 0.5)]
+
+
+# -- retention_cohorts / event_transitions ---------------------------------
+
+
+def test_retention_cohorts_day_period(spark):
+    rows = [(1, 0, "view"), (1, 86400 * 2, "view"),     # day 0 and day 2
+            (2, 86400, "click"),                        # cohort day 1 only
+            (2, 86400 + 100, "view")]                   # same day: one period
+    df = _funnel_events(spark, rows)
+    got = {(str(r["cohort"]), r["period_offset"]): r["n_active"]
+           for r in op("retention_cohorts", df,
+                       {"key": "user_id", "period": "day"},
+                       views={}).collect()}
+    assert got[("1970-01-01 00:00:00", 0)] == 1
+    assert got[("1970-01-01 00:00:00", 2)] == 1
+    assert got[("1970-01-02 00:00:00", 0)] == 1
+    assert len(got) == 3
+
+
+def test_event_transitions_counts_and_probability(spark):
+    rows = [(1, 10, "a"), (1, 20, "b"), (1, 30, "a"),
+            (2, 10, "a"), (2, 20, "b")]
+    out = {(r["src"], r["dst"]): (r["n"], r["p"])
+           for r in op("event_transitions", _funnel_events(spark, rows),
+                       {"key": "user_id", "probability": True},
+                       views={}).collect()}
+    assert out[("a", "b")] == (2, 1.0)     # every 'a' with a successor -> b
+    assert out[("b", "a")] == (1, 1.0)
+    assert len(out) == 2
