@@ -3435,6 +3435,55 @@ FROM c ORDER BY src, dst
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Link-graph PageRank (llmops/dedup.py op_pagerank) over the
+    customer->supplier purchase graph (lineitem x orders; supplier
+    ids offset into their own namespace), 3 iterations. Ranks are
+    scaled-long EXACT integer arithmetic — every division is integral
+    — so the DuckDB oracle's unrolled-CTE replay must match
+    bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = op("join", li, {"right": o, "left_key": "l_orderkey",
+                            "right_key": "o_orderkey"}, views={})
+    edges = op("expr", edges, {"exprs": {
+        "src": "r_o_custkey", "dst": "l_suppkey + 1000000"}})
+    df = op("pagerank", edges, {"max_iter": 3})
+    return op("sort", df, {"fields": ["node"]})
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10 ** 12) -> str:
+    """Unrolled integer-PageRank recurrence as chained CTEs — same
+    arithmetic as op_pagerank, term for term."""
+    parts = [f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+meta AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({scale} // (SELECT n FROM meta) AS BIGINT) AS r
+       FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT n.node,
+         CAST(({3 * scale} // (20 * (SELECT n FROM meta)))
+              + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r{k - 1}.r // od.od) AS c
+    FROM edges e
+    JOIN r{k - 1} ON r{k - 1}.node = e.src
+    JOIN od ON od.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node)""")
+    parts.append(f"""
+SELECT node, r AS rank_scaled FROM r{iters} ORDER BY node""")
+    return "".join(parts)
+
+
+_SQL_PAGERANK = _pagerank_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3572,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "event_transitions": q_event_transitions,
+        "pagerank": q_pagerank,
     }
 
 
@@ -3694,4 +3744,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _SQL_FUNNEL,
         "retention": _SQL_RETENTION,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "pagerank": _SQL_PAGERANK,
     }

@@ -1103,3 +1103,67 @@ def op_dedup_near_against(df: DataFrame, config: Mapping, views) -> DataFrame:
     else:
         losers = cands.select(F.col("__bid").alias(id_field)).dropDuplicates()
     return df.join(losers, id_field, "left_anti")
+
+
+@register("pagerank")
+def op_pagerank(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the link-graph
+    quality prior of web-corpus curation (CommonCrawl-style harmonic/
+    pagerank URL scoring) and the second iterative-algorithm family
+    beyond connected_components.
+
+    EXACT INTEGER ARITHMETIC throughout: ranks live as scaled longs
+    (``scale`` units = rank 1.0, default 10^12) and every update is
+    integer division —
+
+        contrib(e)   = r_src // outdeg(src)
+        r'(v)        = (3*scale) // (20*N)  +  (17 * Σ contrib) // 20
+
+    (damping fixed at 0.85 = 17/20). No float ever enters the
+    pipeline, so the result is bit-identical at any partitioning and
+    in any engine — the DuckDB oracle replays the same recurrence as
+    chained CTEs. Truncation bleeds ~1 unit per division: at
+    scale=10^12 that is a 1e-12 relative bias, far below ranking
+    noise. Dangling mass (sink nodes) is dropped, the standard
+    simplification.
+
+    Scale shape: per iteration ONE join edges->ranks (shuffle on the
+    edge src; outdeg rides the same key) and one dst-keyed partial
+    aggregation; ranks localCheckpoint each round (lineage bound),
+    final result checkpointed via the same discipline as
+    connected_components. ``max_iter`` default 10.
+    """
+    src_f = config.get("src_field", "src")
+    dst_f = config.get("dst_field", "dst")
+    iters = int(config.get("max_iter", 10))
+    scale = int(config.get("scale", 10 ** 12))
+    edges = (df.select(F.col(src_f).cast("long").alias("src"),
+                       F.col(dst_f).cast("long").alias("dst"))
+             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+             .dropDuplicates(["src", "dst"]))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .dropDuplicates(["node"])
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    base = (3 * scale) // (20 * n)
+    ranks = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contribs = (edges
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("node"),
+                            # exact integral division (SQL `div`) — a
+                            # double `/` + cast could round up across
+                            # an integer boundary at 2^52-scale ranks
+                            F.expr("rank_scaled div __od").alias("__c")))
+        sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = (nodes.join(sums, "node", "left")
+                 .select("node",
+                         F.expr(f"CAST({base} + (17 * coalesce(__s, 0)) "
+                                "div 20 AS BIGINT)").alias("rank_scaled"))
+                 .localCheckpoint(eager=True))
+    return ranks

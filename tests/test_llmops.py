@@ -991,3 +991,40 @@ def test_dedup_near_against_band_store(spark):
     out = op("dedup_near_against", batch,
              {**cfg, "history": store, "history_is_bands": True}, views={})
     assert sorted(r["doc_id"] for r in out.collect()) == [11]
+
+
+# -- pagerank --------------------------------------------------------------
+
+
+def test_pagerank_matches_integer_model(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in op("pagerank", df, {"max_iter": 4}, views={}).collect()}
+
+    from collections import defaultdict
+
+    scale, n = 10 ** 12, 4
+    base = (3 * scale) // (20 * n)
+    od = defaultdict(int)
+    for s, _ in edges:
+        od[s] += 1
+    r = {v: scale // n for v in (1, 2, 3, 4)}
+    for _ in range(4):
+        acc = defaultdict(int)
+        for s, d in edges:
+            acc[d] += r[s] // od[s]
+        r = {v: base + (17 * acc[v]) // 20 for v in r}
+    assert got == r
+    # a node everyone points at outranks the pure source
+    assert got[1] > got[4] and got[3] > got[4]
+
+
+def test_pagerank_is_partition_invariant(spark):
+    edges = [(i, (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, op("pagerank", df, {"max_iter": 3},
+                             views={}).collect()))
+    b = sorted(map(tuple, op("pagerank", df.repartition(13),
+                             {"max_iter": 3}, views={}).collect()))
+    assert a == b   # exact integer arithmetic: bit-identical anywhere
