@@ -3484,6 +3484,41 @@ SELECT node, r AS rank_scaled FROM r{iters} ORDER BY node""")
 _SQL_PAGERANK = _pagerank_oracle_sql()
 
 
+def q_text_normalize(spark, sf_dir):
+    """Punctuation/control normalization (llmops/text.py
+    op_text_normalize). The fixture corpus is ASCII, so the query
+    first dirties it with the characters the op exists for — smart
+    quotes, em-dash, NBSP, ellipsis, a control byte — and both
+    engines normalize the identical input."""
+    d = _t(spark, sf_dir, "documents")
+    d = op("expr", d, {"exprs": {
+        "dirty": "concat('\u201cQ\u201d \u2014 ', text, ' \u2026',"
+                 " chr(9), '\u00a0end\u2019s', chr(7))"}})
+    df = op("text_normalize", d, {"field": "dirty", "as": "clean"})
+    return op("select", df, {"fields": ["doc_id", "clean"]})
+
+
+_SQL_TEXT_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id,
+         concat('\u201cQ\u201d \u2014 ', text, ' \u2026', chr(9),
+                '\u00a0end\u2019s', chr(7)) AS dirty
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        replace(replace(replace(replace(replace(
+          dirty,
+          '\u2018', ''''), '\u2019', ''''), '\u201c', '"'),
+          '\u201d', '"'), '\u2014', '-')
+        , '\u2026', '...', 'g'),
+      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
+    '[ \\t\u00a0\u2007\u2009\u200a\u202f\u3000]+', ' ', 'g') AS clean
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3622,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "event_transitions": q_event_transitions,
         "pagerank": q_pagerank,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -3745,4 +3781,5 @@ def oracle_sql() -> dict[str, str]:
         "retention": _SQL_RETENTION,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "pagerank": _SQL_PAGERANK,
+        "text_normalize": _SQL_TEXT_NORMALIZE,
     }

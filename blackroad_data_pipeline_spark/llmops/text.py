@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -956,3 +957,52 @@ def op_split_paragraphs(df: DataFrame, config: Mapping, views) -> DataFrame:
         "para_chars": F.length(F.col(out_field)),
         "para_tokens": F.size(tokens_col(F.col(out_field))),
     })
+
+
+# The JVM-expressible normalization table: smart quotes, long dashes,
+# NBSP-family spaces, ellipsis — the high-frequency mojibake-adjacent
+# characters a web corpus actually contains. Single-char mappings ride
+# ONE translate() call; the multi-char ellipsis is a regexp_replace.
+_NORM_SINGLE = {
+    "\u2018": "'", "\u2019": "'", "\u201a": "'", "\u201b": "'",
+    "\u201c": '"', "\u201d": '"', "\u201e": '"', "\u00ab": '"',
+    "\u00bb": '"',
+    "\u2013": "-", "\u2014": "-", "\u2212": "-",
+    "\u00a0": " ", "\u2007": " ", "\u2009": " ", "\u200a": " ",
+    "\u202f": " ", "\u3000": " ",
+}
+
+
+@register("text_normalize")
+def op_text_normalize(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """CCNet-style text normalization: smart quotes / long dashes /
+    exotic spaces fold to ASCII (one ``translate`` call), the
+    one-char ellipsis expands, C0/C1 control characters strip
+    (newline + tab survive), and runs of horizontal whitespace
+    collapse. All JVM codegen — a pure map the scan absorbs.
+
+    ``nfc: true`` additionally applies real Unicode NFC composition
+    through an Arrow-batched kernel (Python ``unicodedata`` — Spark
+    has no built-in normalizer); it is opt-in because it moves the
+    column through Python and its behavior tracks the UCD version.
+    NULL text stays NULL.
+    """
+    field = config.get("field", "text")
+    out_field = config.get("as", field)
+    col = F.col(field)
+    if config.get("nfc"):
+        @F.pandas_udf("string")
+        def nfc(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(lambda x: unicodedata.normalize("NFC", x)
+                         if x is not None else None)
+
+        col = nfc(col)
+    col = F.translate(col, "".join(_NORM_SINGLE),
+                      "".join(_NORM_SINGLE.values()))
+    col = F.regexp_replace(col, "…", "...")
+    # strip C0 (minus \t \n \r) and C1 controls
+    col = F.regexp_replace(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
+    col = F.regexp_replace(col, r"[ \t]+", " ")
+    return df.withColumn(out_field, col)

@@ -545,3 +545,25 @@ def test_new_ops_reject_bad_configs(spark):
     with pytest.raises(ValueError, match="annotate|filter"):
         op("quality_classifier", df,
            {"label_field": "x", "mode": "nope"}, views={})
+
+
+# -- text_normalize --------------------------------------------------------
+
+
+def test_text_normalize_full_table_and_controls(spark):
+    dirty = ("“Smart” ‘quotes’, —dash–, "
+             "ell…ipsis, nbsp thin,\x07bell\x9fc1, "
+             "keep\nnewline\tand tab")
+    df = spark.createDataFrame([(1, dirty), (2, None)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in op("text_normalize", df, {}, views={}).collect()}
+    assert out[1] == ('"Smart" \'quotes\', -dash-, ell...ipsis, nbsp thin,'
+                      "bellc1, keep\nnewline and tab")
+    assert out[2] is None
+
+
+def test_text_normalize_nfc_composes(spark):
+    # e + combining acute (U+0301) composes to é under NFC
+    df = spark.createDataFrame([(1, "café")], ["doc_id", "text"])
+    out = op("text_normalize", df, {"nfc": True}, views={}).collect()
+    assert out[0]["text"] == "café"
