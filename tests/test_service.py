@@ -591,3 +591,41 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert a2 == 1
     first = spark.read.parquet(str(tmp_path / "sorted")).first()
     assert first["id"] == 0  # sorted layout
+
+
+def test_split_leakage_audit_composition(svc, tmp_path):
+    """Train/test leakage audit THROUGH the control plane:
+    split_assign buckets the corpus, then contamination_join flags
+    train docs sharing shingles with the held-out split — the audit
+    every data pipeline should run before shipping a training set.
+    The near-duplicate pair lands in different splits by construction
+    and must be flagged; the unique doc must not."""
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta theta"},
+        {"doc_id": 3, "text": "totally unrelated content words here now"},
+    ]
+    p = svc.create_pipeline("leakage_audit")
+    svc.add_source(p.id, "corpus", "inline", {"data": docs})
+    # force a deterministic "split": doc 2 is the held-out set
+    svc.add_transform(p.id, "expr",
+                      {"exprs": {"split": "IF(doc_id = 2, 'test', 'train')"}},
+                      order_index=0)
+    svc.add_transform(p.id, "filter",
+                      {"field": "split", "op": "eq", "value": "train"},
+                      order_index=1)
+    svc.add_transform(p.id, "contamination_join",
+                      {"field": "text", "id_field": "doc_id",
+                       "benchmark": "heldout", "shingle_size": 3,
+                       "min_shared": 2}, order_index=2)
+    # reference semantics: every source unions into the main stream —
+    # the held-out copy re-enters as doc 2 and the split filter drops it
+    svc.add_source(p.id, "heldout", "inline", {"data": [docs[1]]})
+    out = tmp_path / "audit.json"
+    svc.add_sink(p.id, "json", {"path": str(out)})
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "success"
+    rows = json.loads(out.read_text())
+    # output = flagged (train doc, benchmark doc, n_shared) pairs
+    assert [(r["doc_id"], r["bench_id"]) for r in rows] == [(1, 2)]
+    assert rows[0]["n_shared"] >= 2
