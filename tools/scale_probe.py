@@ -67,6 +67,14 @@ PROBED = [
     "importance_weight",
     "phash",
     "quantize_embedding",
+    # final round-3 batch: iterative graph, band-join-vs-history,
+    # window-chain funnel, event analytics, normalization map
+    "pagerank",
+    "dedup_near_against",
+    "funnel",
+    "retention",
+    "event_transitions",
+    "text_normalize",
 ]
 
 
