@@ -3519,6 +3519,31 @@ FROM d
 """
 
 
+def q_compression_gate(spark, sf_dir):
+    """zlib compression-ratio signal (llmops/text.py
+    op_compression_ratio). zlib has no SQL surface, so the gate
+    anchors what DuckDB CAN state: the exact utf-8 byte total
+    (integer twin of the kernel's raw_bytes) and the ratio-bounds
+    invariant; the compressed lengths themselves are pinned against
+    direct zlib calls in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("compression_ratio", d, {"field": "text"})
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("raw_bytes").alias("sum_raw_bytes"),
+        ((F.min("compression_ratio") > 0.0)
+         & (F.max("compression_ratio") <= 2.0)).alias("ratios_bounded"))
+
+
+_SQL_COMPRESSION_GATE = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT)
+         AS sum_raw_bytes,
+       TRUE AS ratios_bounded
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3658,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "pagerank": q_pagerank,
         "text_normalize": q_text_normalize,
+        "compression_gate": q_compression_gate,
     }
 
 
@@ -3782,4 +3808,5 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "pagerank": _SQL_PAGERANK,
         "text_normalize": _SQL_TEXT_NORMALIZE,
+        "compression_gate": _SQL_COMPRESSION_GATE,
     }

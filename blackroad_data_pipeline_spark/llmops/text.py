@@ -1006,3 +1006,54 @@ def op_text_normalize(df: DataFrame, config: Mapping, views) -> DataFrame:
     col = F.regexp_replace(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
     col = F.regexp_replace(col, r"[ \t]+", " ")
     return df.withColumn(out_field, col)
+
+
+@register("compression_ratio")
+def op_compression_ratio(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-document zlib compression ratio — the low-entropy detector
+    (RefinedWeb-family heuristic): boilerplate, keyboard mash, and
+    template spam compress far below natural prose, so
+    ``compression_ratio`` (compressed/raw bytes) separates them with
+    one cheap pass and no vocabulary.
+
+    zlib has no JVM builtin surface in Spark SQL, so this is an
+    Arrow-batched pandas UDF (bytes cross once per batch); output is
+    deterministic for a fixed ``level`` (zlib's DEFLATE encoding is
+    platform-stable) — pytest pins it against direct zlib calls.
+    Adds ``raw_bytes``, ``compressed_bytes``, ``compression_ratio``
+    (NULL text -> 0-byte row: ratio 0.0). ``mode: "filter"`` keeps
+    rows with ratio >= ``min_ratio`` (default 0.3 — below that the
+    document is mostly repetition).
+    """
+    field = config.get("field", "text")
+    level = int(config.get("level", 6))
+    mode = config.get("mode", "annotate")
+    if mode not in ("annotate", "filter"):
+        raise ValueError(
+            f"compression_ratio mode must be annotate|filter, got {mode!r}")
+
+    @F.pandas_udf("struct<raw_bytes: long, compressed_bytes: long>")
+    def comp(s: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        raw, cz = [], []
+        for t in s:
+            b = (t or "").encode("utf-8")
+            raw.append(len(b))
+            cz.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"raw_bytes": raw, "compressed_bytes": cz})
+
+    out = (df.withColumn("__cz", comp(F.col(field)))
+           .withColumn("raw_bytes", F.col("__cz.raw_bytes"))
+           .withColumn("compressed_bytes", F.col("__cz.compressed_bytes"))
+           .drop("__cz"))
+    out = out.withColumn(
+        "compression_ratio",
+        F.when(F.col("raw_bytes") > 0,
+               F.col("compressed_bytes").cast("double") / F.col("raw_bytes"))
+        .otherwise(F.lit(0.0)))
+    if mode == "filter":
+        return out.filter(
+            F.col("compression_ratio") >= float(config.get("min_ratio", 0.3))
+        ).drop("raw_bytes", "compressed_bytes", "compression_ratio")
+    return out

@@ -567,3 +567,28 @@ def test_text_normalize_nfc_composes(spark):
     df = spark.createDataFrame([(1, "café")], ["doc_id", "text"])
     out = op("text_normalize", df, {"nfc": True}, views={}).collect()
     assert out[0]["text"] == "café"
+
+
+# -- compression_ratio -----------------------------------------------------
+
+
+def test_compression_ratio_matches_zlib_and_separates(spark):
+    import zlib
+
+    prose = ("the quick brown fox jumps over the lazy dog while seven "
+             "wizards brew quirky potions beyond the frozen valley today")
+    mash = "ababababab " * 30
+    df = spark.createDataFrame(
+        [(1, prose), (2, mash), (3, None)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in op(
+        "compression_ratio", df, {}, views={}).collect()}
+    for i, t in ((1, prose), (2, mash)):
+        b = t.encode()
+        assert out[i]["raw_bytes"] == len(b)
+        assert out[i]["compressed_bytes"] == len(zlib.compress(b, 6))
+    assert out[2]["compression_ratio"] < 0.3 < out[1]["compression_ratio"]
+    assert out[3]["compression_ratio"] == 0.0
+    kept = op("compression_ratio", df,
+              {"mode": "filter", "min_ratio": 0.3}, views={})
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert "compression_ratio" not in kept.columns
