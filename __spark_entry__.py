@@ -3315,7 +3315,18 @@ def q_dedup_near_against(spark, sf_dir):
     the batch; at the recall~1 banding (bands=16, rows=1) every
     cross-half pair at jaccard >= 0.8 is caught and exact
     verification removes false positives, so the surviving batch ==
-    the SQL set of odd docs with no >=0.8 even partner."""
+    the SQL set of odd docs with no >=0.8 even partner.
+
+    RECALL ASSUMPTION (ADVICE r3): the oracle asserts PERFECT LSH
+    recall — miss probability per pair is (1-s)^16 > 0, so a
+    borderline pair (s barely over 0.8) could in principle slip all
+    16 bands. Green on the current fixtures because their near-dup
+    pairs sit far above threshold; if a fixture regeneration or a
+    hash-family change ever makes this entry flake while
+    near_dup_minhash stays green, suspect a borderline pair, not an
+    operator regression (Spark survivors would then be a strict
+    SUPERSET of the SQL survivors — every extra survivor's best
+    cross-half jaccard will sit within epsilon of 0.8)."""
     d = _t(spark, sf_dir, "documents")
     d = op("expr", d, {"exprs": {"m2": "doc_id % 2"}})
     history = op("filter", d, {"field": "m2", "op": "eq", "value": 0})

@@ -97,12 +97,36 @@ def op_quality_classifier(df: DataFrame, config: Mapping, views) -> DataFrame:
     from pyspark.ml.classification import LogisticRegressionModel
 
     model_dir = config.get("model_dir")
+    cleanup_dir = None
     if model_dir is None:
-        import tempfile
+        master = df.sparkSession.sparkContext.master
+        if master.startswith("local"):
+            # single-JVM: a driver-local tempdir is visible to every
+            # task; remove it after load (the load is eager —
+            # coefficients land in driver memory)
+            import tempfile
 
-        model_dir = tempfile.mkdtemp(prefix="quality_classifier_")
+            cleanup_dir = model_dir = tempfile.mkdtemp(
+                prefix="quality_classifier_")
+        else:
+            # multi-node: save/load execute as Spark jobs on
+            # executors, so the roundtrip needs SHARED storage — a
+            # driver-local tmp path would write partial data or fail
+            # (ADVICE r3). Derive a per-fit path under the warehouse
+            # dir, which on a real deployment points at the cluster
+            # filesystem.
+            import uuid
+
+            warehouse = df.sparkSession.conf.get(
+                "spark.sql.warehouse.dir").rstrip("/")
+            model_dir = (f"{warehouse}/_quality_classifier_models/"
+                         f"{uuid.uuid4().hex}")
     model.write().overwrite().save(model_dir)
     model = LogisticRegressionModel.load(model_dir)
+    if cleanup_dir is not None:
+        import shutil
+
+        shutil.rmtree(cleanup_dir, ignore_errors=True)
 
     scored = model.transform(tf.transform(featurize(df)))
     out = (

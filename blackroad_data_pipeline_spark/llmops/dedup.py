@@ -964,8 +964,12 @@ def op_near_dup_hamming(df: DataFrame, config: Mapping, views) -> DataFrame:
     hash_field = config.get("hash_field", "simhash")
     max_distance = int(config.get("max_distance", 3))
     n_pieces = int(config.get("pieces", 4))
-    if 64 % n_pieces:
-        raise ValueError(f"pieces must divide 64, got {n_pieces}")
+    # lower bound 2: pieces=1 would make the mask literal (1<<64)-1
+    # overflow LongType at runtime, and a single piece carries no
+    # pigeonhole guarantee anyway (distance <= 0) — ADVICE r3
+    if n_pieces < 2 or 64 % n_pieces:
+        raise ValueError(
+            f"pieces must divide 64 and be >= 2, got {n_pieces}")
     width = 64 // n_pieces
     mask = (1 << width) - 1
     docs = df.select(F.col(id_field).alias("__id"),

@@ -15,6 +15,24 @@ from pyspark.sql import functions as F
 
 from ..operators.registry import register
 
+# Vocab tables in the LM scorers are sublinear in the corpus but NOT
+# bounded — at web scale a unigram vocab runs ~100M entries, far past
+# broadcast range. Auto mode gates the hint on the MEASURED entry
+# count (the scorers collect it eagerly anyway for the smoothing
+# denominators); explicit ``broadcast: true/false`` overrides. Past
+# the gate the join shuffles and AQE skew-splitting absorbs stopword
+# keys (ADVICE r3 — same fix as retention_cohorts' forced hint).
+_BROADCAST_MAX_ENTRIES = 4_000_000  # ~a few hundred MB serialized
+
+
+def _should_broadcast(config: Mapping, n_entries) -> bool:
+    flag = config.get("broadcast")
+    if flag is not None:
+        return bool(flag)
+    return n_entries <= int(
+        config.get("broadcast_max_entries", _BROADCAST_MAX_ENTRIES))
+
+
 # Tokens: trimmed whitespace split, empty tokens dropped — the one
 # tokenization every operator here shares so stats compose.
 
@@ -587,11 +605,13 @@ def op_unigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     collect and the join share one execution — this operator is an
     exception to the lazy-transform contract; (2) the two scalars T
     and V — a bounded driver collect of one row; (3) exploded tokens
-    joined back to the vocab. The vocab is sublinear in the corpus (~100M
-    rows at web scale) so it BROADCASTS by default; set ``broadcast:
-    false`` to fall back to a shuffled join — then stopword keys are
-    the skew hazard, which AQE skew-join splitting absorbs. The
-    per-doc mean is an ordinary groupBy(doc_id) partial agg.
+    joined back to the vocab. The vocab is sublinear in the corpus
+    (~100M rows at web scale) — the hint is auto-gated on the
+    measured entry count (``broadcast_max_entries``, default 4M;
+    ``broadcast: true/false`` overrides); past the gate the join
+    shuffles and stopword keys are the skew hazard, which AQE
+    skew-join splitting absorbs. The per-doc mean is an ordinary
+    groupBy(doc_id) partial agg.
 
     Output: id, n_tokens (long), mean_logprob (double; NULL for empty
     docs). Exact cross-engine float parity of ln() is NOT guaranteed
@@ -615,7 +635,7 @@ def op_unigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
              .localCheckpoint(eager=True))
     tv = vocab.agg(F.sum("__c").alias("t"), F.count(F.lit(1)).alias("v")).first()
     denom = float(tv["t"] or 0) + k * float(tv["v"] or 0)
-    if config.get("broadcast", True):
+    if _should_broadcast(config, tv["v"] or 0):
         vocab = F.broadcast(vocab)
     scored = toks.join(vocab, "token")
     out = (
@@ -679,9 +699,10 @@ def op_bigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     is eagerly materialized so the scalar collect shares one execution
     with the prefix join — same lazy-contract exception as
     unigram_logprob), V as a bounded one-row collect, then the
-    exploded bigram stream joins both count tables — broadcast by default (bigram vocab is still sublinear in
-    the corpus; set ``broadcast: false`` past broadcast range and let
-    AQE skew-split the stopword-pair keys).
+    exploded bigram stream joins both count tables — hints auto-gated
+    on the measured unigram vocab size (the bigram table uses an 8x
+    proxy factor; ``broadcast: true/false`` overrides). Past the gate
+    the joins shuffle and AQE skew-splits the stopword-pair keys.
 
     Output: id, n_bigrams (long), sum_bigram_count / sum_prefix_count
     (exact integer twins of the float for cross-engine audit),
@@ -707,8 +728,11 @@ def op_bigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     big_counts = bigs.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c12"))
     prefix_counts = uni.select(F.col("token").alias("__w1"),
                                F.col("__c1").alias("__cw1"))
-    if config.get("broadcast", True):
+    # auto mode sizes the hint from the MEASURED unigram vocab; the
+    # bigram table is typically ~8x larger, hence the tighter gate
+    if _should_broadcast(config, v * 8):
         big_counts = F.broadcast(big_counts)
+    if _should_broadcast(config, v):
         prefix_counts = F.broadcast(prefix_counts)
     scored = (
         bigs.join(big_counts, "bigram")
@@ -853,10 +877,11 @@ def op_importance_weight(df: DataFrame, config: Mapping, views) -> DataFrame:
     sample (its ``target_field``, default = ``field``). Both unigram
     models are word-count aggregations materialized eagerly
     (localCheckpoint — same single-execution rationale as
-    unigram_logprob) and FULL-OUTER merged so one broadcast join
-    serves both counts; tokens unseen in either side smooth to k.
-    Scale shape: two vocab-sized shuffles (raw corpus + the much
-    smaller target), one broadcast join over the exploded tokens, one
+    unigram_logprob) and FULL-OUTER merged so one vocab join serves
+    both counts; tokens unseen in either side smooth to k. Scale
+    shape: two vocab-sized shuffles (raw corpus + the much smaller
+    target), one vocab join over the exploded tokens (hint auto-gated
+    on the measured union-vocab size, like unigram_logprob), one
     per-doc partial agg. No per-row Python.
 
     Output: id, n_tokens (long), sum_target_count / sum_raw_count
@@ -897,7 +922,7 @@ def op_importance_weight(df: DataFrame, config: Mapping, views) -> DataFrame:
     v = float(tot["v"] or 0)
     denom_raw = float(tot["tr"] or 0) + k * v
     denom_tgt = float(tot["tt"] or 0) + k * v
-    if config.get("broadcast", True):
+    if _should_broadcast(config, tot["v"] or 0):
         vocab = F.broadcast(vocab)
     scored = toks.join(vocab, "token")
     llr = (F.log((F.col("__ct") + F.lit(k)) / F.lit(denom_tgt))

@@ -247,9 +247,12 @@ def op_retention_cohorts(df: DataFrame, config: Mapping, views) -> DataFrame:
 
     Shape: one aggregation keyed on the user for first-seen, one
     distinct over (user, period) — both map-side-partial; the cohort
-    attach broadcasts the (user, cohort) table when it fits and
-    shuffle-joins otherwise. Offsets are exact integer arithmetic on
-    epoch days (no interval float math)."""
+    attach is a plain equi-join by default so AQE picks broadcast vs
+    shuffle from the MEASURED first-seen size (one row per user —
+    forcing broadcast would OOM at 100 TB user counts; ADVICE r3).
+    ``broadcast: true`` opts into the hint for known-small keyspaces.
+    Offsets are exact integer arithmetic on epoch days (no interval
+    float math)."""
     key = config.get("key", "user_id")
     ts_field = config.get("ts_field", "ts")
     period = config.get("period", "week")
@@ -261,7 +264,7 @@ def op_retention_cohorts(df: DataFrame, config: Mapping, views) -> DataFrame:
               .agg(F.min(trunc).alias("cohort")))
     active = (df.select(F.col(key), trunc.alias("__p"))
               .dropDuplicates([key, "__p"]))
-    if config.get("broadcast", True):
+    if config.get("broadcast", False):
         firsts = F.broadcast(firsts)
     # month offsets use calendar months (months_between on truncated
     # stamps is integral); day/week use exact epoch-day division

@@ -322,9 +322,14 @@ def run_stream_ingest_dedup(df: DataFrame, path: str, checkpoint: str,
                      .select("fp"))
             fped = fped.join(
                 store, fped["__fp"] == store["fp"], "left_anti")
-        except AnalysisException:
-            pass  # first batch: no store yet (PATH_NOT_FOUND only —
-            #       anything else should surface, not silently re-ingest)
+        except AnalysisException as e:
+            # first batch: no store yet. ONLY a missing path may be
+            # swallowed — a schema mismatch / corrupt footer / bad
+            # config must surface, or the anti-join is silently
+            # skipped and history duplicates re-ingest (ADVICE r3).
+            cond = getattr(e, "getCondition", lambda: None)()
+            if cond != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
+                raise
         survivors = fped.localCheckpoint(eager=True)  # compute ONCE
         (survivors.select(F.col("__fp").alias("fp"),
                           F.lit(batch_id).alias("ingest_batch"))

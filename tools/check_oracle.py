@@ -6,14 +6,24 @@ column names, and an order-insensitive value comparison (sorted rows,
 exact match for non-floats, tight tolerance report for floats so we
 can see *how* far off a float column is before the driver hashes it).
 
+Queries run CONCURRENTLY (``ORACLE_WORKERS`` env, default 6): Spark
+accepts job submission from multiple threads on one session, and each
+worker compares via its own DuckDB cursor, so the full 120-query sweep
+overlaps Spark execution with oracle execution instead of serializing
+them (VERDICT r3 next-round #8). Safe because the only session-conf
+mutations on the query path are idempotent (UTC timezone, nanosAsLong).
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import concurrent.futures
 import decimal
 import math
+import os
 import sys
+import threading
 import time
 
 import duckdb
@@ -90,9 +100,44 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
     return problems
 
 
+def check_one(name, fn, oracle, spark, sf_dir, con):
+    """Run one query + its oracle; return (name, ok, lines)."""
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf_dir)
+        spark_cols = [c.lower() for c in sdf.columns]
+        spark_rows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001
+        return name, False, [f"FAIL {name}: spark error: {e}"]
+    if oracle is None:
+        return name, True, [
+            f"SKIP {name}: no oracle (rows-only) — {len(spark_rows)} rows "
+            f"[{time.time()-t0:.1f}s]"
+        ]
+    try:
+        # each worker gets its own cursor: duckdb connections are not
+        # safe for concurrent use, cursors over one connection are
+        cur = con.cursor()
+        try:
+            rel = cur.sql(oracle)
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
+        finally:
+            cur.close()
+    except Exception as e:  # noqa: BLE001
+        return name, False, [f"FAIL {name}: duckdb error: {e}"]
+    problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+    if problems:
+        lines = [f"FAIL {name} ({len(spark_rows)} rows) [{time.time()-t0:.1f}s]"]
+        lines += [f"  {p}" for p in problems]
+        return name, False, lines
+    return name, True, [f"OK   {name} ({len(spark_rows)} rows) [{time.time()-t0:.1f}s]"]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    workers = int(os.environ.get("ORACLE_WORKERS", "6"))
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -100,40 +145,35 @@ def main():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    todo = [(n, fn) for n, fn in queries.items() if not only or n in only]
+    missing = only - {n for n, _ in todo}
+    if missing:
+        print(f"unknown queries: {sorted(missing)}")
+        sys.exit(2)
+
     n_fail = 0
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            spark_cols = [c.lower() for c in sdf.columns]
-            spark_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only) — {len(spark_rows)} rows "
-                  f"[{time.time()-t0:.1f}s]")
-            continue
-        try:
-            rel = con.sql(oracles[name])
-            duck_cols = rel.columns
-            duck_rows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
-        if problems:
-            n_fail += 1
-            print(f"FAIL {name} ({len(spark_rows)} rows) [{time.time()-t0:.1f}s]")
-            for p in problems:
-                print(f"  {p}")
-        else:
-            print(f"OK   {name} ({len(spark_rows)} rows) [{time.time()-t0:.1f}s]")
-    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    lock = threading.Lock()
+    tls = threading.local()
+
+    def run(item):
+        name, fn = item
+        # per-thread Spark session (shared SparkContext, isolated
+        # temp-view/session state — op("sql") registers fixed-name
+        # session views, which would race on one shared session)
+        if not hasattr(tls, "spark"):
+            tls.spark = spark.newSession()
+        return check_one(name, fn, oracles.get(name), tls.spark, sf_dir, con)
+
+    t_start = time.time()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, ok, lines in pool.map(run, todo):
+            with lock:
+                if not ok:
+                    n_fail += 1
+                for line in lines:
+                    print(line, flush=True)
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'} "
+          f"({len(todo)} queries, {time.time()-t_start:.0f}s, {workers} workers)")
     sys.exit(1 if n_fail else 0)
 
 
