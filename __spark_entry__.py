@@ -2667,6 +2667,37 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+def q_stream_join_stream(spark, sf_dir):
+    """The interval join executed as a REAL stream-stream join
+    (VERDICT r3 #6): clicks and purchases are two watermarked file
+    streams over the events parquet; the watermark-bounded inner join
+    emits each match as it arrives (append mode), so the drained
+    result set equals the batch execution — shared oracle with
+    stream_join. State stays bounded by watermark + interval horizon,
+    the production property at 100 TB event rates."""
+    from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        read_events_stream, run_stream_to_memory)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = nanos_to_timestamp(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"), "ts")
+    clicks = stream.filter("event_type = 'click'").select(
+        "event_id", "user_id", "ts")
+    purchases = stream.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts")
+    joined = op("stream_join", clicks,
+                {"right": purchases, "by": ["user_id"], "before": 0,
+                 "after": 1800, "watermark": "30 minutes"}, views={})
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "stream_join_stream_out",
+                         output_mode="append")
+    df = spark.table("stream_join_stream_out")
+    df = op("select", df, {"fields": ["event_id", "r_event_id", "user_id"]})
+    return op("sort", df, {"fields": ["event_id", "r_event_id"]})
+
+
 def q_zorder(spark, sf_dir):
     """Z-order layout key over (l_partkey, l_suppkey) — 16-bit
     quantization + Morton interleave, pure integer bitwise ops
@@ -3575,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries already driver-green in CORRECTNESS_r01-r03. Every entry
         # remains oracle-anchored.
         # -- never independently sampled (36) --
+        "stream_join_stream": q_stream_join_stream,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -3728,6 +3760,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_lines": _SQL_CLEAN_LINES,
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
         "stream_join": _SQL_STREAM_JOIN,
+        "stream_join_stream": _SQL_STREAM_JOIN,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

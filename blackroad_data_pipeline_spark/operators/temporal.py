@@ -179,10 +179,13 @@ def op_funnel(df: DataFrame, config: Mapping, views) -> DataFrame:
 
     Shape at scale: the chained step times are window minima over the
     SAME partitioning (each step's condition references the previous
-    step's column), so Catalyst plans ONE hash shuffle on the key and
-    evaluates the k Window nodes over the shared sort — never k scans
-    or a per-step join cascade. The per-key rollup then reuses the
-    partitioning.
+    step's column), so Catalyst plans ONE hash shuffle on the key for
+    users mode and evaluates the k Window nodes over it — never k
+    scans or a per-step join cascade; the per-key rollup reuses the
+    partitioning (plan-gated in test_plans.py). Summary mode adds
+    exactly one more exchange — the one-row global count aggregate —
+    and emits the per-step rows by exploding an inline struct array,
+    so the aggregate subtree is planned once, not once per step.
 
     ``mode: "users"`` (default) returns one row per key with
     ``step_1_ts..step_k_ts`` timestamps (NULL = never reached);
@@ -225,16 +228,20 @@ def op_funnel(df: DataFrame, config: Mapping, views) -> DataFrame:
         return users
     counts = users.agg(*[
         F.count(c).alias(f"__n{i}") for i, c in enumerate(ts_cols, 1)])
-    rows = None
-    for i, step in enumerate(steps, start=1):
-        one = counts.select(
+    # one row per step via explode over an inline struct array — the
+    # one-row counts aggregate is consumed ONCE (a per-step union
+    # would re-plan the whole aggregate subtree k times and lean on
+    # exchange reuse to dedup it; VERDICT r3 #3)
+    per_step = F.array(*[
+        F.struct(
             F.lit(i).alias("step_idx"), F.lit(step).alias("step"),
             F.col(f"__n{i}").alias("n_reached"),
             F.when(F.col("__n1") > 0,
                    F.col(f"__n{i}").cast("double") / F.col("__n1"))
             .otherwise(F.lit(0.0)).alias("conversion"))
-        rows = one if rows is None else rows.unionByName(one)
-    return rows
+        for i, step in enumerate(steps, start=1)])
+    return (counts.select(F.explode(per_step).alias("__s"))
+            .select("__s.*"))
 
 
 @register("retention_cohorts")

@@ -236,6 +236,29 @@ def test_key_skew_stats_two_narrow_aggregations(spark):
     plans.assert_max_shuffles(df, 2)
 
 
+def test_funnel_users_single_key_shuffle(spark):
+    """VERDICT r3 #3: the k chained window minima share ONE hash
+    shuffle on the key and the per-key rollup reuses that
+    partitioning — users mode must plan exactly one shuffle."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    df = op("funnel", events, {"steps": ["view", "click", "purchase"],
+                               "key": "user_id", "mode": "users"})
+    plans.assert_no_row_python(df)
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_funnel_summary_adds_only_global_agg_exchange(spark):
+    """Summary mode = users mode + the one-row global count
+    aggregate, with per-step rows exploded from an inline array (the
+    counts subtree is planned once, never once per step)."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    df = op("funnel", events, {"steps": ["view", "click", "purchase"],
+                               "key": "user_id", "mode": "summary"})
+    plans.assert_no_row_python(df)
+    plans.assert_max_shuffles(df, 2)
+    assert "Union" not in plans.explain_text(df)
+
+
 def test_hash_columns_is_pure_projection(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     df = op("hash_columns", docs, {"fields": ["source"], "salt": "s"})
