@@ -1128,8 +1128,19 @@ def op_pagerank(df: DataFrame, config: Mapping, views) -> DataFrame:
     in any engine — the DuckDB oracle replays the same recurrence as
     chained CTEs. Truncation bleeds ~1 unit per division: at
     scale=10^12 that is a 1e-12 relative bias, far below ranking
-    noise. Dangling mass (sink nodes) is dropped, the standard
-    simplification.
+    noise.
+
+    Dangling mass (sink nodes) is DROPPED by default, the common
+    simplification. ``dangling_redistribution: true`` opts into the
+    standard formulation: each iteration the summed rank of zero-
+    outdegree nodes is redistributed uniformly —
+
+        r'(v) = base + (17 * (Σ contrib + D div N)) div 20,
+        D = Σ_{outdeg(u)=0} r(u)
+
+    — still integer-exact and partition-invariant, because D is a
+    single global scalar (one bounded 1-row collect per iteration,
+    riding the same action cadence as the per-iteration checkpoint).
 
     Scale shape: per iteration ONE join edges->ranks (shuffle on the
     edge src; outdeg rides the same key) and one dst-keyed partial
@@ -1154,8 +1165,18 @@ def op_pagerank(df: DataFrame, config: Mapping, views) -> DataFrame:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
     base = (3 * scale) // (20 * n)
+    dangling = bool(config.get("dangling_redistribution", False))
+    if dangling:
+        dang_nodes = (nodes.join(
+            outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+            .localCheckpoint(eager=True))
     ranks = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("long"))
     for _ in range(iters):
+        share = 0
+        if dangling:
+            d_mass = (ranks.join(dang_nodes, "node", "left_semi")
+                      .agg(F.sum("rank_scaled")).first()[0])
+            share = (d_mass or 0) // n
         contribs = (edges
                     .join(ranks.withColumnRenamed("node", "src"), "src")
                     .join(outdeg, "src")
@@ -1167,7 +1188,8 @@ def op_pagerank(df: DataFrame, config: Mapping, views) -> DataFrame:
         sums = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
         ranks = (nodes.join(sums, "node", "left")
                  .select("node",
-                         F.expr(f"CAST({base} + (17 * coalesce(__s, 0)) "
-                                "div 20 AS BIGINT)").alias("rank_scaled"))
+                         F.expr(f"CAST({base} + (17 * (coalesce(__s, 0) "
+                                f"+ {share})) div 20 AS BIGINT)")
+                         .alias("rank_scaled"))
                  .localCheckpoint(eager=True))
     return ranks
