@@ -2307,6 +2307,88 @@ WHERE doc_id IN (SELECT min(doc_id) FROM batch GROUP BY fp)
 """
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters (llmops/sketch.py op_heavy_hitters, exact
+    mode): tokens with frequency > 1/60 of all tokens. One key
+    shuffle + a broadcast 1-row total; share is exact long/long
+    double division both engines reproduce bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    toks = op("sql", d, {"query":
+                         "SELECT explode(filter(split(trim(lower(text)), "
+                         "'\\\\s+'), x -> x != '')) AS token FROM self"},
+              views={})
+    df = op("heavy_hitters", toks, {"field": "token", "k": 60})
+    return op("sort", df, {"fields": ["value"]})
+
+
+def q_heavy_hitters_mg(spark, sf_dir):
+    """The same profile through the Misra-Gries scale path: bounded
+    per-partition candidate counters + an exact semi-join-pruned
+    recount — output must EQUAL exact mode (shared oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = op("sql", d, {"query":
+                         "SELECT explode(filter(split(trim(lower(text)), "
+                         "'\\\\s+'), x -> x != '')) AS token FROM self"},
+              views={})
+    df = op("heavy_hitters", toks, {"field": "token", "k": 60,
+                                    "mode": "approx", "capacity": 240})
+    return op("sort", df, {"fields": ["value"]})
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_D_TOKS_LOWER}) AS value FROM documents),
+c AS (SELECT value, COUNT(*) AS n_occurrences FROM toks GROUP BY value),
+t AS (SELECT COUNT(*) AS total FROM toks)
+SELECT value, n_occurrences,
+       CAST(n_occurrences AS DOUBLE) / total AS share
+FROM c, t WHERE n_occurrences * 60 > total
+ORDER BY value
+"""
+
+
+def q_distinct_sketch_gate(spark, sf_dir):
+    """HLL distinct-count sketches per event_type over user_id
+    (llmops/sketch.py op_distinct_sketch) gated against the exact
+    count_distinct computed in the same frame: at lgk=14 the relative
+    error bound is ~0.8%, so a 3%% tolerance flags only real breakage.
+    The oracle predicts the within_tolerance booleans (all true)."""
+    e = _t(spark, sf_dir, "events")
+    sk = op("distinct_sketch", e, {"fields": ["user_id"],
+                                   "group_by": ["event_type"], "lgk": 14})
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("__exact"))
+    df = (sk.join(exact, "event_type")
+          .select("event_type",
+                  (F.abs(F.col("distinct_user_id") - F.col("__exact"))
+                   <= F.col("__exact") * 0.03).alias("within_tolerance")))
+    return op("sort", df, {"fields": ["event_type"]})
+
+
+_SQL_DISTINCT_SKETCH_GATE = """
+SELECT event_type, TRUE AS within_tolerance
+FROM (SELECT DISTINCT event_type FROM events)
+ORDER BY event_type
+"""
+
+
+def q_dedup_against_bloom(spark, sf_dir):
+    """The same incremental dedup through the broadcast Bloom-bitmap
+    prefilter (llmops/dedup.py _bloom_anti_join): bloom-negative rows
+    skip the anti-join shuffle entirely; the maybe-set pays the exact
+    join which removes false positives — so the output must EQUAL the
+    plain path value-for-value (shared oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    history = op("filter", op("expr", d, {"exprs": {"par": "doc_id % 2"}}),
+                 {"field": "par", "op": "eq", "value": 0})
+    batch = op("filter", op("expr", d, {"exprs": {"par": "doc_id % 2"}}),
+               {"field": "par", "op": "eq", "value": 1})
+    df = op("dedup_against", batch,
+            {"field": "text", "id_field": "doc_id", "history": history,
+             "prefilter": "bloom", "bloom_fpp": 0.01}, views={})
+    return op("select", df, {"fields": ["doc_id", "lang", "source"]})
+
+
 def q_budget_select(spark, sf_dir):
     """Token-budget corpus selection: highest-quality documents until
     a 12k-token budget fills (distributed prefix sum — range
@@ -3607,6 +3689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remains oracle-anchored.
         # -- never independently sampled (36) --
         "stream_join_stream": q_stream_join_stream,
+        "dedup_against_bloom": q_dedup_against_bloom,
+        "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "distinct_sketch_gate": q_distinct_sketch_gate,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -3761,6 +3847,10 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
         "stream_join": _SQL_STREAM_JOIN,
         "stream_join_stream": _SQL_STREAM_JOIN,
+        "dedup_against_bloom": _SQL_DEDUP_AGAINST,
+        "heavy_hitters": _SQL_HEAVY_HITTERS,
+        "heavy_hitters_mg": _SQL_HEAVY_HITTERS,
+        "distinct_sketch_gate": _SQL_DISTINCT_SKETCH_GATE,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

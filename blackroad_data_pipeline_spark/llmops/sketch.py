@@ -1,0 +1,164 @@
+"""Frequency / cardinality sketch operators — the bounded-memory
+summaries a 100 TB profiling pass leans on when exact per-key state
+would not fit anywhere: heavy hitters (Misra-Gries candidates + exact
+recount) and mergeable HyperLogLog distinct-count sketches.
+
+Design rule shared with the dedup family: the sketch only BOUNDS the
+candidate set or the state; whenever the final answer can be made
+exact with a semi-join-pruned second pass, it is — approximate
+machinery routes work, it never decides results (heavy_hitters'
+approx mode returns byte-identical output to exact mode).
+
+The reference has no sketch surface at all; this extends it the same
+way dedup/similarity do (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.registry import register
+
+
+@register("heavy_hitters")
+def op_heavy_hitters(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """All values of ``field`` with frequency strictly above ``1/k``
+    of the rows (count * k > N) — the frequent-items / top-share
+    profile (domains dominating a crawl, users dominating an event
+    stream, tokens dominating a corpus).
+
+    - ``mode: "exact"`` (default): groupBy count + a broadcast 1-row
+      total — one key shuffle over ALL distinct values. Correct at
+      any scale, but the shuffle carries the full key cardinality.
+    - ``mode: "approx"``: Misra-Gries candidate generation inside
+      each partition (``capacity`` counters, default 8*k — bounded
+      memory regardless of key cardinality), then an EXACT recount of
+      only the candidate keys (broadcast semi-join prunes the shuffle
+      to candidate rows). The MG averaging guarantee (any value with
+      global share > 1/capacity survives in at least one partition)
+      makes the candidate set a superset of the true heavy hitters
+      whenever capacity >= k, so the output is IDENTICAL to exact
+      mode — the contract queries share one oracle.
+
+    Output: value, n_occurrences (long), share (double = exact
+    long/long division). NULL values are excluded in both modes (a
+    NULL key cannot ride the candidate semi-join, so exact mode drops
+    it too to keep the modes byte-identical); N counts non-null rows.
+    """
+    field = config["field"]
+    k = int(config.get("k", 100))
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    mode = config.get("mode", "exact")
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"heavy_hitters mode must be exact|approx, got {mode!r}")
+    vals = (df.select(F.col(field).alias("value"))
+            .filter(F.col("value").isNotNull()))
+
+    def finish(counts: DataFrame, total: DataFrame) -> DataFrame:
+        return (counts.crossJoin(F.broadcast(total))
+                .filter(F.col("n_occurrences") * k > F.col("__total"))
+                .select("value", "n_occurrences",
+                        (F.col("n_occurrences").cast("double")
+                         / F.col("__total")).alias("share")))
+
+    if mode == "exact":
+        counts = vals.groupBy("value").agg(
+            F.count(F.lit(1)).alias("n_occurrences"))
+        # total straight off the value stream: a scan-side 1-row
+        # aggregate — summing the counts would re-plan the whole
+        # key-shuffle subtree under the total branch
+        total = vals.agg(F.count(F.lit(1)).alias("__total"))
+        return finish(counts, total)
+
+    capacity = int(config.get("capacity", 8 * k))
+    if capacity < k:
+        raise ValueError(
+            f"capacity ({capacity}) must be >= k ({k}) for the "
+            "superset guarantee")
+    value_type = vals.schema["value"].dataType
+    cand_schema = T.StructType([T.StructField("value", value_type)])
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Misra-Gries with batch decrement: merge each Arrow batch's
+        # value_counts into the counter table; when it overflows
+        # ``capacity``, subtract the (capacity+1)-th largest count
+        # from everything and drop the non-positives. Total decrement
+        # over a partition is <= n_p/capacity per surviving
+        # undercount, preserving the survive-somewhere guarantee for
+        # global share > 1/capacity.
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["value"].value_counts()
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > capacity:
+                delta = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters - delta
+                counters = counters[counters > 0]
+        # object dtype: an EMPTY index would otherwise surface as
+        # int64 and break the Arrow cast for string value columns
+        yield pd.DataFrame({"value": list(counters.index)}, dtype=object)
+
+    cands = (vals.mapInPandas(mg_candidates, cand_schema)
+             .dropDuplicates(["value"]))
+    # exact recount of candidate rows only: the broadcast semi-join
+    # keeps non-candidate rows out of the shuffle entirely
+    counts = (vals.join(F.broadcast(cands), "value", "left_semi")
+              .groupBy("value").agg(F.count(F.lit(1)).alias("n_occurrences")))
+    # N counts ALL rows (one scan-side 1-row aggregate, no shuffle of
+    # rows) — candidate counts alone would over-state shares
+    total = vals.agg(F.count(F.lit(1)).alias("__total"))
+    return finish(counts, total)
+
+
+@register("distinct_sketch")
+def op_distinct_sketch(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Mergeable per-group distinct-count sketches — the incremental
+    profiling primitive: build HyperLogLog sketches per group today,
+    union them with yesterday's without re-reading either corpus.
+
+    ``fields``: the value column(s) sketched; ``group_by``: grouping
+    keys (empty = one global row). Output: group keys +
+    ``distinct_<field>`` (long estimate) and, with ``keep_sketch:
+    true``, ``sketch_<field>`` (binary, reusable via
+    ``sketch_merge``). Backed by Spark's native Datasketches HLL
+    (hll_sketch_agg / hll_sketch_estimate) — JVM-side, mergeable,
+    fixed ~2^lgk registers per sketch (``lgk`` default 12 ~ 1.6 KB,
+    rel. err. ~1.04/sqrt(2^lgk) ~ 1.6%).
+    """
+    fields = list(config.get("fields") or [config["field"]])
+    group_by = list(config.get("group_by", []))
+    lgk = int(config.get("lgk", 12))
+    keep = bool(config.get("keep_sketch", False))
+    aggs = []
+    for f in fields:
+        sk = F.hll_sketch_agg(F.col(f), lgk)
+        aggs.append(F.hll_sketch_estimate(sk).alias(f"distinct_{f}"))
+        if keep:
+            aggs.append(sk.alias(f"sketch_{f}"))
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+@register("sketch_merge")
+def op_sketch_merge(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Union previously-built HLL sketches (``sketch_field`` binary
+    column from distinct_sketch ``keep_sketch``) across rows, per
+    ``group_by`` — merging a season of daily sketch rows into one
+    estimate without touching the raw data. Output: group keys +
+    ``distinct_merged`` (+ ``sketch_merged`` with ``keep_sketch``)."""
+    sk_field = config.get("sketch_field", "sketch")
+    group_by = list(config.get("group_by", []))
+    merged = F.hll_union_agg(F.col(sk_field))
+    aggs = [F.hll_sketch_estimate(merged).alias("distinct_merged")]
+    if config.get("keep_sketch"):
+        aggs.append(merged.alias("sketch_merged"))
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)

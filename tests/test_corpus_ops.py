@@ -6,6 +6,8 @@ which Spark reads as timestamp_ntz)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from blackroad_data_pipeline_spark.operators import apply_operator as op
@@ -52,6 +54,43 @@ def test_dedup_against_keeps_batch_dups_when_disabled(spark):
              {"field": "text", "history": history, "within_batch": False},
              views={})
     assert _ids(out) == [10, 11]
+
+
+def test_dedup_against_bloom_prefilter_equals_plain(spark):
+    """prefilter='bloom' must be invisible in the result: the bitmap
+    only routes rows around the shuffle; the exact anti-join removes
+    any false positives. Includes NULL text (hashes as empty) and a
+    within-batch dup."""
+    history = _docs(spark, [(i, f"hist doc {i}") for i in range(50)]
+                    + [(99, "the cat sat")])
+    batch = _docs(spark, [(10, "THE  cat  sat"), (11, "fresh content"),
+                          (12, "fresh  CONTENT"), (13, None),
+                          (14, "hist doc 7"), (15, "other")])
+    cfg = {"field": "text", "history": history}
+    plain = sorted(r["doc_id"] for r in op(
+        "dedup_against", batch, cfg, views={}).collect())
+    bloom = sorted(r["doc_id"] for r in op(
+        "dedup_against", batch, {**cfg, "prefilter": "bloom"},
+        views={}).collect())
+    assert bloom == plain == [11, 13, 15]
+
+
+def test_dedup_against_bloom_empty_history_keeps_all(spark):
+    history = _docs(spark, [(0, "z")]).filter("doc_id > 100")  # empty
+    batch = _docs(spark, [(1, "a"), (2, "b")])
+    out = op("dedup_against", batch,
+             {"field": "text", "history": history, "prefilter": "bloom"},
+             views={})
+    assert _ids(out) == [1, 2]
+
+
+def test_dedup_against_bloom_bit_cap_raises(spark):
+    history = _docs(spark, [(i, f"h{i}") for i in range(64)])
+    batch = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="bloom_max_bits"):
+        op("dedup_against", batch,
+           {"field": "text", "history": history, "prefilter": "bloom",
+            "bloom_max_bits": 128}, views={})
 
 
 # -- cap_per_group ---------------------------------------------------------

@@ -266,6 +266,29 @@ def test_hash_columns_is_pure_projection(spark):
     plans.assert_max_shuffles(df, 0)
 
 
+def test_heavy_hitters_exact_two_shuffles(spark):
+    """one key shuffle for the counts + the 1-row total reduce; the
+    total attaches as a broadcast cross join, never a key shuffle."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = op("heavy_hitters", docs, {"field": "source", "k": 4})
+    plans.assert_no_row_python(df)
+    plans.assert_max_shuffles(df, 2)
+    assert "BroadcastNestedLoopJoin" in plans.join_strategies(df)
+
+
+def test_heavy_hitters_approx_candidate_joins_are_broadcast(spark):
+    """the full value stream must never shuffle on the value key
+    except for the candidate-pruned recount: candidate dedup (tiny),
+    pruned recount, 1-row total - and the semi join that prunes the
+    recount must be broadcast."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = op("heavy_hitters", docs,
+            {"field": "source", "k": 4, "mode": "approx", "capacity": 64})
+    plans.assert_max_shuffles(df, 4)
+    strategies = plans.join_strategies(df)
+    assert "SortMergeJoin" not in strategies, strategies
+
+
 # ---------------------------------------------------------------------------
 # exchange reuse (VERDICT r2 #4): self-join candidate generation built
 # on a shared .repartition(key) must NOT re-execute its upstream

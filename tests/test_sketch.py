@@ -1,0 +1,112 @@
+"""Frequency/cardinality sketch operators (llmops/sketch.py):
+heavy_hitters' approx mode must be byte-identical to exact mode (the
+MG candidates only route work), and the HLL sketches must estimate
+within their configured error and merge losslessly."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from blackroad_data_pipeline_spark.operators import apply_operator as op
+
+
+def _skewed(spark, seed=7, n=5000):
+    rng = random.Random(seed)
+    # zipf-ish: a few dominant keys + a long tail
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.30:
+            v = "alpha"
+        elif r < 0.50:
+            v = "beta"
+        elif r < 0.58:
+            v = "gamma"
+        else:
+            v = f"tail_{rng.randrange(2000)}"
+        rows.append((i, v))
+    return spark.createDataFrame(rows, ["id", "value"])
+
+
+def _hh(df, **cfg):
+    out = op("heavy_hitters", df, {"field": "value", **cfg}, views={})
+    return sorted((r["value"], r["n_occurrences"], round(r["share"], 12))
+                  for r in out.collect())
+
+
+def test_heavy_hitters_exact_matches_python_model(spark):
+    df = _skewed(spark)
+    rows = [(r["id"], r["value"]) for r in df.collect()]
+    from collections import Counter
+
+    c = Counter(v for _, v in rows)
+    n = sum(c.values())
+    k = 10
+    expect = sorted((v, cnt, round(cnt / n, 12))
+                    for v, cnt in c.items() if cnt * k > n)
+    assert _hh(df, k=k) == expect
+    assert {v for v, _, _ in expect} == {"alpha", "beta"} | (
+        {"gamma"} if c["gamma"] * k > n else set())
+
+
+def test_heavy_hitters_approx_equals_exact(spark):
+    """The whole point: MG candidates + exact recount == exact mode,
+    value-for-value, even with a small capacity and many partitions."""
+    df = _skewed(spark).repartition(16)
+    k = 12
+    assert _hh(df, k=k, mode="approx", capacity=2 * k) == _hh(df, k=k)
+
+
+def test_heavy_hitters_excludes_nulls_in_both_modes(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else None) for i in range(40)], ["id", "value"])
+    for mode in ("exact", "approx"):
+        got = _hh(df, k=3, mode=mode)
+        # 20 non-null rows, all "x": share 1.0 over the non-null N
+        assert got == [("x", 20, 1.0)]
+
+
+def test_heavy_hitters_capacity_below_k_raises(spark):
+    df = _skewed(spark)
+    with pytest.raises(ValueError, match="capacity"):
+        op("heavy_hitters", df,
+           {"field": "value", "k": 10, "mode": "approx", "capacity": 5},
+           views={})
+
+
+def test_distinct_sketch_estimates_within_error(spark):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 977}", "a" if i % 3 else "b") for i in range(6000)],
+        ["id", "user", "grp"])
+    out = {r["grp"]: r["distinct_user"]
+           for r in op("distinct_sketch", df,
+                       {"fields": ["user"], "group_by": ["grp"],
+                        "lgk": 14}, views={}).collect()}
+    exact = {r["grp"]: r["n"] for r in df.groupBy("grp").agg(
+        __import__("pyspark.sql.functions", fromlist=["f"])
+        .count_distinct("user").alias("n")).collect()}
+    for g, est in out.items():
+        assert abs(est - exact[g]) / exact[g] < 0.03, (g, est, exact[g])
+
+
+def test_sketch_merge_estimates_union_within_error(spark):
+    """Mergeability: sketch two halves, union them — the merged
+    estimate must land within HLL error of the true union cardinality
+    (datasketches' union gadget is not bit-identical to a direct
+    sketch, so the guarantee is the error bound, not equality)."""
+    df = spark.createDataFrame(
+        [(i, f"u{i % 500}") for i in range(4000)], ["id", "user"])
+    whole = op("distinct_sketch", df, {"fields": ["user"], "lgk": 12},
+               views={}).collect()[0]["distinct_user"]
+    halves = df.withColumn(
+        "half", (df["id"] % 2))
+    parts = op("distinct_sketch", halves,
+               {"fields": ["user"], "group_by": ["half"], "lgk": 12,
+                "keep_sketch": True}, views={})
+    merged = op("sketch_merge", parts.select("sketch_user"),
+                {"sketch_field": "sketch_user"}, views={}
+                ).collect()[0]["distinct_merged"]
+    assert abs(merged - 500) / 500 < 0.03, (merged, whole)
+    assert abs(merged - whole) / whole < 0.03
