@@ -2307,6 +2307,47 @@ WHERE doc_id IN (SELECT min(doc_id) FROM batch GROUP BY fp)
 """
 
 
+def q_scd2(spark, sf_dir):
+    """Type-2 SCD history of each user's event_type state
+    (operators/temporal.py op_scd2): consecutive same-type events
+    collapse, each version carries [valid_from, valid_to) and
+    is_current. One key shuffle (lag + lead share the user_id
+    window). Timestamps exported as epoch micros for exact
+    cross-engine compare."""
+    e = _t(spark, sf_dir, "events")
+    df = op("scd2", e, {"keys": ["user_id"], "attrs": ["event_type"],
+                        "ts_field": "ts", "tiebreak": ["event_id"]})
+    df = df.select(
+        "user_id", "event_type",
+        F.unix_micros("valid_from").alias("valid_from"),
+        F.unix_micros("valid_to").alias("valid_to"), "is_current")
+    return op("sort", df, {"fields": ["user_id", "valid_from"]})
+
+
+_SQL_SCD2 = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+  FROM events),
+o AS (
+  SELECT user_id, event_type, t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY t, event_id) AS pv
+  FROM e),
+p AS (
+  SELECT user_id, event_type, t, rn FROM o
+  WHERE rn = 1 OR event_type IS DISTINCT FROM pv),
+v AS (
+  SELECT user_id, event_type, t AS valid_from, rn,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to
+  FROM p)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v ORDER BY user_id, valid_from
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Corpus heavy hitters (llmops/sketch.py op_heavy_hitters, exact
     mode): tokens with frequency > 1/60 of all tokens. One key
@@ -3693,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "distinct_sketch_gate": q_distinct_sketch_gate,
+        "scd2": q_scd2,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -3851,6 +3893,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _SQL_HEAVY_HITTERS,
         "heavy_hitters_mg": _SQL_HEAVY_HITTERS,
         "distinct_sketch_gate": _SQL_DISTINCT_SKETCH_GATE,
+        "scd2": _SQL_SCD2,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

@@ -227,3 +227,64 @@ def test_event_transitions_counts_and_probability(spark):
     assert out[("a", "b")] == (2, 1.0)     # every 'a' with a successor -> b
     assert out[("b", "a")] == (1, 1.0)
     assert len(out) == 2
+
+
+# -- scd2 -------------------------------------------------------------------
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+def test_scd2_compresses_change_points(spark):
+    df = _obs(spark, [(1, 10, "a"), (1, 20, "a"), (1, 30, "b"),
+                      (1, 40, "b"), (1, 50, "a"), (2, 10, "x")])
+    out = sorted(map(tuple, op("scd2", df, {"keys": ["k"], "attrs": ["v"]},
+                               views={}).collect()))
+    assert out == [
+        (1, "a", 10, 30, False), (1, "a", 50, None, True),
+        (1, "b", 30, 50, False), (2, "x", 10, None, True)]
+
+
+def test_scd2_null_safe_change_detection(spark):
+    """NULL->value and value->NULL are changes; NULL->NULL is not."""
+    df = _obs(spark, [(1, 10, None), (1, 20, None), (1, 30, "a"),
+                      (1, 40, None)])
+    out = sorted(
+        map(tuple, op("scd2", df, {"keys": ["k"], "attrs": ["v"]},
+                      views={}).collect()),
+        key=lambda t: t[2])
+    assert out == [(1, None, 10, 30, False), (1, "a", 30, 40, False),
+                   (1, None, 40, None, True)]
+
+
+def test_scd2_incremental_merge_rebuilds_only_touched_keys(spark):
+    base = _obs(spark, [(1, 10, "a"), (1, 30, "b"), (2, 10, "x")])
+    hist = op("scd2", base, {"keys": ["k"], "attrs": ["v"]}, views={})
+    upd = _obs(spark, [(1, 60, "c"), (3, 5, "z")])
+    out = sorted(map(tuple, op(
+        "scd2", upd, {"keys": ["k"], "attrs": ["v"], "history": hist},
+        views={}).collect()))
+    assert out == [
+        (1, "a", 10, 30, False), (1, "b", 30, 60, False),
+        (1, "c", 60, None, True),
+        (2, "x", 10, None, True),       # untouched: passed through
+        (3, "z", 5, None, True)]
+    # merge result must be reusable as the next history (idempotent
+    # under an empty-change update replaying the current state)
+    hist2 = op("scd2", upd, {"keys": ["k"], "attrs": ["v"],
+                             "history": hist}, views={})
+    upd2 = _obs(spark, [(1, 60, "c")])  # same state, same instant
+    again = sorted(map(tuple, op(
+        "scd2", upd2, {"keys": ["k"], "attrs": ["v"], "history": hist2},
+        views={}).collect()))
+    assert again == out
+
+
+def test_scd2_single_key_shuffle(spark):
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    df = _obs(spark, [(1, 10, "a")])
+    out = op("scd2", df, {"keys": ["k"], "attrs": ["v"]}, views={})
+    plans.assert_no_row_python(out)
+    plans.assert_max_shuffles(out, 1)
