@@ -2307,6 +2307,37 @@ WHERE doc_id IN (SELECT min(doc_id) FROM batch GROUP BY fp)
 """
 
 
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 keyword relevance against a fixed query
+    (llmops/text.py op_bm25_score). The oracle audits the exact
+    integer pipeline (dl, matched terms, summed tf — the full
+    explode→filter→tf→df→join path); the float score is ln()-based
+    and libm-dependent, so it is dropped here and pytest-checked
+    against a Python model."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("bm25_score", d, {"query": "customer data spark",
+                              "id_field": "doc_id"})
+    df = op("select", df, {"fields": ["doc_id", "dl", "n_matched_terms",
+                                      "sum_tf"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKS_LOWER}) AS t FROM documents),
+lens AS (
+  SELECT doc_id, len({_D_TOKS}) AS dl FROM documents),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM toks
+  WHERE t IN ('customer', 'data', 'spark') GROUP BY doc_id, t)
+SELECT tf.doc_id, l.dl, COUNT(*) AS n_matched_terms,
+       CAST(SUM(tf) AS BIGINT) AS sum_tf
+FROM tf JOIN lens l ON l.doc_id = tf.doc_id
+GROUP BY tf.doc_id, l.dl
+ORDER BY tf.doc_id
+"""
+
+
 def q_scd2(spark, sf_dir):
     """Type-2 SCD history of each user's event_type state
     (operators/temporal.py op_scd2): consecutive same-type events
@@ -3735,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "distinct_sketch_gate": q_distinct_sketch_gate,
         "scd2": q_scd2,
+        "bm25": q_bm25,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -3894,6 +3926,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_mg": _SQL_HEAVY_HITTERS,
         "distinct_sketch_gate": _SQL_DISTINCT_SKETCH_GATE,
         "scd2": _SQL_SCD2,
+        "bm25": _SQL_BM25,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

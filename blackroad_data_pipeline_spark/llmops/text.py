@@ -1082,3 +1082,59 @@ def op_compression_ratio(df: DataFrame, config: Mapping, views) -> DataFrame:
             F.col("compression_ratio") >= float(config.get("min_ratio", 0.3))
         ).drop("raw_bytes", "compressed_bytes", "compression_ratio")
     return out
+
+
+@register("bm25_score")
+def op_bm25_score(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed
+    ``query`` string — the lexical side of hybrid (BM25 + vector)
+    retrieval over a corpus, and the standard keyword-relevance
+    quality signal.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+    Scale shape: the exploded token stream filters to the HANDFUL of
+    query terms immediately (predicate on a literal set — the scan
+    never shuffles non-query tokens), one (doc, term) tf aggregation,
+    a broadcast per-term df table, broadcast 1-row (N, avgdl)
+    scalars, one per-doc sum. No per-row Python.
+
+    Output (matched docs only): id, dl (doc token count),
+    n_matched_terms, sum_tf (exact integer twins an external engine
+    audits), bm25 (double; ln() is libm-dependent — oracle-compare
+    the twins, pytest checks the float against a Python model).
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k1 = float(config.get("k1", 1.2))
+    b = float(config.get("b", 0.75))
+    lower = bool(config.get("lowercase", True))
+    q = config["query"]
+    if isinstance(q, str):
+        q = q.lower().split() if lower else q.split()
+    terms = sorted({t for t in q if t})
+    if not terms:
+        raise ValueError("bm25_score needs a non-empty query")
+
+    tok_expr = tokens_col(F.lower(F.col(field)) if lower else F.col(field))
+    docs = df.select(F.col(id_field), tok_expr.alias("__toks"))
+    lens = docs.select(id_field, F.size("__toks").alias("dl"))
+    stats = lens.agg(F.count(F.lit(1)).alias("__n"),
+                     F.avg("dl").alias("__avgdl"))
+    toks = (docs.select(F.col(id_field), F.explode("__toks").alias("__t"))
+            .filter(F.col("__t").isin(terms)))
+    tf = toks.groupBy(id_field, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (tf.join(F.broadcast(df_t), "__t")
+              .join(lens, id_field)
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5)))
+    denom = (F.col("__tf")
+             + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl")))
+    term_score = idf * F.col("__tf") * (k1 + 1) / denom
+    return (scored.groupBy(id_field, "dl")
+            .agg(F.count(F.lit(1)).alias("n_matched_terms"),
+                 F.sum("__tf").alias("sum_tf"),
+                 F.sum(term_score).alias("bm25")))

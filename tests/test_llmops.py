@@ -1062,3 +1062,56 @@ def test_pagerank_is_partition_invariant(spark):
     b = sorted(map(tuple, op("pagerank", df.repartition(13),
                              {"max_iter": 3}, views={}).collect()))
     assert a == b   # exact integer arithmetic: bit-identical anywhere
+
+
+# -- bm25_score -------------------------------------------------------------
+
+
+def test_bm25_matches_python_model(spark):
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "dogs and cats and dogs"),
+        (3, "the quick brown fox the the"),
+        (4, "cat cat cat"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in op(
+        "bm25_score", df, {"query": "the cat", "k1": 1.2, "b": 0.75},
+        views={}).collect()}
+
+    import math
+
+    docs = {i: t.lower().split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    terms = ["the", "cat"]
+    dfreq = {t: sum(1 for toks in docs.values() if t in toks)
+             for t in terms}
+    for i, toks in docs.items():
+        expect = 0.0
+        matched = 0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            expect += idf * tf * 2.2 / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        if matched == 0:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r["n_matched_terms"] == matched
+        assert r["dl"] == len(toks)
+        assert abs(r["bm25"] - expect) <= 1e-9 * max(abs(expect), 1), (
+            i, r["bm25"], expect)
+    # tf saturation: doc 4 (cat x3) must NOT score 3x doc 1's cat term
+    assert got[4]["bm25"] < 3 * got[1]["bm25"]
+
+
+def test_bm25_empty_query_raises(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="non-empty query"):
+        op("bm25_score", df, {"query": "   "}, views={})
