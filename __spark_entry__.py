@@ -2534,6 +2534,38 @@ ORDER BY doc_id
 """
 
 
+def q_expect_fk(spark, sf_dir):
+    """Referential-integrity expectation (op_expect foreign_key):
+    lineitem rows checked against a deliberately truncated orders key
+    set (o_orderkey < 10000), tag mode — DuckDB recomputes the exact
+    violation arrays. The FK attach is a broadcast left join on the
+    distinct ref keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    refs = op("filter", orders, {"field": "o_orderkey", "op": "lt",
+                                 "value": 10000})
+    df = op("expect", li, {"on_fail": "tag", "checks": [
+        {"type": "foreign_key", "field": "l_orderkey", "ref": refs,
+         "ref_field": "o_orderkey"},
+    ]}, views={})
+    df = op("select", df, {"fields": ["l_orderkey", "l_linenumber",
+                                      "l_partkey", "violations"]})
+    return op("sort", df, {"fields": ["l_orderkey", "l_linenumber",
+                                      "l_partkey"]})
+
+
+_SQL_EXPECT_FK = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CASE WHEN l_orderkey IS NULL
+                 OR l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderkey < 10000)
+            THEN CAST([] AS VARCHAR[])
+            ELSE ['foreign_key_l_orderkey'] END AS violations
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_partkey
+"""
+
+
 def q_expect(spark, sf_dir):
     """Row-level data-quality expectations in tag mode over events:
     every check compiles into one projection (plus one shuffle for
@@ -3767,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_gate": q_distinct_sketch_gate,
         "scd2": q_scd2,
         "bm25": q_bm25,
+        "expect_fk": q_expect_fk,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -3927,6 +3960,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sketch_gate": _SQL_DISTINCT_SKETCH_GATE,
         "scd2": _SQL_SCD2,
         "bm25": _SQL_BM25,
+        "expect_fk": _SQL_EXPECT_FK,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

@@ -539,9 +539,15 @@ def op_expect(df: DataFrame, config: Mapping, views) -> DataFrame:
 
     - ``not_null``; ``in_range`` {min,max}; ``in_set`` {values};
       ``matches`` {pattern}; ``expr`` {sql} (any boolean SQL over the
-      row); ``unique`` {field} (no other row shares the value).
+      row); ``unique`` {field} (no other row shares the value);
+      ``foreign_key`` {field, ref, ref_field} (the value exists in
+      another table — referential integrity; ``ref`` is a view name
+      or DataFrame, joined on its distinct keys, broadcast by default
+      since FK targets are dimension-sized; ``broadcast: false`` for
+      fact-sized targets).
     - NULL passes the value-shape checks (pair with not_null to
-      reject) — SQL three-valued-logic convention.
+      reject) — SQL three-valued-logic convention (a NULL FK passes
+      foreign_key, like SQL's MATCH SIMPLE).
 
     ``on_fail``: ``"filter"`` (default) drops failing rows — the
     quarantine-the-rest ingestion pattern; ``"tag"`` keeps every row
@@ -557,6 +563,7 @@ def op_expect(df: DataFrame, config: Mapping, views) -> DataFrame:
     on_fail = config.get("on_fail", "filter")
     if on_fail not in ("filter", "tag"):
         raise ValueError(f"unknown on_fail mode: {on_fail!r}")
+    orig_cols = list(df.columns)
     out = df
     flags: list[tuple[str, Column]] = []
     for i, c in enumerate(checks):
@@ -567,6 +574,19 @@ def op_expect(df: DataFrame, config: Mapping, views) -> DataFrame:
             # SQL UNIQUE-constraint convention: NULLs don't collide
             w = Window.partitionBy(F.col(c["field"]))
             ok = (F.count(F.lit(1)).over(w) == 1) | F.col(c["field"]).isNull()
+        elif ctype == "foreign_key":
+            ref = c["ref"]
+            if isinstance(ref, str):
+                ref = views[ref]
+            ref_field = c.get("ref_field", c["field"])
+            marker = f"__fk_{i}"
+            keys = (ref.select(F.col(ref_field).alias(c["field"]))
+                    .dropDuplicates([c["field"]])
+                    .withColumn(marker, F.lit(True)))
+            if c.get("broadcast", True):
+                keys = F.broadcast(keys)
+            out = out.join(keys, c["field"], "left")
+            ok = F.col(c["field"]).isNull() | F.col(marker).isNotNull()
         elif ctype in _EXPECT_CHECKS:
             ok = _EXPECT_CHECKS[ctype](c)
         else:
@@ -580,7 +600,11 @@ def op_expect(df: DataFrame, config: Mapping, views) -> DataFrame:
                   for name, ok in flags]),
         lambda x: x.isNotNull())
     if on_fail == "tag":
-        return out.withColumn(config.get("as", "violations"), violations)
+        # re-project to the input column order (+ the tag): fk-marker
+        # joins prepend the join key and append marker columns
+        vcol = config.get("as", "violations")
+        return (out.withColumn(vcol, violations)
+                .select(*orig_cols, vcol))
     if not flags:
         return out
     # window-backed checks (unique) can't sit in a WHERE clause —
@@ -590,7 +614,7 @@ def op_expect(df: DataFrame, config: Mapping, views) -> DataFrame:
         cond = ok if cond is None else (cond & ok)
     return (out.withColumn("__expect_ok", cond)
             .filter(F.col("__expect_ok"))
-            .drop("__expect_ok"))
+            .select(*orig_cols))
 
 
 @register("profile")

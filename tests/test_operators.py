@@ -600,3 +600,26 @@ def test_expect_null_valued_expr_fails_both_modes(spark):
     tagged = {r["id"]: list(r["violations"]) for r in
               op("expect", df, {"checks": checks, "on_fail": "tag"}).collect()}
     assert tagged == {1: ["v_gt3"], 2: []}
+
+
+def test_expect_foreign_key_check(spark):
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long")
+    dims = spark.createDataFrame([(10,), (20,), (30,)], "k long")
+    tagged = {r["id"]: list(r["violations"]) for r in op(
+        "expect", facts,
+        {"on_fail": "tag", "checks": [
+            {"type": "foreign_key", "field": "fk", "ref": dims,
+             "ref_field": "k"}]}, views={}).collect()}
+    # NULL FK passes (MATCH SIMPLE); 99 violates
+    assert tagged == {1: [], 2: [], 3: ["foreign_key_fk"], 4: []}
+    kept = sorted(r["id"] for r in op(
+        "expect", facts,
+        {"checks": [{"type": "foreign_key", "field": "fk", "ref": dims,
+                     "ref_field": "k"}]}, views={}).collect())
+    assert kept == [1, 2, 4]
+    # column order preserved, marker columns dropped
+    out = op("expect", facts,
+             {"checks": [{"type": "foreign_key", "field": "fk",
+                          "ref": dims, "ref_field": "k"}]}, views={})
+    assert out.columns == ["id", "fk"]

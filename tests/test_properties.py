@@ -678,3 +678,47 @@ def test_gopher_quality_matches_model_for_any_corpus(spark, docs):
         for flag, val in want.items():
             assert r[flag] == val, (i, flag, t)
         assert r["gopher_pass"] == all(want.values()), (i, t)
+
+
+# -- scd2: split/merge associativity ---------------------------------------
+
+obs_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),              # key
+        st.integers(min_value=0, max_value=20),             # ts
+        st.one_of(st.none(), st.sampled_from(["a", "b"])),  # state
+    ),
+    min_size=0, max_size=24,
+    # one observation per (key, ts): equal-instant updates would need
+    # a tiebreak column to be deterministic
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(obs=obs_st, cut=st.integers(min_value=0, max_value=20))
+@settings(**SETTINGS)
+def test_scd2_incremental_merge_equals_full_rebuild(spark, obs, cut):
+    """Applying the post-cut observations incrementally onto the
+    pre-cut history must equal compressing the full stream in one
+    shot — the invariant that makes daily SCD2 merges trustworthy."""
+    schema = "k int, ts int, v string"
+    full = spark.createDataFrame(obs, schema) if obs else \
+        spark.createDataFrame([], schema)
+    cfg = {"keys": ["k"], "attrs": ["v"]}
+    def key(t):
+        return [(x is None, str(x)) for x in t]
+
+    whole = sorted(map(tuple, op("scd2", full, cfg, views={}).collect()),
+                   key=key)
+
+    old = [o for o in obs if o[1] <= cut]
+    new = [o for o in obs if o[1] > cut]
+    hist = op("scd2",
+              spark.createDataFrame(old, schema) if old else
+              spark.createDataFrame([], schema), cfg, views={})
+    upd = spark.createDataFrame(new, schema) if new else \
+        spark.createDataFrame([], schema)
+    merged = sorted(map(tuple, op(
+        "scd2", upd, {**cfg, "history": hist}, views={}).collect()),
+        key=key)
+    assert merged == whole
