@@ -2534,6 +2534,33 @@ ORDER BY doc_id
 """
 
 
+def q_triangles(spark, sf_dir):
+    """Exact triangle count over the parts-co-purchase graph (parts
+    appearing in the same order; llmops/dedup.py op_triangle_count).
+    Degree-ordered orientation bounds the wedge join at m^1.5 —
+    skew-proof on power-law graphs. The oracle replays the count with
+    an id-ordered 3-way join (orientation-independent result)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = op("sql", li, {"query": """
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM self a JOIN self b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    """}, views={})
+    return op("triangle_count", edges, {})
+
+
+_SQL_TRIANGLES = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
 def q_expect_fk(spark, sf_dir):
     """Referential-integrity expectation (op_expect foreign_key):
     lineitem rows checked against a deliberately truncated orders key
@@ -3800,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "bm25": q_bm25,
         "expect_fk": q_expect_fk,
+        "triangles": q_triangles,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -3961,6 +3989,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2": _SQL_SCD2,
         "bm25": _SQL_BM25,
         "expect_fk": _SQL_EXPECT_FK,
+        "triangles": _SQL_TRIANGLES,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

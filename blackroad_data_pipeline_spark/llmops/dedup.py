@@ -1289,3 +1289,66 @@ def op_pagerank(df: DataFrame, config: Mapping, views) -> DataFrame:
                          .alias("rank_scaled"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+@register("triangle_count")
+def op_triangle_count(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Exact triangle count over an undirected edge list — the
+    clustering/community-density companion to connected_components
+    and pagerank (graph-side corpus diagnostics: link-farm detection,
+    co-occurrence density).
+
+    Scale shape is the standard DEGREE-ORDERED orientation: each
+    canonical edge points from its lower-(degree, id) endpoint to the
+    higher one, which bounds every node's out-degree by O(sqrt(m)) —
+    so the wedge self-join (the quadratic hazard on power-law graphs:
+    a celebrity node's neighborhood would otherwise pair-explode) is
+    capped at m^1.5 total wedges regardless of skew. Each triangle
+    appears as exactly ONE wedge (at its smallest-ordered vertex)
+    plus one closing-edge semi-join probe.
+
+    Config: ``src_field``/``dst_field`` (default src/dst),
+    ``per_node: true`` returns (node, n_triangles) for every node on
+    at least one triangle instead of the global 1-row count.
+    """
+    src_f = config.get("src_field", "src")
+    dst_f = config.get("dst_field", "dst")
+    edges = (df.select(F.col(src_f).cast("long").alias("a"),
+                       F.col(dst_f).cast("long").alias("b"))
+             .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                     & (F.col("a") != F.col("b")))
+             .select(F.least("a", "b").alias("a"),
+                     F.greatest("a", "b").alias("b"))
+             .dropDuplicates(["a", "b"]))
+    deg = (edges.select(F.col("a").alias("node"))
+           .unionAll(edges.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("__d")))
+    with_deg = (edges
+                .join(deg.select(F.col("node").alias("a"),
+                                 F.col("__d").alias("__da")), "a")
+                .join(deg.select(F.col("node").alias("b"),
+                                 F.col("__d").alias("__db")), "b"))
+    ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("n"))
+    oriented = with_deg.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("__kv"),
+    ).localCheckpoint(eager=True)  # consumed by three join branches
+    e1 = oriented.select("u", F.col("v").alias("v1"),
+                         F.col("__kv").alias("__k1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"),
+                         F.col("__kv").alias("__k2"))
+    wedges = (e1.join(e2, "u")
+              .filter(F.col("__k1") < F.col("__k2"))
+              .select("u", "v1", "v2"))
+    closing = oriented.select(F.col("u").alias("v1"),
+                              F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"], "left_semi")
+    if config.get("per_node"):
+        nodes = (tris.select(F.col("u").alias("node"))
+                 .unionAll(tris.select(F.col("v1").alias("node")))
+                 .unionAll(tris.select(F.col("v2").alias("node"))))
+        return nodes.groupBy("node").agg(
+            F.count(F.lit(1)).alias("n_triangles"))
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))

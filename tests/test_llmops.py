@@ -1115,3 +1115,37 @@ def test_bm25_empty_query_raises(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="non-empty query"):
         op("bm25_score", df, {"query": "   "}, views={})
+
+
+# -- triangle_count ---------------------------------------------------------
+
+
+def test_triangle_count_k4_plus_noise(spark):
+    """K4 has exactly 4 triangles; self-loops, duplicate and reversed
+    edges must not change the count."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (2, 1), (3, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert op("triangle_count", df, {}, views={}).collect()[0][
+        "n_triangles"] == 4
+    per = sorted(map(tuple, op("triangle_count", df, {"per_node": True},
+                               views={}).collect()))
+    assert per == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    # each triangle touches 3 nodes: per-node total = 3 * global
+    assert sum(n for _, n in per) == 12
+
+
+def test_triangle_count_matches_python_model(spark):
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = [(a, b) for a in nodes for b in nodes
+             if a < b and rng.random() < 0.2]
+    expect = sum(1 for x, y, z in itertools.combinations(nodes, 3)
+                 if (x, y) in set(edges) and (y, z) in set(edges)
+                 and (x, z) in set(edges))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = op("triangle_count", df, {}, views={}).collect()[0]["n_triangles"]
+    assert got == expect and expect > 0
