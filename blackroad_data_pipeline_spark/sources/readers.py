@@ -237,3 +237,36 @@ def src_binary_files(spark: SparkSession, config: Mapping) -> DataFrame:
     if config.get("recursive"):
         reader = reader.option("recursiveFileLookup", True)
     return reader.load(config["path"])
+
+
+@register("fixed_width")
+def src_fixed_width(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Fixed-width (mainframe/COBOL-export style) text files:
+    ``columns`` is an ordered list of {name, width} (or {name, start,
+    end} 1-based inclusive positions); each field is a trimmed
+    substring projection over the splittable line reader — pure
+    codegen, no Python, scales like any text scan. All columns read
+    as strings (reference CSV semantics); ``types`` optionally casts
+    per column afterwards (try_cast — malformed cells become NULL,
+    matching the map-op divergence note in SURVEY.md §7.4.1).
+    ``trim: false`` keeps padding spaces."""
+    cols = list(config["columns"])
+    trim = config.get("trim", True)
+    lines = spark.read.text(config["path"])
+    out_cols = []
+    pos = 1
+    for c in cols:
+        name = c["name"]
+        if "start" in c:
+            start, width = int(c["start"]), int(c["end"]) - int(c["start"]) + 1
+        else:
+            start, width = pos, int(c["width"])
+            pos += width
+        field = F.substring(F.col("value"), start, width)
+        if trim:
+            field = F.trim(field)
+        out_cols.append(field.alias(name))
+    df = lines.select(*out_cols)
+    for name, typ in (config.get("types") or {}).items():
+        df = df.withColumn(name, F.expr(f"try_cast({name} AS {typ})"))
+    return df

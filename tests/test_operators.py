@@ -623,3 +623,30 @@ def test_expect_foreign_key_check(spark):
              {"checks": [{"type": "foreign_key", "field": "fk",
                           "ref": dims, "ref_field": "k"}]}, views={})
     assert out.columns == ["id", "fk"]
+
+
+def test_fixed_width_source(spark, tmp_path):
+    from blackroad_data_pipeline_spark.sources import read_source
+
+    p = tmp_path / "fw.txt"
+    p.write_text("001alpha     42\n"
+                 "002beta     x07\n"
+                 "003gamma     -5\n")
+    df = read_source(spark, "fixed_width", {
+        "path": str(p),
+        "columns": [{"name": "id", "width": 3},
+                    {"name": "word", "width": 9},
+                    {"name": "n", "width": 3}],
+        "types": {"id": "int", "n": "int"},
+    })
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["word"] == "alpha" and rows[1]["n"] == 42
+    assert rows[2]["n"] is None          # 'x07' fails try_cast -> NULL
+    assert rows[3]["n"] == -5
+    # explicit start/end positions
+    df2 = read_source(spark, "fixed_width", {
+        "path": str(p),
+        "columns": [{"name": "word", "start": 4, "end": 12}],
+    })
+    assert sorted(r["word"] for r in df2.collect()) == [
+        "alpha", "beta", "gamma"]
