@@ -2534,6 +2534,43 @@ ORDER BY doc_id
 """
 
 
+def q_merge_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/relational.py
+    op_merge_agg): the lineitem fact is split by orderkey parity into
+    'history' and 'new batch'; the batch's partials merge into the
+    history store WITHOUT re-reading history rows, and the result
+    must equal the one-shot whole-table aggregate — which is exactly
+    what the DuckDB oracle computes. sum_fixed keeps the money sum
+    exact-long so the merge is float-order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    hist = op("expr", li, {"exprs": {"par": "l_orderkey % 2"}})
+    old = op("filter", hist, {"field": "par", "op": "eq", "value": 0})
+    new = op("filter", hist, {"field": "par", "op": "eq", "value": 1})
+    cfg = {"group_by": ["l_returnflag"], "aggregates": [
+        {"field": "l_quantity", "function": "count", "alias": "n_items"},
+        {"field": "l_extendedprice", "function": "sum_fixed", "scale": 2,
+         "alias": "sum_price_c"},
+        {"field": "l_quantity", "function": "min", "alias": "min_qty"},
+        {"field": "l_quantity", "function": "max", "alias": "max_qty"},
+    ]}
+    store = op("merge_agg", old, cfg, views={})
+    df = op("merge_agg", new, {**cfg, "store": store}, views={})
+    return op("sort", df, {"fields": ["l_returnflag"]})
+
+
+_SQL_MERGE_AGG = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_triangles(spark, sf_dir):
     """Exact triangle count over the parts-co-purchase graph (parts
     appearing in the same order; llmops/dedup.py op_triangle_count).
@@ -3828,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "expect_fk": q_expect_fk,
         "triangles": q_triangles,
+        "merge_agg": q_merge_agg,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -3990,6 +4028,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _SQL_BM25,
         "expect_fk": _SQL_EXPECT_FK,
         "triangles": _SQL_TRIANGLES,
+        "merge_agg": _SQL_MERGE_AGG,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

@@ -1233,3 +1233,66 @@ def op_dropna(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.dropna(how=config.get("how", "any"),
                      thresh=config.get("thresh"),
                      subset=config.get("subset"))
+
+
+@register("merge_agg")
+def op_merge_agg(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Incremental aggregate maintenance: fold the NEW batch's
+    partial aggregates into a persisted aggregate ``store`` without
+    re-reading history rows — the "update the daily rollup" pattern
+    that replaces full recomputation at 100 TB (history cost is the
+    store's key cardinality, not its row count).
+
+    ``aggregates``: [{field, function, alias}] with the MERGEABLE
+    set — count (merges as sum), sum, min, max. avg is intentionally
+    absent: persist sum+count and derive at read time (an avg of
+    avgs is wrong under unequal batch sizes); exact distinct needs
+    `distinct_sketch`'s mergeable HLL instead. Double sums are
+    float-order-dependent across merge shapes — for money/fixed-point
+    columns use ``function: "sum_fixed"`` with ``scale`` (exact long
+    arithmetic, merge-invariant; same trick as op_aggregate).
+
+    Law (property-tested): merge(agg(A), agg(B)) == agg(A ∪ B) for
+    any split — so a store built batch-by-batch equals the one-shot
+    aggregate, and the contract oracle recomputes the whole table.
+    """
+    group_by = list(config.get("group_by", []))
+    specs = list(config["aggregates"])
+    combine_of = {"count": "sum", "sum": "sum", "sum_fixed": "sum",
+                  "min": "min", "max": "max"}
+
+    def first_pass(frame: DataFrame) -> DataFrame:
+        aggs = []
+        for s in specs:
+            fn, field = s["function"], s.get("field")
+            alias = s.get("alias") or f"{field}_{fn}"
+            if fn not in combine_of:
+                raise ValueError(
+                    f"merge_agg supports {sorted(combine_of)}, got {fn!r}"
+                    " (persist sum+count for avg; distinct_sketch for"
+                    " distinct counts)")
+            if fn == "count":
+                aggs.append(F.count(F.lit(1)).alias(alias))
+            elif fn == "sum_fixed":
+                scale = 10 ** int(s.get("scale", 2))
+                aggs.append(F.sum(F.round(F.col(field) * scale)
+                                  .cast("long")).alias(alias))
+            else:
+                aggs.append(getattr(F, fn)(F.col(field)).alias(alias))
+        return frame.groupBy(*group_by).agg(*aggs) if group_by \
+            else frame.agg(*aggs)
+
+    batch = first_pass(df)
+    store = config.get("store")
+    if store is None:
+        return batch
+    store = views[store] if isinstance(store, str) else store
+    merged = store.unionByName(batch)
+    combines = []
+    for s in specs:
+        fn, field = s["function"], s.get("field")
+        alias = s.get("alias") or f"{field}_{fn}"
+        combines.append(
+            getattr(F, combine_of[fn])(F.col(alias)).alias(alias))
+    return merged.groupBy(*group_by).agg(*combines) if group_by \
+        else merged.agg(*combines)

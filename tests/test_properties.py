@@ -722,3 +722,46 @@ def test_scd2_incremental_merge_equals_full_rebuild(spark, obs, cut):
         "scd2", upd, {**cfg, "history": hist}, views={}).collect()),
         key=key)
     assert merged == whole
+
+
+# -- merge_agg: merge(agg(A), agg(B)) == agg(A ∪ B) -------------------------
+
+ma_rows_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=-100, max_value=100)),
+    min_size=0, max_size=30)
+
+
+@given(rows=ma_rows_st, mask=st.integers(min_value=0, max_value=1 << 29))
+@settings(**SETTINGS)
+def test_merge_agg_split_invariance(spark, rows, mask):
+    """For ANY bit-mask split of the rows, aggregating the parts and
+    merging must equal the one-shot aggregate — the law that makes a
+    batch-by-batch store equal a full recompute."""
+    schema = "k int, v int"
+    cfg = {"group_by": ["k"], "aggregates": [
+        {"field": "v", "function": "count", "alias": "n"},
+        {"field": "v", "function": "sum", "alias": "s"},
+        {"field": "v", "function": "min", "alias": "lo"},
+        {"field": "v", "function": "max", "alias": "hi"}]}
+
+    def frame(rs):
+        return spark.createDataFrame(rs, schema) if rs else \
+            spark.createDataFrame([], schema)
+
+    a = [r for i, r in enumerate(rows) if (mask >> (i % 30)) & 1]
+    b = [r for i, r in enumerate(rows) if not (mask >> (i % 30)) & 1]
+    whole = sorted(map(tuple, op("merge_agg", frame(rows), cfg,
+                                 views={}).collect()))
+    store = op("merge_agg", frame(a), cfg, views={})
+    merged = sorted(map(tuple, op(
+        "merge_agg", frame(b), {**cfg, "store": store},
+        views={}).collect()))
+    assert merged == whole
+
+
+def test_merge_agg_rejects_non_mergeable(spark):
+    df = spark.createDataFrame([(1, 2)], "k int, v int")
+    with pytest.raises(ValueError, match="merge_agg supports"):
+        op("merge_agg", df, {"group_by": ["k"], "aggregates": [
+            {"field": "v", "function": "avg"}]}, views={})
