@@ -2534,6 +2534,30 @@ ORDER BY doc_id
 """
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity screen (op_k_anonymity, tag mode) over the
+    (c_nationkey, c_mktsegment) quasi-identifier pair: one window
+    shuffle proves each equivalence-class size; DuckDB recomputes
+    sizes and flags value-for-value."""
+    c = _t(spark, sf_dir, "customer")
+    df = op("k_anonymity", c, {
+        "quasi_identifiers": ["c_nationkey", "c_mktsegment"], "k": 40})
+    df = op("select", df, {"fields": ["c_custkey", "eq_class_size",
+                                      "k_anonymous"]})
+    return op("sort", df, {"fields": ["c_custkey"]})
+
+
+_SQL_K_ANONYMITY = """
+SELECT c_custkey,
+       COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+         AS eq_class_size,
+       COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) >= 40
+         AS k_anonymous
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 def q_merge_agg(spark, sf_dir):
     """Incremental aggregate maintenance (operators/relational.py
     op_merge_agg): the lineitem fact is split by orderkey parity into
@@ -3866,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expect_fk": q_expect_fk,
         "triangles": q_triangles,
         "merge_agg": q_merge_agg,
+        "k_anonymity": q_k_anonymity,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -4029,6 +4054,7 @@ def oracle_sql() -> dict[str, str]:
         "expect_fk": _SQL_EXPECT_FK,
         "triangles": _SQL_TRIANGLES,
         "merge_agg": _SQL_MERGE_AGG,
+        "k_anonymity": _SQL_K_ANONYMITY,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

@@ -1296,3 +1296,46 @@ def op_merge_agg(df: DataFrame, config: Mapping, views) -> DataFrame:
             getattr(F, combine_of[fn])(F.col(alias)).alias(alias))
     return merged.groupBy(*group_by).agg(*combines) if group_by \
         else merged.agg(*combines)
+
+
+@register("k_anonymity")
+def op_k_anonymity(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """k-anonymity screen over quasi-identifier columns — the release
+    gate that composes with pii_scrub/hash_columns: a row is UNSAFE
+    when its exact combination of ``quasi_identifiers`` values is
+    shared by fewer than ``k`` rows (small equivalence classes
+    re-identify individuals even after direct identifiers are
+    stripped).
+
+    Modes: ``tag`` (default) adds ``eq_class_size`` (long) and
+    ``k_anonymous`` (boolean); ``filter`` keeps only safe rows;
+    ``suppress`` keeps every row but NULLs the quasi-identifiers of
+    unsafe ones (the standard generalize-or-suppress fallback).
+
+    Shape: one count-over window keyed on the QI tuple — the same
+    single shuffle any anonymity proof needs; NULL QI values group
+    together (SQL GROUP BY semantics), matching the risk model where
+    a shared missing value is still a shared value.
+    """
+    qis = list(config["quasi_identifiers"])
+    k = int(config.get("k", 5))
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    mode = config.get("mode", "tag")
+    if mode not in ("tag", "filter", "suppress"):
+        raise ValueError(
+            f"k_anonymity mode must be tag|filter|suppress, got {mode!r}")
+    w = Window.partitionBy(*[F.col(c) for c in qis])
+    size = F.count(F.lit(1)).over(w)
+    tagged = (df.withColumn("eq_class_size", size)
+              .withColumn("k_anonymous", F.col("eq_class_size") >= k))
+    if mode == "tag":
+        return tagged
+    if mode == "filter":
+        return (tagged.filter(F.col("k_anonymous"))
+                .drop("eq_class_size", "k_anonymous"))
+    out = tagged
+    for c in qis:
+        out = out.withColumn(
+            c, F.when(F.col("k_anonymous"), F.col(c)))
+    return out.drop("eq_class_size", "k_anonymous")

@@ -650,3 +650,20 @@ def test_fixed_width_source(spark, tmp_path):
     })
     assert sorted(r["word"] for r in df2.collect()) == [
         "alpha", "beta", "gamma"]
+
+
+def test_k_anonymity_modes(spark):
+    rows = [(1, "us", 30), (2, "us", 30), (3, "us", 30),
+            (4, "fr", 40), (5, None, 50), (6, None, 50)]
+    df = spark.createDataFrame(rows, "id long, country string, age long")
+    cfg = {"quasi_identifiers": ["country", "age"], "k": 2}
+    tagged = {r["id"]: (r["eq_class_size"], r["k_anonymous"])
+              for r in op("k_anonymity", df, cfg, views={}).collect()}
+    assert tagged[1] == (3, True) and tagged[4] == (1, False)
+    assert tagged[5] == (2, True)          # NULLs group together
+    kept = sorted(r["id"] for r in op(
+        "k_anonymity", df, {**cfg, "mode": "filter"}, views={}).collect())
+    assert kept == [1, 2, 3, 5, 6]
+    sup = {r["id"]: (r["country"], r["age"]) for r in op(
+        "k_anonymity", df, {**cfg, "mode": "suppress"}, views={}).collect()}
+    assert sup[4] == (None, None) and sup[1] == ("us", 30)
