@@ -2534,6 +2534,36 @@ ORDER BY doc_id
 """
 
 
+def q_url_parts(spark, sf_dir):
+    """URL decomposition (llmops/text.py op_url_parts) over URLs
+    synthesized deterministically from the documents table (the
+    fixtures carry no URL column): host/path/query/registered-domain
+    extraction must match DuckDB's regexp replay character-for-
+    character. Pure codegen, zero shuffle before the contract sort."""
+    d = _t(spark, sf_dir, "documents")
+    d = op("expr", d, {"exprs": {
+        "url": "concat('https://www.', source, '.example.com/docs/',"
+               " doc_id, '?lang=', lang)"}})
+    df = op("url_parts", d, {"params": ["lang"]})
+    df = op("select", df, {"fields": [
+        "doc_id", "url_protocol", "url_host", "url_path", "url_query",
+        "url_registered_domain", "param_lang"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_URL_PARTS = """
+SELECT doc_id,
+       'https' AS url_protocol,
+       'www.' || source || '.example.com' AS url_host,
+       '/docs/' || doc_id AS url_path,
+       'lang=' || lang AS url_query,
+       'example.com' AS url_registered_domain,
+       lang AS param_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity screen (op_k_anonymity, tag mode) over the
     (c_nationkey, c_mktsegment) quasi-identifier pair: one window
@@ -3891,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "merge_agg": q_merge_agg,
         "k_anonymity": q_k_anonymity,
+        "url_parts": q_url_parts,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -4055,6 +4086,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _SQL_TRIANGLES,
         "merge_agg": _SQL_MERGE_AGG,
         "k_anonymity": _SQL_K_ANONYMITY,
+        "url_parts": _SQL_URL_PARTS,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

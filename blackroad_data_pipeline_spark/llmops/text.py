@@ -1138,3 +1138,38 @@ def op_bm25_score(df: DataFrame, config: Mapping, views) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_matched_terms"),
                  F.sum("__tf").alias("sum_tf"),
                  F.sum(term_score).alias("bm25")))
+
+
+@register("url_parts")
+def op_url_parts(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Decompose a URL column into protocol / host / path / query /
+    registered domain — the keys every web-corpus curation step
+    groups on (per-domain caps via cap_per_group, domain mixing via
+    mix_corpus, URL-level dedup via dedup_exact on the normalized
+    parts). Pure codegen (`parse_url`), zero shuffle.
+
+    ``params``: list of query parameter names to extract as
+    ``param_<name>`` columns. ``registered_domain`` is the last two
+    dot-labels of the host — the standard heuristic short of shipping
+    the Public Suffix List (co.uk-style hosts need a real PSL;
+    documented limitation, not a silent wrong answer for the common
+    gTLD case). Malformed URLs yield NULL parts (try_parse_url)."""
+    field = config.get("field", "url")
+    col = F.col(field)
+    prefix = config.get("prefix", "url_")
+    out = (df.withColumn(f"{prefix}protocol", F.try_parse_url(col, F.lit("PROTOCOL")))
+           .withColumn(f"{prefix}host", F.try_parse_url(col, F.lit("HOST")))
+           .withColumn(f"{prefix}path", F.try_parse_url(col, F.lit("PATH")))
+           .withColumn(f"{prefix}query", F.try_parse_url(col, F.lit("QUERY"))))
+    host = F.col(f"{prefix}host")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    out = out.withColumn(
+        f"{prefix}registered_domain",
+        F.when(n >= 2, F.concat_ws(".", F.element_at(labels, -2),
+                                   F.element_at(labels, -1)))
+        .otherwise(host))
+    for p in config.get("params", []):
+        out = out.withColumn(
+            f"param_{p}", F.try_parse_url(col, F.lit("QUERY"), F.lit(p)))
+    return out

@@ -1149,3 +1149,25 @@ def test_triangle_count_matches_python_model(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = op("triangle_count", df, {}, views={}).collect()[0]["n_triangles"]
     assert got == expect and expect > 0
+
+
+# -- url_parts --------------------------------------------------------------
+
+
+def test_url_parts_decomposition(spark):
+    df = spark.createDataFrame(
+        [(1, "https://docs.example.com/a/b?x=1&y=two"),
+         (2, "http://example.org/"),
+         (3, "not a url")],
+        ["id", "url"])
+    got = {r["id"]: r for r in op(
+        "url_parts", df, {"params": ["y"]}, views={}).collect()}
+    assert got[1]["url_protocol"] == "https"
+    assert got[1]["url_host"] == "docs.example.com"
+    assert got[1]["url_path"] == "/a/b"
+    assert got[1]["url_query"] == "x=1&y=two"
+    assert got[1]["url_registered_domain"] == "example.com"
+    assert got[1]["param_y"] == "two"
+    assert got[2]["url_registered_domain"] == "example.org"
+    assert got[2]["url_query"] is None
+    assert got[3]["url_host"] is None
