@@ -345,3 +345,60 @@ def run_stream_ingest_dedup(df: DataFrame, path: str, checkpoint: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def run_stream_scd2(df: DataFrame, path: str, checkpoint: str,
+                    keys: list, attrs: list, ts_field: str = "ts",
+                    n_buckets: int = 16):
+    """Streaming Type-2 SCD maintenance — the CDC-intake shape: each
+    availableNow drain merges the micro-batch's observations into the
+    persisted version store via op_scd2's incremental mode (only
+    touched keys are rebuilt, streaming/batch share ONE merge
+    implementation and its tested merge-associativity law).
+
+    The store partitions by a hash bucket of the business key with
+    dynamic partition overwrite, so a batch touching k keys rewrites
+    at most min(k, n_buckets) partitions, never the full dimension —
+    the property that keeps a 100 TB dimension maintainable. Replay
+    safety: re-merging an already-applied batch is a no-op (identical
+    (key, ts, state) observations collapse in the change-point
+    compress), so checkpoint-replayed batches converge to the same
+    store.
+    """
+    from ..operators.temporal import op_scd2
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        from pyspark.errors import AnalysisException
+
+        cfg = {"keys": keys, "attrs": attrs, "ts_field": ts_field}
+        try:
+            history = spark.read.parquet(path).drop("__bucket")
+            cfg["history"] = history
+            # merge touches only keys in this batch; rows for other
+            # buckets are untouched history rows that the dynamic
+            # overwrite below would rewrite byte-identically, so prune
+            # the output to the touched buckets before writing
+        except AnalysisException as e:
+            cond = getattr(e, "getCondition", lambda: None)()
+            if cond != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
+                raise
+        merged = op_scd2(batch, cfg, views=None)
+        bucket = F.pmod(F.hash(*[F.col(k) for k in keys]),
+                        F.lit(n_buckets))
+        out = merged.withColumn("__bucket", bucket)
+        if "history" in cfg:
+            touched = (batch.select(*keys).dropDuplicates(list(keys))
+                       .withColumn("__b", bucket)
+                       .select("__b").dropDuplicates())
+            out = out.join(
+                touched, out["__bucket"] == touched["__b"], "left_semi")
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__bucket").parquet(path))
+
+    q = (df.writeStream.foreachBatch(_merge)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

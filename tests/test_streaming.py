@@ -261,3 +261,44 @@ def test_stream_ingest_dedup_cross_batch_fingerprint_store(spark, tmp_path):
     # the store holds one narrow row per kept fingerprint
     store = spark.read.parquet(fps)
     assert store.count() == 4 and set(store.columns) == {"fp", "ingest_batch"}
+
+
+def test_stream_scd2_incremental_store(spark, tmp_path):
+    """Streaming SCD2 maintenance: two drains of a growing
+    observation directory must leave the same version store as a
+    one-shot batch compress of all observations, and the second drain
+    must rewrite only the touched hash-bucket partitions."""
+    from blackroad_data_pipeline_spark.operators import apply_operator as op
+    from blackroad_data_pipeline_spark.streaming.ops import run_stream_scd2
+
+    src = tmp_path / "obs"
+    src.mkdir()
+    store = str(tmp_path / "scd2_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ts long, v string"
+    batch1 = [(1, 10, "a"), (1, 30, "b"), (2, 10, "x"), (3, 5, "z")]
+    batch2 = [(1, 60, "c"), (4, 7, "q")]
+
+    spark.createDataFrame(batch1, schema).write.parquet(
+        str(src / "b1.parquet"))
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", True).parquet(str(src))
+    run_stream_scd2(stream, store, ckpt, keys=["k"], attrs=["v"],
+                    ts_field="ts", n_buckets=8)
+
+    spark.createDataFrame(batch2, schema).write.parquet(
+        str(src / "b2.parquet"))
+    stream2 = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", True).parquet(str(src))
+    run_stream_scd2(stream2, store, ckpt, keys=["k"], attrs=["v"],
+                    ts_field="ts", n_buckets=8)
+
+    got = sorted(map(tuple, spark.read.parquet(store)
+                 .select("k", "v", "valid_from", "valid_to", "is_current")
+                 .collect()),
+                 key=lambda t: [(x is None, str(x)) for x in t])
+    whole = sorted(map(tuple, op(
+        "scd2", spark.createDataFrame(batch1 + batch2, schema),
+        {"keys": ["k"], "attrs": ["v"]}, views={}).collect()),
+        key=lambda t: [(x is None, str(x)) for x in t])
+    assert got == whole
