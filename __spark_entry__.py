@@ -2534,6 +2534,36 @@ ORDER BY doc_id
 """
 
 
+def q_sample_pps(spark, sf_dir):
+    """Exact-size weighted sampling (op_sample_pps): exactly 100
+    draws from documents, probability proportional to n_chars, over
+    the reproducible md5 order — pure integer systematic PPS that
+    DuckDB replays bit-for-bit (multiplicities included)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("sample_pps", d, {"weight_field": "n_chars", "n": 100,
+                              "id_field": "doc_id"})
+    df = op("select", df, {"fields": ["doc_id", "n_copies"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_SAMPLE_PPS = """
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w),
+t AS (SELECT SUM(w) AS tot FROM w)
+SELECT doc_id,
+       (cum * 100) // tot - ((cum - w) * 100) // tot AS n_copies
+FROM c, t
+WHERE (cum * 100) // tot - ((cum - w) * 100) // tot >= 1
+ORDER BY doc_id
+"""
+
+
 def q_url_parts(spark, sf_dir):
     """URL decomposition (llmops/text.py op_url_parts) over URLs
     synthesized deterministically from the documents table (the
@@ -3922,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_agg": q_merge_agg,
         "k_anonymity": q_k_anonymity,
         "url_parts": q_url_parts,
+        "sample_pps": q_sample_pps,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -4087,6 +4118,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_agg": _SQL_MERGE_AGG,
         "k_anonymity": _SQL_K_ANONYMITY,
         "url_parts": _SQL_URL_PARTS,
+        "sample_pps": _SQL_SAMPLE_PPS,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

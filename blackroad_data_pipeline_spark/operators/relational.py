@@ -968,10 +968,26 @@ def op_budget_select(df: DataFrame, config: Mapping, views) -> DataFrame:
     sort_cols = [F.col(c).desc() if desc else F.col(c) for c in order]
     n_parts = int(config.get("n_partitions", 0)) or \
         df.sparkSession.sparkContext.defaultParallelism
+    ranged, running, _total = _distributed_prefix_sum(
+        df, F.col(weight), sort_cols, n_parts)
+    out = (ranged.withColumn("__run", running)
+           .filter(F.col("__run") <= F.lit(budget)))
+    if out_col:
+        out = out.withColumn(out_col, F.col("__run"))
+    return out.drop("__pid", "__run")
+
+
+def _distributed_prefix_sum(df: DataFrame, weight: Column, sort_cols,
+                            n_parts: int):
+    """The distributed-prefix-sum shape shared by budget_select and
+    sample_pps: range partitions on the order key, per-partition
+    totals to the driver (N_partitions scalars), per-partition window
+    cumsums in parallel + broadcast offsets. Returns (ranged frame
+    with __pid, exact running-sum Column, grand total)."""
     ranged = (df.repartitionByRange(n_parts, *sort_cols)
               .withColumn("__pid", F.spark_partition_id()))
     totals = ranged.groupBy("__pid").agg(
-        F.sum(F.col(weight).cast("long")).alias("__w")).collect()
+        F.sum(weight.cast("long")).alias("__w")).collect()
     offsets, acc = {}, 0
     for r in sorted(totals, key=lambda r: r["__pid"]):
         offsets[r["__pid"]] = acc
@@ -981,12 +997,65 @@ def op_budget_select(df: DataFrame, config: Mapping, views) -> DataFrame:
         F.col("__pid")) if offsets else F.lit(0)
     w = (Window.partitionBy("__pid").orderBy(*sort_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    running = F.sum(F.col(weight).cast("long")).over(w) + off
-    out = (ranged.withColumn("__run", running)
-           .filter(F.col("__run") <= F.lit(budget)))
-    if out_col:
-        out = out.withColumn(out_col, F.col("__run"))
-    return out.drop("__pid", "__run")
+    running = F.sum(weight.cast("long")).over(w) + off
+    return ranged, running, acc
+
+
+@register("sample_pps")
+def op_sample_pps(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Exact-size weighted sampling — systematic PPS (probability
+    proportional to size) over a deterministic order, in PURE INTEGER
+    arithmetic: with integer weights w_i, total W, sample size n and
+    offset o ∈ [0, W), row i is drawn
+
+        n_copies(i) = (cum_i·n + o) div W − (cum_{i-1}·n + o) div W
+
+    so Σ n_copies == n EXACTLY, heavy rows can be drawn multiple
+    times (with-replacement multiplicity, the Pareto-corpus case),
+    and any engine replays the selection bit-for-bit — no float, no
+    rand(). The corpus-assembly use: "exactly n documents/sequences,
+    drawn proportional to token count / quality weight".
+
+    ``weight_field`` must be a non-negative integer column (token or
+    byte counts; zero-weight rows are never drawn). ``order_by``
+    (default: md5 of ``id_field`` + ``salt`` — a reproducible
+    unbiased shuffle) must be a total order. Same distributed-prefix-
+    sum shape as budget_select: two passes, no single-partition
+    stage. Overflow bound: cum·n must fit int64 → W·n < 9.2e18.
+
+    Output: drawn rows + ``n_copies`` (long ≥ 1).
+    """
+    weight = config["weight_field"]
+    n = int(config["n"])
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    offset = int(config.get("offset", 0))
+    id_field = config.get("id_field", "doc_id")
+    salt = str(config.get("salt", ""))
+    if config.get("order_by"):
+        sort_cols = [F.col(c) for c in config["order_by"]]
+    else:
+        sort_cols = [F.md5(F.concat(F.col(id_field).cast("string"),
+                                    F.lit(salt))),
+                     F.col(id_field)]
+    n_parts = int(config.get("n_partitions", 0)) or \
+        df.sparkSession.sparkContext.defaultParallelism
+    ranged, running, total = _distributed_prefix_sum(
+        df, F.col(weight), sort_cols, n_parts)
+    if total <= 0:
+        return df.filter(F.lit(False)).withColumn(
+            "n_copies", F.lit(0).cast("long"))
+    if not 0 <= offset < total:
+        offset %= total
+    w_long = F.col(weight).cast("long")
+    copies = F.expr(
+        f"(__cum * {n} + {offset}) div {total}"
+        f" - ((__cum - __w_pps) * {n} + {offset}) div {total}")
+    return (ranged.withColumn("__cum", running)
+            .withColumn("__w_pps", w_long)
+            .withColumn("n_copies", copies)
+            .filter(F.col("n_copies") >= 1)
+            .drop("__pid", "__cum", "__w_pps"))
 
 
 @register("corpus_diff")

@@ -667,3 +667,31 @@ def test_k_anonymity_modes(spark):
     sup = {r["id"]: (r["country"], r["age"]) for r in op(
         "k_anonymity", df, {**cfg, "mode": "suppress"}, views={}).collect()}
     assert sup[4] == (None, None) and sup[1] == ("us", 30)
+
+
+def test_sample_pps_exact_size_and_invariance(spark):
+    rows = [(i, (i % 7) + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    cfg = {"weight_field": "w", "n": 25, "id_field": "doc_id"}
+    out = {r["doc_id"]: r["n_copies"]
+           for r in op("sample_pps", df, cfg, views={}).collect()}
+    assert sum(out.values()) == 25          # EXACT sample size
+    assert all(c >= 1 for c in out.values())
+    again = {r["doc_id"]: r["n_copies"] for r in op(
+        "sample_pps", df.repartition(13), cfg, views={}).collect()}
+    assert again == out                      # partition-invariant
+    # a different salt draws a different (but still exact-n) sample
+    other = {r["doc_id"]: r["n_copies"] for r in op(
+        "sample_pps", df, {**cfg, "salt": "s2"}, views={}).collect()}
+    assert sum(other.values()) == 25 and other != out
+
+
+def test_sample_pps_heavy_row_multiplicity_and_zero_weight(spark):
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 1), (3, 0)], "doc_id long, w long")
+    out = {r["doc_id"]: r["n_copies"] for r in op(
+        "sample_pps", df, {"weight_field": "w", "n": 10,
+                           "id_field": "doc_id"}, views={}).collect()}
+    assert sum(out.values()) == 10
+    assert out[1] >= 9                       # dominant weight drawn ~10x
+    assert 3 not in out                      # zero weight never drawn
