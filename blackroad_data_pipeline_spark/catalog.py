@@ -85,6 +85,7 @@ class TransformDef:
     transform_type: str
     config: dict
     order_index: int
+    depends_on: str | None = None
 
 
 @dataclass
@@ -133,7 +134,8 @@ class Catalog:
     def add_transform(self, pipeline_id: str, transform_type: str,
                       config: dict | None = None, order_index: int = 0,
                       depends_on: str | None = None) -> TransformDef:
-        t = TransformDef(str(uuid.uuid4()), transform_type, config or {}, order_index)
+        t = TransformDef(str(uuid.uuid4()), transform_type, config or {},
+                         order_index, depends_on)
         self.con.execute(
             "INSERT INTO transforms VALUES (?,?,?,?,?,?,?)",
             (t.id, pipeline_id, t.transform_type, json.dumps(t.config),
@@ -165,7 +167,8 @@ class Catalog:
         ]
         tr = [
             TransformDef(r["id"], r["transform_type"],
-                         json.loads(r["config"] or "{}"), r["order_index"])
+                         json.loads(r["config"] or "{}"), r["order_index"],
+                         r["depends_on"])
             for r in self.con.execute(
                 "SELECT * FROM transforms WHERE pipeline_id=? ORDER BY order_index, rowid",
                 (pipeline_id,)).fetchall()

@@ -30,6 +30,42 @@ from .sinks import write_sink
 from .sources import read_source
 
 
+def _dependency_order(transforms):
+    """Execution order honoring ``depends_on``: a stable topological
+    sort (Kahn; ready set ordered by the original order_index/rowid
+    position, so pipelines without dependencies keep the reference's
+    strictly linear order). The reference STORES depends_on but never
+    reads it (main.py:59,146-149 — its README's "dependency graph
+    execution" is aspirational and a bogus id runs fine, verified);
+    here it is real, and validated: an unknown depends_on id or a
+    dependency cycle raises instead of silently running in the wrong
+    order."""
+    if not any(t.depends_on for t in transforms):
+        return transforms
+    by_id = {t.id: t for t in transforms}
+    for t in transforms:
+        if t.depends_on and t.depends_on not in by_id:
+            raise ValueError(
+                f"transform {t.id} ({t.transform_type}) depends_on "
+                f"unknown transform id {t.depends_on!r}")
+    pos = {t.id: i for i, t in enumerate(transforms)}
+    remaining = list(transforms)
+    done: set[str] = set()
+    ordered = []
+    while remaining:
+        ready = [t for t in remaining
+                 if not t.depends_on or t.depends_on in done]
+        if not ready:
+            cyc = ", ".join(f"{t.transform_type}({t.id[:8]})"
+                            for t in remaining)
+            raise ValueError(f"dependency cycle among transforms: {cyc}")
+        nxt = min(ready, key=lambda t: pos[t.id])
+        remaining.remove(nxt)
+        done.add(nxt.id)
+        ordered.append(nxt)
+    return ordered
+
+
 class PipelineService:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
@@ -45,9 +81,10 @@ class PipelineService:
         return self.catalog.add_source(pipeline_id, name, source_type, config, root)
 
     def add_transform(self, pipeline_id: str, transform_type: str,
-                      config: dict | None = None, order_index: int = 0):
+                      config: dict | None = None, order_index: int = 0,
+                      depends_on: str | None = None):
         return self.catalog.add_transform(pipeline_id, transform_type, config,
-                                          order_index)
+                                          order_index, depends_on)
 
     def add_sink(self, pipeline_id: str, sink_type: str,
                  config: dict | None = None):
@@ -97,7 +134,7 @@ class PipelineService:
             obs = Observation("rows_read")
             df = df.observe(obs, F.count(F.lit(1)).alias("n"))
 
-        for t in transforms:
+        for t in _dependency_order(transforms):
             df = apply_operator(t.transform_type, df, t.config, views)
         return df, obs
 

@@ -629,3 +629,41 @@ def test_split_leakage_audit_composition(svc, tmp_path):
     # output = flagged (train doc, benchmark doc, n_shared) pairs
     assert [(r["doc_id"], r["bench_id"]) for r in rows] == [(1, 2)]
     assert rows[0]["n_shared"] >= 2
+
+
+def test_depends_on_reorders_execution(svc, tmp_path):
+    """The reference stores depends_on but never reads it (verified,
+    main.py:146-149); here it is a real topological constraint. The
+    filter depends on the map that creates its column, even though
+    order_index says otherwise."""
+    p = svc.create_pipeline("dag")
+    svc.add_source(p.id, "rows", "inline", {"data": [
+        {"x": "3"}, {"x": "40"}, {"x": "nope"}]})
+    # order_index puts the filter FIRST — depends_on must flip them
+    m = svc.add_transform(p.id, "map",
+                          {"field": "x", "operation": "int", "as": "xi"},
+                          order_index=2)
+    svc.add_transform(p.id, "filter",
+                      {"field": "xi", "op": "gt", "value": 10},
+                      order_index=1, depends_on=m.id)
+    out = tmp_path / "dag.json"
+    svc.add_sink(p.id, "json", {"path": str(out)})
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "success"
+    import json as _json
+
+    rows = _json.loads(out.read_text())
+    assert [r["xi"] for r in rows] == [40]
+
+
+def test_depends_on_unknown_id_and_cycle_raise(svc):
+    from blackroad_data_pipeline_spark.catalog import TransformDef
+    from blackroad_data_pipeline_spark.service import _dependency_order
+
+    a = TransformDef("a", "map", {}, 0, depends_on="zzz")
+    with pytest.raises(ValueError, match="unknown transform id"):
+        _dependency_order([a])
+    b = TransformDef("b", "map", {}, 0, depends_on="c")
+    c = TransformDef("c", "map", {}, 1, depends_on="b")
+    with pytest.raises(ValueError, match="dependency cycle"):
+        _dependency_order([b, c])
