@@ -2564,6 +2564,37 @@ ORDER BY doc_id
 """
 
 
+def q_sample_pps_group(spark, sf_dir):
+    """Per-group exact-size weighted sampling: exactly 20 draws per
+    language, proportional to n_chars — plain windows over one group
+    shuffle (no driver pass), integer-exact like the global variant."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("sample_pps", d, {"weight_field": "n_chars", "n": 20,
+                              "id_field": "doc_id", "group_by": ["lang"]})
+    df = op("select", df, {"fields": ["doc_id", "lang", "n_copies"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_SAMPLE_PPS_GROUP = """
+WITH w AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, w,
+         SUM(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY lang) AS tot
+  FROM w)
+SELECT doc_id, lang,
+       (cum * 20) // tot - ((cum - w) * 20) // tot AS n_copies
+FROM c
+WHERE tot > 0
+  AND (cum * 20) // tot - ((cum - w) * 20) // tot >= 1
+ORDER BY doc_id
+"""
+
+
 def q_url_parts(spark, sf_dir):
     """URL decomposition (llmops/text.py op_url_parts) over URLs
     synthesized deterministically from the documents table (the
@@ -3953,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "url_parts": q_url_parts,
         "sample_pps": q_sample_pps,
+        "sample_pps_group": q_sample_pps_group,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -4119,6 +4151,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _SQL_K_ANONYMITY,
         "url_parts": _SQL_URL_PARTS,
         "sample_pps": _SQL_SAMPLE_PPS,
+        "sample_pps_group": _SQL_SAMPLE_PPS_GROUP,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

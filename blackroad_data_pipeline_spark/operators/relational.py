@@ -1023,6 +1023,12 @@ def op_sample_pps(df: DataFrame, config: Mapping, views) -> DataFrame:
     sum shape as budget_select: two passes, no single-partition
     stage. Overflow bound: cum·n must fit int64 → W·n < 9.2e18.
 
+    ``group_by``: exactly n draws PER GROUP ("n documents per
+    domain, weighted by tokens" — the weighted complement of
+    cap_per_group). The per-group variant needs no driver pass at
+    all: the cumsum and group total are plain windows over ONE hash
+    shuffle on the group key.
+
     Output: drawn rows + ``n_copies`` (long ≥ 1).
     """
     weight = config["weight_field"]
@@ -1032,12 +1038,31 @@ def op_sample_pps(df: DataFrame, config: Mapping, views) -> DataFrame:
     offset = int(config.get("offset", 0))
     id_field = config.get("id_field", "doc_id")
     salt = str(config.get("salt", ""))
+    group_by = list(config.get("group_by", []))
     if config.get("order_by"):
         sort_cols = [F.col(c) for c in config["order_by"]]
     else:
         sort_cols = [F.md5(F.concat(F.col(id_field).cast("string"),
                                     F.lit(salt))),
                      F.col(id_field)]
+    w_long = F.col(weight).cast("long")
+
+    if group_by:
+        wcum = (Window.partitionBy(*group_by).orderBy(*sort_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wtot = Window.partitionBy(*group_by)
+        staged = (df.withColumn("__cum", F.sum(w_long).over(wcum))
+                  .withColumn("__tot", F.sum(w_long).over(wtot))
+                  .withColumn("__w_pps", w_long))
+        copies = F.expr(
+            f"(__cum * {n} + pmod({offset}, __tot)) div __tot"
+            f" - ((__cum - __w_pps) * {n} + pmod({offset}, __tot))"
+            " div __tot")
+        return (staged.filter(F.col("__tot") > 0)
+                .withColumn("n_copies", copies)
+                .filter(F.col("n_copies") >= 1)
+                .drop("__cum", "__tot", "__w_pps"))
+
     n_parts = int(config.get("n_partitions", 0)) or \
         df.sparkSession.sparkContext.defaultParallelism
     ranged, running, total = _distributed_prefix_sum(
@@ -1047,7 +1072,6 @@ def op_sample_pps(df: DataFrame, config: Mapping, views) -> DataFrame:
             "n_copies", F.lit(0).cast("long"))
     if not 0 <= offset < total:
         offset %= total
-    w_long = F.col(weight).cast("long")
     copies = F.expr(
         f"(__cum * {n} + {offset}) div {total}"
         f" - ((__cum - __w_pps) * {n} + {offset}) div {total}")

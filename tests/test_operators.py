@@ -695,3 +695,22 @@ def test_sample_pps_heavy_row_multiplicity_and_zero_weight(spark):
     assert sum(out.values()) == 10
     assert out[1] >= 9                       # dominant weight drawn ~10x
     assert 3 not in out                      # zero weight never drawn
+
+
+def test_sample_pps_per_group_exact_size(spark):
+    rows = [(g * 100 + i, f"g{g}", (i % 5) + 1)
+            for g in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    out = op("sample_pps", df,
+             {"weight_field": "w", "n": 7, "id_field": "doc_id",
+              "group_by": ["grp"]}, views={}).collect()
+    per = {}
+    for r in out:
+        per[r["grp"]] = per.get(r["grp"], 0) + r["n_copies"]
+    assert per == {"g0": 7, "g1": 7, "g2": 7}
+    # per-group path is partition-invariant too
+    again = op("sample_pps", df.repartition(11),
+               {"weight_field": "w", "n": 7, "id_field": "doc_id",
+                "group_by": ["grp"]}, views={}).collect()
+    assert sorted((r["doc_id"], r["n_copies"]) for r in again) == \
+        sorted((r["doc_id"], r["n_copies"]) for r in out)
