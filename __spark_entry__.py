@@ -2534,6 +2534,33 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_gate(spark, sf_dir):
+    """BPE losslessness gate (llmops/tokenize.py): a merge table
+    trained on the corpus vocabulary, applied to every document, must
+    reconstruct the whitespace tokenization exactly — concatenating
+    the subword pieces (each word terminated by the </w> marker)
+    equals the lowercased token stream. The merge loop itself is not
+    SQL-expressible; this invariant catches real encoder bugs
+    (dropped symbols, wrong merge order) and the oracle predicts the
+    per-doc booleans (all true)."""
+    d = _t(spark, sf_dir, "documents")
+    merges = op("train_bpe", d, {"field": "text", "num_merges": 60,
+                                 "min_count": 2})
+    df = op("bpe_apply", d, {"field": "text", "merges": merges})
+    df = op("expr", df, {"exprs": {
+        "reconstruction_ok":
+            "concat_ws('', bpe_tokens) = concat_ws('', transform("
+            "filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''),"
+            " w -> concat(w, '</w>')))"}})
+    df = op("select", df, {"fields": ["doc_id", "reconstruction_ok"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_BPE_GATE = """
+SELECT doc_id, TRUE AS reconstruction_ok FROM documents ORDER BY doc_id
+"""
+
+
 def q_sample_pps(spark, sf_dir):
     """Exact-size weighted sampling (op_sample_pps): exactly 100
     draws from documents, probability proportional to n_chars, over
@@ -3985,6 +4012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parts": q_url_parts,
         "sample_pps": q_sample_pps,
         "sample_pps_group": q_sample_pps_group,
+        "bpe_gate": q_bpe_gate,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -4152,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
         "url_parts": _SQL_URL_PARTS,
         "sample_pps": _SQL_SAMPLE_PPS,
         "sample_pps_group": _SQL_SAMPLE_PPS_GROUP,
+        "bpe_gate": _SQL_BPE_GATE,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

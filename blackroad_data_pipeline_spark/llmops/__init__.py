@@ -7,4 +7,4 @@ multimodal binary-column plumbing. All registered in the same
 operator registry as the relational ops.
 """
 
-from . import classify, dedup, multimodal, similarity, sketch, text  # noqa: F401
+from . import classify, dedup, multimodal, similarity, sketch, text, tokenize  # noqa: F401

@@ -1171,3 +1171,50 @@ def test_url_parts_decomposition(spark):
     assert got[2]["url_registered_domain"] == "example.org"
     assert got[2]["url_query"] is None
     assert got[3]["url_host"] is None
+
+
+# -- BPE train/apply --------------------------------------------------------
+
+
+def test_train_bpe_matches_hand_model(spark):
+    """Tiny Sennrich example: 'low' x5, 'lower' x2 — first merges are
+    deterministic (count then lexicographic tie-break)."""
+    rows = [(i, "low") for i in range(5)] + [(9, "lower"), (10, "lower")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = [(r["left"], r["right"]) for r in
+              op("train_bpe", df, {"num_merges": 3}, views={})
+              .orderBy("rank").collect()]
+    # pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2,
+    # (e,r)=2, (r,</w>)=2 -> tie (l,o)/(o,w) -> lexicographic: (l,o)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")          # (lo,w)=7 now unique max
+    assert merges[2] == ("low", "</w>")      # 5 beats the 2-count pairs
+
+
+def test_bpe_apply_segments_and_counts(spark):
+    train = spark.createDataFrame(
+        [(i, "low low lower lowest") for i in range(3)],
+        ["doc_id", "text"])
+    merges = op("train_bpe", train, {"num_merges": 4}, views={})
+    test = spark.createDataFrame(
+        [(1, "low lower UNSEEN"), (2, None)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in op(
+        "bpe_apply", test, {"merges": merges}, views={}).collect()}
+    toks = got[1]["bpe_tokens"]
+    # 'low' must be a single learned token; unseen words fall back to
+    # finer pieces but still end with the EOW marker
+    assert "low</w>" in toks
+    assert got[2]["bpe_tokens"] == []
+    # python-model equivalence on the same merges
+    from blackroad_data_pipeline_spark.llmops.tokenize import encode_word
+
+    pairs = [(r["left"], r["right"]) for r in
+             merges.orderBy("rank").collect()]
+    ranks = {p: i for i, p in enumerate(pairs)}
+    expect = (encode_word("low", ranks) + encode_word("lower", ranks)
+              + encode_word("unseen", ranks))
+    assert toks == expect
+    counts = {r["doc_id"]: r["n_bpe_tokens"] for r in op(
+        "bpe_apply", test, {"merges": merges, "counts_only": True},
+        views={}).collect()}
+    assert counts[1] == len(expect) and counts[2] == 0
