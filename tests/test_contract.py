@@ -54,6 +54,9 @@ def test_oracle_sql_references_only_registered_views():
         # look at FROM/JOIN targets
         stripped = re.sub(r"'[^']*'", "", sql)
         stripped = re.sub(r"\w+\([^()]*\bFROM\b[^()]*\)", "", stripped)
+        # `x IS [NOT] DISTINCT FROM y` is a comparison, not a relation
+        stripped = re.sub(r"IS\s+(?:NOT\s+)?DISTINCT\s+FROM", "<>",
+                          stripped, flags=re.IGNORECASE)
         refs = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", stripped,
                           re.IGNORECASE)
         ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?([a-z_][a-z0-9_]*)\s*(?:\([a-z_,\s]*\))?\s+AS\s*\(",
