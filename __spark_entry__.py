@@ -2720,10 +2720,18 @@ def q_triangles(spark, sf_dir):
     skew-proof on power-law graphs. The oracle replays the count with
     an id-ordered 3-way join (orientation-independent result)."""
     li = _t(spark, sf_dir, "lineitem")
+    # edge generation WITHOUT a fact-fact self-join: one groupBy
+    # shuffle collects each order's part set, pairs explode from the
+    # sorted array (slice from i+2 keeps src < dst exactly once).
+    # The (x, i) two-parameter lambda is the legitimate
+    # element+index form here (see CLAUDE.md for the capture trap).
     edges = op("sql", li, {"query": """
-        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        FROM self a JOIN self b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        SELECT DISTINCT p.src, p.dst FROM (
+          SELECT explode(flatten(transform(ps, (x, i) ->
+                   transform(slice(ps, i + 2, size(ps)),
+                             y -> struct(x AS src, y AS dst))))) AS p
+          FROM (SELECT array_sort(collect_set(l_partkey)) AS ps
+                FROM self GROUP BY l_orderkey))
     """}, views={})
     return op("triangle_count", edges, {})
 
