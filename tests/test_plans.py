@@ -417,3 +417,49 @@ def test_funnel_users_mode_single_shuffle(spark):
                           "key": "user_id"})
     plans.assert_no_row_python(df)
     plans.assert_max_shuffles(df, 1)
+
+
+def test_round4_operator_plan_shapes(spark):
+    """Plan budgets for the round-4 additions — the properties that
+    hold the 100 TB story: no cartesian products, no row-Python, and
+    shuffle counts matching each docstring's claim."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+
+    # k_anonymity: exactly the one QI-tuple window shuffle
+    ka = op("k_anonymity", docs,
+            {"quasi_identifiers": ["lang", "source"], "k": 3})
+    plans.assert_no_row_python(ka)
+    plans.assert_max_shuffles(ka, 1)
+
+    # url_parts: pure projection
+    up = op("url_parts",
+            docs.selectExpr("concat('https://h/', doc_id) AS url"), {})
+    plans.assert_no_row_python(up)
+    plans.assert_max_shuffles(up, 0)
+
+    # sample_pps per-group: cumsum + total windows share one shuffle
+    sp = op("sample_pps", docs,
+            {"weight_field": "n_chars", "n": 5, "id_field": "doc_id",
+             "group_by": ["lang"]}, views={})
+    plans.assert_no_row_python(sp)
+    plans.assert_max_shuffles(sp, 1)
+
+    # merge_agg without a store: batch partials + no key re-shuffle of
+    # the total branch
+    ma = op("merge_agg", events,
+            {"group_by": ["event_type"], "aggregates": [
+                {"field": "value", "function": "count", "alias": "n"}]},
+            views={})
+    plans.assert_max_shuffles(ma, 1)
+
+    # bm25: no cartesian product ever (the only BNLJ is the broadcast
+    # 1-row stats attach); no row-Python
+    bm = op("bm25_score", docs, {"query": "customer data"}, views={})
+    plans.assert_no_row_python(bm)
+    assert "CartesianProduct" not in plans.join_strategies(bm)
+
+    # triangle_count global: intersection path, no cartesian product
+    edges = docs.selectExpr("doc_id AS src", "(doc_id * 7) % 97 AS dst")
+    tc = op("triangle_count", edges, {}, views={})
+    assert "CartesianProduct" not in plans.join_strategies(tc)
