@@ -765,3 +765,46 @@ def test_merge_agg_rejects_non_mergeable(spark):
     with pytest.raises(ValueError, match="merge_agg supports"):
         op("merge_agg", df, {"group_by": ["k"], "aggregates": [
             {"field": "v", "function": "avg"}]}, views={})
+
+
+# -- heavy_hitters: approx must equal exact for ANY data/partitioning -------
+
+hh_rows_st = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1, max_size=60)
+
+
+@given(vals=hh_rows_st, k=st.integers(min_value=2, max_value=6),
+       parts=st.integers(min_value=1, max_value=8))
+@settings(**SETTINGS)
+def test_heavy_hitters_approx_equals_exact_always(spark, vals, k, parts):
+    df = spark.createDataFrame([(v,) for v in vals],
+                               "value string").repartition(parts)
+    exact = sorted(map(tuple, op(
+        "heavy_hitters", df, {"field": "value", "k": k},
+        views={}).collect()))
+    approx = sorted(map(tuple, op(
+        "heavy_hitters", df, {"field": "value", "k": k, "mode": "approx",
+                              "capacity": k}, views={}).collect()))
+    assert approx == exact  # even at the minimum capacity == k
+
+
+# -- triangle_count: python-model equality on random graphs -----------------
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(**SETTINGS)
+def test_triangle_count_matches_model_any_graph(spark, seed):
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randrange(4, 16)
+    edges = [(a, b) for a in range(n) for b in range(n)
+             if a < b and rng.random() < 0.4]
+    eset = set(edges)
+    expect = sum(1 for x, y, z in itertools.combinations(range(n), 3)
+                 if (x, y) in eset and (y, z) in eset and (x, z) in eset)
+    df = spark.createDataFrame(edges or [(0, 1)], "src long, dst long")
+    got = op("triangle_count", df, {}, views={}).collect()[0]["n_triangles"]
+    assert got == (expect if edges else 0)
