@@ -667,3 +667,38 @@ def test_depends_on_unknown_id_and_cycle_raise(svc):
     c = TransformDef("c", "map", {}, 1, depends_on="b")
     with pytest.raises(ValueError, match="dependency cycle"):
         _dependency_order([b, c])
+
+
+def test_round4_operators_compose_through_service(svc, tmp_path):
+    """Round-4 operators driven by the control plane: SCD2 versioning
+    of an observation stream, then a k-anonymity screen over the
+    version rows, through run_pipeline bookkeeping to a JSON sink."""
+    p = svc.create_pipeline("round4")
+    svc.add_source(p.id, "obs", "inline", {"data": [
+        {"k": 1, "ts": 10, "v": "a", "region": "eu"},
+        {"k": 1, "ts": 20, "v": "b", "region": "eu"},
+        {"k": 2, "ts": 10, "v": "a", "region": "eu"},
+        {"k": 3, "ts": 10, "v": "x", "region": "us"},
+    ]})
+    svc.add_transform(p.id, "scd2",
+                      {"keys": ["k"], "attrs": ["v"], "ts_field": "ts"},
+                      order_index=0)
+    svc.add_transform(p.id, "k_anonymity",
+                      {"quasi_identifiers": ["v"], "k": 2}, order_index=1)
+    out = tmp_path / "r4.json"
+    svc.add_sink(p.id, "json", {"path": str(out)})
+    result = svc.run_pipeline(p.id)
+    assert result["status"] == "success"
+    assert result["rows_read"] == 4
+    import json as _json
+
+    rows = _json.loads(out.read_text())
+    # scd2: k=1 has two versions (a then b), k=2/k=3 one each = 4 rows
+    assert len(rows) == 4
+    by = {(r["k"], r["v"]): r for r in rows}
+    assert by[(1, "a")]["valid_to"] == 20 and by[(1, "b")]["is_current"]
+    # k-anonymity over the v attribute: 'a' appears twice (safe),
+    # 'b' and 'x' once (unsafe)
+    assert by[(1, "a")]["k_anonymous"] and by[(2, "a")]["k_anonymous"]
+    assert not by[(1, "b")]["k_anonymous"]
+    assert not by[(3, "x")]["k_anonymous"]
