@@ -2748,6 +2748,88 @@ JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
 
+def q_funnel_timing(spark, sf_dir):
+    """Time-to-convert funnel metrics (op_funnel mode=timing): per
+    transition, how many users converted and the EXACT summed
+    whole-second delay (floor-to-second each step time, then
+    subtract — the order DuckDB replays). Consumers derive mean =
+    sum/n; no float rides the contract."""
+    e = _t(spark, sf_dir, "events")
+    df = op("funnel", e, {"steps": ["view", "click", "purchase"],
+                          "key": "user_id", "mode": "timing"})
+    return op("sort", df, {"fields": ["step_idx"]})
+
+
+_SQL_FUNNEL_TIMING = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u1.t1
+  GROUP BY e.user_id),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+  GROUP BY e.user_id)
+SELECT 2 AS step_idx, 'view' AS from_step, 'click' AS to_step,
+       (SELECT COUNT(*) FROM u2) AS n_converted,
+       COALESCE((SELECT CAST(SUM(
+           epoch_us(CAST(t2 AS TIMESTAMP)) // 1000000
+         - epoch_us(CAST(t1 AS TIMESTAMP)) // 1000000) AS BIGINT)
+         FROM u2 JOIN u1 USING (user_id)), 0) AS sum_seconds
+UNION ALL
+SELECT 3, 'click', 'purchase',
+       (SELECT COUNT(*) FROM u3),
+       COALESCE((SELECT CAST(SUM(
+           epoch_us(CAST(t3 AS TIMESTAMP)) // 1000000
+         - epoch_us(CAST(t2 AS TIMESTAMP)) // 1000000) AS BIGINT)
+         FROM u3 JOIN u2 USING (user_id)), 0)
+ORDER BY step_idx
+"""
+
+
+def q_triangles_per_node(spark, sf_dir):
+    """Per-node triangle participation over a thinned co-purchase
+    graph (parts divisible by 5 — keeps the wedge path affordable at
+    the contract SF): the wedge-enumeration branch of
+    op_triangle_count, oracle-replayed by crediting all three corners
+    of the id-ordered 3-way join."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = op("sql", li, {"query": """
+        SELECT DISTINCT p.src, p.dst FROM (
+          SELECT explode(flatten(transform(ps, (x, i) ->
+                   transform(slice(ps, i + 2, size(ps)),
+                             y -> struct(x AS src, y AS dst))))) AS p
+          FROM (SELECT array_sort(collect_set(l_partkey)) AS ps
+                FROM self WHERE l_partkey % 5 = 0 GROUP BY l_orderkey))
+    """}, views={})
+    df = op("triangle_count", edges, {"per_node": True})
+    return op("sort", df, {"fields": ["node"]})
+
+
+_SQL_TRIANGLES_PER_NODE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+c AS (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t)
+SELECT node, COUNT(*) AS n_triangles
+FROM c GROUP BY node ORDER BY node
+"""
+
+
 def q_expect_fk(spark, sf_dir):
     """Referential-integrity expectation (op_expect foreign_key):
     lineitem rows checked against a deliberately truncated orders key
@@ -4015,6 +4097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "expect_fk": q_expect_fk,
         "triangles": q_triangles,
+        "triangles_per_node": q_triangles_per_node,
+        "funnel_timing": q_funnel_timing,
         "merge_agg": q_merge_agg,
         "k_anonymity": q_k_anonymity,
         "url_parts": q_url_parts,
@@ -4183,6 +4267,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _SQL_BM25,
         "expect_fk": _SQL_EXPECT_FK,
         "triangles": _SQL_TRIANGLES,
+        "triangles_per_node": _SQL_TRIANGLES_PER_NODE,
+        "funnel_timing": _SQL_FUNNEL_TIMING,
         "merge_agg": _SQL_MERGE_AGG,
         "k_anonymity": _SQL_K_ANONYMITY,
         "url_parts": _SQL_URL_PARTS,

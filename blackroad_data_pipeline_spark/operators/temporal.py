@@ -191,7 +191,9 @@ def op_funnel(df: DataFrame, config: Mapping, views) -> DataFrame:
     ``step_1_ts..step_k_ts`` timestamps (NULL = never reached);
     ``mode: "summary"`` returns one row per step with ``n_reached``
     and ``conversion`` (share of step-1 reachers, exact
-    bigint/bigint double division).
+    bigint/bigint double division); ``mode: "timing"`` returns one
+    row per TRANSITION with ``n_converted`` and the exact summed
+    whole-second conversion delay (``sum_seconds``, long).
     """
     steps = list(config["steps"])
     if len(steps) < 2:
@@ -200,8 +202,9 @@ def op_funnel(df: DataFrame, config: Mapping, views) -> DataFrame:
     ts_field = config.get("ts_field", "ts")
     type_field = config.get("type_field", "event_type")
     mode = config.get("mode", "users")
-    if mode not in ("users", "summary"):
-        raise ValueError(f"funnel mode must be users|summary, got {mode!r}")
+    if mode not in ("users", "summary", "timing"):
+        raise ValueError(
+            f"funnel mode must be users|summary|timing, got {mode!r}")
     within = config.get("within_seconds")
 
     w = Window.partitionBy(key)
@@ -226,6 +229,31 @@ def op_funnel(df: DataFrame, config: Mapping, views) -> DataFrame:
              .agg(*[F.first(c).alias(c) for c in ts_cols]))
     if mode == "users":
         return users
+    if mode == "timing":
+        # exact time-to-convert per transition: n converted + SUMMED
+        # whole-second delta (long — bit-exact in any engine; consumers
+        # derive the mean as sum/n so no float rides the contract).
+        # Same plan as summary: the per-key rollup + one global
+        # aggregate exploded to one row per transition.
+        aggs = []
+        for i in range(2, len(steps) + 1):
+            delta = (epoch_seconds(F.col(f"step_{i}_ts"))
+                     - epoch_seconds(F.col(f"step_{i - 1}_ts")))
+            aggs.append(F.count(F.col(f"step_{i}_ts"))
+                        .alias(f"__n{i}"))
+            aggs.append(F.sum(delta).alias(f"__s{i}"))
+        counts = users.agg(*aggs)
+        per_step = F.array(*[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(steps[i - 2]).alias("from_step"),
+                F.lit(steps[i - 1]).alias("to_step"),
+                F.col(f"__n{i}").alias("n_converted"),
+                F.coalesce(F.col(f"__s{i}"), F.lit(0)).cast("long")
+                .alias("sum_seconds"))
+            for i in range(2, len(steps) + 1)])
+        return (counts.select(F.explode(per_step).alias("__s"))
+                .select("__s.*"))
     counts = users.agg(*[
         F.count(c).alias(f"__n{i}") for i, c in enumerate(ts_cols, 1)])
     # one row per step via explode over an inline struct array — the

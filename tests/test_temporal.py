@@ -288,3 +288,20 @@ def test_scd2_single_key_shuffle(spark):
     out = op("scd2", df, {"keys": ["k"], "attrs": ["v"]}, views={})
     plans.assert_no_row_python(out)
     plans.assert_max_shuffles(out, 1)
+
+
+def test_funnel_timing_mode(spark):
+    rows = [("u1", 100, "view"), ("u1", 160, "click"),
+            ("u1", 400, "purchase"),
+            ("u2", 100, "view"), ("u2", 130, "click"),
+            ("u3", 50, "view")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step_idx"]: r for r in op(
+        "funnel", df, {"steps": ["view", "click", "purchase"],
+                       "key": "user_id", "mode": "timing"},
+        views={}).collect()}
+    assert out[2]["n_converted"] == 2
+    assert out[2]["sum_seconds"] == (160 - 100) + (130 - 100)
+    assert out[2]["from_step"] == "view" and out[2]["to_step"] == "click"
+    assert out[3]["n_converted"] == 1
+    assert out[3]["sum_seconds"] == 400 - 160
