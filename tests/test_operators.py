@@ -714,3 +714,49 @@ def test_sample_pps_per_group_exact_size(spark):
                 "group_by": ["grp"]}, views={}).collect()
     assert sorted((r["doc_id"], r["n_copies"]) for r in again) == \
         sorted((r["doc_id"], r["n_copies"]) for r in out)
+
+
+def test_round4_operators_handle_empty_input(spark):
+    """Empty frames must flow through every round-4 operator without
+    errors and produce empty (or empty-aggregate) results — the
+    incremental-pipeline edge every first run hits."""
+    empty_obs = spark.createDataFrame([], "k long, ts long, v string")
+    assert op("scd2", empty_obs, {"keys": ["k"], "attrs": ["v"]},
+              views={}).count() == 0
+
+    empty_vals = spark.createDataFrame([], "value string")
+    assert op("heavy_hitters", empty_vals, {"field": "value", "k": 3},
+              views={}).count() == 0
+    assert op("heavy_hitters", empty_vals,
+              {"field": "value", "k": 3, "mode": "approx"},
+              views={}).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert op("triangle_count", empty_edges, {}, views={}).collect()[0][
+        "n_triangles"] == 0
+    assert op("triangle_count", empty_edges, {"per_node": True},
+              views={}).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert op("sample_pps", empty_docs,
+              {"weight_field": "doc_id", "n": 5, "id_field": "doc_id"},
+              views={}).count() == 0
+    assert op("bm25_score", empty_docs, {"query": "x"},
+              views={}).count() == 0
+    assert op("k_anonymity", empty_docs,
+              {"quasi_identifiers": ["text"], "k": 2},
+              views={}).count() == 0
+    assert op("merge_agg", empty_docs,
+              {"group_by": ["text"], "aggregates": [
+                  {"field": "doc_id", "function": "count", "alias": "n"}]},
+              views={}).count() == 0
+    assert op("url_parts", empty_docs.withColumnRenamed("text", "url"),
+              {}, views={}).count() == 0
+    # train_bpe on an empty corpus yields an empty merge table, and
+    # applying it still tokenizes (character fallback)
+    merges = op("train_bpe", empty_docs, {"num_merges": 5}, views={})
+    assert merges.count() == 0
+    applied = op("bpe_apply",
+                 spark.createDataFrame([(1, "ab")], ["doc_id", "text"]),
+                 {"merges": merges}, views={}).collect()[0]
+    assert applied["bpe_tokens"] == ["a", "b", "</w>"]
