@@ -4105,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pps": q_sample_pps,
         "sample_pps_group": q_sample_pps_group,
         "bpe_gate": q_bpe_gate,
+        "bigram_logprob": q_bigram_logprob,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
@@ -4138,7 +4139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last": q_first_last,
         "ts_features": q_ts_features,
         "fillna_dropna": q_fillna_dropna,
-        "bigram_logprob": q_bigram_logprob,
         "dup_spans": q_dup_spans,
         "embedding_outlier": q_embedding_outlier,
         # -- judge-verified round 3, never driver-sampled (24) --
