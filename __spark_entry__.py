@@ -2534,6 +2534,37 @@ ORDER BY doc_id
 """
 
 
+def q_cdc_gate(spark, sf_dir):
+    """Content-defined chunking losslessness gate (llmops/text.py
+    op_chunk_cdc): for every document, concatenating the chunks in
+    chunk_idx order must reconstruct the text byte-for-byte (the
+    rolling-hash boundary choice is not SQL-expressible; the
+    invariant catches real cut/offset/encode bugs). Also audits
+    n_chunks >= 1 for non-empty docs. Oracle predicts the booleans."""
+    d = _t(spark, sf_dir, "documents")
+    ch = op("chunk_cdc", d, {"mask_bits": 6, "min_size": 24,
+                             "max_size": 512})
+    rec = (ch.groupBy("doc_id", "text")
+           .agg(F.count(F.lit(1)).alias("n_chunks"),
+                F.concat_ws("", F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("chunk_idx", "chunk_text"))),
+                    lambda s: s["chunk_text"])).alias("__rec")))
+    df = rec.select(
+        "doc_id",
+        (F.col("__rec") == F.coalesce(F.col("text"), F.lit("")))
+        .alias("reconstruction_ok"),
+        (F.col("n_chunks") >= 1).alias("has_chunks"))
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_CDC_GATE = """
+SELECT doc_id, TRUE AS reconstruction_ok, TRUE AS has_chunks
+FROM documents WHERE text IS NOT NULL AND text <> ''
+ORDER BY doc_id
+"""
+
+
 def q_bpe_gate(spark, sf_dir):
     """BPE losslessness gate (llmops/tokenize.py): a merge table
     trained on the corpus vocabulary, applied to every document, must
@@ -4105,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pps": q_sample_pps,
         "sample_pps_group": q_sample_pps_group,
         "bpe_gate": q_bpe_gate,
+        "cdc_gate": q_cdc_gate,
         "bigram_logprob": q_bigram_logprob,
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
@@ -4275,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_pps": _SQL_SAMPLE_PPS,
         "sample_pps_group": _SQL_SAMPLE_PPS_GROUP,
         "bpe_gate": _SQL_BPE_GATE,
+        "cdc_gate": _SQL_CDC_GATE,
         "zorder": _SQL_ZORDER,
         "key_skew": _SQL_KEY_SKEW,
         "hash_columns": _SQL_HASH_COLUMNS,

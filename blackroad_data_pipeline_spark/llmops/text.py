@@ -7,11 +7,12 @@ pass at any scale and pipeline with filters/projections for free.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Iterator, Mapping
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.registry import register
 
@@ -1173,3 +1174,97 @@ def op_url_parts(df: DataFrame, config: Mapping, views) -> DataFrame:
         out = out.withColumn(
             f"param_{p}", F.try_parse_url(col, F.lit("QUERY"), F.lit(p)))
     return out
+
+
+@register("chunk_cdc")
+def op_chunk_cdc(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Content-defined chunking: split each document at positions
+    where a 64-bit polynomial rolling hash of the trailing ``window``
+    bytes satisfies ``hash & mask == mask`` (avg chunk ~2^mask_bits
+    bytes, clamped to [min_size, max_size]). Boundaries depend ONLY
+    on local content, so an insertion early in a document shifts
+    chunk contents locally and RE-ALIGNS at the next boundary —
+    chunk-hash dedup over this output catches shifted/partial
+    overlaps that fixed windows (dup_span_stats) cannot. The
+    rsync/LBFS/backup-dedup primitive, here for crawl snapshots that
+    prepend banners or edit headers.
+
+    Output: one row per chunk — id columns + chunk_idx,
+    chunk_offset (byte offset), chunk_text, chunk_hash (md5 hex of
+    the chunk bytes — dedup-ready, engine-auditable). Arrow-batched
+    numpy kernel (uint64 wraparound gives exact mod-2^64 rolling
+    hashes), no shuffle. Losslessness (concatenation reconstructs
+    the document byte-for-byte) is the contract gate.
+    """
+    import hashlib
+
+    import numpy as np
+
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    window = int(config.get("window", 16))
+    mask_bits = int(config.get("mask_bits", 6))      # avg ~64 bytes
+    min_size = int(config.get("min_size", max(window, 16)))
+    max_size = int(config.get("max_size", 1 << (mask_bits + 3)))
+    if max_size < min_size:
+        raise ValueError("max_size must be >= min_size")
+    mask = np.uint64((1 << mask_bits) - 1)
+    base = np.uint64(0x100000001B3)  # FNV prime: odd -> invertible mod 2^64
+
+    powers = np.empty(window, dtype=np.uint64)
+    acc = np.uint64(1)
+    for i in range(window - 1, -1, -1):
+        powers[i] = acc
+        acc = acc * base  # uint64 wraparound == mod 2^64
+
+    def boundaries(data: bytes) -> list:
+        n = len(data)
+        if n <= min_size:
+            return [n] if n else []
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(b, window)
+        h = (win * powers).sum(axis=1, dtype=np.uint64)
+        cand = np.nonzero((h & mask) == mask)[0] + window  # cut AFTER pos
+        cuts, last = [], 0
+        for c in cand.tolist():
+            if c - last < min_size:
+                continue
+            while c - last > max_size:       # enforce max between hits
+                last += max_size
+                cuts.append(last)
+            if c - last >= min_size:
+                cuts.append(c)
+                last = c
+        while n - last > max_size:
+            last += max_size
+            cuts.append(last)
+        if not cuts or cuts[-1] != n:
+            cuts.append(n)
+        return cuts
+
+    out_schema = T.StructType([
+        *df.schema.fields,
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_offset", T.LongType()),
+        T.StructField("chunk_text", T.StringType()),
+        T.StructField("chunk_hash", T.StringType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                text = row[field]
+                data = (text or "").encode("utf-8")
+                prev = 0
+                for idx, cut in enumerate(boundaries(data)):
+                    piece = data[prev:cut]
+                    rows.append((*row.tolist(), idx, prev,
+                                 piece.decode("utf-8", errors="replace"),
+                                 hashlib.md5(piece).hexdigest()))
+                    prev = cut
+            yield pd.DataFrame(rows, columns=[*pdf.columns, "chunk_idx",
+                                              "chunk_offset", "chunk_text",
+                                              "chunk_hash"])
+
+    return df.mapInPandas(kernel, out_schema)

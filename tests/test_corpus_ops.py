@@ -631,3 +631,50 @@ def test_compression_ratio_matches_zlib_and_separates(spark):
               {"mode": "filter", "min_ratio": 0.3}, views={})
     assert [r["doc_id"] for r in kept.collect()] == [1]
     assert "compression_ratio" not in kept.columns
+
+
+# -- chunk_cdc ---------------------------------------------------------------
+
+
+def test_chunk_cdc_lossless_and_shift_resilient(spark):
+    import random
+
+    rng = random.Random(3)
+    words = ["".join(rng.choice("abcdefghijklmnop")
+                     for _ in range(rng.randrange(3, 9)))
+             for _ in range(300)]
+    base = " ".join(words)
+    shifted = "XXINSERTED PREFIX YY " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)],
+                               ["doc_id", "text"])
+    rows = op("chunk_cdc", df, {"mask_bits": 5, "min_size": 16,
+                                "max_size": 256}, views={}).collect()
+    by = {1: [], 2: []}
+    for r in rows:
+        by[r["doc_id"]].append(r)
+    for k in by:
+        by[k].sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_offset"] for r in by[k]] == sorted(
+            r["chunk_offset"] for r in by[k])
+    # losslessness: concatenation reconstructs byte-for-byte
+    assert "".join(r["chunk_text"] for r in by[1]) == base
+    assert "".join(r["chunk_text"] for r in by[2]) == shifted
+    # shift resilience: a prefix edit leaves almost every chunk hash
+    # shared (boundaries re-align at the first content-defined cut)
+    h1 = {r["chunk_hash"] for r in by[1]}
+    h2 = {r["chunk_hash"] for r in by[2]}
+    assert len(h1 & h2) >= len(h1) - 2
+    # size clamps hold
+    sizes = [len(r["chunk_text"].encode()) for r in by[1]]
+    assert all(s <= 256 for s in sizes)
+    assert all(s >= 16 for s in sizes[:-1])  # final chunk may be short
+
+
+def test_chunk_cdc_empty_and_tiny_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "tiny")], ["doc_id", "text"])
+    rows = op("chunk_cdc", df, {}, views={}).collect()
+    got = {r["doc_id"]: r for r in rows}
+    # empty/NULL docs produce no chunks; a tiny doc is one chunk
+    assert set(got) == {3}
+    assert got[3]["chunk_text"] == "tiny" and got[3]["chunk_idx"] == 0
