@@ -946,6 +946,22 @@ def q_dedup_near_groups(spark, sf_dir):
     return op("sort", df, {"fields": ["doc_id"]})
 
 
+def q_dedup_near_best(spark, sf_dir):
+    """dedup_near_groups keep='best' at the recall~1 banding: within
+    each transitive near-dup cluster the LONGEST copy survives
+    (keep_by n_chars, ties to the smaller id) instead of the smallest
+    id — the canonical-selection policy production dedup wants. The
+    oracle replays it as a row_number over the recursive-CTE
+    components ordered by n_chars DESC, id ASC."""
+    d = _half_docs(spark, sf_dir)
+    df = op("dedup_near_groups", d,
+            {"field": "text", "id_field": "doc_id", "shingle_size": 5,
+             "bands": 16, "rows_per_band": 1, "threshold": 0.8,
+             "keep": "best", "keep_by": "n_chars"})
+    df = op("select", df, {"fields": ["doc_id", "lang"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
 def q_similarity_join(spark, sf_dir):
     """similarity_join with multi-table amplification tuned for
     recall~1 at this threshold (L=30 tables of b=2 planes: a pair at
@@ -1002,6 +1018,26 @@ comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s)
 SELECT doc_id, lang FROM documents
 WHERE doc_id % 2 = 0
   AND doc_id NOT IN (SELECT id FROM comp WHERE component < id)
+ORDER BY doc_id
+"""
+
+_SQL_DEDUP_NEAR_BEST = f"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_sql(_QHALF)}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s),
+ranked AS (
+  SELECT c.id,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY doc.n_chars DESC, c.id ASC) AS rn
+  FROM comp c JOIN documents doc ON doc.doc_id = c.id)
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 2 = 0
+  AND doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
 ORDER BY doc_id
 """
 
@@ -1313,6 +1349,39 @@ FROM b
 WHERE bucket < CASE WHEN lang = 'en' THEN 500000
                     WHEN lang = 'zh' THEN 1000000
                     ELSE 800000 END
+ORDER BY doc_id
+"""
+
+
+def q_mix_temperature(spark, sf_dir):
+    """mix_corpus temperature mode (alpha=0.5) value-checked
+    row-for-row: DuckDB recomputes the per-lang counts, the
+    pow-derived keep thresholds (floor(r*buckets + 0.5), same libm
+    pow on this host — the operator PINS the thresholds as integer
+    literals so the Spark output is deterministic regardless), and
+    the salted md5 keep buckets."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("mix_corpus", d, {"by": "lang", "temperature": 0.5,
+                              "on": ["doc_id"], "salt": "mixT"})
+    df = op("select", df, {"fields": ["doc_id", "lang"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_MIX_TEMPERATURE = """
+WITH n AS (
+  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+t AS (
+  SELECT lang,
+         CAST(floor(pow(CAST((SELECT MIN(cnt) FROM n) AS DOUBLE) / cnt, 0.5)
+              * 1000000 + 0.5) AS BIGINT) AS thresh
+  FROM n),
+b AS (
+  SELECT doc_id, d.lang AS lang,
+         CAST(concat('0x', substring(md5(concat_ws(chr(31), 'mixT',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bucket,
+         thresh
+  FROM documents d JOIN t ON d.lang = t.lang)
+SELECT doc_id, lang FROM b WHERE bucket < thresh
 ORDER BY doc_id
 """
 
@@ -4119,6 +4188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries already driver-green in CORRECTNESS_r01-r03. Every entry
         # remains oracle-anchored.
         # -- never independently sampled (36) --
+        "dedup_near_best": q_dedup_near_best,
+        "mix_temperature": q_mix_temperature,
         "stream_join_stream": q_stream_join_stream,
         "dedup_against_bloom": q_dedup_against_bloom,
         "heavy_hitters": q_heavy_hitters,
@@ -4391,6 +4462,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_minhash": _SQL_MINHASH_PARITY,
         "dedup_near_minhash": _SQL_DEDUP_NEAR_PARITY,
         "dedup_near_groups": _SQL_DEDUP_GROUPS_PARITY,
+        "dedup_near_best": _SQL_DEDUP_NEAR_BEST,
+        "mix_temperature": _SQL_MIX_TEMPERATURE,
         "near_dup_simhash": _SQL_SIMHASH_GATE,
         "ann_lsh": _SQL_ANN_GATE,
         "ann_ivf": _SQL_ANN_GATE,

@@ -15,7 +15,7 @@ import re
 from collections.abc import Mapping
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -430,14 +430,46 @@ def op_connected_components(df: DataFrame, config: Mapping, views) -> DataFrame:
 @register("dedup_near_groups")
 def op_dedup_near_groups(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Exact near-dup dedup: MinHash-LSH pairs → connected components
-    → keep the minimum id of every component. Unlike the one-pass
+    → keep ONE canonical doc per component. Unlike the one-pass
     policy (op_dedup_near_minhash), survivors are independent of pair
-    enumeration order even across similarity chains."""
+    enumeration order even across similarity chains.
+
+    Canonical selection (``keep``):
+      * ``"min_id"`` (default) — smallest id survives (the cheap,
+        arbitrary-but-stable choice; what the parity oracle replays).
+      * ``"best"`` — the member maximizing ``keep_by`` survives
+        (``keep_order: "asc"`` flips to minimizing); ties break to
+        the smaller id. This is what production dedup actually wants:
+        among near-identical crawls keep the longest / highest-quality
+        copy, not whichever got the smaller ingest id.
+
+    Scale shape for ``best``: the quality column joins onto the
+    component labels — a table of CLUSTER MEMBERS only (docs that
+    appear in some near-dup pair), not the corpus — and the
+    row_number window partitions by component (clusters are small by
+    construction). The corpus itself is touched only by the final
+    left-anti join on id.
+    """
     id_field = config.get("id_field", "doc_id")
+    keep = config.get("keep", "min_id")
     pairs = op_near_dup_minhash(df, config, views)
     comps = op_connected_components(pairs, config, views)
-    losers = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_field))
+    if keep == "min_id":
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_field))
+    elif keep == "best":
+        keep_by = config["keep_by"]
+        ascending = str(config.get("keep_order", "desc")) == "asc"
+        qual = df.select(F.col(id_field).alias("id"),
+                         F.col(keep_by).alias("__q"))
+        members = comps.join(qual, "id")
+        order = (F.col("__q").asc() if ascending else F.col("__q").desc())
+        w = Window.partitionBy("component").orderBy(order, F.col("id").asc())
+        losers = (members.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") > 1)
+                  .select(F.col("id").alias(id_field)))
+    else:
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     return df.join(losers, id_field, "left_anti")
 
 

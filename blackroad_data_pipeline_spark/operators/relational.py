@@ -748,17 +748,56 @@ def op_mix_corpus(df: DataFrame, config: Mapping, views) -> DataFrame:
     rate in [0,1]}, ``on`` hash key columns, ``default_rate`` for
     unlisted strata (default 1.0), ``salt``/``buckets`` as
     split_assign.
+
+    Temperature mode (``temperature: alpha`` instead of ``rates``):
+    derive the rates FROM the observed stratum proportions — the
+    multilingual-LM rebalance (mC4 / XLM-R style). With natural
+    proportions p_i, temperature sampling wants post-mix proportions
+    ∝ p_i^alpha; without upsampling that is a keep rate
+    r_i = (n_min / n_i)^(1 - alpha), normalized so the rarest stratum
+    keeps everything (alpha=1 → no change; alpha=0 → uniform strata;
+    alpha<1 flattens the head). The per-stratum counts are a tiny
+    groupBy-count (strata = languages/domains, bounded) collected to
+    the driver; the thresholds are computed once in Python as
+    floor(r*buckets + 0.5) so the same arithmetic replays in any SQL
+    engine. Boundary caveat: r involves pow(), which is libm- (not
+    IEEE-) specified — if r*buckets lands within an ulp of an
+    integer, engines with different libms could disagree on one
+    bucket's membership; the fixed thresholds this op PINS (computed
+    once, then used as integer literals in the filter) make the Spark
+    output itself deterministic regardless.
     """
     by = config["by"]
     on = [F.col(c) for c in config["on"]]
-    rates = {str(k): float(v) for k, v in config["rates"].items()}
-    default_rate = float(config.get("default_rate", 1.0))
     buckets = int(config.get("buckets", 1_000_000))
     salt = str(config.get("salt", "mix"))
-    for name, rate in [*rates.items(), ("default_rate", default_rate)]:
-        if not 0.0 <= rate <= 1.0:
-            raise ValueError(f"keep rate for {name!r} must be in [0,1], "
-                             f"got {rate}")
+    if "temperature" in config:
+        if "rates" in config:
+            raise ValueError("pass either rates or temperature, not both")
+        alpha = float(config["temperature"])
+        if not 0.0 <= alpha <= 1.0:
+            raise ValueError(f"temperature must be in [0,1], got {alpha}")
+        import math
+        counts = {str(r[0]): r[1]
+                  for r in df.groupBy(F.col(by).cast("string"))
+                             .agg(F.count(F.lit(1)).alias("n"))
+                             .collect()}
+        n_min = min(counts.values())
+        # floor(x + 0.5) — NOT Python round(), whose banker's rounding
+        # has no SQL twin — so the oracle replays threshold-for-threshold
+        thresholds = {k: int(math.floor(
+                          math.pow(n_min / n, 1.0 - alpha) * buckets + 0.5))
+                      for k, n in counts.items()}
+        default_thresh = buckets  # unseen strata (none, by construction)
+    else:
+        rates = {str(k): float(v) for k, v in config["rates"].items()}
+        default_rate = float(config.get("default_rate", 1.0))
+        for name, rate in [*rates.items(), ("default_rate", default_rate)]:
+            if not 0.0 <= rate <= 1.0:
+                raise ValueError(f"keep rate for {name!r} must be in [0,1], "
+                                 f"got {rate}")
+        thresholds = {k: int(round(r * buckets)) for k, r in rates.items()}
+        default_thresh = int(round(default_rate * buckets))
     # md5 like split_assign/shuffle_rows: the keep decision is
     # reproducible from any engine (auditable in plain SQL)
     key = F.concat_ws("\x1f", F.lit(salt),
@@ -767,11 +806,11 @@ def op_mix_corpus(df: DataFrame, config: Mapping, views) -> DataFrame:
                F.lit(buckets))
     threshold = None
     stratum = F.col(by).cast("string")
-    for value, rate in rates.items():
-        lit = F.lit(int(round(rate * buckets)))
+    for value, lit_val in thresholds.items():
+        lit = F.lit(lit_val)
         threshold = (F.when(stratum == value, lit) if threshold is None
                      else threshold.when(stratum == value, lit))
-    default_lit = F.lit(int(round(default_rate * buckets)))
+    default_lit = F.lit(default_thresh)
     threshold = (default_lit if threshold is None
                  else threshold.otherwise(default_lit))
     return df.filter(h < threshold)
