@@ -2684,7 +2684,8 @@ c AS (
   FROM w),
 t AS (SELECT SUM(w) AS tot FROM w)
 SELECT doc_id,
-       (cum * 100) // tot - ((cum - w) * 100) // tot AS n_copies
+       CAST((cum * 100) // tot - ((cum - w) * 100) // tot
+            AS BIGINT) AS n_copies
 FROM c, t
 WHERE (cum * 100) // tot - ((cum - w) * 100) // tot >= 1
 ORDER BY doc_id
@@ -2714,7 +2715,8 @@ c AS (
          SUM(w) OVER (PARTITION BY lang) AS tot
   FROM w)
 SELECT doc_id, lang,
-       (cum * 20) // tot - ((cum - w) * 20) // tot AS n_copies
+       CAST((cum * 20) // tot - ((cum - w) * 20) // tot
+            AS BIGINT) AS n_copies
 FROM c
 WHERE tot > 0
   AND (cum * 20) // tot - ((cum - w) * 20) // tot >= 1
@@ -2944,8 +2946,11 @@ def q_expect_fk(spark, sf_dir):
         {"type": "foreign_key", "field": "l_orderkey", "ref": refs,
          "ref_field": "o_orderkey"},
     ]}, views={})
+    df = op("expr", df, {"exprs": {
+        "violations_s": "array_join(violations, ',')"}})
     df = op("select", df, {"fields": ["l_orderkey", "l_linenumber",
-                                      "l_partkey", "violations"]})
+                                      "l_partkey", "violations_s"]})
+    df = op("rename", df, {"mapping": {"violations_s": "violations"}})
     return op("sort", df, {"fields": ["l_orderkey", "l_linenumber",
                                       "l_partkey"]})
 
@@ -2955,8 +2960,8 @@ SELECT l_orderkey, l_linenumber, l_partkey,
        CASE WHEN l_orderkey IS NULL
                  OR l_orderkey IN (SELECT o_orderkey FROM orders
                                    WHERE o_orderkey < 10000)
-            THEN CAST([] AS VARCHAR[])
-            ELSE ['foreign_key_l_orderkey'] END AS violations
+            THEN ''
+            ELSE 'foreign_key_l_orderkey' END AS violations
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber, l_partkey
 """
@@ -2976,11 +2981,15 @@ def q_expect(spark, sf_dir):
         {"type": "unique", "field": "event_id"},
         {"type": "matches", "field": "props", "pattern": "^\\{"},
     ]})
-    df = op("select", df, {"fields": ["event_id", "violations"]})
+    df = op("expr", df, {"exprs": {
+        "violations_s": "array_join(violations, ',')"}})
+    df = op("select", df, {"fields": ["event_id", "violations_s"]})
+    df = op("rename", df, {"mapping": {"violations_s": "violations"}})
     return op("sort", df, {"fields": ["event_id"]})
 
 
 _SQL_EXPECT = r"""
+WITH base AS (
 WITH u AS (
   SELECT event_id, event_type, value, props,
          COUNT(*) OVER (PARTITION BY event_id) AS n_id
@@ -2997,8 +3006,11 @@ SELECT event_id,
               THEN 'unique_event_id' END,
          CASE WHEN NOT (regexp_matches(props, '^\{') OR props IS NULL)
               THEN 'matches_props' END
-       ), x -> x IS NOT NULL) AS violations
-FROM u
+       ), x -> x IS NOT NULL) AS raw_violations
+FROM u)
+SELECT event_id,
+       COALESCE(array_to_string(raw_violations, ','), '') AS violations
+FROM base
 ORDER BY event_id
 """
 
@@ -3152,7 +3164,7 @@ WITH b AS (
   SELECT LEAST(GREATEST(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
                                    / 5000.0) AS BIGINT), 0), 21) AS bin
   FROM lineitem WHERE l_extendedprice IS NOT NULL)
-SELECT bin, 0.0 + bin * 5000.0 AS bin_start, COUNT(*) AS n
+SELECT bin, 0e0 + bin * 5e3 AS bin_start, COUNT(*) AS n
 FROM b GROUP BY bin ORDER BY bin
 """
 
@@ -3826,7 +3838,7 @@ def q_small_qty_revenue(spark, sf_dir):
 _SQL_LARGE_VOLUME_ORDERS = """
 SELECT c_custkey, o_orderkey, o_orderdate,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -4180,14 +4192,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Order = driver-evidence rotation (VERDICT r3 next-round #1):
-        # the driver's CORRECTNESS sampler takes the FIRST ~50 keys, and
-        # rounds 1-3 sampled the same prefix. Front section = the 36
-        # entries with no independent evidence yet, then the 24 entries
-        # judge-verified in round 3 but never driver-sampled, then the 60
-        # entries already driver-green in CORRECTNESS_r01-r03. Every entry
-        # remains oracle-anchored.
-        # -- never independently sampled (36) --
+        # Order = driver-evidence rotation (VERDICT r4 next-round #3):
+        # the driver samples the FIRST ~50 keys per round. Front section =
+        # the 38 entries with no cumulative driver-green evidence after r4
+        # (30 never-sampled, 5 red in r1/r2 before their oracles landed,
+        # 3 r4 comparator reds now fixed); then the 102 entries already
+        # driver-green in CORRECTNESS_r01-r04. Every entry oracle-anchored.
+        # -- needing driver evidence (38) --
+        "expect_fk": q_expect_fk,
+        "sample_pps": q_sample_pps,
+        "sample_pps_group": q_sample_pps_group,
+        "ntile": q_ntile,
+        "first_last": q_first_last,
+        "ts_features": q_ts_features,
+        "fillna_dropna": q_fillna_dropna,
+        "dup_spans": q_dup_spans,
+        "embedding_outlier": q_embedding_outlier,
+        "components": q_components,
+        "mix_corpus": q_mix_corpus,
+        "shuffle_rows": q_shuffle_rows,
+        "budget_select": q_budget_select,
+        "corpus_diff": q_corpus_diff,
+        "dedup_lines": q_dedup_lines,
+        "fuzzy_join": q_fuzzy_join,
+        "expect": q_expect,
+        "gopher_quality": q_gopher_quality,
+        "importance_weight": q_importance_weight,
+        "quality_classifier_gate": q_quality_classifier_gate,
+        "split_paragraphs": q_split_paragraphs,
+        "dup_spans_remove": q_dup_spans_remove,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "phash": q_phash,
+        "quantize_embedding": q_quantize_embedding,
+        "dedup_near_against": q_dedup_near_against,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "event_transitions": q_event_transitions,
+        "pagerank": q_pagerank,
+        "text_normalize": q_text_normalize,
+        "compression_gate": q_compression_gate,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "similarity_join": q_similarity_join,
+        "split_assign": q_split_assign,
+        "profile": q_profile,
+        # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
         "stream_join_stream": q_stream_join_stream,
@@ -4197,15 +4247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_gate": q_distinct_sketch_gate,
         "scd2": q_scd2,
         "bm25": q_bm25,
-        "expect_fk": q_expect_fk,
         "triangles": q_triangles,
         "triangles_per_node": q_triangles_per_node,
         "funnel_timing": q_funnel_timing,
         "merge_agg": q_merge_agg,
         "k_anonymity": q_k_anonymity,
         "url_parts": q_url_parts,
-        "sample_pps": q_sample_pps,
-        "sample_pps_group": q_sample_pps_group,
         "bpe_gate": q_bpe_gate,
         "cdc_gate": q_cdc_gate,
         "bigram_logprob": q_bigram_logprob,
@@ -4238,38 +4285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "key_skew": q_key_skew,
         "hash_columns": q_hash_columns,
-        "ntile": q_ntile,
-        "first_last": q_first_last,
-        "ts_features": q_ts_features,
-        "fillna_dropna": q_fillna_dropna,
-        "dup_spans": q_dup_spans,
-        "embedding_outlier": q_embedding_outlier,
-        # -- judge-verified round 3, never driver-sampled (24) --
-        "components": q_components,
-        "mix_corpus": q_mix_corpus,
-        "shuffle_rows": q_shuffle_rows,
-        "budget_select": q_budget_select,
-        "corpus_diff": q_corpus_diff,
-        "dedup_lines": q_dedup_lines,
-        "fuzzy_join": q_fuzzy_join,
-        "expect": q_expect,
-        "gopher_quality": q_gopher_quality,
-        "importance_weight": q_importance_weight,
-        "quality_classifier_gate": q_quality_classifier_gate,
-        "split_paragraphs": q_split_paragraphs,
-        "dup_spans_remove": q_dup_spans_remove,
-        "small_qty_revenue": q_small_qty_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "phash": q_phash,
-        "quantize_embedding": q_quantize_embedding,
-        "dedup_near_against": q_dedup_near_against,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "event_transitions": q_event_transitions,
-        "pagerank": q_pagerank,
-        "text_normalize": q_text_normalize,
-        "compression_gate": q_compression_gate,
-        # -- driver-green in CORRECTNESS_r01-r03 (60) --
         "filter_agg": q_filter_agg,
         "filter_eq": q_filter_eq,
         "filter_contains": q_filter_contains,
@@ -4320,13 +4335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_minhash": q_dedup_near_minhash,
         "dedup_near_groups": q_dedup_near_groups,
         "near_dup_simhash": q_near_dup_simhash,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "similarity_join": q_similarity_join,
         "frame_sample": q_frame_sample,
-        "split_assign": q_split_assign,
         "corpus_prep": q_corpus_prep,
-        "profile": q_profile,
         "unpivot": q_unpivot,
         "running_total": q_running_total,
         "embedding_stats": q_embedding_stats,

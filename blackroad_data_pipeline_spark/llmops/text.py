@@ -1195,6 +1195,15 @@ def op_chunk_cdc(df: DataFrame, config: Mapping, views) -> DataFrame:
     numpy kernel (uint64 wraparound gives exact mod-2^64 rolling
     hashes), no shuffle. Losslessness (concatenation reconstructs
     the document byte-for-byte) is the contract gate.
+
+    Every cut — rolling-hash hits AND max_size forced cuts — is
+    snapped FORWARD past UTF-8 continuation bytes (0b10xxxxxx) so a
+    chunk never splits a multi-byte code point: without this,
+    chunk_text decoding replaces the split character with U+FFFD on
+    both sides and reconstruction silently corrupts non-ASCII text
+    (ADVICE r4-high). ASCII boundaries are unchanged (no
+    continuation bytes), so snapping costs nothing on ASCII corpora;
+    a chunk may exceed max_size by up to 3 bytes at a snap.
     """
     import hashlib
 
@@ -1217,6 +1226,13 @@ def op_chunk_cdc(df: DataFrame, config: Mapping, views) -> DataFrame:
         powers[i] = acc
         acc = acc * base  # uint64 wraparound == mod 2^64
 
+    def snap(data: bytes, c: int, n: int) -> int:
+        # advance past UTF-8 continuation bytes so the cut lands on a
+        # code-point boundary (0b10xxxxxx bytes are never a start)
+        while c < n and (data[c] & 0xC0) == 0x80:
+            c += 1
+        return c
+
     def boundaries(data: bytes) -> list:
         n = len(data)
         if n <= min_size:
@@ -1227,16 +1243,23 @@ def op_chunk_cdc(df: DataFrame, config: Mapping, views) -> DataFrame:
         cand = np.nonzero((h & mask) == mask)[0] + window  # cut AFTER pos
         cuts, last = [], 0
         for c in cand.tolist():
+            c = snap(data, c, n)
             if c - last < min_size:
                 continue
             while c - last > max_size:       # enforce max between hits
-                last += max_size
+                nxt = snap(data, last + max_size, n)
+                if nxt >= c:
+                    break
+                last = nxt
                 cuts.append(last)
             if c - last >= min_size:
                 cuts.append(c)
                 last = c
         while n - last > max_size:
-            last += max_size
+            nxt = snap(data, last + max_size, n)
+            if nxt >= n:
+                break
+            last = nxt
             cuts.append(last)
         if not cuts or cuts[-1] != n:
             cuts.append(n)

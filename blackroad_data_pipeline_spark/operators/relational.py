@@ -778,10 +778,19 @@ def op_mix_corpus(df: DataFrame, config: Mapping, views) -> DataFrame:
         if not 0.0 <= alpha <= 1.0:
             raise ValueError(f"temperature must be in [0,1], got {alpha}")
         import math
+        # NULL strata are excluded from the proportion statistics and
+        # ALWAYS KEPT (they fall through to the default threshold =
+        # buckets below); stringifying a NULL would otherwise create a
+        # 'None' threshold no NULL column value can ever match
+        # (ADVICE r4-low)
         counts = {str(r[0]): r[1]
                   for r in df.groupBy(F.col(by).cast("string"))
                              .agg(F.count(F.lit(1)).alias("n"))
-                             .collect()}
+                             .collect()
+                  if r[0] is not None}
+        if not counts:
+            # empty input (or all-NULL strata): nothing to rebalance
+            return df
         n_min = min(counts.values())
         # floor(x + 0.5) — NOT Python round(), whose banker's rounding
         # has no SQL twin — so the oracle replays threshold-for-threshold
@@ -1056,11 +1065,16 @@ def op_sample_pps(df: DataFrame, config: Mapping, views) -> DataFrame:
     drawn proportional to token count / quality weight".
 
     ``weight_field`` must be a non-negative integer column (token or
-    byte counts; zero-weight rows are never drawn). ``order_by``
-    (default: md5 of ``id_field`` + ``salt`` — a reproducible
-    unbiased shuffle) must be a total order. Same distributed-prefix-
-    sum shape as budget_select: two passes, no single-partition
-    stage. Overflow bound: cum·n must fit int64 → W·n < 9.2e18.
+    byte counts; zero-weight rows are never drawn). ENFORCED: a
+    negative weight raises at scan time (executor-side assert — a
+    non-monotonic running sum would silently emit negative n_copies
+    and break Σ n_copies == n), and the overflow bound cum·n ≤
+    int64-max → W·n < 9.2e18 raises instead of silently wrapping
+    (DuckDB would keep computing in HUGEINT — the engines would
+    diverge exactly where it matters). ``order_by`` (default: md5 of
+    ``id_field`` + ``salt`` — a reproducible unbiased shuffle) must
+    be a total order. Same distributed-prefix-sum shape as
+    budget_select: two passes, no single-partition stage.
 
     ``group_by``: exactly n draws PER GROUP ("n documents per
     domain, weighted by tokens" — the weighted complement of
@@ -1084,14 +1098,32 @@ def op_sample_pps(df: DataFrame, config: Mapping, views) -> DataFrame:
         sort_cols = [F.md5(F.concat(F.col(id_field).cast("string"),
                                     F.lit(salt))),
                      F.col(id_field)]
-    w_long = F.col(weight).cast("long")
+    raw_w = F.col(weight).cast("long")
+    # executor-side guards, embedded in the USED weight expression so
+    # Catalyst cannot prune them: assert_true yields NULL on pass
+    # (coalesce→+0) and raises on the first offending row
+    w_long = raw_w + F.coalesce(
+        F.assert_true(
+            raw_w >= 0,
+            F.concat(F.lit(f"sample_pps: negative weight in {weight!r}: "),
+                     raw_w.cast("string"))).cast("long"),
+        F.lit(0))
+    cum_limit = ((1 << 63) - 1) // n   # W*n must fit int64
 
     if group_by:
         wcum = (Window.partitionBy(*group_by).orderBy(*sort_cols)
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         wtot = Window.partitionBy(*group_by)
+        tot = F.sum(w_long).over(wtot)
+        tot_checked = tot + F.coalesce(
+            F.assert_true(
+                tot <= cum_limit,
+                F.concat(F.lit(f"sample_pps: group total * n={n} exceeds "
+                               "int64 (W*n must stay below 2^63); total="),
+                         tot.cast("string"))).cast("long"),
+            F.lit(0))
         staged = (df.withColumn("__cum", F.sum(w_long).over(wcum))
-                  .withColumn("__tot", F.sum(w_long).over(wtot))
+                  .withColumn("__tot", tot_checked)
                   .withColumn("__w_pps", w_long))
         copies = F.expr(
             f"(__cum * {n} + pmod({offset}, __tot)) div __tot"
@@ -1105,10 +1137,15 @@ def op_sample_pps(df: DataFrame, config: Mapping, views) -> DataFrame:
     n_parts = int(config.get("n_partitions", 0)) or \
         df.sparkSession.sparkContext.defaultParallelism
     ranged, running, total = _distributed_prefix_sum(
-        df, F.col(weight), sort_cols, n_parts)
+        df, w_long, sort_cols, n_parts)
     if total <= 0:
         return df.filter(F.lit(False)).withColumn(
             "n_copies", F.lit(0).cast("long"))
+    if total > cum_limit:
+        raise ValueError(
+            f"sample_pps: total weight {total} * n={n} exceeds int64 "
+            "(W*n must stay below 2^63) — scale weights down or sample "
+            "per group")
     if not 0 <= offset < total:
         offset %= total
     copies = F.expr(

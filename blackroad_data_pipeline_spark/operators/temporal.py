@@ -372,6 +372,14 @@ def op_scd2(df: DataFrame, config: Mapping, views) -> DataFrame:
                  [c for c in df.columns
                   if c not in keys and c != ts_field])
     tiebreak = list(config.get("tiebreak", []))
+    # tiebreak columns outside keys/attrs must travel with every
+    # observation (and persist into the version rows) or the
+    # incremental replay cannot re-order equal-ts observations the
+    # same way the original build did (ADVICE r4-low: previously the
+    # history projection dropped them and compress() raised an
+    # unresolved-column error)
+    extra = [t for t in tiebreak
+             if t not in attrs and t not in keys and t != ts_field]
 
     def compress(obs: DataFrame) -> DataFrame:
         w = Window.partitionBy(*keys).orderBy(ts_field, *tiebreak)
@@ -382,7 +390,7 @@ def op_scd2(df: DataFrame, config: Mapping, views) -> DataFrame:
                .withColumn("__chg", changed | (F.col("__rn") == 1))
                .filter("__chg"))
         return (pts.select(
-            *keys, *attrs,
+            *keys, *attrs, *extra,
             F.col(ts_field).alias("valid_from"),
             F.lead(ts_field).over(
                 Window.partitionBy(*keys).orderBy("__rn"))
@@ -393,10 +401,16 @@ def op_scd2(df: DataFrame, config: Mapping, views) -> DataFrame:
     if history is None:
         return compress(df)
     history = _resolve(history, views)
+    missing = [t for t in extra if t not in history.columns]
+    if missing:
+        raise ValueError(
+            f"scd2: tiebreak column(s) {missing} not present in history — "
+            "history must be the output of an scd2 run with the same "
+            "tiebreak config (version rows persist tiebreak columns)")
     upd_keys = df.select(*keys).dropDuplicates(keys)
     untouched = history.join(upd_keys, keys, "left_anti")
     replay = (history.join(upd_keys, keys, "left_semi")
-              .select(*keys, *attrs,
+              .select(*keys, *attrs, *extra,
                       F.col("valid_from").alias(ts_field)))
-    obs = replay.unionByName(df.select(*keys, *attrs, ts_field))
+    obs = replay.unionByName(df.select(*keys, *attrs, *extra, ts_field))
     return untouched.unionByName(compress(obs))

@@ -670,6 +670,32 @@ def test_chunk_cdc_lossless_and_shift_resilient(spark):
     assert all(s >= 16 for s in sizes[:-1])  # final chunk may be short
 
 
+def test_chunk_cdc_non_ascii_lossless(spark):
+    # multi-byte text (CJK, accents, emoji): every cut must land on a
+    # code-point boundary — reconstruction byte-for-byte, zero U+FFFD
+    import random
+
+    rng = random.Random(7)
+    pool = ("汉字漢字測試是一个非常长的文档 éàüßñ 🎉🚀 mixed ascii and "
+            "ユニコードのテキスト repeated ").split(" ")
+    text = " ".join(rng.choice(pool) for _ in range(400))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        op("chunk_cdc", df, {"mask_bits": 5, "min_size": 16,
+                             "max_size": 256}, views={}).collect(),
+        key=lambda r: r["chunk_idx"])
+    joined = "".join(r["chunk_text"] for r in rows)
+    assert joined == text
+    assert "�" not in joined
+    # snapping may exceed max_size by at most 3 bytes (one code point)
+    assert all(len(r["chunk_text"].encode()) <= 256 + 3 for r in rows)
+    # offsets are the byte offsets of each chunk within the utf-8 doc
+    data = text.encode()
+    for r in rows:
+        piece = r["chunk_text"].encode()
+        assert data[r["chunk_offset"]:r["chunk_offset"] + len(piece)] == piece
+
+
 def test_chunk_cdc_empty_and_tiny_docs(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, None), (3, "tiny")], ["doc_id", "text"])

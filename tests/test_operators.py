@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from blackroad_data_pipeline_spark.operators import apply_operator as op
 
 
@@ -695,6 +697,43 @@ def test_sample_pps_heavy_row_multiplicity_and_zero_weight(spark):
     assert sum(out.values()) == 10
     assert out[1] >= 9                       # dominant weight drawn ~10x
     assert 3 not in out                      # zero weight never drawn
+
+
+def test_sample_pps_rejects_negative_weight(spark):
+    """A negative weight makes the running sum non-monotonic — the op
+    must raise (executor-side assert on the weight expression), never
+    silently emit negative/inflated n_copies (ADVICE r4-low)."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, -3), (3, 5)], "doc_id long, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        op("sample_pps", df, {"weight_field": "w", "n": 5,
+                              "id_field": "doc_id"}, views={}).collect()
+    with pytest.raises(Exception, match="negative weight"):
+        op("sample_pps", df.withColumn("g", F.lit("a")),
+           {"weight_field": "w", "n": 5, "id_field": "doc_id",
+            "group_by": ["g"]}, views={}).collect()
+
+
+def test_sample_pps_rejects_int64_overflow(spark):
+    """W·n approaching 2^63 must raise instead of wrapping — DuckDB
+    silently widens to HUGEINT, so a wrapped Spark result would
+    diverge from every oracle exactly at the boundary (VERDICT r4
+    #6). Just-below-boundary totals still work exactly."""
+    big = (1 << 62)
+    df = spark.createDataFrame(
+        [(1, big), (2, big - 1)], "doc_id long, w long")   # W ~ 2^63-1
+    with pytest.raises(ValueError, match="exceeds int64"):
+        op("sample_pps", df, {"weight_field": "w", "n": 2,
+                              "id_field": "doc_id"}, views={})
+    with pytest.raises(Exception, match="exceeds int64"):
+        op("sample_pps", df.withColumn("g", F.lit("a")),
+           {"weight_field": "w", "n": 2, "id_field": "doc_id",
+            "group_by": ["g"]}, views={}).collect()
+    # n=1: W*1 fits — exact draw still works at the extreme magnitude
+    out = {r["doc_id"]: r["n_copies"] for r in op(
+        "sample_pps", df, {"weight_field": "w", "n": 1,
+                           "id_field": "doc_id"}, views={}).collect()}
+    assert sum(out.values()) == 1
 
 
 def test_sample_pps_per_group_exact_size(spark):

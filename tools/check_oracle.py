@@ -1,19 +1,40 @@
 """Self-check harness mimicking the driver's correctness gate.
 
 Runs every ``__spark_entry__.queries()`` entry at sf0.01 (or a given
-dir) and compares against ``oracle_sql()`` via DuckDB: row count,
-column names, and an order-insensitive value comparison (sorted rows,
-exact match for non-floats, tight tolerance report for floats so we
-can see *how* far off a float column is before the driver hashes it).
+dir) and compares against ``oracle_sql()`` via DuckDB **through pandas,
+exactly like the driver** (VERDICT r4 next-round #2): Spark via
+``toPandas()``, the oracle via ``duckdb .df()``, columns sorted by
+name, rows sorted with pandas ``sort_values`` over all columns, then a
+dtype-sensitive cell compare. Three r4 reds shipped because the old
+checker compared ``fetchall()`` Python values (DuckDB HUGEINT→float64
+and list columns survive fetchall but diverge/crash under pandas);
+this version fails loudly on exactly those shapes:
+
+- pandas ``sort_values`` crashing on list/dict cells = the driver's
+  ``_canon`` crash (expect_fk r4) → reported as a FAIL, not masked.
+- an int-kind column on one side vs float-kind on the other (DuckDB
+  window ``SUM(BIGINT)`` → HUGEINT → float64; sample_pps r4) → FAIL
+  even when the float values round-trip, because the driver hashes
+  ``1.0`` differently from ``1``.
+- Decimal-object cells (Spark DECIMAL literals / DuckDB DECIMAL
+  arithmetic) → FAIL: the two engines render them differently.
+
+Floats are compared EXACTLY (bitwise ==, NaN==NaN): the driver hashes
+values with no tolerance, so every green float query is green because
+both engines computed the identical double — a near-miss here is a
+future driver red and must show up locally.
+
+``--lint`` describes every oracle's output types via DuckDB without
+running Spark and flags HUGEINT / DECIMAL / LIST / STRUCT / MAP / JSON
+columns — the cheap full-surface guard for new entries.
 
 Queries run CONCURRENTLY (``ORACLE_WORKERS`` env, default 6): Spark
 accepts job submission from multiple threads on one session, and each
-worker compares via its own DuckDB cursor, so the full 120-query sweep
-overlaps Spark execution with oracle execution instead of serializing
-them (VERDICT r3 next-round #8). Safe because the only session-conf
-mutations on the query path are idempotent (UTC timezone, nanosAsLong).
+worker compares via its own DuckDB cursor. Safe because the only
+session-conf mutations on the query path are idempotent (UTC timezone,
+nanosAsLong).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--lint] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -27,6 +48,8 @@ import threading
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -35,68 +58,109 @@ from blackroad_data_pipeline_spark.session import get_spark  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-
-def normalize(v):
-    if isinstance(v, float):
-        return v
-    if isinstance(v, decimal.Decimal):
-        # a Decimal here usually means an accidental decimal-typed
-        # column (e.g. Spark parsing 10000.0 as DECIMAL) — compare as
-        # float so the report shows a value/type diff instead of a
-        # TypeError traceback
-        return float(v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(normalize(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, normalize(x)) for k, x in v.items()))
-    return v
+# DuckDB output types the driver's pandas canonicalization mangles or
+# crashes on. DECIMAL→object(Decimal), HUGEINT→float64, LIST/STRUCT→
+# unhashable python containers.
+BAD_DUCK_TYPES = ("HUGEINT", "DECIMAL", "[]", "STRUCT", "MAP", "JSON", "UNION")
 
 
-def sort_key(row):
-    return tuple(
-        (v is None, str(type(v).__name__), repr(v) if not isinstance(v, float) else f"{v:.9e}")
-        for v in row
-    )
+def _canon_frame(pdf: pd.DataFrame, side: str) -> tuple[pd.DataFrame, list[str]]:
+    """Mimic the driver's _canon: lowercase + name-sort columns, then
+    sort_values over all columns. Returns (frame, problems); a sort
+    crash (unhashable list cells etc.) is the driver's crash."""
+    problems: list[str] = []
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    pdf = pdf[sorted(pdf.columns)]
+    # normalize datetimes to naive ns so us-vs-ns units don't diff
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype.kind == "M":
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[c] = s.astype("datetime64[ns]")
+    # lint object cells the driver chokes on (first non-null per col)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            nn = pdf[c].dropna()
+            if len(nn):
+                v = nn.iloc[0]
+                if isinstance(v, (list, tuple, dict, np.ndarray)):
+                    problems.append(
+                        f"{side} column {c!r} holds {type(v).__name__} cells — "
+                        "driver _canon crashes on these (stringify the column)")
+                elif isinstance(v, decimal.Decimal):
+                    problems.append(
+                        f"{side} column {c!r} holds Decimal cells — "
+                        "cast to DOUBLE/BIGINT/VARCHAR in the query")
+    if problems:
+        return pdf, problems
+    try:
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    except Exception as e:  # noqa: BLE001 — the driver would crash here too
+        problems.append(f"{side} sort_values crashed (driver crash): {e}")
+    return pdf.reset_index(drop=True), problems
 
 
-def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
-    problems = []
-    if sorted(spark_cols) != sorted(c.lower() for c in duck_cols):
-        problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-        return problems
-    if len(spark_rows) != len(duck_rows):
-        problems.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
-        return problems
-    # align column order by sorted name (driver sorts columns by name)
-    order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-    order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i].lower())
-    s_rows = sorted(
-        (tuple(normalize(r[i]) for i in order_s) for r in spark_rows), key=sort_key
-    )
-    d_rows = sorted(
-        (tuple(normalize(r[i]) for i in order_d) for r in duck_rows), key=sort_key
-    )
-    n_mismatch, max_rel = 0, 0.0
-    for sr, dr in zip(s_rows, d_rows):
-        for sv, dv in zip(sr, dr):
-            if isinstance(sv, float) or isinstance(dv, float):
-                if sv is None or dv is None:
-                    if sv is not dv:
-                        n_mismatch += 1
-                elif math.isnan(sv) and math.isnan(dv):
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    s_cols = sorted(c.lower() for c in spark_pdf.columns)
+    d_cols = sorted(c.lower() for c in duck_pdf.columns)
+    if s_cols != d_cols:
+        return [f"columns differ: spark={s_cols} duck={d_cols}"]
+    if len(spark_pdf) != len(duck_pdf):
+        return [f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}"]
+    s_pdf, p1 = _canon_frame(spark_pdf, "spark")
+    d_pdf, p2 = _canon_frame(duck_pdf, "duck")
+    if p1 or p2:
+        return p1 + p2
+    n_mismatch, max_rel, shown = 0, 0.0, 0
+    for c in s_pdf.columns:
+        s, d = s_pdf[c], d_pdf[c]
+        sk, dk = s.dtype.kind, d.dtype.kind
+        num = {"i", "u", "f", "b"}
+        if sk != dk and (sk in num or dk in num):
+            # int-vs-float (HUGEINT→float64 etc.): the driver hashes
+            # 1 and 1.0 differently even when values round-trip —
+            # EXCEPT when one side holds NULLs (pandas promotes a
+            # nullable int column to float64/object on BOTH paths).
+            if not (s.isna().any() or d.isna().any()):
+                problems.append(
+                    f"dtype mismatch on {c!r}: spark {s.dtype} vs duck {d.dtype} "
+                    "— driver hash WILL differ (cast both sides to the same type)")
+                continue
+        if sk == "f" and dk == "f":
+            eq = (s.values == d.values) | (s.isna().values & d.isna().values)
+            if not eq.all():
+                bad = ~eq
+                sv, dv = s.values[bad], d.values[bad]
+                with np.errstate(all="ignore"):
+                    rel = np.nanmax(np.abs(sv - dv) /
+                                    np.maximum(np.maximum(np.abs(sv), np.abs(dv)), 1e-300))
+                max_rel = max(max_rel, float(rel) if math.isfinite(rel) else 1.0)
+                n_mismatch += int(bad.sum())
+                if shown < 3:
+                    problems.append(
+                        f"  float mismatch {c!r}: spark={sv[0]!r} duck={dv[0]!r}")
+                    shown += 1
+        else:
+            sv = s.astype(object).where(s.notna(), None).values
+            dv = d.astype(object).where(d.notna(), None).values
+            for a, b in zip(sv, dv):
+                if a is None and b is None:
                     continue
-                elif sv != dv:
-                    rel = abs(sv - dv) / max(abs(sv), abs(dv), 1e-300)
-                    max_rel = max(max_rel, rel)
+                if isinstance(a, float) and isinstance(b, float) and \
+                        math.isnan(a) and math.isnan(b):
+                    continue
+                if a != b:
                     n_mismatch += 1
-            elif sv != dv:
-                n_mismatch += 1
-                if n_mismatch <= 3:
-                    problems.append(f"  value mismatch: spark={sv!r} duck={dv!r}")
+                    if shown < 3:
+                        problems.append(
+                            f"  value mismatch {c!r}: spark={a!r} duck={b!r}")
+                        shown += 1
     if n_mismatch:
-        problems.append(f"{n_mismatch} cell mismatches (max float rel-diff {max_rel:.2e})")
+        problems.append(
+            f"{n_mismatch} cell mismatches (max float rel-diff {max_rel:.2e})")
     return problems
 
 
@@ -105,13 +169,12 @@ def check_one(name, fn, oracle, spark, sf_dir, con):
     t0 = time.time()
     try:
         sdf = fn(spark, sf_dir)
-        spark_cols = [c.lower() for c in sdf.columns]
-        spark_rows = [tuple(r) for r in sdf.collect()]
+        spark_pdf = sdf.toPandas()
     except Exception as e:  # noqa: BLE001
         return name, False, [f"FAIL {name}: spark error: {e}"]
     if oracle is None:
         return name, True, [
-            f"SKIP {name}: no oracle (rows-only) — {len(spark_rows)} rows "
+            f"SKIP {name}: no oracle (rows-only) — {len(spark_pdf)} rows "
             f"[{time.time()-t0:.1f}s]"
         ]
     try:
@@ -119,24 +182,56 @@ def check_one(name, fn, oracle, spark, sf_dir, con):
         # safe for concurrent use, cursors over one connection are
         cur = con.cursor()
         try:
-            rel = cur.sql(oracle)
-            duck_cols = rel.columns
-            duck_rows = rel.fetchall()
+            duck_pdf = cur.sql(oracle).df()
         finally:
             cur.close()
     except Exception as e:  # noqa: BLE001
         return name, False, [f"FAIL {name}: duckdb error: {e}"]
-    problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+    problems = compare(name, spark_pdf, duck_pdf)
     if problems:
-        lines = [f"FAIL {name} ({len(spark_rows)} rows) [{time.time()-t0:.1f}s]"]
+        lines = [f"FAIL {name} ({len(spark_pdf)} rows) [{time.time()-t0:.1f}s]"]
         lines += [f"  {p}" for p in problems]
         return name, False, lines
-    return name, True, [f"OK   {name} ({len(spark_rows)} rows) [{time.time()-t0:.1f}s]"]
+    return name, True, [f"OK   {name} ({len(spark_pdf)} rows) [{time.time()-t0:.1f}s]"]
+
+
+def lint(sf_dir: str, only: set[str]) -> int:
+    """DESCRIBE every oracle via DuckDB and flag output types the
+    driver's pandas canonicalization mangles. No Spark needed."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = entry_mod.oracle_sql()
+    n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        try:
+            desc = con.sql(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"LINT-ERR {name}: describe failed: {e}")
+            n_bad += 1
+            continue
+        for col, typ, *_ in desc:
+            u = typ.upper()
+            if any(tok in u for tok in BAD_DUCK_TYPES):
+                print(f"LINT {name}: column {col!r} is {typ} — driver-unsafe "
+                      "(cast to BIGINT/DOUBLE/VARCHAR in the oracle)")
+                n_bad += 1
+    print(f"\nlint: {'clean' if n_bad == 0 else f'{n_bad} driver-unsafe columns'} "
+          f"({len(only) if only else len(oracles)} oracles)")
+    return 1 if n_bad else 0
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    do_lint = "--lint" in argv
+    argv = [a for a in argv if a != "--lint"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if do_lint:
+        sys.exit(lint(sf_dir, only))
     workers = int(os.environ.get("ORACLE_WORKERS", "6"))
     spark = get_spark("oracle-check")
     con = duckdb.connect()
