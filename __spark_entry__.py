@@ -3859,6 +3859,252 @@ def q_large_volume_orders(spark, sf_dir):
     return _sql_all_tables(spark, sf_dir, _SQL_LARGE_VOLUME_ORDERS)
 
 
+_SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking, shipdate-lag
+    adaptation — the fixtures carry no commitdate): count one-quarter
+    orders per priority having at least one line shipped >60 days
+    after order placement. The correlated EXISTS with a non-equi
+    outer reference decorrelates to ONE left-semi hash join on
+    l_orderkey (DecorrelateInnerQuery) — at scale, orders shuffles
+    once against a shipdate-filtered lineitem projection."""
+    return _sql_all_tables(spark, sf_dir, _SQL_ORDER_PRIORITY_CHECK)
+
+
+_SQL_VOLUME_SHIPPING = """
+WITH shipped AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year, CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS BIGINT) / 1e4 AS revenue
+FROM shipped
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between a nation pair):
+    six-table join where both nation dims broadcast; revenue summed
+    as exact 1e-4-scaled bigints, year extracted as BIGINT in both
+    engines so the driver's dtype-sensitive compare holds."""
+    return _sql_all_tables(spark, sf_dir, _SQL_VOLUME_SHIPPING)
+
+
+_SQL_MARKET_SHARE = """
+WITH rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS volume, n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+            AS BIGINT)
+       / CAST(SUM(volume) AS BIGINT) AS mkt_share
+FROM rev GROUP BY o_year ORDER BY o_year
+"""
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share inside ASIA for PROMO
+    parts): conditional-sum ratio per year. Both sums stay exact
+    bigints; the single division is the only float op, identical
+    IEEE-754 in both engines for <2^53 operands."""
+    return _sql_all_tables(spark, sf_dir, _SQL_MARKET_SHARE)
+
+
+_SQL_PRODUCT_PROFIT = """
+WITH profit AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * 100 AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%')
+SELECT nation, o_year, CAST(SUM(amount) AS BIGINT) / 1e4 AS sum_profit
+FROM profit GROUP BY nation, o_year ORDER BY nation, o_year DESC
+"""
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit; p_retailprice*qty as
+    the cost leg — the fixtures carry no partsupp): the LIKE filter
+    prunes part FIRST, so the five-way join fans out from a reduced
+    build side; amounts are exact 1e-4-scaled bigints (cents*100)."""
+    return _sql_all_tables(spark, sf_dir, _SQL_PRODUCT_PROFIT)
+
+
+_SQL_PRIORITY_LINES = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+def q_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (late-shipment priority accounting,
+    l_linestatus standing in for the absent shipmode): one fact-fact
+    join, conditional counts cast to BIGINT (DuckDB SUM would emit
+    pandas-hostile HUGEINT otherwise)."""
+    return _sql_all_tables(spark, sf_dir, _SQL_PRIORITY_LINES)
+
+
+_SQL_PROMO_REVENUE = """
+SELECT 1e2 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) ELSE 0 END)
+             AS BIGINT)
+       / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share): one month of
+    lineitem against broadcast part, a conditional/total exact-bigint
+    sum pair, one final IEEE division — scan-dominated at scale."""
+    return _sql_all_tables(spark, sf_dir, _SQL_PROMO_REVENUE)
+
+
+_SQL_PARTS_SUPPLIER_COUNT = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+def q_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (supplier breadth per part attribute;
+    lineitem stands in for the absent partsupp relation):
+    COUNT(DISTINCT l_suppkey) after a NOT-IN anti join against the
+    negative-balance supplier list. The distinct aggregation shuffles
+    on the (brand, type, size) group key with the suppkey carried —
+    two-phase partial distinct keeps the exchange narrow."""
+    return _sql_all_tables(spark, sf_dir, _SQL_PARTS_SUPPLIER_COUNT)
+
+
+_SQL_DISCOUNTED_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+def q_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity
+    predicates): the OR-of-ANDs filter evaluates AFTER the
+    l_partkey=p_partkey broadcast join (predicates span both sides);
+    per-branch quantity bounds still prune lineitem at the scan."""
+    return _sql_all_tables(spark, sf_dir, _SQL_DISCOUNTED_REVENUE)
+
+
+_SQL_WAITING_SUPPLIERS = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         CAST(SUM(is_late) AS BIGINT) AS n_late
+  FROM late GROUP BY l_orderkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM late
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting; shipdate-lag late proxy — no commitdate/receiptdate in
+    the fixtures): re-expressed WITHOUT the classic correlated
+    EXISTS/NOT EXISTS double self-scan — one (order, supplier)
+    late-flag aggregate feeds a per-order supplier/late count, and
+    the winner filter is a plain join — two key shuffles total, the
+    scale-correct decorrelation."""
+    return _sql_all_tables(spark, sf_dir, _SQL_WAITING_SUPPLIERS)
+
+
+_SQL_SALES_OPPORTUNITY = """
+WITH pos AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+         c_custkey, c_name
+  FROM customer WHERE c_acctbal > 0),
+t AS (
+  SELECT CAST(SUM(bal_c) AS BIGINT) AS tot, COUNT(*) AS n FROM pos)
+SELECT substring(c_name, 18, 1) AS cust_group,
+       COUNT(*) AS numcust,
+       CAST(SUM(bal_c) AS BIGINT) AS totacctbal_cents
+FROM pos, t
+WHERE bal_c * n > tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY cust_group
+ORDER BY cust_group
+"""
+
+def q_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (dormant high-balance customers; name
+    digit standing in for the absent phone country code): the
+    above-average filter is EXACT integer arithmetic (bal_cents * n >
+    total_cents — no cross-engine float mean), the anti join on
+    recent orders decorrelates to a left-anti hash join, and the
+    1-row totals frame broadcasts."""
+    return _sql_all_tables(spark, sf_dir, _SQL_SALES_OPPORTUNITY)
+
+
+
 def q_phash(spark, sf_dir):
     """Perceptual image hash (llmops/multimodal.py op_phash_image,
     STUB path): dHash-64 over the deterministic iterated-sha256 9x8
@@ -4237,6 +4483,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "split_assign": q_split_assign,
         "profile": q_profile,
+        # -- new in round 5 (10 TPC-H shapes; sampled immediately) --
+        "order_priority_check": q_order_priority_check,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "priority_lines": q_priority_lines,
+        "promo_revenue": q_promo_revenue,
+        "parts_supplier_count": q_parts_supplier_count,
+        "discounted_revenue": q_discounted_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "sales_opportunity": q_sales_opportunity,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -4407,6 +4664,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _SQL_DEDUP_LINES,
         "fuzzy_join": _SQL_FUZZY_JOIN,
         "expect": _SQL_EXPECT,
+        "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
+        "volume_shipping": _SQL_VOLUME_SHIPPING,
+        "market_share": _SQL_MARKET_SHARE,
+        "product_profit": _SQL_PRODUCT_PROFIT,
+        "priority_lines": _SQL_PRIORITY_LINES,
+        "promo_revenue": _SQL_PROMO_REVENUE,
+        "parts_supplier_count": _SQL_PARTS_SUPPLIER_COUNT,
+        "discounted_revenue": _SQL_DISCOUNTED_REVENUE,
+        "waiting_suppliers": _SQL_WAITING_SUPPLIERS,
+        "sales_opportunity": _SQL_SALES_OPPORTUNITY,
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,
