@@ -4105,6 +4105,112 @@ def q_sales_opportunity(spark, sf_dir):
 
 
 
+
+def q_dedup_embedding_against(spark, sf_dir):
+    """Incremental embedding near-dedup at the recall~1 multi-table
+    geometry (2 planes x 30 tables, the dedup_embedding_parity
+    config): batch vectors (vec_id%4==1) deduped against a HISTORY
+    corpus (vec_id%4==0) must exactly equal DuckDB's brute-force
+    NOT-EXISTS over exact cosines. Candidates come from a
+    (table, bucket) join — batch x history work is per-bucket, never
+    all-pairs (llmops/similarity.py op_dedup_embedding_against)."""
+    e = _t(spark, sf_dir, "embeddings")
+    batch = op("filter", op("expr", e, {"exprs": {"m4": "vec_id % 4"}}),
+               {"field": "m4", "op": "eq", "value": 1})
+    hist = op("filter", op("expr", e, {"exprs": {"m4": "vec_id % 4"}}),
+              {"field": "m4", "op": "eq", "value": 0})
+    df = op("dedup_embedding_against", batch,
+            {"threshold": 0.3, "dim": 64, "n_planes": 2, "n_tables": 30,
+             "history": hist}, views={})
+    df = op("select", df, {"fields": ["vec_id"]})
+    return op("sort", df, {"fields": ["vec_id"]})
+
+
+_SQL_DEDUP_EMBEDDING_AGAINST = """
+SELECT b.vec_id FROM embeddings b
+WHERE b.vec_id % 4 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM embeddings h
+    WHERE h.vec_id % 4 = 0
+      AND list_inner_product(b.embedding::DOUBLE[], h.embedding::DOUBLE[])
+          / (sqrt(list_inner_product(b.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]))
+             * sqrt(list_inner_product(h.embedding::DOUBLE[],
+                                       h.embedding::DOUBLE[])))
+          >= 0.3)
+ORDER BY b.vec_id
+"""
+
+
+def q_top_p(spark, sf_dir):
+    """Nucleus (top-p) selection per language: the smallest set of
+    longest documents covering 80% of each language's total chars.
+    Membership is an exact integer comparison (cum_before x 1e9 <
+    p_ppb x total in DECIMAL), so DuckDB replays the kept set
+    bit-for-bit (operators/relational.py op_top_p_select)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("top_p_select", d, {"weight_field": "n_chars", "p": 0.8,
+                                "id_field": "doc_id",
+                                "group_by": ["lang"]})
+    df = op("select", df, {"fields": ["doc_id", "lang", "n_chars"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_TOP_P = """
+WITH c AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         SUM(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY lang ORDER BY CAST(n_chars AS BIGINT) DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang) AS tot
+  FROM documents)
+SELECT doc_id, lang, w AS n_chars FROM c
+WHERE (cum - w) * 1000000000 < 800000000 * tot AND w > 0
+ORDER BY doc_id
+"""
+
+
+def q_winsorize(spark, sf_dir):
+    """Percentile clipping of document lengths to each language's
+    [5th, 95th] discrete percentiles. The percentile definition is
+    PINNED (value at 1-based rank ceil(q*n), integer arithmetic) so
+    the oracle replays the exact boundary element — engine-native
+    quantile functions disagree at boundary indices
+    (operators/relational.py op_winsorize)."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("winsorize", d, {"field": "n_chars", "lower": 0.05,
+                             "upper": 0.95, "by": ["lang"]})
+    df = op("select", df, {"fields": ["doc_id", "lang", "n_chars_wins"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_WINSORIZE = """
+WITH nn AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL),
+r AS (
+  SELECT lang, v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM nn),
+b AS (
+  SELECT lang,
+         MIN(CASE WHEN rn = GREATEST((50000000 * n + 999999999)
+                                     // 1000000000, 1)
+                  THEN v END) AS lo,
+         MIN(CASE WHEN rn = GREATEST((950000000 * n + 999999999)
+                                     // 1000000000, 1)
+                  THEN v END) AS hi
+  FROM r GROUP BY lang)
+SELECT doc_id, d.lang,
+       CASE WHEN n_chars IS NULL THEN NULL
+            ELSE LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)
+       END AS n_chars_wins
+FROM documents d LEFT JOIN b ON d.lang = b.lang
+ORDER BY doc_id
+"""
+
+
 def q_phash(spark, sf_dir):
     """Perceptual image hash (llmops/multimodal.py op_phash_image,
     STUB path): dHash-64 over the deterministic iterated-sha256 9x8
@@ -4494,6 +4600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discounted_revenue": q_discounted_revenue,
         "waiting_suppliers": q_waiting_suppliers,
         "sales_opportunity": q_sales_opportunity,
+        "dedup_embedding_against": q_dedup_embedding_against,
+        "top_p": q_top_p,
+        "winsorize": q_winsorize,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -4674,6 +4783,9 @@ def oracle_sql() -> dict[str, str]:
         "discounted_revenue": _SQL_DISCOUNTED_REVENUE,
         "waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         "sales_opportunity": _SQL_SALES_OPPORTUNITY,
+        "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
+        "top_p": _SQL_TOP_P,
+        "winsorize": _SQL_WINSORIZE,
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,

@@ -395,6 +395,76 @@ def op_dedup_embedding_groups(df: DataFrame, config: Mapping, views) -> DataFram
     return df.join(losers, id_field, "left_anti")
 
 
+@register("dedup_embedding_against")
+def op_dedup_embedding_against(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Incremental embedding near-dedup: drop batch rows whose
+    embedding is within cosine ``threshold`` of ANY vector in a
+    HISTORY corpus — the semantic complement of ``dedup_against``
+    (fingerprints) and ``dedup_near_against`` (minhash bands), closing
+    the incremental-dedup family for vector columns. The reference has
+    no incremental or vector notion at all (SURVEY.md §2).
+
+    Shape at scale: both sides hash into the SAME ``n_tables`` ×
+    ``n_planes`` sign-random-projection tables (one stacked-matmul
+    Arrow kernel per side), candidates join on (table, bucket) —
+    batch×history work is per-bucket, never all-pairs — then exact
+    cosine verifies each deduped candidate pair. Only ids ride the
+    bucket join; the wide vectors attach per unique candidate pair
+    afterwards. For a 4× narrower history, store
+    ``quantize_embedding`` output and ``dequantize_embedding`` it as
+    the ``history`` input — buckets and cosines are recomputed from
+    the dequantized vectors, so no raw-fp32 history is ever re-read.
+
+    config: ``history`` (view/DataFrame), ``history_field`` /
+    ``history_id_field`` (default: same as batch), ``threshold``,
+    ``dim``, ``n_planes``, ``n_tables``, ``seed`` as similarity_join.
+    Recall follows the standard amplification 1-(1-p^b)^L; a
+    low-planes/many-tables config (e.g. 2×30) is a recall~1 parity
+    geometry the oracle can check exactly.
+    """
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    threshold = float(config.get("threshold", 0.9))
+    dim = int(config.get("dim", 64))
+    n_planes = int(config.get("n_planes", 12))
+    n_tables = int(config.get("n_tables", 1))
+    seed = int(config.get("seed", 42))
+    history = config["history"]
+    if isinstance(history, str):
+        history = views[history]
+    h_field = config.get("history_field", field)
+    h_id = config.get("history_id_field", id_field)
+
+    def norm_of(col: Column) -> Column:
+        return F.sqrt(F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    multi = _multi_bucket_udf(dim, n_planes, seed, n_tables)
+    bb = df.select(F.col(id_field).alias("__bid"),
+                   F.posexplode(multi(F.col(field))).alias("__tbl", "__bkt"))
+    hb = history.select(F.col(h_id).alias("__hid"),
+                        F.posexplode(multi(F.col(h_field)))
+                        .alias("__tbl", "__bkt"))
+    cands = (bb.join(hb, ["__tbl", "__bkt"])
+             .select("__bid", "__hid")
+             .dropDuplicates(["__bid", "__hid"]))
+    bside = df.select(F.col(id_field).alias("__bid"),
+                      F.col(field).alias("__bemb"),
+                      norm_of(F.col(field)).alias("__bnorm"))
+    hside = history.select(F.col(h_id).alias("__hid"),
+                           F.col(h_field).alias("__hemb"),
+                           norm_of(F.col(h_field)).alias("__hnorm"))
+    hits = (cands.join(bside, "__bid").join(hside, "__hid")
+            .withColumn("__cos",
+                        _pair_dot_udf(F.col("__bemb"), F.col("__hemb"))
+                        / (F.col("__bnorm") * F.col("__hnorm")))
+            .filter(F.col("__cos") >= threshold)
+            .select(F.col("__bid").alias(id_field))
+            .dropDuplicates())
+    return df.join(hits, id_field, "left_anti")
+
+
 @register("embedding_outlier")
 def op_embedding_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Centroid-similarity scoring — the SemDeDup / prototype-distance

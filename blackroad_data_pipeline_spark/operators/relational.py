@@ -1025,6 +1025,155 @@ def op_budget_select(df: DataFrame, config: Mapping, views) -> DataFrame:
     return out.drop("__pid", "__run")
 
 
+@register("top_p_select")
+def op_top_p_select(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Nucleus (top-p) selection: keep the SMALLEST set of
+    highest-weight rows whose weights cover fraction ``p`` of the
+    total weight — per ``group_by`` stratum, or globally. The
+    proportional complement of budget_select (fixed budget) and
+    sample_pps (fixed draw count): "the head of the distribution that
+    carries 90% of the token mass", the heavy-tail truncation step of
+    corpus mixing.
+
+    EXACT arithmetic: ``p`` is fixed to parts-per-billion once on the
+    driver, and the keep condition is the integer comparison
+    cum_before · 10^9 < p_ppb · total, evaluated in DECIMAL(38,0) —
+    no float boundary, so any engine replays membership bit-for-bit
+    and the kept set is the true minimal prefix (the crossing row is
+    kept, everything after is dropped).
+
+    Per-group: plain windows over ONE hash shuffle on the group key.
+    Global: the same distributed-prefix-sum shape as budget_select
+    (range partitions + per-partition cumsums + broadcast offsets) —
+    never a single-partition WindowExec; the p·total threshold is
+    computed exactly in arbitrary-precision Python from the collected
+    total. Order: ``weight_field`` desc, then ``id_field`` — a total
+    order, so boundary membership is unambiguous. Weights must be
+    non-negative integers (token/byte/char counts).
+    """
+    weight = config["weight_field"]
+    p = float(config["p"])
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    p_ppb = int(round(p * 1_000_000_000))
+    ppb = 1_000_000_000
+    id_field = config.get("id_field", "doc_id")
+    group_by = list(config.get("group_by", []))
+    w_long = F.col(weight).cast("long")
+    sort_cols = [w_long.desc(), F.col(id_field)]
+
+    if group_by:
+        wcum = (Window.partitionBy(*group_by).orderBy(*sort_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wtot = Window.partitionBy(*group_by)
+        dec = "decimal(38,0)"
+        staged = (df.withColumn("__cum", F.sum(w_long).over(wcum))
+                  .withColumn("__tot", F.sum(w_long).over(wtot))
+                  .withColumn("__w_tp", w_long))
+        keep = ((F.col("__cum") - F.col("__w_tp")).cast(dec) * F.lit(ppb)
+                < F.col("__tot").cast(dec) * F.lit(p_ppb))
+        return (staged.filter(keep & (F.col("__w_tp") > 0))
+                .drop("__cum", "__tot", "__w_tp"))
+
+    n_parts = int(config.get("n_partitions", 0)) or \
+        df.sparkSession.sparkContext.defaultParallelism
+    ranged, running, total = _distributed_prefix_sum(
+        df, w_long, sort_cols, n_parts)
+    if total <= 0:
+        return df.filter(F.lit(False))
+    # cum_before * PPB < p_ppb * total  <=>  cum_before <= threshold,
+    # threshold computed exactly in unbounded Python ints
+    threshold = -(-(p_ppb * total) // ppb) - 1   # ceil(T/PPB) - 1
+    out = (ranged.withColumn("__cum", running)
+           .withColumn("__w_tp", w_long)
+           .filter((F.col("__cum") - F.col("__w_tp") <= F.lit(threshold))
+                   & (F.col("__w_tp") > 0)))
+    return out.drop("__pid", "__cum", "__w_tp")
+
+
+@register("winsorize")
+def op_winsorize(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Percentile clipping (winsorization) of a numeric column — the
+    outlier-taming step of quality-signal engineering ("clip document
+    lengths to the [5th, 95th] percentile before scoring"). Adds
+    ``{field}_wins`` (or clips in place with ``as: field``).
+
+    The percentile is DISCRETE and definition-PINNED: the q-th bound
+    is the value at 1-based rank ceil(q·n) in the non-null ascending
+    sort — computed with the integer arithmetic
+    k = (q_ppb·n + 10^9 - 1) div 10^9, so any SQL engine replays the
+    same element (engine-native quantile functions disagree at
+    boundary indices: ANSI percentile_disc picks cume_dist ≥ q,
+    DuckDB's quantile_disc floors (n-1)·q — neither matches the other
+    at e.g. n=10, q=0.99). Bound: q_ppb·n must fit int64 → n < 9.2e9
+    rows per group.
+
+    Shape: one rank window per ``by`` group (a single hash shuffle),
+    the two boundary rows aggregate to one row per group, and the
+    bounds JOIN BACK BROADCAST — the data never shuffles a second
+    time. Global mode (no ``by``) ranks via the budget_select
+    distributed prefix sum over unit weights (range partitions, no
+    single-partition window). NULL values rank nowhere and clip to
+    NULL. Ties: the k-th element of the value multiset is
+    well-defined regardless of tiebreak order among equals.
+    """
+    field = config["field"]
+    lower = float(config.get("lower", 0.0))
+    upper = float(config.get("upper", 1.0))
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got "
+                         f"[{lower}, {upper}]")
+    out_col = config.get("as", f"{field}_wins")
+    by = list(config.get("by", []))
+    ppb = 1_000_000_000
+    lo_ppb, hi_ppb = int(round(lower * ppb)), int(round(upper * ppb))
+    v = F.col(field).cast("double")
+    nn = df.filter(F.col(field).isNotNull())
+
+    if by:
+        wn = Window.partitionBy(*by)
+        ranked = (nn.select(*by, v.alias("__v"))
+                  .withColumn("__rn", F.row_number().over(
+                      Window.partitionBy(*by).orderBy(F.col("__v"))))
+                  .withColumn("__n", F.count(F.lit(1)).over(wn)))
+        # ceil(q*n) clamped to >= 1 so lower=0.0 means "the minimum"
+        k_lo = F.expr(
+            f"greatest(({lo_ppb} * __n + {ppb - 1}) div {ppb}, 1)")
+        k_hi = F.expr(
+            f"greatest(({hi_ppb} * __n + {ppb - 1}) div {ppb}, 1)")
+        bounds = (ranked
+                  .withColumn("__klo", k_lo).withColumn("__khi", k_hi)
+                  .filter((F.col("__rn") == F.col("__klo"))
+                          | (F.col("__rn") == F.col("__khi")))
+                  .groupBy(*by).agg(
+                      F.min(F.when(F.col("__rn") == F.col("__klo"),
+                                   F.col("__v"))).alias("__lo"),
+                      F.min(F.when(F.col("__rn") == F.col("__khi"),
+                                   F.col("__v"))).alias("__hi")))
+        out = df.join(F.broadcast(bounds), by, "left")
+    else:
+        n_parts = int(config.get("n_partitions", 0)) or \
+            df.sparkSession.sparkContext.defaultParallelism
+        ranged, running, total = _distributed_prefix_sum(
+            nn.select(v.alias("__v")), F.lit(1), [F.col("__v")], n_parts)
+        if total == 0:
+            return df.withColumn(out_col, F.lit(None).cast("double"))
+        k_lo = max((lo_ppb * total + ppb - 1) // ppb, 1)
+        k_hi = max((hi_ppb * total + ppb - 1) // ppb, 1)
+        bounds = (ranged.withColumn("__rn", running)
+                  .filter(F.col("__rn").isin(int(k_lo), int(k_hi)))
+                  .agg(F.min(F.when(F.col("__rn") == int(k_lo),
+                                    F.col("__v"))).alias("__lo"),
+                       F.min(F.when(F.col("__rn") == int(k_hi),
+                                    F.col("__v"))).alias("__hi")))
+        out = df.crossJoin(F.broadcast(bounds))
+    lo_eff = F.coalesce(F.col("__lo"), F.col("__hi"))
+    hi_eff = F.coalesce(F.col("__hi"), F.col("__lo"))
+    clipped = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
+        F.least(F.greatest(v, lo_eff), hi_eff))
+    return out.withColumn(out_col, clipped).drop("__lo", "__hi")
+
+
 def _distributed_prefix_sum(df: DataFrame, weight: Column, sort_cols,
                             n_parts: int):
     """The distributed-prefix-sum shape shared by budget_select and

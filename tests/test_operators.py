@@ -736,6 +736,100 @@ def test_sample_pps_rejects_int64_overflow(spark):
     assert sum(out.values()) == 1
 
 
+def test_top_p_select_minimal_prefix(spark):
+    """Keep the smallest highest-weight prefix covering p of the
+    total: the crossing row is kept, everything after is dropped, and
+    an exact boundary (cum == p*total) keeps nothing extra."""
+    df = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 30), (3, "a", 15), (4, "a", 5),
+         (5, "b", 10), (6, "b", 1), (7, "b", 0)],
+        "doc_id long, lang string, w long")
+    got = sorted(r["doc_id"] for r in op(
+        "top_p_select", df, {"weight_field": "w", "p": 0.8,
+                             "id_field": "doc_id",
+                             "group_by": ["lang"]}, views={}).collect())
+    # a: 50+30 == 0.8*100 exactly -> minimal prefix is {1,2};
+    # b: 10 >= 0.8*11 -> {5}; zero-weight row 7 never selected
+    assert got == [1, 2, 5]
+    glob = sorted(r["doc_id"] for r in op(
+        "top_p_select", df, {"weight_field": "w", "p": 0.8,
+                             "id_field": "doc_id"}, views={}).collect())
+    # global: total=111, need cum >= 88.8 -> 50+30+15=95 -> {1,2,3}
+    assert glob == [1, 2, 3]
+    # partition invariance (global path is a distributed prefix sum)
+    again = sorted(r["doc_id"] for r in op(
+        "top_p_select", df.repartition(7),
+        {"weight_field": "w", "p": 0.8,
+         "id_field": "doc_id"}, views={}).collect())
+    assert again == glob
+    # p=1 keeps every positive-weight row
+    assert sorted(r["doc_id"] for r in op(
+        "top_p_select", df, {"weight_field": "w", "p": 1.0,
+                             "id_field": "doc_id",
+                             "group_by": ["lang"]}, views={}).collect()) \
+        == [1, 2, 3, 4, 5, 6]
+
+
+def test_winsorize_group_global_and_nulls(spark):
+    rows = [(i, "g", float(i)) for i in range(1, 11)] + [(20, "g", None)]
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    for cfg in ({"by": ["g"]}, {}):
+        got = {r["id"]: r["x_wins"] for r in op(
+            "winsorize", df, {"field": "x", "lower": 0.1, "upper": 0.9,
+                              **cfg}, views={}).collect()}
+        # n=10: k_lo=ceil(1)=1 -> lo=1.0, k_hi=ceil(9)=9 -> hi=9.0
+        assert got[1] == 1.0 and got[9] == 9.0
+        assert got[10] == 9.0              # clipped down
+        assert got[20] is None             # NULL stays NULL
+    # single-value group: both bounds are that value
+    one = spark.createDataFrame([(1, "h", 42.0)], "id long, g string, x double")
+    r = op("winsorize", one, {"field": "x", "lower": 0.25, "upper": 0.75,
+                              "by": ["g"]}, views={}).collect()[0]
+    assert r["x_wins"] == 42.0
+    # lower=0 default means "the minimum", not a missing bound
+    r2 = {r["id"]: r["x_wins"] for r in op(
+        "winsorize", df, {"field": "x", "by": ["g"]}, views={}).collect()}
+    assert r2[1] == 1.0 and r2[10] == 10.0
+
+
+def test_winsorize_definition_pinned_at_boundary(spark):
+    """n=10, q=0.99: our pinned ceil(q*n) picks rank 10 (the max).
+    This is exactly where ANSI percentile_disc and DuckDB
+    quantile_disc diverge from each other — the pinned arithmetic is
+    what makes the oracle engine-proof."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                               "id long, x double")
+    got = {r["id"]: r["x_wins"] for r in op(
+        "winsorize", df, {"field": "x", "upper": 0.99}, views={}).collect()}
+    assert got[10] == 10.0                 # ceil(9.9)=10 -> no clip
+
+
+def test_dedup_embedding_against(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    hist = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    cfg = {"threshold": 0.9, "dim": 4, "n_planes": 2, "n_tables": 10}
+    kept = sorted(r["vec_id"] for r in op(
+        "dedup_embedding_against", vecs, {**cfg, "history": hist},
+        views={}).collect())
+    assert kept == [2]                     # 0 and 1 match history
+    # history as a registered view name
+    kept2 = sorted(r["vec_id"] for r in op(
+        "dedup_embedding_against", vecs, {**cfg, "history": "h"},
+        views={"h": hist}).collect())
+    assert kept2 == [2]
+    # int8-quantized history (the 4x-narrower store) dedups the same
+    q = op("quantize_embedding", hist, {"dim": 4}, views={})
+    dq = op("dequantize_embedding", q, {"dim": 4}, views={})
+    kept3 = sorted(r["vec_id"] for r in op(
+        "dedup_embedding_against", vecs, {**cfg, "history": dq},
+        views={}).collect())
+    assert kept3 == [2]
+
+
 def test_sample_pps_per_group_exact_size(spark):
     rows = [(g * 100 + i, f"g{g}", (i % 5) + 1)
             for g in range(3) for i in range(40)]
