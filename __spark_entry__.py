@@ -4211,6 +4211,107 @@ ORDER BY doc_id
 """
 
 
+
+def q_resample(spark, sf_dir):
+    """Time-grid regularization (operators/temporal.py
+    op_time_resample): hourly buckets per user (user_id < 50),
+    including GENERATED empty buckets between each user's first and
+    last event — count fills zero, the value sum rides exact cents.
+    DuckDB replays the grid with generate_series over the same
+    epoch-floor buckets."""
+    e = _t(spark, sf_dir, "events")
+    e = op("filter", e, {"field": "user_id", "op": "lt", "value": 50})
+    e = op("expr", e, {"exprs": {
+        "value_c": "CAST(ROUND(value * 100) AS BIGINT)"}})
+    df = op("time_resample", e, {
+        "ts_field": "ts", "interval": 3600, "group_by": ["user_id"],
+        "aggregates": [{"function": "count", "alias": "n_events"},
+                       {"field": "value_c", "function": "sum",
+                        "alias": "value_cents"}],
+        "fill": "zero"})
+    df = op("select", df, {"fields": ["user_id", "bucket", "n_events",
+                                      "value_cents"]})
+    return op("sort", df, {"fields": ["user_id", "bucket"]})
+
+
+_SQL_RESAMPLE = """
+WITH obs AS (
+  SELECT user_id,
+         (epoch_ms(ts) // 1000 // 3600) * 3600 AS bucket,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events WHERE user_id < 50
+  GROUP BY user_id, (epoch_ms(ts) // 1000 // 3600) * 3600),
+b AS (
+  SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+  FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx, 3600)) AS bucket
+  FROM b)
+SELECT g.user_id, g.bucket,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(value_cents, 0) AS value_cents
+FROM grid g
+LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+ORDER BY g.user_id, g.bucket
+"""
+
+
+
+def q_mad_outlier(spark, sf_dir):
+    """Robust median/MAD outlier scoring of document lengths per
+    language (operators/relational.py op_mad_outlier): both the
+    median and the MAD use the pinned discrete-percentile rank
+    (ceil(n/2)), deviations are plain IEEE subtractions, so DuckDB
+    replays robust_z and the outlier flags value-for-value."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("mad_outlier", d, {"field": "n_chars", "by": ["lang"],
+                               "k": 3.5})
+    df = op("select", df, {"fields": ["doc_id", "lang", "robust_z",
+                                      "is_outlier"]})
+    return op("sort", df, {"fields": ["doc_id"]})
+
+
+_SQL_MAD_OUTLIER = """
+WITH nn AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL),
+r1 AS (
+  SELECT lang, v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM nn),
+med AS (
+  SELECT lang, MIN(v) AS med FROM r1
+  WHERE rn = GREATEST((500000000 * n + 999999999) // 1000000000, 1)
+  GROUP BY lang),
+r2 AS (
+  SELECT nn.lang, ABS(v - med) AS dv,
+         ROW_NUMBER() OVER (PARTITION BY nn.lang
+                            ORDER BY ABS(v - med)) AS rn,
+         COUNT(*) OVER (PARTITION BY nn.lang) AS n
+  FROM nn JOIN med ON nn.lang = med.lang),
+mad AS (
+  SELECT lang, MIN(dv) AS mad FROM r2
+  WHERE rn = GREATEST((500000000 * n + 999999999) // 1000000000, 1)
+  GROUP BY lang)
+SELECT doc_id, d.lang,
+       CASE WHEN n_chars IS NULL OR mad IS NULL THEN NULL
+            WHEN mad = 0 THEN NULL
+            ELSE ABS(CAST(n_chars AS DOUBLE) - med) / mad
+       END AS robust_z,
+       CASE WHEN n_chars IS NULL OR mad IS NULL THEN NULL
+            WHEN mad = 0 THEN ABS(CAST(n_chars AS DOUBLE) - med) > 0
+            ELSE ABS(CAST(n_chars AS DOUBLE) - med) / mad > 3.5
+       END AS is_outlier
+FROM documents d
+LEFT JOIN med ON d.lang = med.lang
+LEFT JOIN mad ON d.lang = mad.lang
+ORDER BY doc_id
+"""
+
+
 def q_phash(spark, sf_dir):
     """Perceptual image hash (llmops/multimodal.py op_phash_image,
     STUB path): dHash-64 over the deterministic iterated-sha256 9x8
@@ -4603,6 +4704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_against": q_dedup_embedding_against,
         "top_p": q_top_p,
         "winsorize": q_winsorize,
+        "resample": q_resample,
+        "mad_outlier": q_mad_outlier,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -4786,6 +4889,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,
+        "resample": _SQL_RESAMPLE,
+        "mad_outlier": _SQL_MAD_OUTLIER,
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,

@@ -1174,6 +1174,105 @@ def op_winsorize(df: DataFrame, config: Mapping, views) -> DataFrame:
     return out.withColumn(out_col, clipped).drop("__lo", "__hi")
 
 
+def _pinned_rank_value(values: DataFrame, keys: list, q_ppb: int,
+                       out: str, n_parts: int) -> DataFrame:
+    """The q-th DISCRETE percentile of column ``__v`` per key group
+    (or globally when ``keys`` is empty): the value at 1-based rank
+    max(ceil(q·n), 1) in the non-null ascending sort — the pinned
+    definition shared by winsorize and mad_outlier, replayable in any
+    SQL engine with plain integer arithmetic. Grouped: one rank
+    window per key. Global: distributed prefix-sum rank over unit
+    weights (never a single-partition window). Returns one row per
+    key: keys + ``out``."""
+    ppb = 1_000_000_000
+    if keys:
+        ranked = (values
+                  .withColumn("__rn", F.row_number().over(
+                      Window.partitionBy(*keys).orderBy(F.col("__v"))))
+                  .withColumn("__n", F.count(F.lit(1)).over(
+                      Window.partitionBy(*keys))))
+        k = F.expr(f"greatest(({q_ppb} * __n + {ppb - 1}) div {ppb}, 1)")
+        return (ranked.filter(F.col("__rn") == k)
+                .groupBy(*keys).agg(F.min("__v").alias(out)))
+    ranged, running, total = _distributed_prefix_sum(
+        values.select("__v"), F.lit(1), [F.col("__v")], n_parts)
+    if total == 0:
+        # all-null input: one NULL row so a crossJoin keeps the frame
+        # (an empty frame would wipe every row downstream)
+        spark = values.sparkSession
+        return spark.createDataFrame([(None,)], f"{out} double")
+    k = max((q_ppb * total + ppb - 1) // ppb, 1)
+    return (ranged.withColumn("__rn", running)
+            .filter(F.col("__rn") == int(k))
+            .agg(F.min("__v").alias(out)))
+
+
+@register("mad_outlier")
+def op_mad_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Robust outlier scoring — median/MAD (median absolute
+    deviation), the quality-signal screen that survives the heavy
+    tails a mean/stddev z-score drowns in ("flag documents whose
+    length is >3.5 MADs from their language's median"). Adds
+    ``robust_z`` = |x − median| / MAD and ``is_outlier`` =
+    robust_z > ``k`` (default 3.5, the classic Iglewicz-Hoaglin cut
+    without the 0.6745 consistency constant — set k accordingly);
+    ``mode: filter`` drops outliers instead.
+
+    Both the median and the MAD use the PINNED discrete-percentile
+    definition (value at rank ceil(n/2), see winsorize) so any SQL
+    engine replays them exactly; deviations |x − med| are plain
+    double subtractions — deterministic IEEE, no accumulation order.
+    Degenerate groups (MAD = 0: a constant majority) score
+    robust_z NULL and flag any nonzero deviation as an outlier.
+
+    Shape: two rank windows over the SAME group-key shuffle (median,
+    then deviation median) with the per-group scalars joining back
+    BROADCAST — the data itself never shuffles a third time. Global
+    mode ranks via the distributed prefix sum. NULL values get NULL
+    scores and are never flagged.
+    """
+    field = config["field"]
+    by = list(config.get("by", []))
+    kk = float(config.get("k", 3.5))
+    mode = config.get("mode", "annotate")
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"mad_outlier mode must be annotate|filter, "
+                         f"got {mode!r}")
+    n_parts = int(config.get("n_partitions", 0)) or \
+        df.sparkSession.sparkContext.defaultParallelism
+    half = 500_000_000
+    v = F.col(field).cast("double")
+    nn = df.filter(v.isNotNull())
+
+    med = _pinned_rank_value(nn.select(*by, v.alias("__v")), by,
+                             half, "__med", n_parts)
+    if by:
+        j = df.join(F.broadcast(med), by, "left")
+    else:
+        j = df.crossJoin(F.broadcast(med))
+    dev = (j.filter(v.isNotNull())
+           .select(*by, F.abs(v - F.col("__med")).alias("__v")))
+    mad = _pinned_rank_value(dev, by, half, "__mad", n_parts)
+    if by:
+        out = j.join(F.broadcast(mad), by, "left")
+    else:
+        out = j.crossJoin(F.broadcast(mad))
+    deviation = F.abs(v - F.col("__med"))
+    z = F.when(v.isNull() | F.col("__mad").isNull(), F.lit(None)) \
+         .when(F.col("__mad") == 0.0, F.lit(None)) \
+         .otherwise(deviation / F.col("__mad"))
+    flag = F.when(v.isNull() | F.col("__mad").isNull(), F.lit(None)) \
+            .when(F.col("__mad") == 0.0, deviation > 0.0) \
+            .otherwise(deviation / F.col("__mad") > F.lit(kk))
+    out = (out.withColumn("robust_z", z)
+           .withColumn("is_outlier", flag)
+           .drop("__med", "__mad"))
+    if mode == "filter":
+        return (out.filter(~F.coalesce(F.col("is_outlier"), F.lit(False)))
+                .drop("robust_z", "is_outlier"))
+    return out
+
+
 def _distributed_prefix_sum(df: DataFrame, weight: Column, sort_cols,
                             n_parts: int):
     """The distributed-prefix-sum shape shared by budget_select and

@@ -343,6 +343,108 @@ def op_event_transitions(df: DataFrame, config: Mapping, views) -> DataFrame:
     return pairs
 
 
+@register("time_resample")
+def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Regularize an event series onto a fixed time grid: one output
+    row per (key, bucket) for EVERY ``interval``-second step between
+    each key's first and last observation — including empty buckets —
+    with per-bucket aggregates and optional gap filling. The
+    timeseries-preparation primitive (rate computation, monitoring
+    rollups, training-data windowing) the reference cannot express
+    (its transforms are row-local, SURVEY.md §2.5).
+
+    Buckets are epoch-second floors (``bucket = epoch div interval *
+    interval``, exact long arithmetic — timestamps truncate, never
+    round, so any engine replays bucket membership). The grid is
+    generated DISTRIBUTED: per-key (min, max) bounds come from the
+    already-aggregated buckets (narrow), each key explodes its own
+    ``sequence()`` — so grid generation parallelizes over keys and no
+    single task materializes the global span. The observed-bucket
+    aggregate, the grid join, and the ffill window all share the one
+    hash shuffle on the key columns.
+
+    config: ``ts_field`` (default ts), ``interval`` seconds,
+    ``group_by`` keys, ``aggregates`` [{field, function, alias}]
+    with count/sum/min/max (sum over float columns routes through
+    decimal(38,10) like the aggregate operator — order-independent),
+    ``fill``: none (empty buckets hold NULL aggregates) | zero |
+    ffill (carry the last observed value forward). A guard rejects
+    grids over ``max_buckets`` (default 10M) per key — a 1-second
+    interval over years of data is almost always a config mistake.
+
+    Output: keys + ``bucket`` (epoch seconds, long) + ``bucket_ts``
+    (timestamp) + aggregate columns.
+    """
+    ts_field = config.get("ts_field", "ts")
+    step = int(config["interval"])
+    if step < 1:
+        raise ValueError(f"interval must be >= 1 second, got {step}")
+    keys = list(config.get("group_by", []))
+    fill = config.get("fill", "none")
+    if fill not in ("none", "zero", "ffill"):
+        raise ValueError(f"fill must be none|zero|ffill, got {fill!r}")
+    max_buckets = int(config.get("max_buckets", 10_000_000))
+    specs = config.get("aggregates") or [{"function": "count"}]
+
+    bucket = (F.floor(epoch_seconds(F.col(ts_field)) / F.lit(step))
+              * F.lit(step)).cast("long")
+    floaty = {f.name for f in df.schema.fields
+              if f.dataType.typeName() in ("float", "double")}
+    agg_cols, out_names = [], []
+    for spec in specs:
+        fn = spec["function"]
+        field = spec.get("field")
+        alias = spec.get("alias") or (f"{field}_{fn}" if field else "n_rows")
+        out_names.append(alias)
+        if fn == "count":
+            agg_cols.append((F.count(F.col(field)) if field
+                             else F.count(F.lit(1))).alias(alias))
+        elif fn == "sum":
+            c = F.col(field)
+            if field in floaty:
+                # same decimal route as op_aggregate: double sums
+                # associate differently per partitioning/engine
+                agg_cols.append(F.sum(c.cast("decimal(38,10)"))
+                                .cast("string").cast("double").alias(alias))
+            else:
+                agg_cols.append(F.sum(c).alias(alias))
+        elif fn in ("min", "max"):
+            agg_cols.append(getattr(F, fn)(F.col(field)).alias(alias))
+        else:
+            raise ValueError(f"unknown resample aggregate {fn!r}")
+
+    obs = (df.withColumn("__bkt", bucket)
+           .groupBy(*keys, "__bkt").agg(*agg_cols))
+    bounds = obs.groupBy(*keys).agg(F.min("__bkt").alias("__mn"),
+                                    F.max("__bkt").alias("__mx"))
+    span_guard = bounds.agg(F.max(
+        (F.col("__mx") - F.col("__mn")) / F.lit(step)).alias("m")).first()
+    if span_guard and span_guard["m"] is not None \
+            and span_guard["m"] >= max_buckets:
+        raise ValueError(
+            f"time_resample: a key spans {int(span_guard['m'])} buckets "
+            f"(max_buckets={max_buckets}) — raise interval or max_buckets")
+    grid = bounds.select(
+        *keys, F.explode(F.sequence(
+            F.col("__mn"), F.col("__mx"), F.lit(step))).alias("__bkt"))
+    out = grid.join(obs, [*keys, "__bkt"], "left")
+    if fill == "zero":
+        for alias in out_names:
+            out = out.withColumn(alias, F.coalesce(
+                F.col(alias), F.lit(0).cast(dict(out.dtypes)[alias])))
+    elif fill == "ffill":
+        w = (Window.partitionBy(*keys) if keys
+             else Window.partitionBy(F.lit(1)))
+        w = w.orderBy("__bkt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        for alias in out_names:
+            out = out.withColumn(
+                alias, F.last(F.col(alias), ignorenulls=True).over(w))
+    return (out.withColumn("bucket", F.col("__bkt"))
+            .withColumn("bucket_ts", F.col("__bkt").cast("timestamp"))
+            .drop("__bkt"))
+
+
 @register("scd2")
 def op_scd2(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Type-2 slowly-changing-dimension history from an observation

@@ -804,6 +804,42 @@ def test_winsorize_definition_pinned_at_boundary(spark):
     assert got[10] == 10.0                 # ceil(9.9)=10 -> no clip
 
 
+def test_mad_outlier_group_degenerate_and_filter(spark):
+    rows = ([(i, "g", float(v)) for i, v in
+             enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+            + [(20, "h", 5.0), (21, "h", 5.0), (22, "h", 5.0),
+               (23, "h", 9.0)]
+            + [(30, "g", None)])
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    got = {r["id"]: r for r in op(
+        "mad_outlier", df, {"field": "x", "by": ["g"]},
+        views={}).collect()}
+    # g: median=5 (rank ceil(10/2)=5), MAD=2 -> z(100)=95/2
+    assert got[9]["robust_z"] == 47.5 and got[9]["is_outlier"]
+    assert got[4]["robust_z"] == 0.0 and not got[4]["is_outlier"]
+    # degenerate group (MAD=0): z NULL, any nonzero deviation flags
+    assert got[23]["robust_z"] is None and got[23]["is_outlier"]
+    assert got[20]["is_outlier"] is False
+    # NULL value: NULL score, never flagged
+    assert got[30]["robust_z"] is None and got[30]["is_outlier"] is None
+    kept = sorted(r["id"] for r in op(
+        "mad_outlier", df, {"field": "x", "by": ["g"], "mode": "filter"},
+        views={}).collect())
+    assert 9 not in kept and 23 not in kept and 30 in kept
+    # global path (distributed prefix-sum ranks), partition-invariant
+    g1 = sorted((r["id"], r["is_outlier"]) for r in op(
+        "mad_outlier", df, {"field": "x"}, views={}).collect())
+    g2 = sorted((r["id"], r["is_outlier"]) for r in op(
+        "mad_outlier", df.repartition(7), {"field": "x"},
+        views={}).collect())
+    assert g1 == g2
+    # all-NULL input keeps its rows with NULL scores
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "id long, x double")
+    out = op("mad_outlier", nulls, {"field": "x"}, views={}).collect()
+    assert len(out) == 2 and all(r["robust_z"] is None for r in out)
+
+
 def test_dedup_embedding_against(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0]),

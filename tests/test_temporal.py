@@ -305,3 +305,57 @@ def test_funnel_timing_mode(spark):
     assert out[2]["from_step"] == "view" and out[2]["to_step"] == "click"
     assert out[3]["n_converted"] == 1
     assert out[3]["sum_seconds"] == 400 - 160
+
+
+# -- time_resample -----------------------------------------------------------
+
+
+def test_time_resample_gap_fill_and_ffill(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2020, 1, 1, 0, 0, 5), 10.0),
+        (1, dt.datetime(2020, 1, 1, 0, 0, 55), 20.0),
+        (1, dt.datetime(2020, 1, 1, 0, 3, 10), 5.0),   # minutes 1,2 empty
+        (2, dt.datetime(2020, 1, 1, 0, 1, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = op("time_resample", df,
+             {"ts_field": "ts", "interval": 60, "group_by": ["k"],
+              "aggregates": [{"function": "count", "alias": "n"},
+                             {"field": "v", "function": "sum"}],
+              "fill": "zero"}, views={}).orderBy("k", "bucket").collect()
+    base = 1577836800  # 2020-01-01T00:00:00Z
+    assert [(r["k"], r["bucket"], r["n"], r["v_sum"]) for r in got] == [
+        (1, base, 2, 30.0),
+        (1, base + 60, 0, 0.0),        # generated empty bucket
+        (1, base + 120, 0, 0.0),
+        (1, base + 180, 1, 5.0),
+        (2, base + 60, 1, 1.0),        # key 2's grid spans only itself
+    ]
+    ff = op("time_resample", df,
+            {"ts_field": "ts", "interval": 60, "group_by": ["k"],
+             "aggregates": [{"field": "v", "function": "max",
+                             "alias": "vm"}],
+             "fill": "ffill"}, views={}).orderBy("k", "bucket").collect()
+    assert [r["vm"] for r in ff if r["k"] == 1] == [20.0, 20.0, 20.0, 5.0]
+    # bucket_ts mirrors bucket
+    assert all(int(r["bucket_ts"].timestamp()) == r["bucket"] for r in got)
+
+
+def test_time_resample_guard_and_validation(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1), 1.0),
+         (1, dt.datetime(2020, 1, 3), 2.0)],
+        "k long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="buckets"):
+        op("time_resample", df, {"ts_field": "ts", "interval": 1,
+                                 "group_by": ["k"], "max_buckets": 1000},
+           views={})
+    with pytest.raises(ValueError, match="fill"):
+        op("time_resample", df, {"ts_field": "ts", "interval": 60,
+                                 "fill": "bogus"}, views={})
+    with pytest.raises(ValueError, match="interval"):
+        op("time_resample", df, {"ts_field": "ts", "interval": 0}, views={})
