@@ -31,6 +31,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .registry import register
 
@@ -1225,11 +1226,18 @@ def op_mad_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
     Degenerate groups (MAD = 0: a constant majority) score
     robust_z NULL and flag any nonzero deviation as an outlier.
 
-    Shape: two rank windows over the SAME group-key shuffle (median,
-    then deviation median) with the per-group scalars joining back
-    BROADCAST — the data itself never shuffles a third time. Global
-    mode ranks via the distributed prefix sum. NULL values get NULL
-    scores and are never flagged.
+    Shape: two rank passes (median, then deviation median), each ONE
+    full-data shuffle, with the per-group scalars COLLECTED and
+    re-broadcast as literal frames (mix_corpus precedent — the group
+    scalars must fit a broadcast anyway, so the collect is bounded by
+    the same cardinality). Collecting instead of keeping the scalar
+    subplans lazy matters: Spark re-executes a lazy broadcast subtree
+    once per consuming branch, which would rank-shuffle the full
+    corpus THREE times here instead of two — and it leaves the final
+    consumer plan shuffle-free (scan + two broadcast joins), gated in
+    test_plans. EAGER by consequence (two jobs at build). Global mode
+    ranks via the distributed prefix sum. NULL values get NULL scores
+    and are never flagged.
     """
     field = config["field"]
     by = list(config.get("by", []))
@@ -1243,16 +1251,27 @@ def op_mad_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
     half = 500_000_000
     v = F.col(field).cast("double")
     nn = df.filter(v.isNotNull())
+    spark = df.sparkSession
 
-    med = _pinned_rank_value(nn.select(*by, v.alias("__v")), by,
-                             half, "__med", n_parts)
+    def localize(frame: DataFrame, out: str) -> DataFrame:
+        schema = T.StructType(
+            [df.schema[k] for k in by]
+            + [T.StructField(out, T.DoubleType())])
+        rows = [tuple(r) for r in frame.collect()]
+        if not rows and not by:
+            rows = [(None,)]   # keep the crossJoin from wiping rows
+        return spark.createDataFrame(rows, schema)
+
+    med = localize(_pinned_rank_value(nn.select(*by, v.alias("__v")), by,
+                                      half, "__med", n_parts), "__med")
     if by:
         j = df.join(F.broadcast(med), by, "left")
     else:
         j = df.crossJoin(F.broadcast(med))
     dev = (j.filter(v.isNotNull())
            .select(*by, F.abs(v - F.col("__med")).alias("__v")))
-    mad = _pinned_rank_value(dev, by, half, "__mad", n_parts)
+    mad = localize(_pinned_rank_value(dev, by, half, "__mad", n_parts),
+                   "__mad")
     if by:
         out = j.join(F.broadcast(mad), by, "left")
     else:

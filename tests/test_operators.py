@@ -929,3 +929,33 @@ def test_round4_operators_handle_empty_input(spark):
                  spark.createDataFrame([(1, "ab")], ["doc_id", "text"]),
                  {"merges": merges}, views={}).collect()[0]
     assert applied["bpe_tokens"] == ["a", "b", "</w>"]
+
+
+def test_round5_operators_handle_empty_input(spark):
+    """Empty frames must flow through every round-5 operator without
+    errors — the incremental-pipeline first-run edge."""
+    empty_docs = spark.createDataFrame([], "doc_id long, lang string, "
+                                           "n_chars long")
+    assert op("top_p_select", empty_docs,
+              {"weight_field": "n_chars", "p": 0.5, "id_field": "doc_id",
+               "group_by": ["lang"]}, views={}).count() == 0
+    assert op("top_p_select", empty_docs,
+              {"weight_field": "n_chars", "p": 0.5,
+               "id_field": "doc_id"}, views={}).count() == 0
+    for cfg in ({"by": ["lang"]}, {}):
+        out = op("winsorize", empty_docs,
+                 {"field": "n_chars", "lower": 0.1, "upper": 0.9, **cfg},
+                 views={})
+        assert out.count() == 0 and "n_chars_wins" in out.columns
+        assert op("mad_outlier", empty_docs,
+                  {"field": "n_chars", **cfg}, views={}).count() == 0
+    empty_events = spark.createDataFrame([], "user_id long, ts timestamp, "
+                                             "value double")
+    assert op("time_resample", empty_events,
+              {"ts_field": "ts", "interval": 60, "group_by": ["user_id"],
+               "fill": "zero"}, views={}).count() == 0
+    empty_vecs = spark.createDataFrame([], "vec_id long, "
+                                           "embedding array<float>")
+    assert op("dedup_embedding_against", empty_vecs,
+              {"threshold": 0.5, "dim": 4, "n_planes": 2, "n_tables": 2,
+               "history": empty_vecs}, views={}).count() == 0

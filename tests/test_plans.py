@@ -463,3 +463,69 @@ def test_round4_operator_plan_shapes(spark):
     edges = docs.selectExpr("doc_id AS src", "(doc_id * 7) % 97 AS dst")
     tc = op("triangle_count", edges, {}, views={})
     assert "CartesianProduct" not in plans.join_strategies(tc)
+
+
+def test_round5_operator_plan_shapes(spark):
+    """Plan gates for the round-5 operators: the shuffle discipline
+    that makes them 100 TB-viable, held as assertions."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from blackroad_data_pipeline_spark.sources.readers import (
+        nanos_to_timestamp,
+    )
+    events = nanos_to_timestamp(
+        spark.read.parquet(f"{SF}/events.parquet"), "ts")
+
+    # top_p_select per-group: cumsum + total windows share ONE shuffle
+    tp = op("top_p_select", docs,
+            {"weight_field": "n_chars", "p": 0.8, "id_field": "doc_id",
+             "group_by": ["lang"]}, views={})
+    plans.assert_no_row_python(tp)
+    plans.assert_max_shuffles(tp, 1)
+
+    # winsorize per-group: rank window + bounds agg on the SAME key
+    # partitioning, bounds join back broadcast — the data shuffles once
+    wz = op("winsorize", docs, {"field": "n_chars", "lower": 0.05,
+                                "upper": 0.95, "by": ["lang"]}, views={})
+    plans.assert_no_row_python(wz)
+    plans.assert_max_shuffles(wz, 1)
+    plans.assert_broadcast_join(wz)
+
+    # mad_outlier per-group: the two rank passes run EAGERLY at build
+    # (one full-data shuffle each, scalars collected + re-broadcast as
+    # literal frames), so the consumer plan is shuffle-FREE — scan +
+    # two broadcast joins
+    mo = op("mad_outlier", docs, {"field": "n_chars", "by": ["lang"]},
+            views={})
+    plans.assert_no_row_python(mo)
+    plans.assert_max_shuffles(mo, 0)
+    plans.assert_broadcast_join(mo)
+    assert "CartesianProduct" not in plans.join_strategies(mo)
+
+    # time_resample: observed-bucket agg + grid join + ffill share the
+    # key shuffle chain; no row-Python anywhere
+    tr = op("time_resample", events,
+            {"ts_field": "ts", "interval": 3600, "group_by": ["user_id"],
+             "aggregates": [{"function": "count", "alias": "n"}],
+             "fill": "ffill"}, views={})
+    plans.assert_no_row_python(tr)
+    plans.assert_max_shuffles(tr, 3)
+
+    # dedup_embedding_against: bucket join candidates, never a
+    # cartesian batch x history product; kernels are Arrow-batched
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    hist = emb.filter("vec_id % 2 = 0")
+    da = op("dedup_embedding_against", emb.filter("vec_id % 2 = 1"),
+            {"threshold": 0.3, "dim": 64, "n_planes": 2, "n_tables": 4,
+             "history": hist}, views={})
+    plans.assert_no_row_python(da)
+    assert "CartesianProduct" not in plans.join_strategies(da)
+
+    # TPC-H shapes: every dimension join broadcasts, quantity bounds
+    # still reach the lineitem scan through the OR-of-ANDs filter
+    from __spark_entry__ import q_discounted_revenue, q_waiting_suppliers
+    dr = q_discounted_revenue(spark, SF)
+    plans.assert_broadcast_join(dr)
+    assert "CartesianProduct" not in plans.join_strategies(dr)
+    ws = q_waiting_suppliers(spark, SF)
+    assert "CartesianProduct" not in plans.join_strategies(ws)
+    plans.assert_no_row_python(ws)
