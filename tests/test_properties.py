@@ -808,3 +808,116 @@ def test_triangle_count_matches_model_any_graph(spark, seed):
     df = spark.createDataFrame(edges or [(0, 1)], "src long, dst long")
     got = op("triangle_count", df, {}, views={}).collect()[0]["n_triangles"]
     assert got == (expect if edges else 0)
+
+
+# -- round-5 pinned-percentile machinery --------------------------------------
+
+
+def _pinned_pct(values, q_ppb):
+    """Python model of the pinned discrete percentile: value at 1-based
+    rank max(ceil(q*n), 1) in the ascending sort."""
+    vs = sorted(values)
+    if not vs:
+        return None
+    ppb = 1_000_000_000
+    k = max(-(-(q_ppb * len(vs)) // ppb), 1)
+    return vs[k - 1]
+
+
+wins_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),
+              st.one_of(st.none(),
+                        st.floats(allow_nan=False, allow_infinity=False,
+                                  min_value=-1e6, max_value=1e6))),
+    min_size=0, max_size=25)
+
+
+@given(rows=wins_rows, n_parts=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_winsorize_matches_python_model(spark, rows, n_parts):
+    df = (spark.createDataFrame(rows, "k int, v double") if rows
+          else spark.createDataFrame([], "k int, v double"))
+    got = {(r["k"], i): r["v_wins"] for i, r in enumerate(
+        op("winsorize", df.repartition(n_parts),
+           {"field": "v", "lower": 0.25, "upper": 0.75, "by": ["k"]},
+           views={}).orderBy("k", "v").collect())}
+    by_key = {}
+    for k, v in rows:
+        if v is not None:
+            by_key.setdefault(k, []).append(v)
+    model = {}
+    for k, vs in by_key.items():
+        lo = _pinned_pct(vs, 250_000_000)
+        hi = _pinned_pct(vs, 750_000_000)
+        model[k] = (lo, hi)
+    for (k, _), vw in got.items():
+        if vw is None:
+            continue
+        lo, hi = model[k]
+        assert lo <= vw <= hi
+    # every non-null input row appears exactly once, clipped
+    exp = sorted(
+        (k, min(max(v, model[k][0]), model[k][1]))
+        for k, v in rows if v is not None)
+    act = sorted((k, vw) for (k, _), vw in got.items() if vw is not None)
+    assert act == exp
+
+
+@given(rows=wins_rows)
+@settings(**SETTINGS)
+def test_top_p_is_minimal_covering_prefix(spark, rows):
+    """top_p_select keeps exactly the minimal high-weight prefix whose
+    sum reaches p of the group total (integer weights)."""
+    data = [(i, k, abs(int(v or 0)) % 100)
+            for i, (k, v) in enumerate(rows)]
+    df = (spark.createDataFrame(data, "id long, k int, w long") if data
+          else spark.createDataFrame([], "id long, k int, w long"))
+    kept = {r["id"] for r in op(
+        "top_p_select", df, {"weight_field": "w", "p": 0.6,
+                             "id_field": "id", "group_by": ["k"]},
+        views={}).collect()}
+    by_key = {}
+    for i, k, w in data:
+        by_key.setdefault(k, []).append((w, i))
+    expect = set()
+    for k, ws in by_key.items():
+        tot = sum(w for w, _ in ws)
+        if tot == 0:
+            continue
+        cum = 0
+        for w, i in sorted(ws, key=lambda t: (-t[0], t[1])):
+            if w == 0:
+                continue
+            if cum * 1_000_000_000 < 600_000_000 * tot:
+                expect.add(i)
+            cum += w
+    assert kept == expect
+
+
+@given(rows=wins_rows, n_parts=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_mad_outlier_matches_python_model(spark, rows, n_parts):
+    df = (spark.createDataFrame(rows, "k int, v double") if rows
+          else spark.createDataFrame([], "k int, v double"))
+    got = op("mad_outlier", df.repartition(n_parts),
+             {"field": "v", "by": ["k"], "k": 2.0},
+             views={}).collect()
+    by_key = {}
+    for k, v in rows:
+        if v is not None:
+            by_key.setdefault(k, []).append(v)
+    med = {k: _pinned_pct(vs, 500_000_000) for k, vs in by_key.items()}
+    mad = {k: _pinned_pct([abs(x - med[k]) for x in vs], 500_000_000)
+           for k, vs in by_key.items()}
+    for r in got:
+        k, v = r["k"], r["v"]
+        if v is None:
+            assert r["robust_z"] is None and r["is_outlier"] is None
+            continue
+        dev = abs(v - med[k])
+        if mad[k] == 0:
+            assert r["robust_z"] is None
+            assert r["is_outlier"] == (dev > 0)
+        else:
+            assert r["robust_z"] == dev / mad[k]
+            assert r["is_outlier"] == (dev / mad[k] > 2.0)
