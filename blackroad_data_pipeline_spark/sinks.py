@@ -312,6 +312,24 @@ def sink_orc(df: DataFrame, config: Mapping) -> int:
                           exists=lambda: _target_exists(df, config["path"]))
 
 
+@register("xml")
+def sink_xml(df: DataFrame, config: Mapping) -> int:
+    """XML sink (Spark 4 built-in xml format; symmetry with the xml
+    source): one ``row_tag`` element per row under ``root_tag``.
+    Struct columns nest; use for interchange with XML-consuming
+    systems, not as a lake format (not columnar, no pushdown)."""
+    mode = config.get("mode", "overwrite")
+
+    def write(d):
+        (d.write.mode(mode).format("xml")
+         .option("rowTag", config.get("row_tag", "row"))
+         .option("rootTag", config.get("root_tag", "rows"))
+         .save(config["path"]))
+
+    return _write_counted(df, mode, write,
+                          exists=lambda: _target_exists(df, config["path"]))
+
+
 def compact_parquet(spark, src_path: str, dst_path: str,
                     target_file_mb: int = 512,
                     sort_by: list | None = None) -> tuple[int, int]:

@@ -81,6 +81,23 @@ def src_orc(spark: SparkSession, config: Mapping) -> DataFrame:
     return spark.read.orc(config["path"])
 
 
+@register("xml")
+def src_xml(spark: SparkSession, config: Mapping) -> DataFrame:
+    """XML scan via Spark 4's built-in xml source (the spark-xml
+    package merged upstream in 4.0): one row per ``row_tag`` element,
+    attributes as ``_attr`` columns, nested elements as structs.
+    Splittable per file; schema inference reads the data once, so
+    pass ``schema`` for large corpora. No reference counterpart
+    (SURVEY.md §2.1 stops at csv/json/sqlite)."""
+    reader = (spark.read.format("xml")
+              .option("rowTag", config.get("row_tag", "row")))
+    if config.get("schema"):
+        reader = reader.schema(config["schema"])
+    for k, v in config.get("options", {}).items():
+        reader = reader.option(k, v)
+    return reader.load(config["path"])
+
+
 @register("table")
 def src_table(spark: SparkSession, config: Mapping) -> DataFrame:
     """A catalog table (e.g. written by the ``bucketed_table`` sink).

@@ -654,6 +654,28 @@ def test_fixed_width_source(spark, tmp_path):
         "alpha", "beta", "gamma"]
 
 
+def test_xml_source_and_sink_roundtrip(spark, tmp_path):
+    from blackroad_data_pipeline_spark.sinks import write_sink
+    from blackroad_data_pipeline_spark.sources import read_source
+
+    p = tmp_path / "in.xml"
+    p.write_text("<rows>"
+                 "<row><id>1</id><name>a</name></row>"
+                 "<row><id>2</id><name>b</name></row>"
+                 "</rows>")
+    df = read_source(spark, "xml", {"path": str(p), "row_tag": "row"})
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [
+        (1, "a"), (2, "b")]
+    out = tmp_path / "out"
+    n = write_sink(df, "xml", {"path": str(out), "row_tag": "item",
+                               "root_tag": "items"})
+    assert n == 2
+    back = read_source(spark, "xml", {"path": str(out),
+                                      "row_tag": "item"})
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [
+        (1, "a"), (2, "b")]
+
+
 def test_k_anonymity_modes(spark):
     rows = [(1, "us", 30), (2, "us", 30), (3, "us", 30),
             (4, "fr", 40), (5, None, 50), (6, None, 50)]
