@@ -4312,6 +4312,60 @@ ORDER BY doc_id
 """
 
 
+
+def q_quantile_sketch_gate(spark, sf_dir):
+    """Mergeable bottom-k quantile sketch (llmops/sketch.py): per-lang
+    64-row hash-rank samples of n_chars, pinned-rank q50/q90
+    estimates, plus the merge theorem checked live — estimates from
+    merge(sketch(even), sketch(odd)) must EQUAL the full sketch's.
+    The deterministic sample + pinned ranks make the whole pipeline
+    exact-replayable in DuckDB (no tolerance gate, unlike HLL)."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = {"field": "n_chars", "id_field": "doc_id", "k": 64,
+           "group_by": ["lang"]}
+    est_cfg = {"field": "n_chars", "group_by": ["lang"],
+               "quantiles": [0.5, 0.9]}
+    sk = op("quantile_sketch", d, cfg)
+    est = op("quantile_estimate", sk, est_cfg)
+    d2 = op("expr", d, {"exprs": {"m2": "doc_id % 2"}})
+    a = op("quantile_sketch",
+           op("filter", d2, {"field": "m2", "op": "eq", "value": 0}), cfg)
+    b = op("quantile_sketch",
+           op("filter", d2, {"field": "m2", "op": "eq", "value": 1}), cfg)
+    merged = op("quantile_sketch_merge", a, {**cfg, "others": [b]},
+                views={})
+    est_m = op("quantile_estimate", merged, est_cfg)
+    j = op("join", est, {"right": est_m, "left_key": "lang",
+                         "right_key": "lang"}, views={})
+    j = op("expr", j, {"exprs": {
+        "merge_consistent": "q50 = r_q50 AND q90 = r_q90"}})
+    j = op("select", j, {"fields": ["lang", "q50", "q90",
+                                    "merge_consistent"]})
+    return op("sort", j, {"fields": ["lang"]})
+
+
+_SQL_QUANTILE_SKETCH_GATE = """
+WITH s AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || chr(31) || 'qsk'),
+                    doc_id) AS rn
+  FROM documents WHERE n_chars IS NOT NULL),
+k AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM s WHERE rn <= 64),
+r AS (SELECT lang, v,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM k)
+SELECT lang,
+       MIN(CASE WHEN rn = GREATEST((500000000 * n + 999999999)
+                                   // 1000000000, 1) THEN v END) AS q50,
+       MIN(CASE WHEN rn = GREATEST((900000000 * n + 999999999)
+                                   // 1000000000, 1) THEN v END) AS q90,
+       TRUE AS merge_consistent
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
 def q_phash(spark, sf_dir):
     """Perceptual image hash (llmops/multimodal.py op_phash_image,
     STUB path): dHash-64 over the deterministic iterated-sha256 9x8
@@ -4706,6 +4760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "resample": q_resample,
         "mad_outlier": q_mad_outlier,
+        "quantile_sketch_gate": q_quantile_sketch_gate,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -4891,6 +4946,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _SQL_WINSORIZE,
         "resample": _SQL_RESAMPLE,
         "mad_outlier": _SQL_MAD_OUTLIER,
+        "quantile_sketch_gate": _SQL_QUANTILE_SKETCH_GATE,
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,

@@ -162,3 +162,105 @@ def op_sketch_merge(df: DataFrame, config: Mapping, views) -> DataFrame:
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+@register("quantile_sketch")
+def op_quantile_sketch(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Mergeable bottom-k (KMV-style) quantile sketch per group: the
+    ``k`` rows with the SMALLEST ``md5(id || salt)`` hashes form a
+    deterministic uniform sample of each group — the quantile
+    counterpart of the HLL distinct sketch ("yesterday's length
+    distribution per domain, merged with today's, without re-reading
+    either corpus"). Hash-rank sampling is what makes the sketch
+    MERGEABLE AND EXACT-REPLAYABLE: bottom-k of a union equals
+    bottom-k of the unioned bottom-k's (a theorem, property-tested),
+    and any SQL engine recomputes the identical sample — so unlike
+    classic GK/KLL, the oracle can value-check the whole pipeline,
+    not just a tolerance gate. Quantile error from a k-sample is the
+    standard order-statistic bound ~O(1/sqrt(k)).
+
+    One rank window per group (single key shuffle). Output: group
+    keys + ``id_field`` + ``field`` value + ``sample_hash`` (carried
+    so merges never need the salt) + ``sample_rank``.
+    """
+    field = config["field"]
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("k", 256))
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    group_by = list(config.get("group_by", []))
+    salt = str(config.get("salt", "qsk"))
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.col(id_field).cast("string"),
+                       F.lit("\x1f"), F.lit(salt)))
+    part = (Window.partitionBy(*group_by) if group_by
+            else Window.partitionBy(F.lit(1)))
+    return (df.filter(F.col(field).isNotNull())
+            .select(*group_by, id_field, field, h.alias("sample_hash"))
+            .withColumn("sample_rank", F.row_number().over(
+                part.orderBy(F.col("sample_hash"), F.col(id_field))))
+            .filter(F.col("sample_rank") <= k))
+
+
+@register("quantile_sketch_merge")
+def op_quantile_sketch_merge(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Merge quantile sketches: union sketch-row tables (the
+    quantile_sketch output schema), drop duplicate ids per group
+    (overlapping corpora), re-take the bottom ``k`` by the carried
+    ``sample_hash`` — exactly bottom-k of the union, so
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) row-for-row.
+    ``others``: list of additional sketch frames/views to union in."""
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("k", 256))
+    group_by = list(config.get("group_by", []))
+    from pyspark.sql import Window
+    out = df
+    for o in config.get("others", []):
+        other = views[o] if isinstance(o, str) else o
+        out = out.unionByName(other)
+    part = (Window.partitionBy(*group_by) if group_by
+            else Window.partitionBy(F.lit(1)))
+    return (out.dropDuplicates([*group_by, id_field])
+            .withColumn("sample_rank", F.row_number().over(
+                part.orderBy(F.col("sample_hash"), F.col(id_field))))
+            .filter(F.col("sample_rank") <= k))
+
+
+@register("quantile_estimate")
+def op_quantile_estimate(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Estimate quantiles from a quantile_sketch: the pinned discrete
+    percentile (value at rank max(ceil(q·n), 1), same definition as
+    winsorize/mad_outlier) over each group's sampled values. Output:
+    group keys + one ``q<percent>`` column per requested quantile
+    (q50, q90, ... — quantiles finer than 1% need explicit
+    ``aliases``). Deterministic sample + pinned rank = any engine
+    replays the estimates bit-for-bit."""
+    field = config["field"]
+    group_by = list(config.get("group_by", []))
+    qs = [float(q) for q in config.get("quantiles", [0.5])]
+    aliases = config.get("aliases") or [
+        f"q{int(round(q * 100))}" for q in qs]
+    if len(aliases) != len(qs):
+        raise ValueError("aliases must match quantiles length")
+    if len(set(aliases)) != len(aliases):
+        raise ValueError(f"duplicate output columns {aliases} — pass "
+                         "explicit aliases for sub-1% quantiles")
+    ppb = 1_000_000_000
+    from pyspark.sql import Window
+    part = (Window.partitionBy(*group_by) if group_by
+            else Window.partitionBy(F.lit(1)))
+    v = F.col(field).cast("double")
+    ranked = (df.filter(v.isNotNull())
+              .select(*group_by, v.alias("__v"))
+              .withColumn("__rn", F.row_number().over(
+                  part.orderBy(F.col("__v"))))
+              .withColumn("__n", F.count(F.lit(1)).over(part)))
+    aggs = []
+    for q, alias in zip(qs, aliases):
+        q_ppb = int(round(q * ppb))
+        kx = F.expr(f"greatest(({q_ppb} * __n + {ppb - 1}) div {ppb}, 1)")
+        aggs.append(F.min(F.when(F.col("__rn") == kx, F.col("__v")))
+                    .alias(alias))
+    if group_by:
+        return ranked.groupBy(*group_by).agg(*aggs)
+    return ranked.groupBy().agg(*aggs)

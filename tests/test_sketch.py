@@ -110,3 +110,69 @@ def test_sketch_merge_estimates_union_within_error(spark):
                 ).collect()[0]["distinct_merged"]
     assert abs(merged - 500) / 500 < 0.03, (merged, whole)
     assert abs(merged - whole) / whole < 0.03
+
+
+# -- bottom-k quantile sketch -------------------------------------------------
+
+
+def test_quantile_sketch_deterministic_and_bounded(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, "a" if i % 2 else "b", rng.randrange(1000))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    cfg = {"field": "v", "id_field": "id", "k": 128, "group_by": ["g"]}
+    sk = op("quantile_sketch", df, cfg, views={})
+    assert sk.count() == 256            # k rows per group, bounded
+    # deterministic under any partitioning
+    again = op("quantile_sketch", df.repartition(13), cfg, views={})
+    assert sorted(map(tuple, sk.collect())) == \
+        sorted(map(tuple, again.collect()))
+    # estimates land within the ~1/sqrt(k) order-statistic band
+    est = {r["g"]: r for r in op(
+        "quantile_estimate", sk,
+        {"field": "v", "group_by": ["g"], "quantiles": [0.5, 0.9]},
+        views={}).collect()}
+    exact = {r["g"]: r for r in op(
+        "quantile_estimate", df,
+        {"field": "v", "group_by": ["g"], "quantiles": [0.5, 0.9]},
+        views={}).collect()}
+    for g in ("a", "b"):
+        assert abs(est[g]["q50"] - exact[g]["q50"]) < 1000 * 0.15
+        assert abs(est[g]["q90"] - exact[g]["q90"]) < 1000 * 0.15
+
+
+def test_quantile_sketch_merge_law_and_overlap(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) row-for-row —
+    including when A and B OVERLAP (duplicate ids collapse before the
+    re-take)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(500)) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    cfg = {"field": "v", "id_field": "id", "k": 64}
+    full = op("quantile_sketch", df, cfg, views={})
+    a = op("quantile_sketch", df.filter("id < 500"), cfg, views={})
+    b = op("quantile_sketch", df.filter("id >= 300"), cfg, views={})  # overlap
+    merged = op("quantile_sketch_merge", a,
+                {"id_field": "id", "k": 64, "others": [b]}, views={})
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, merged.collect()))
+    # view-name resolution for others
+    merged2 = op("quantile_sketch_merge", a,
+                 {"id_field": "id", "k": 64, "others": ["bb"]},
+                 views={"bb": b})
+    assert merged2.count() == 64
+
+
+def test_quantile_estimate_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="duplicate"):
+        op("quantile_estimate", df,
+           {"field": "v", "quantiles": [0.991, 0.992]}, views={})
+    with pytest.raises(ValueError, match="aliases"):
+        op("quantile_estimate", df,
+           {"field": "v", "quantiles": [0.5], "aliases": ["a", "b"]},
+           views={})
