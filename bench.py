@@ -79,6 +79,14 @@ SCALE_PROBES = {
     "similarity_join_scale": lambda s, d: op(
         "similarity_join", _embs(s, d),
         {"threshold": 0.3, "dim": 64, "n_planes": 12}),
+    # round 5: incremental embedding dedup at the corpus-scale bucket
+    # geometry (4096 buckets x 2 tables) — batch = odd ids vs
+    # history = even ids, the realistic half-against-half shape
+    "dedup_embedding_against_scale": lambda s, d: op(
+        "dedup_embedding_against", _embs(s, d).filter("vec_id % 2 = 1"),
+        {"threshold": 0.9, "dim": 64, "n_planes": 12, "n_tables": 2,
+         "history": _embs(s, d).filter("vec_id % 2 = 0")},
+        views={}).select("vec_id"),
 }
 
 

@@ -85,6 +85,17 @@ PROBED = [
     "scd2",
     "bm25",
     "triangles",
+    # round 5: bucketed batch-vs-history embedding dedup (the one
+    # with quadratic potential if buckets degenerate); the rest are
+    # window/prefix-sum passes expected at alpha ~ 1 — resample's
+    # output is grid-sized (span/interval per key), not input-sized
+    "dedup_embedding_against_scale",
+    "top_p",
+    "winsorize",
+    "mad_outlier",
+    "resample",
+    "quantile_sketch_gate",
+    "waiting_suppliers",
 ]
 
 
