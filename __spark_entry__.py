@@ -4366,6 +4366,37 @@ FROM r GROUP BY lang ORDER BY lang
 """
 
 
+
+def q_heavy_hitters_stream(spark, sf_dir):
+    """Heavy hitters computed as a STRUCTURED STREAM: readStream over
+    the documents parquet -> token explode -> stateful streaming
+    count (complete mode, the standing per-token state a production
+    topic would maintain) -> memory sink driven to completion; the
+    total/threshold/share finish runs as a batch pass over the
+    streamed state. Shares the batch heavy_hitters oracle, so
+    stream==batch equivalence is driver-visible. State is the full
+    token cardinality — the bounded-memory alternative is the
+    Misra-Gries batch mode (heavy_hitters_mg)."""
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        read_events_stream, run_stream_to_memory)
+
+    stream = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    toks = stream.selectExpr(
+        "explode(filter(split(trim(lower(text)), '\\\\s+'),"
+        " x -> x != '')) AS value")
+    counts = toks.groupBy("value").count().withColumnRenamed(
+        "count", "n_occurrences")
+    run_stream_to_memory(counts, "hh_stream_out", "complete")
+    c = spark.table("hh_stream_out")
+    df = op("sql", c, {"query": """
+        WITH t AS (SELECT SUM(n_occurrences) AS total FROM self)
+        SELECT value, n_occurrences,
+               CAST(n_occurrences AS DOUBLE) / total AS share
+        FROM self, t WHERE n_occurrences * 60 > total
+    """}, views={})
+    return op("sort", df, {"fields": ["value"]})
+
+
 def q_phash(spark, sf_dir):
     """Perceptual image hash (llmops/multimodal.py op_phash_image,
     STUB path): dHash-64 over the deterministic iterated-sha256 9x8
@@ -4761,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "mad_outlier": q_mad_outlier,
         "quantile_sketch_gate": q_quantile_sketch_gate,
+        "heavy_hitters_stream": q_heavy_hitters_stream,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -4947,6 +4979,7 @@ def oracle_sql() -> dict[str, str]:
         "resample": _SQL_RESAMPLE,
         "mad_outlier": _SQL_MAD_OUTLIER,
         "quantile_sketch_gate": _SQL_QUANTILE_SKETCH_GATE,
+        "heavy_hitters_stream": _SQL_HEAVY_HITTERS,
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,
