@@ -4397,6 +4397,47 @@ def q_heavy_hitters_stream(spark, sf_dir):
     return op("sort", df, {"fields": ["value"]})
 
 
+
+def q_collocations(spark, sf_dir):
+    """Top-25 PMI collocations over the corpus (llmops/text.py
+    op_collocations): exact bigram/unigram counts, PMI emitted as the
+    raw ratio c12·N/(c1·c2) — pure IEEE multiply/divide over exact
+    longs (ln is monotone, so the ranking is PMI's; no libm variance
+    crosses engines), min_count pruning before the joins, top-k as a
+    TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("collocations", d, {"min_count": 5, "k": 25})
+    return df
+
+
+_SQL_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT doc_id, {_D_TOKS_LOWER} AS t FROM documents),
+bigs AS (
+  SELECT unnest(list_transform(range(len(t) - 1),
+                               i -> t[i+1] || ' ' || t[i+2])) AS bigram
+  FROM toks WHERE len(t) >= 2),
+bc AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bigs GROUP BY bigram HAVING COUNT(*) >= 5),
+uc AS (
+  SELECT token, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS token FROM toks WHERE len(t) >= 2)
+  GROUP BY token),
+t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bigs)
+SELECT split_part(bigram, ' ', 1) AS w1,
+       split_part(bigram, ' ', 2) AS w2,
+       n_pair,
+       (CAST(n_pair AS DOUBLE) * n)
+         / (CAST(u1.c1 AS DOUBLE) * u2.c1) AS pmi_ratio
+FROM bc
+JOIN uc u1 ON u1.token = split_part(bigram, ' ', 1)
+JOIN uc u2 ON u2.token = split_part(bigram, ' ', 2), t2
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT 25
+"""
+
+
 def q_phash(spark, sf_dir):
     """Perceptual image hash (llmops/multimodal.py op_phash_image,
     STUB path): dHash-64 over the deterministic iterated-sha256 9x8
@@ -4793,6 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier": q_mad_outlier,
         "quantile_sketch_gate": q_quantile_sketch_gate,
         "heavy_hitters_stream": q_heavy_hitters_stream,
+        "collocations": q_collocations,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -4980,6 +5022,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outlier": _SQL_MAD_OUTLIER,
         "quantile_sketch_gate": _SQL_QUANTILE_SKETCH_GATE,
         "heavy_hitters_stream": _SQL_HEAVY_HITTERS,
+        "collocations": _SQL_COLLOCATIONS,
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "importance_weight": _SQL_IMPORTANCE_WEIGHT,
         "quality_classifier_gate": _SQL_QUALITY_CLASSIFIER_GATE,

@@ -1291,3 +1291,56 @@ def op_chunk_cdc(df: DataFrame, config: Mapping, views) -> DataFrame:
                                               "chunk_hash"])
 
     return df.mapInPandas(kernel, out_schema)
+
+
+@register("collocations")
+def op_collocations(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Corpus collocation mining: the top-k adjacent word pairs by
+    pointwise mutual information — the phrase-discovery /
+    tokenizer-vocabulary signal ("new york", "machine learning")
+    computed over exact corpus counts. PMI = ln(c12·N / (c1·c2)); the
+    op emits the RATIO c12·N / (c1·c2) instead of its log — ln is
+    monotone, so the ranking is identical, and the ratio is pure IEEE
+    multiply/divide over exact counts (bit-identical in any engine,
+    no libm variance — the reason the oracle can value-check it).
+
+    Shape: one bigram count + one unigram count aggregation (map-side
+    partials), ``min_count`` prunes the bigram table BEFORE the two
+    unigram joins (Zipf makes the filter massive), the N scalar rides
+    a broadcast 1-row frame, and the top-k is a TakeOrdered — no
+    full-result sort. Counts must satisfy c·N < 2^53 for the double
+    products to stay exact (fine up to ~petatoken corpora with
+    min_count pruning).
+
+    Output: w1, w2, n_pair (long), pmi_ratio (double), ordered by
+    pmi_ratio desc then (w1, w2).
+    """
+    field = config.get("field", "text")
+    min_count = int(config.get("min_count", 5))
+    k = int(config.get("k", 100))
+    lower = bool(config.get("lowercase", True))
+    tok_expr = tokens_col(F.lower(F.col(field)) if lower else F.col(field))
+
+    staged = (df.select(tok_expr.alias("__toks"))
+              .filter(F.size("__toks") >= 2))
+    bigs = staged.select(F.explode(F.expr(
+        "transform(sequence(0, size(__toks) - 2),"
+        " i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))"))
+        .alias("__b")).select("__b.w1", "__b.w2")
+    bc = (bigs.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("n_pair"))
+          .filter(F.col("n_pair") >= min_count))
+    uc = (staged.select(F.explode("__toks").alias("__w"))
+          .groupBy("__w").agg(F.count(F.lit(1)).alias("__c")))
+    total = bigs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    out = (bc
+           .join(uc.select(F.col("__w").alias("w1"),
+                           F.col("__c").alias("__c1")), "w1")
+           .join(uc.select(F.col("__w").alias("w2"),
+                           F.col("__c").alias("__c2")), "w2")
+           .join(F.broadcast(total))
+           .withColumn("pmi_ratio",
+                       (F.col("n_pair").cast("double") * F.col("__n"))
+                       / (F.col("__c1").cast("double") * F.col("__c2")))
+           .select("w1", "w2", "n_pair", "pmi_ratio"))
+    return out.orderBy(F.col("pmi_ratio").desc(), "w1", "w2").limit(k)

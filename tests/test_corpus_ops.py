@@ -704,3 +704,30 @@ def test_chunk_cdc_empty_and_tiny_docs(spark):
     # empty/NULL docs produce no chunks; a tiny doc is one chunk
     assert set(got) == {3}
     assert got[3]["chunk_text"] == "tiny" and got[3]["chunk_idx"] == 0
+
+
+# -- collocations ------------------------------------------------------------
+
+
+def test_collocations_pmi_ranking_and_pruning(spark):
+    # "new york" always adjacent (high PMI); "the cat"/"the dog" share
+    # the promiscuous "the" (low PMI); rare pair pruned by min_count
+    docs = ["new york " * 4 + "the cat the dog the cat the dog",
+            "new york the cat the dog rare pair"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               ["doc_id", "text"])
+    rows = op("collocations", df, {"min_count": 2, "k": 10},
+              views={}).collect()
+    pairs = [(r["w1"], r["w2"]) for r in rows]
+    assert ("rare", "pair") not in pairs          # below min_count
+    assert pairs[0] == ("new", "york")            # tightest pair wins
+    by = {(r["w1"], r["w2"]): r for r in rows}
+    ny = by[("new", "york")]
+    # exact ratio: c12 * N / (c1 * c2)
+    n_total = sum(len(d.split()) - 1 for d in docs)
+    assert ny["n_pair"] == 5
+    assert ny["pmi_ratio"] == 5.0 * n_total / (5 * 5)
+    # every emitted pair respects min_count and desc ratio order
+    ratios = [r["pmi_ratio"] for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    assert all(r["n_pair"] >= 2 for r in rows)
