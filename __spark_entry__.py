@@ -4104,6 +4104,144 @@ def q_sales_opportunity(spark, sf_dir):
     return _sql_all_tables(spark, sf_dir, _SQL_SALES_OPPORTUNITY)
 
 
+_SQL_CUSTOMER_DISTRIBUTION = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution; the
+    priority filter stands in for the absent o_comment): LEFT join
+    with the extra predicate IN the join condition (a WHERE would
+    turn it inner and lose zero-order customers), then a double
+    aggregation — per-customer count, then a histogram of counts.
+    Both COUNTs are native BIGINT in both engines. At scale the
+    first agg shuffles on o_custkey; the second is tiny."""
+    return _sql_all_tables(spark, sf_dir, _SQL_CUSTOMER_DISTRIBUTION)
+
+
+_SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey),
+m AS (SELECT CAST(MAX(total_rev) AS BIGINT) AS max_rev FROM revenue)
+SELECT s_suppkey, s_name, total_rev / 1e4 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey, m
+WHERE total_rev = max_rev
+ORDER BY s_suppkey
+"""
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier of a quarter): per-supplier
+    exact 1e-4-scaled revenue, a 1-row MAX scalar frame that
+    broadcasts, and an exact-bigint equality filter (the classic
+    view + scalar subquery, decorrelated). Revenue divides to double
+    only at output."""
+    return _sql_all_tables(spark, sf_dir, _SQL_TOP_SUPPLIER)
+
+
+_SQL_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+costs AS (
+  SELECT p_partkey, s_name, s_acctbal, n_name, cost_c,
+         MIN(cost_c) OVER (PARTITION BY p_partkey) AS min_c
+  FROM part JOIN ps ON p_partkey = l_partkey JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_size <= 15 AND p_type = 'LARGE')
+SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_c, s_name, n_name,
+       p_partkey, cost_c / 1e2 AS supplycost
+FROM costs WHERE cost_c = min_c
+ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part within a region;
+    the per-(part, supplier) MIN line price stands in for the absent
+    partsupp.ps_supplycost): the classic correlated MIN subquery is
+    decorrelated to a window MIN over p_partkey — ONE extra shuffle
+    on the already-partitioned key instead of a second scan. Costs
+    are exact cents; the EUROPE dim chain broadcasts."""
+    return _sql_all_tables(spark, sf_dir, _SQL_MIN_COST_SUPPLIER)
+
+
+_SQL_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey),
+t AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c FROM v)
+SELECT l_partkey AS p_partkey, value_c / 1e2 AS part_value
+FROM v, t
+WHERE value_c * 1000 > total_c
+ORDER BY value_c DESC, p_partkey
+"""
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock; one nation's line value per
+    part stands in for the absent partsupp value): parts carrying
+    more than 0.1% of the nation's total value. The HAVING-vs-global
+    -scalar compare is EXACT integer arithmetic (value_c * 1000 >
+    total_c — no cross-engine float fraction), the 1-row total
+    broadcasts, and value_c stays within 2^63 up to ~9e15 dollars
+    per part."""
+    return _sql_all_tables(spark, sf_dir, _SQL_IMPORTANT_PARTS)
+
+
+_SQL_EXCESS_SUPPLIERS = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (
+  SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS part_qty
+  FROM pq GROUP BY l_partkey),
+cand AS (
+  SELECT DISTINCT l_suppkey FROM pq JOIN tot USING (l_partkey)
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%' AND supp_qty * 2 > part_qty)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM cand)
+ORDER BY s_name
+"""
+
+
+def q_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers dominating a part's yearly flow;
+    the half-of-total-quantity test stands in for partsupp availqty
+    vs half the year's demand): per-(part, supplier) quantity reuses
+    its own partial for the per-part total (same key prefix — AQE
+    plans one wide shuffle + one narrow), the dominance test is
+    exact integer (supp_qty * 2 > part_qty), and the IN decorrelates
+    to a left-semi hash join against the small candidate set."""
+    return _sql_all_tables(spark, sf_dir, _SQL_EXCESS_SUPPLIERS)
 
 
 def q_dedup_embedding_against(spark, sf_dir):
@@ -4835,6 +4973,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_gate": q_quantile_sketch_gate,
         "heavy_hitters_stream": q_heavy_hitters_stream,
         "collocations": q_collocations,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier": q_top_supplier,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "excess_suppliers": q_excess_suppliers,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5015,6 +5158,11 @@ def oracle_sql() -> dict[str, str]:
         "discounted_revenue": _SQL_DISCOUNTED_REVENUE,
         "waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         "sales_opportunity": _SQL_SALES_OPPORTUNITY,
+        "customer_distribution": _SQL_CUSTOMER_DISTRIBUTION,
+        "top_supplier": _SQL_TOP_SUPPLIER,
+        "min_cost_supplier": _SQL_MIN_COST_SUPPLIER,
+        "important_parts": _SQL_IMPORTANT_PARTS,
+        "excess_suppliers": _SQL_EXCESS_SUPPLIERS,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,
