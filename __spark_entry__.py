@@ -4233,6 +4233,49 @@ ORDER BY s_name
 """
 
 
+def q_interval_merge(spark, sf_dir):
+    """Gaps-and-islands compaction: per-user event intervals
+    ([ts, ts + value-derived dwell]) coalesced into maximal busy
+    periods. Exact long epoch arithmetic means DuckDB replays island
+    membership bit-for-bit; the merge runs as one hash shuffle on
+    user_id (windows + final aggregate share the partitioning —
+    operators/temporal.py op_interval_merge)."""
+    e = _t(spark, sf_dir, "events")
+    iv = op("expr", e, {"replace": True, "exprs": {
+        "user_id": "user_id",
+        "event_id": "event_id",
+        "s": "cast(cast(ts as timestamp) as long)",
+        "e": ("cast(cast(ts as timestamp) as long)"
+              " + greatest(cast(round(value * 10) as bigint), 1) * 60"),
+    }})
+    df = op("interval_merge", iv, {
+        "start_field": "s", "end_field": "e", "group_by": ["user_id"],
+        "tiebreak": ["event_id"]})
+    return op("sort", df, {"fields": ["user_id", "island"]})
+
+
+_SQL_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS s,
+         epoch_ns(ts) // 1000000000
+           + greatest(CAST(ROUND(value * 10) AS BIGINT), 1) * 60 AS e
+  FROM events),
+m AS (
+  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS pmax
+  FROM iv),
+g AS (
+  SELECT *, CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       OVER (PARTITION BY user_id ORDER BY s, e, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM m)
+SELECT user_id, island, MIN(s) AS island_start, MAX(e) AS island_end,
+       COUNT(*) AS n_intervals
+FROM g GROUP BY user_id, island ORDER BY user_id, island
+"""
+
+
 def q_excess_suppliers(spark, sf_dir):
     """TPC-H Q20 shape (suppliers dominating a part's yearly flow;
     the half-of-total-quantity test stands in for partsupp availqty
@@ -4978,6 +5021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "important_parts": q_important_parts,
         "excess_suppliers": q_excess_suppliers,
+        "interval_merge": q_interval_merge,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5163,6 +5207,7 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_supplier": _SQL_MIN_COST_SUPPLIER,
         "important_parts": _SQL_IMPORTANT_PARTS,
         "excess_suppliers": _SQL_EXCESS_SUPPLIERS,
+        "interval_merge": _SQL_INTERVAL_MERGE,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,

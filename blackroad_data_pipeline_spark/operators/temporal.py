@@ -516,3 +516,73 @@ def op_scd2(df: DataFrame, config: Mapping, views) -> DataFrame:
                       F.col("valid_from").alias(ts_field)))
     obs = replay.unionByName(df.select(*keys, *attrs, *extra, ts_field))
     return untouched.unionByName(compress(obs))
+
+
+@register("interval_merge")
+def op_interval_merge(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Gaps-and-islands: coalesce overlapping (or near-adjacent)
+    intervals per key into maximal merged spans. The interval
+    primitive behind availability windows, user busy periods,
+    validity-range compaction, and sensor-uptime rollups — absent
+    from the reference (its transforms are row-local, SURVEY.md
+    §2.5) and from Spark's built-in operator set.
+
+    Start/end must be NUMERIC columns in the same unit (for
+    timestamps, derive epoch seconds upstream — see
+    ``epoch_seconds``): exact long arithmetic means every engine
+    replays island membership bit-for-bit. An interval opens a new
+    island iff its start exceeds the running MAX end of all earlier
+    intervals in the key (plus ``gap``): rows sort by (start, end,
+    *tiebreak) inside each key, ``MAX(end) OVER (... 1 PRECEDING)``
+    finds the farthest reach of the current island, and a running
+    SUM over the new-island flag numbers islands 1..n. All three
+    windows and the final merge aggregate share ONE hash shuffle on
+    the key columns — per-key work is a single sort, the
+    scale-correct shape (the naive self-join alternative is
+    quadratic per key).
+
+    config: ``start_field`` / ``end_field`` (numeric), ``group_by``
+    keys, ``gap`` (merge intervals separated by <= gap units,
+    default 0 = overlap-or-touch), ``tiebreak`` extra order columns
+    for determinism under (start, end) ties, ``mode``: merge
+    (default — one row per island: keys + island + island_start +
+    island_end + n_intervals) | annotate (input rows + the island
+    id column), ``island_field`` (default "island"). An empty
+    ``group_by`` needs ``allow_global: true`` (same single-partition
+    WindowExec guard as the window operator). Degenerate intervals
+    (end < start) merge by the same rule — the running max simply
+    never advances past better ends.
+    """
+    start = config["start_field"]
+    end = config["end_field"]
+    keys = list(config.get("group_by", []))
+    gap = int(config.get("gap", 0))
+    mode = config.get("mode", "merge")
+    if mode not in ("merge", "annotate"):
+        raise ValueError(f"mode must be merge|annotate, got {mode!r}")
+    island_field = config.get("island_field", "island")
+    tiebreak = list(config.get("tiebreak", []))
+    if not keys and not config.get("allow_global"):
+        raise ValueError(
+            "interval_merge with empty group_by moves ALL rows to one "
+            "partition; pass allow_global: true if the input is known "
+            "to be small, or add group_by keys")
+    order = [F.col(start).asc(), F.col(end).asc(),
+             *(F.col(c).asc() for c in tiebreak)]
+    base = (Window.partitionBy(*keys) if keys
+            else Window.partitionBy(F.lit(1))).orderBy(*order)
+    prev_max = (F.max(F.col(end))
+                .over(base.rowsBetween(Window.unboundedPreceding, -1)))
+    flag = F.when(prev_max.isNull()
+                  | (F.col(start) > prev_max + F.lit(gap)), 1).otherwise(0)
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    annotated = (df.withColumn("__new_island", flag)
+                 .withColumn(island_field,
+                             F.sum("__new_island").over(running))
+                 .drop("__new_island"))
+    if mode == "annotate":
+        return annotated
+    return (annotated.groupBy(*keys, island_field)
+            .agg(F.min(start).alias("island_start"),
+                 F.max(end).alias("island_end"),
+                 F.count(F.lit(1)).alias("n_intervals")))

@@ -359,3 +359,82 @@ def test_time_resample_guard_and_validation(spark):
                                  "fill": "bogus"}, views={})
     with pytest.raises(ValueError, match="interval"):
         op("time_resample", df, {"ts_field": "ts", "interval": 0}, views={})
+
+
+def test_interval_merge_overlap_touch_and_gap(spark):
+    iv = spark.createDataFrame(
+        [("u", 0, 10, 1), ("u", 5, 20, 2),    # overlap -> one island
+         ("u", 20, 30, 3),                    # touch (start == max end)
+         ("u", 40, 50, 4),                    # 10 apart -> new island
+         ("v", 0, 5, 5)],
+        ["k", "s", "e", "id"])
+    out = op("interval_merge", iv, {
+        "start_field": "s", "end_field": "e", "group_by": ["k"],
+        "tiebreak": ["id"]}, views={})
+    got = _rows(out.select("k", "island", "island_start", "island_end",
+                           "n_intervals"))
+    assert got == {("u", 1, 0, 30, 3), ("u", 2, 40, 50, 1),
+                   ("v", 1, 0, 5, 1)}
+    # gap=10 bridges the 30->40 hole
+    out = op("interval_merge", iv, {
+        "start_field": "s", "end_field": "e", "group_by": ["k"],
+        "gap": 10, "tiebreak": ["id"]}, views={})
+    got = _rows(out.select("k", "island", "n_intervals"))
+    assert got == {("u", 1, 4), ("v", 1, 1)}
+
+
+def test_interval_merge_contained_and_degenerate(spark):
+    # second interval is CONTAINED in the first (running max must not
+    # retreat to its smaller end); third is degenerate (e < s)
+    iv = spark.createDataFrame(
+        [("u", 0, 100, 1), ("u", 10, 20, 2), ("u", 50, 40, 3),
+         ("u", 150, 160, 4)],
+        ["k", "s", "e", "id"])
+    out = op("interval_merge", iv, {
+        "start_field": "s", "end_field": "e", "group_by": ["k"],
+        "tiebreak": ["id"]}, views={})
+    got = _rows(out.select("k", "island", "island_start", "island_end",
+                           "n_intervals"))
+    assert got == {("u", 1, 0, 100, 3), ("u", 2, 150, 160, 1)}
+
+
+def test_interval_merge_annotate_mode(spark):
+    iv = spark.createDataFrame(
+        [("u", 0, 10, 1), ("u", 5, 20, 2), ("u", 100, 110, 3)],
+        ["k", "s", "e", "id"])
+    out = op("interval_merge", iv, {
+        "start_field": "s", "end_field": "e", "group_by": ["k"],
+        "mode": "annotate", "island_field": "grp", "tiebreak": ["id"]},
+        views={})
+    assert set(out.columns) == {"k", "s", "e", "id", "grp"}
+    got = {(r["id"], r["grp"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 2)}
+
+
+def test_interval_merge_global_guard_and_empty(spark):
+    iv = spark.createDataFrame([("u", 0, 10, 1)], ["k", "s", "e", "id"])
+    with pytest.raises(ValueError, match="allow_global"):
+        op("interval_merge", iv, {"start_field": "s", "end_field": "e"},
+           views={})
+    out = op("interval_merge", iv, {
+        "start_field": "s", "end_field": "e", "allow_global": True},
+        views={})
+    assert _rows(out.select("island", "island_start", "island_end",
+                            "n_intervals")) == {(1, 0, 10, 1)}
+    empty = iv.where("s < 0")
+    out = op("interval_merge", empty, {
+        "start_field": "s", "end_field": "e", "group_by": ["k"]}, views={})
+    assert out.count() == 0
+
+
+def test_interval_merge_single_key_shuffle(spark):
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    iv = spark.createDataFrame(
+        [("u", 0, 10, 1), ("u", 5, 20, 2)], ["k", "s", "e", "id"])
+    out = op("interval_merge", iv, {
+        "start_field": "s", "end_field": "e", "group_by": ["k"],
+        "tiebreak": ["id"]}, views={})
+    plans.assert_no_row_python(out)
+    # windows + merge aggregate all share the one hash shuffle on k
+    plans.assert_max_shuffles(out, 1)
