@@ -1832,6 +1832,34 @@ def q_events_window_stream(spark, sf_dir):
     return op("sort", df, {"fields": ["window_start", "event_type"]})
 
 
+def q_events_session_window_stream(spark, sf_dir):
+    """Gap-based session windows executed as a STRUCTURED STREAM:
+    readStream over the events parquet -> session_windowed_agg
+    (F.session_window, the streaming-native stateful session merge) ->
+    memory sink driven to completion. Shares events_session_window's
+    oracle, so stream==batch session-boundary equivalence is
+    driver-visible. At scale this is the bounded-state path: a
+    watermark evicts closed sessions instead of the batch lag+cumsum
+    full-history sort."""
+    from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        read_events_stream, run_stream_to_memory)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = nanos_to_timestamp(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"), "ts")
+    agg = op("session_windowed_agg", stream, {
+        "ts_field": "ts", "gap": "10 minutes", "group_by": ["user_id"],
+        "aggregates": [
+            {"field": "event_id", "function": "count", "alias": "n_events"},
+            {"field": "value", "function": "sum", "alias": "sum_value"},
+        ]})
+    run_stream_to_memory(agg, "events_session_window_stream_out")
+    df = spark.table("events_session_window_stream_out")
+    return op("sort", df, {"fields": ["user_id", "window_start"]})
+
+
 # --------------------------------------------------------------------------
 # temporal joins — operators/temporal.py (absent from reference, SURVEY.md §2.5)
 # --------------------------------------------------------------------------
@@ -5050,6 +5078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_gate": q_split_assign_gate,
         "mix_corpus_gate": q_mix_corpus_gate,
         "events_window_stream": q_events_window_stream,
+        "events_session_window_stream": q_events_session_window_stream,
         "stateful_dedup_stream": q_stateful_dedup_stream,
         "corpus_prep_stream": q_corpus_prep_stream,
         "chunk_text": q_chunk_text,
@@ -5139,6 +5168,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign_gate": _SQL_SPLIT_ASSIGN_GATE,
         "mix_corpus_gate": _SQL_MIX_CORPUS_GATE,
         "events_window_stream": _SQL_EVENTS_WINDOW,
+        "events_session_window_stream": _SQL_EVENTS_SESSION_WINDOW,
         "stateful_dedup_stream": _SQL_STATEFUL_DEDUP_STREAM,
         "corpus_prep_stream": _SQL_CORPUS_PREP_STREAM,
         "chunk_text": _SQL_CHUNK_TEXT,
