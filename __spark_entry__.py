@@ -2806,6 +2806,40 @@ ORDER BY c_custkey
 """
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity screen (op_l_diversity, tag mode): each
+    (c_nationkey, c_mktsegment) class must carry >= 3 distinct
+    account-balance bands. The distinct count runs as dense_rank +
+    partition MAX over ONE shuffle; DuckDB recomputes it as a plain
+    COUNT(DISTINCT) GROUP BY + re-join — two independent routes to
+    the same exact counts."""
+    c = _t(spark, sf_dir, "customer")
+    d = op("expr", c, {"exprs": {
+        "bal_band": "cast(floor(c_acctbal / 1000) as bigint)"}})
+    df = op("l_diversity", d, {
+        "quasi_identifiers": ["c_nationkey", "c_mktsegment"],
+        "sensitive": "bal_band", "l": 3})
+    df = op("select", df, {"fields": ["c_custkey", "bal_band",
+                                      "sensitive_diversity", "l_diverse"]})
+    return op("sort", df, {"fields": ["c_custkey"]})
+
+
+_SQL_L_DIVERSITY = """
+WITH d AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer),
+g AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(DISTINCT bal_band) AS sensitive_diversity
+  FROM d GROUP BY c_nationkey, c_mktsegment)
+SELECT d.c_custkey, d.bal_band, g.sensitive_diversity,
+       g.sensitive_diversity >= 3 AS l_diverse
+FROM d JOIN g USING (c_nationkey, c_mktsegment)
+ORDER BY c_custkey
+"""
+
+
 def q_merge_agg(spark, sf_dir):
     """Incremental aggregate maintenance (operators/relational.py
     op_merge_agg): the lineitem fact is split by orderkey parity into
@@ -5050,6 +5084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "excess_suppliers": q_excess_suppliers,
         "interval_merge": q_interval_merge,
+        "l_diversity": q_l_diversity,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5238,6 +5273,7 @@ def oracle_sql() -> dict[str, str]:
         "important_parts": _SQL_IMPORTANT_PARTS,
         "excess_suppliers": _SQL_EXCESS_SUPPLIERS,
         "interval_merge": _SQL_INTERVAL_MERGE,
+        "l_diversity": _SQL_L_DIVERSITY,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,

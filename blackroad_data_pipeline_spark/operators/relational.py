@@ -1775,3 +1775,58 @@ def op_k_anonymity(df: DataFrame, config: Mapping, views) -> DataFrame:
         out = out.withColumn(
             c, F.when(F.col("k_anonymous"), F.col(c)))
     return out.drop("eq_class_size", "k_anonymous")
+
+
+@register("l_diversity")
+def op_l_diversity(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """l-diversity screen — the disclosure gate k-anonymity misses:
+    an equivalence class of ``quasi_identifiers`` values is UNSAFE
+    when it carries fewer than ``l`` distinct values of the
+    ``sensitive`` attribute (a k-anonymous class whose members all
+    share one diagnosis still discloses it; Machanavajjhala et al.,
+    ICDE'06). Composes with k_anonymity the way the paper stacks
+    them.
+
+    Distinct counting runs as TWO windows over ONE hash shuffle on
+    the QI tuple — dense_rank over (QI, sensitive-ordered) then a
+    partition MAX — instead of a groupBy + join back, which would
+    shuffle twice AND silently drop NULL-QI rows on the re-join
+    (join equality vs GROUP BY null semantics). NULL QI values group
+    together, matching k_anonymity's risk model; NULL sensitive
+    values do NOT count toward diversity (SQL COUNT(DISTINCT)
+    semantics — an unknown value discloses nothing).
+
+    Modes: ``tag`` (default) adds ``sensitive_diversity`` (long) and
+    ``l_diverse`` (boolean); ``filter`` keeps only safe rows;
+    ``suppress`` NULLs the quasi-identifiers of unsafe ones.
+    """
+    qis = list(config["quasi_identifiers"])
+    sensitive = config["sensitive"]
+    l = int(config.get("l", 2))
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    mode = config.get("mode", "tag")
+    if mode not in ("tag", "filter", "suppress"):
+        raise ValueError(
+            f"l_diversity mode must be tag|filter|suppress, got {mode!r}")
+    part = Window.partitionBy(*[F.col(c) for c in qis])
+    ordered = part.orderBy(F.col(sensitive).asc_nulls_first())
+    # NULLs sort first -> they occupy dense_rank 1 iff present; the
+    # partition MAX of the rank minus that presence flag is the exact
+    # non-NULL distinct count, computed without a second shuffle
+    has_null = F.max(
+        F.when(F.col(sensitive).isNull(), 1).otherwise(0)).over(part)
+    tagged = (df.withColumn("__dr", F.dense_rank().over(ordered))
+              .withColumn("sensitive_diversity",
+                          (F.max("__dr").over(part) - has_null).cast("long"))
+              .drop("__dr")
+              .withColumn("l_diverse", F.col("sensitive_diversity") >= l))
+    if mode == "tag":
+        return tagged
+    if mode == "filter":
+        return (tagged.filter(F.col("l_diverse"))
+                .drop("sensitive_diversity", "l_diverse"))
+    out = tagged
+    for c in qis:
+        out = out.withColumn(c, F.when(F.col("l_diverse"), F.col(c)))
+    return out.drop("sensitive_diversity", "l_diverse")

@@ -693,6 +693,37 @@ def test_k_anonymity_modes(spark):
     assert sup[4] == (None, None) and sup[1] == ("us", 30)
 
 
+def test_l_diversity_modes_and_null_semantics(spark):
+    rows = [(1, "us", "flu"), (2, "us", "flu"), (3, "us", "cold"),
+            (4, "fr", "flu"), (5, "fr", "flu"),
+            (6, None, "hiv"), (7, None, None), (8, None, "flu")]
+    df = spark.createDataFrame(rows, "id long, country string, dx string")
+    cfg = {"quasi_identifiers": ["country"], "sensitive": "dx", "l": 2}
+    tagged = {r["id"]: (r["sensitive_diversity"], r["l_diverse"])
+              for r in op("l_diversity", df, cfg, views={}).collect()}
+    assert tagged[1] == (2, True)            # us: {flu, cold}
+    assert tagged[4] == (1, False)           # fr: {flu} — k-anonymous but NOT diverse
+    # NULL QI groups together; NULL sensitive does NOT count
+    assert tagged[6] == (2, True) and tagged[7] == (2, True)
+    kept = sorted(r["id"] for r in op(
+        "l_diversity", df, {**cfg, "mode": "filter"}, views={}).collect())
+    assert kept == [1, 2, 3, 6, 7, 8]
+    sup = {r["id"]: r["country"] for r in op(
+        "l_diversity", df, {**cfg, "mode": "suppress"}, views={}).collect()}
+    assert sup[4] is None and sup[1] == "us"
+
+
+def test_l_diversity_single_shuffle(spark):
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    df = spark.createDataFrame([(1, "us", "flu")],
+                               "id long, country string, dx string")
+    out = op("l_diversity", df, {"quasi_identifiers": ["country"],
+                                 "sensitive": "dx"}, views={})
+    plans.assert_no_row_python(out)
+    plans.assert_max_shuffles(out, 1)
+
+
 def test_sample_pps_exact_size_and_invariance(spark):
     rows = [(i, (i % 7) + 1) for i in range(60)]
     df = spark.createDataFrame(rows, "doc_id long, w long")
