@@ -96,6 +96,12 @@ PROBED = [
     "resample",
     "quantile_sketch_gate",
     "waiting_suppliers",
+    # round 5 (cont.): islands (sort-per-key windows), diversity
+    # (dense_rank + partition max), both expected alpha ~ 1; the
+    # per-(part,supplier) double agg with the semi-join finish
+    "interval_merge",
+    "l_diversity",
+    "excess_suppliers",
 ]
 
 
