@@ -456,6 +456,45 @@ FROM documents
 """
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03):
+    rightmost-min of every 4-window of char-5-gram md5 hashes, per
+    document — the position-robust partial-overlap detector
+    (llmops/text.py op_winnow; ONE shuffle, max_by window + a
+    dedup the id partitioning already satisfies). DuckDB replays
+    selection with an explicit rightmost-min join, so the entire
+    fingerprint SET is value-checked."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("winnow", d, {"field": "text", "id_field": "doc_id",
+                          "k": 5, "window": 4})
+    return op("sort", df, {"fields": ["doc_id", "pos"]})
+
+
+_SQL_WINNOW = r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(concat('0x', substring(md5(substring(norm,
+              CAST(i + 1 AS INT), 5)), 1, 15)) AS BIGINT) AS h
+  FROM d, UNNEST(range(0, greatest(length(norm) - 4, 0))) AS t(i)),
+w AS (
+  SELECT doc_id, pos AS e,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM g),
+v AS (SELECT * FROM w WHERE e >= 3 OR (n < 4 AND e = n - 1)),
+sel AS (
+  SELECT v.doc_id, MAX(g.pos) AS pos, v.mn AS fp
+  FROM v JOIN g ON g.doc_id = v.doc_id AND g.pos BETWEEN v.e - 3 AND v.e
+              AND g.h = v.mn
+  GROUP BY v.doc_id, v.e, v.mn)
+SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     df = op("dedup_exact", d, {"field": "text", "id_field": "doc_id"})
@@ -5085,6 +5124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_suppliers": q_excess_suppliers,
         "interval_merge": q_interval_merge,
         "l_diversity": q_l_diversity,
+        "winnow": q_winnow,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5274,6 +5314,7 @@ def oracle_sql() -> dict[str, str]:
         "excess_suppliers": _SQL_EXCESS_SUPPLIERS,
         "interval_merge": _SQL_INTERVAL_MERGE,
         "l_diversity": _SQL_L_DIVERSITY,
+        "winnow": _SQL_WINNOW,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,

@@ -190,6 +190,69 @@ def op_fingerprint(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.withColumn(config.get("as", "fingerprint"), F.md5(normalized))
 
 
+@register("winnow")
+def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 —
+    the MOSS local-fingerprinting algorithm): from every ``window``
+    consecutive char-``k``-gram hashes of the normalized text, keep
+    the minimum (rightmost on ties). Guarantees: any shared substring
+    of length >= window + k - 1 yields at least one shared
+    fingerprint, and fingerprint density is ~2/(window+1) — the
+    position-robust partial-overlap detector that whole-doc
+    ``fingerprint`` and shingle-set minhash are not (winnowing keeps
+    POSITIONS, so matches localize).
+
+    All JVM-side, ONE hash shuffle on the id: grams explode from a
+    ``sequence()`` per doc (no per-row Python), hashes are md5-prefix
+    bigints (portable across engines), the per-window rightmost-min
+    is ``max_by(pos, struct(-hash, pos))`` over a ``window``-row
+    frame, and the final set-dedup groups on (id, pos, hash) — a
+    grouping the id partitioning already satisfies, so no second
+    exchange. Docs shorter than one full window contribute their
+    single all-grams window; docs shorter than ``k`` contribute
+    nothing.
+
+    config: ``field`` (default text), ``id_field`` (default doc_id),
+    ``k`` char-gram size (default 5), ``window`` (default 4).
+    Output: one row per selected fingerprint — id_field, ``pos``
+    (gram offset in the normalized text, long), ``fp`` (bigint).
+    """
+    field = config.get("field", "text")
+    id_field = config.get("id_field", "doc_id")
+    k = int(config.get("k", 5))
+    win = int(config.get("window", 4))
+    if k < 1 or win < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={win}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(field))), r"\s+", " ")
+    # sequence(a, b) REVERSES when a > b — gate short docs explicitly
+    positions = F.when(F.length(norm) >= k,
+                       F.sequence(F.lit(0), F.length(norm) - k)
+                       ).otherwise(F.array().cast("array<int>"))
+    g = (df.select(F.col(id_field), norm.alias("__norm"),
+                   F.explode(positions).alias("pos"))
+         .select(id_field, F.col("pos").cast("long").alias("pos"),
+                 F.conv(F.substring(F.md5(
+                     F.expr(f"substring(__norm, pos + 1, {k})")),
+                     1, 15), 16, 10).cast("long").alias("__h")))
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(id_field)
+    frame = part.orderBy("pos").rowsBetween(-(win - 1), 0)
+    n_grams = F.count(F.lit(1)).over(part)
+    sel = (g.withColumn("__sel", F.max_by(
+               F.col("pos"), F.struct((-F.col("__h")).alias("nh"),
+                                      F.col("pos"))).over(frame))
+           .withColumn("__mn", F.min("__h").over(frame))
+           .withColumn("__n", n_grams)
+           # complete windows only; a doc with < window grams gets
+           # exactly its final (all-grams) window
+           .filter((F.col("pos") >= win - 1)
+                   | (F.col("__n") < win) & (F.col("pos") == F.col("__n") - 1)))
+    return (sel.groupBy(id_field, F.col("__sel").alias("pos"),
+                        F.col("__mn").alias("fp"))
+            .agg(F.count(F.lit(1)).alias("__c")).drop("__c"))
+
+
 @register("chunk_text")
 def op_chunk_text(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Sliding token-window chunking — the context-window prep step of

@@ -73,6 +73,61 @@ def test_fingerprint_normalizes(docs):
     assert got[0] != got[2]
 
 
+def test_winnow_guarantee_and_edges(spark):
+    # winnowing guarantee: substrings of length >= window + k - 1
+    # shared between docs must share at least one fingerprint HASH
+    shared = "a very distinctive shared passage of text"
+    rows = [(1, "prefix one " + shared + " suffix alpha"),
+            (2, "totally different opening, " + shared + ", other end"),
+            (3, "no overlap with the others whatsoever here"),
+            (4, "abc"),        # shorter than k -> no fingerprints
+            (5, "abcdefg")]    # 3 grams < window -> exactly one
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = op("winnow", df, {"k": 5, "window": 4}, views={})
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]                  # guarantee holds
+    # overlap with the shared passage dwarfs incidental gram collisions
+    assert len(fps[1] & fps[2]) > len(fps[1] & fps[3])
+    assert 4 not in fps
+    assert len(fps[5]) == 1
+    # density ~ 2/(window+1): well under one fp per gram
+    n_grams1 = len("prefix one " + shared + " suffix alpha") - 4
+    assert len(fps[1]) < n_grams1 * 0.75
+
+
+def test_winnow_position_shift_invariance(spark):
+    # the SAME tail text at different offsets selects the same HASHES
+    # (positions differ) — the property minhash-over-doc loses
+    tail = " common document body repeated verbatim in both documents"
+    df = spark.createDataFrame(
+        [(1, "x" + tail), (2, "yyyyyyyyyyyyyyyyyyyy" + tail)],
+        "doc_id long, text string")
+    out = op("winnow", df, {"k": 5, "window": 4}, views={})
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    inter = fps[1] & fps[2]
+    assert len(inter) >= len(fps[1]) * 0.5
+
+
+def test_winnow_validation_and_plan(spark):
+    df = spark.createDataFrame([(1, "hello world")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="k and window"):
+        op("winnow", df, {"k": 0}, views={})
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    out = op("winnow", df, {}, views={})
+    plans.assert_no_row_python(out)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plans.assert_max_shuffles(out, 1)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 # -- dedup --------------------------------------------------------------------
 
 
