@@ -1917,6 +1917,86 @@ def q_asof_join(spark, sf_dir):
     return op("select", df, {"fields": ["event_id", "user_id", "r_value"]})
 
 
+def _touches_convs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    touches = op("filter", e, {"field": "event_type", "op": "eq",
+                               "value": "click"})
+    convs = op("filter", e, {"field": "event_type", "op": "eq",
+                             "value": "purchase"})
+    convs = op("expr", convs, {"replace": True, "exprs": {
+        "conv_id": "event_id", "user_id": "user_id", "conv_ts": "ts"}})
+    return touches, convs
+
+
+def q_attribution_last(spark, sf_dir):
+    """Last-touch attribution (operators/temporal.py op_attribution):
+    each purchase credited to the user's latest click within 6 hours.
+    Rides the as-of union+carry shape — ONE key shuffle, no
+    touch-pair materialization. DuckDB replays with a join +
+    ROW_NUMBER pick at identical tiebreak and second-truncated
+    tolerance semantics."""
+    touches, convs = _touches_convs(spark, sf_dir)
+    df = op("attribution", touches, {
+        "conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+        "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+        "lookback": 21600, "model": "last", "tiebreak": "event_id"},
+        views={})
+    df = op("select", df, {"fields": ["conv_id", "user_id", "touch_id",
+                                      "credit"]})
+    return op("sort", df, {"fields": ["conv_id"]})
+
+
+_SQL_ATTRIBUTION_LAST = """
+WITH t AS (SELECT user_id, event_id AS touch_id, ts,
+                  epoch_ns(ts) // 1000000000 AS tsec
+           FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+             epoch_ns(ts) // 1000000000 AS csec
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.conv_id, c.user_id, t.touch_id,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.ts DESC, t.touch_id DESC) AS rn
+  FROM c JOIN t ON c.user_id = t.user_id AND t.ts <= c.conv_ts
+              AND c.csec - t.tsec <= 21600)
+SELECT conv_id, user_id, touch_id, 1e0 AS credit FROM pairs WHERE rn = 1
+ORDER BY conv_id
+"""
+
+
+def q_attribution_linear(spark, sf_dir):
+    """Linear attribution: every in-window click splits the
+    purchase's credit equally (credit = 1/n, the same IEEE division
+    in both engines). Rides the bucketized range join — pairs bounded
+    by the lookback, never all-history; containment evaluated at
+    epoch-second granularity like the range_join operator."""
+    touches, convs = _touches_convs(spark, sf_dir)
+    df = op("attribution", touches, {
+        "conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+        "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+        "lookback": 21600, "model": "linear"}, views={})
+    df = op("select", df, {"fields": ["conv_id", "user_id", "touch_id",
+                                      "credit"]})
+    return op("sort", df, {"fields": ["conv_id", "touch_id"]})
+
+
+_SQL_ATTRIBUTION_LINEAR = """
+WITH t AS (SELECT user_id, event_id AS touch_id,
+                  epoch_ns(ts) // 1000000000 AS tsec
+           FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id, event_id AS conv_id,
+             epoch_ns(ts) // 1000000000 AS csec
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.conv_id, c.user_id, t.touch_id,
+         COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+  FROM c JOIN t ON c.user_id = t.user_id
+              AND t.tsec >= c.csec - 21600 AND t.tsec <= c.csec)
+SELECT conv_id, user_id, touch_id, 1e0 / n AS credit FROM pairs
+ORDER BY conv_id, touch_id
+"""
+
+
 # oracle compares at epoch-microseconds (Spark timestamps are µs; the
 # parquet source is ns — both sides truncate identically)
 _SQL_ASOF_JOIN = """
@@ -5125,6 +5205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "l_diversity": q_l_diversity,
         "winnow": q_winnow,
+        "attribution_last": q_attribution_last,
+        "attribution_linear": q_attribution_linear,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5315,6 +5397,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_merge": _SQL_INTERVAL_MERGE,
         "l_diversity": _SQL_L_DIVERSITY,
         "winnow": _SQL_WINNOW,
+        "attribution_last": _SQL_ATTRIBUTION_LAST,
+        "attribution_linear": _SQL_ATTRIBUTION_LINEAR,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,

@@ -13,6 +13,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .registry import register
 
@@ -586,3 +587,113 @@ def op_interval_merge(df: DataFrame, config: Mapping, views) -> DataFrame:
             .agg(F.min(start).alias("island_start"),
                  F.max(end).alias("island_end"),
                  F.count(F.lit(1)).alias("n_intervals")))
+
+
+@register("attribution")
+def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Marketing-touch attribution: credit each conversion to the
+    touch(es) that preceded it within a lookback window. The revenue
+    question funnel/retention/event_transitions don't answer —
+    which touch GETS the conversion.
+
+    ``df`` is the TOUCH stream; ``conversions`` the conversion frame.
+    Models: ``last`` / ``first`` (single-touch: the latest/earliest
+    touch with ``conv_ts - lookback <= touch_ts <= conv_ts``, credit
+    1.0) ride the as-of join's union+carry shape — ONE key shuffle,
+    linear state, NO touch-pair materialization, the 100 TB path.
+    ``linear`` (every in-window touch splits the credit equally,
+    credit = 1/n exactly representable or not — both engines compute
+    the same IEEE division) rides the bucketized range join: pairs
+    are bounded by lookback, never all-history.
+
+    Config: ``conversions`` (view name or DataFrame), ``by`` keys
+    (default [user_id]), ``conv_id`` (required — a unique conversion
+    id), ``touch_id`` (required), ``touch_ts``/``conv_ts`` (default
+    ts), ``lookback`` seconds (required), ``model`` (default last),
+    ``tiebreak`` (orders equal-timestamp touches: last picks the
+    max, first the min), ``unmatched``: drop (default) | keep
+    (conversions with no in-window touch survive with NULL touch and
+    credit 0.0 — the "direct" bucket). Output: conversion columns +
+    ``touch_id`` + ``touch_ts`` + ``credit`` (double).
+    """
+    conv = _resolve(config["conversions"], views)
+    by = list(config.get("by", ["user_id"]))
+    conv_id = config["conv_id"]
+    touch_id = config["touch_id"]
+    tts = config.get("touch_ts", "ts")
+    cts = config.get("conv_ts", "ts")
+    lookback = int(config["lookback"])
+    if lookback < 0:
+        raise ValueError(f"lookback must be >= 0, got {lookback}")
+    model = config.get("model", "last")
+    if model not in ("last", "first", "linear"):
+        raise ValueError(
+            f"attribution model must be last|first|linear, got {model!r}")
+    unmatched = config.get("unmatched", "drop")
+    if unmatched not in ("drop", "keep"):
+        raise ValueError(
+            f"unmatched must be drop|keep, got {unmatched!r}")
+    tiebreak = config.get("tiebreak")
+    conv_cols = conv.columns
+
+    if model in ("last", "first"):
+        if model == "last":
+            left, direction = conv, "backward"
+        else:
+            # first touch in [conv_ts - lookback, conv_ts]: forward
+            # as-of from the window START, same lookback tolerance.
+            # The union inside asof needs __ts type-compatible with
+            # the touch timestamp, so keep numeric ts numeric
+            wstart = epoch_seconds(F.col(cts)) - lookback
+            if not isinstance(df.schema[tts].dataType,
+                              (T.LongType, T.IntegerType)):
+                wstart = wstart.cast("timestamp")
+            left = conv.withColumn("__wstart", wstart)
+            direction = "forward"
+        out = op_asof_join(left, {
+            "right": df, "by": by,
+            "left_ts": cts if model == "last" else "__wstart",
+            "right_ts": tts,
+            "values": [touch_id, tts],
+            "prefix": "__at_", "direction": direction,
+            "tolerance_seconds": lookback,
+            "right_tiebreak": tiebreak,
+            "how": "left" if unmatched == "keep" else "inner",
+        }, views)
+        matched = F.col(f"__at_{touch_id}").isNotNull()
+        return out.select(
+            *conv_cols,
+            F.col(f"__at_{touch_id}").alias("touch_id"),
+            F.col(f"__at_{tts}").alias("touch_ts"),
+            F.when(matched, F.lit(1.0)).otherwise(F.lit(0.0))
+             .alias("credit"))
+
+    windows = conv.select(
+        *conv_cols,
+        (epoch_seconds(F.col(cts)) - lookback).cast("timestamp")
+        .alias("__wstart"))
+    pairs = op_range_join(df, {
+        "right": windows, "by": by, "left_ts": tts,
+        "start_field": "__wstart", "end_field": cts,
+        "bucket_seconds": max(lookback, 1), "prefix": "c_",
+        "end_inclusive": True,
+    }, views)
+    n = Window.partitionBy(F.col(f"c_{conv_id}"))
+    attributed = pairs.select(
+        *[F.col(f"c_{c}").alias(c) for c in conv_cols],
+        F.col(touch_id).alias("touch_id"),
+        F.col(tts).alias("touch_ts"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(n)).alias("credit"))
+    if unmatched == "drop":
+        return attributed
+    leftovers = (conv.join(attributed.select(conv_id).distinct(),
+                           conv_id, "left_anti")
+                 .select(*conv_cols,
+                         F.lit(None).cast(
+                             dict(attributed.dtypes)["touch_id"])
+                         .alias("touch_id"),
+                         F.lit(None).cast(
+                             dict(attributed.dtypes)["touch_ts"])
+                         .alias("touch_ts"),
+                         F.lit(0.0).alias("credit")))
+    return attributed.unionByName(leftovers)

@@ -438,3 +438,75 @@ def test_interval_merge_single_key_shuffle(spark):
     plans.assert_no_row_python(out)
     # windows + merge aggregate all share the one hash shuffle on k
     plans.assert_max_shuffles(out, 1)
+
+
+def _att(spark):
+    touches = spark.createDataFrame(
+        [("u1", 100, 1), ("u1", 200, 2), ("u1", 200, 3),   # tie at 200
+         ("u1", 5000, 4),                                   # out of window
+         ("u2", 50, 5)],
+        "user_id string, ts long, event_id long")
+    convs = spark.createDataFrame(
+        [("u1", 250, 10), ("u2", 40, 11), ("u3", 99, 12)],
+        "user_id string, conv_ts long, conv_id long")
+    return touches, convs
+
+
+def test_attribution_last_first_tiebreak(spark):
+    touches, convs = _att(spark)
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "lookback": 300, "tiebreak": "event_id"}
+    last = {r["conv_id"]: (r["touch_id"], r["credit"]) for r in op(
+        "attribution", touches, {**cfg, "model": "last"},
+        views={}).collect()}
+    # conv 10: ties at ts=200 -> max tiebreak wins; 11/12 unmatched drop
+    assert last == {10: (3, 1.0)}
+    first = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, {**cfg, "model": "first"},
+        views={}).collect()}
+    assert first == {10: 1}    # earliest in [conv-300, conv]
+
+
+def test_attribution_linear_and_unmatched_keep(spark):
+    touches, convs = _att(spark)
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "lookback": 300, "model": "linear"}
+    got = {(r["conv_id"], r["touch_id"]): r["credit"] for r in op(
+        "attribution", touches, cfg, views={}).collect()}
+    third = 1.0 / 3
+    assert got == {(10, 1): third, (10, 2): third, (10, 3): third}
+    kept = {r["conv_id"]: (r["touch_id"], r["credit"]) for r in op(
+        "attribution", touches, {**cfg, "unmatched": "keep"},
+        views={}).collect() if r["touch_id"] is None}
+    assert kept == {11: (None, 0.0), 12: (None, 0.0)}
+
+
+def test_attribution_lookback_boundary_and_validation(spark):
+    touches, convs = _att(spark)
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "model": "last"}
+    # touch at ts=100, conv at 250: lookback 150 includes it (inclusive)
+    got = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, {**cfg, "lookback": 50},
+        views={}).collect()}
+    assert got == {10: 3}
+    with pytest.raises(ValueError, match="model"):
+        op("attribution", touches, {**cfg, "lookback": 1, "model": "x"},
+           views={})
+    with pytest.raises(ValueError, match="lookback"):
+        op("attribution", touches, {**cfg, "lookback": -1}, views={})
+
+
+def test_attribution_last_single_shuffle(spark):
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    touches, convs = _att(spark)
+    out = op("attribution", touches, {
+        "conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+        "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+        "lookback": 300, "model": "last"}, views={})
+    plans.assert_no_row_python(out)
+    plans.assert_max_shuffles(out, 1)
