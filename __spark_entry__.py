@@ -2959,6 +2959,78 @@ ORDER BY c_custkey
 """
 
 
+def _drift_halves(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d = op("expr", d, {"exprs": {"par": "doc_id % 2"}})
+    cur = op("filter", d, {"field": "par", "op": "eq", "value": 1})
+    base = op("filter", d, {"field": "par", "op": "eq", "value": 0})
+    return cur, base
+
+
+def q_category_drift(spark, sf_dir):
+    """Snapshot drift of the documents lang mix (op_category_drift,
+    per_category mode): two word-counts meet in a null-safe FULL
+    OUTER join, shares divide by broadcast 1-row totals — exact
+    long/long divisions DuckDB replays bit-for-bit."""
+    cur, base = _drift_halves(spark, sf_dir)
+    df = op("category_drift", cur, {"baseline": base, "field": "lang"},
+            views={})
+    return op("sort", df, {"fields": ["category"]})
+
+
+_SQL_CATEGORY_DRIFT = """
+WITH cur AS (SELECT lang, COUNT(*) AS n_cur FROM documents
+             WHERE doc_id % 2 = 1 GROUP BY lang),
+base AS (SELECT lang, COUNT(*) AS n_base FROM documents
+         WHERE doc_id % 2 = 0 GROUP BY lang),
+j AS (SELECT COALESCE(cur.lang, base.lang) AS category,
+             COALESCE(n_cur, 0) AS n_cur, COALESCE(n_base, 0) AS n_base
+      FROM cur FULL OUTER JOIN base
+        ON cur.lang IS NOT DISTINCT FROM base.lang),
+t AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS tc,
+             CAST(SUM(n_base) AS BIGINT) AS tb FROM j)
+SELECT category, n_cur, n_base,
+       CAST(n_cur AS DOUBLE) / tc AS share_cur,
+       CAST(n_base AS DOUBLE) / tb AS share_base,
+       CAST(n_cur AS DOUBLE) / tc - CAST(n_base AS DOUBLE) / tb
+         AS share_diff
+FROM j, t
+ORDER BY category
+"""
+
+
+def q_category_drift_summary(spark, sf_dir):
+    """The one-row drift gate: category counts + total variation
+    distance. TVD's numerator is exact integer arithmetic
+    (sum |n_cur*total_base - n_base*total_cur|, decimal(38,0) /
+    HUGEINT on the two sides) with ONE final double division — no
+    float accumulation anywhere, so both engines agree exactly."""
+    cur, base = _drift_halves(spark, sf_dir)
+    return op("category_drift", cur, {
+        "baseline": base, "field": "lang", "mode": "summary"}, views={})
+
+
+_SQL_CATEGORY_DRIFT_SUMMARY = """
+WITH cur AS (SELECT lang, COUNT(*) AS n_cur FROM documents
+             WHERE doc_id % 2 = 1 GROUP BY lang),
+base AS (SELECT lang, COUNT(*) AS n_base FROM documents
+         WHERE doc_id % 2 = 0 GROUP BY lang),
+j AS (SELECT COALESCE(n_cur, 0) AS n_cur, COALESCE(n_base, 0) AS n_base
+      FROM cur FULL OUTER JOIN base
+        ON cur.lang IS NOT DISTINCT FROM base.lang),
+t AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS tc,
+             CAST(SUM(n_base) AS BIGINT) AS tb FROM j)
+SELECT COUNT(*) AS n_categories,
+       CAST(SUM(CASE WHEN n_base = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN n_cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gone,
+       CAST(SUM(ABS(CAST(n_cur AS HUGEINT) * tb
+                    - CAST(n_base AS HUGEINT) * tc)) AS DOUBLE)
+         / (2e0 * tc * tb) AS tvd
+FROM j, t
+GROUP BY tc, tb
+"""
+
+
 def q_merge_agg(spark, sf_dir):
     """Incremental aggregate maintenance (operators/relational.py
     op_merge_agg): the lineitem fact is split by orderkey parity into
@@ -5207,6 +5279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "attribution_last": q_attribution_last,
         "attribution_linear": q_attribution_linear,
+        "category_drift": q_category_drift,
+        "category_drift_summary": q_category_drift_summary,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5399,6 +5473,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow": _SQL_WINNOW,
         "attribution_last": _SQL_ATTRIBUTION_LAST,
         "attribution_linear": _SQL_ATTRIBUTION_LINEAR,
+        "category_drift": _SQL_CATEGORY_DRIFT,
+        "category_drift_summary": _SQL_CATEGORY_DRIFT_SUMMARY,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,

@@ -1629,6 +1629,80 @@ def op_key_skew_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
         F.col("max_count").cast("double") / F.col("n_rows").cast("double"))
 
 
+@register("category_drift")
+def op_category_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Categorical-distribution drift between two snapshots — the
+    monitoring gate behind "did the crawl mix shift" / "did a source
+    vanish" checks that profile/key_skew_stats answer only for a
+    single frame. ``df`` is the CURRENT snapshot, ``baseline`` the
+    reference frame.
+
+    Both sides reduce to per-category counts (map-side partial agg),
+    meet in a null-safe FULL OUTER join on the category (a NULL
+    category is a category — eqNullSafe, matching GROUP BY
+    semantics), and shares divide by broadcast 1-row totals. Post-agg
+    everything is category-cardinality-sized; the only full-data work
+    is the two word-counts.
+
+    Modes: ``per_category`` (default) — one row per category seen on
+    either side: category, n_cur, n_base (longs, absent = 0),
+    share_cur, share_base, share_diff (exact long/long divisions).
+    ``summary`` — ONE row: n_categories, n_new (categories only in
+    current), n_gone (only in baseline), and ``tvd``, the total
+    variation distance. TVD's numerator is computed in EXACT integer
+    arithmetic — sum |n_cur * total_base - n_base * total_cur| as
+    DECIMAL(38,0) (order-independent, never a float accumulation) —
+    and divided by 2 * total_cur * total_base in ONE final double
+    division, so both engines agree bit-for-bit.
+    """
+    baseline = views[config["baseline"]] if isinstance(
+        config["baseline"], str) else config["baseline"]
+    field = config["field"]
+    mode = config.get("mode", "per_category")
+    if mode not in ("per_category", "summary"):
+        raise ValueError(
+            f"category_drift mode must be per_category|summary, got {mode!r}")
+    cur = (df.groupBy(F.col(field).alias("__cat"))
+           .agg(F.count(F.lit(1)).alias("n_cur")))
+    base = (baseline.groupBy(F.col(field).alias("__bcat"))
+            .agg(F.count(F.lit(1)).alias("n_base")))
+    j = (cur.join(base, cur["__cat"].eqNullSafe(base["__bcat"]),
+                  "full_outer")
+         .select(F.coalesce(cur["__cat"], base["__bcat"]).alias("category"),
+                 F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+                 F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base")))
+    totals = j.agg(F.sum("n_cur").alias("__tc"),
+                   F.sum("n_base").alias("__tb"))
+    j = j.crossJoin(F.broadcast(totals))
+    if mode == "per_category":
+        share_cur = F.when(F.col("__tc") > 0,
+                           F.col("n_cur").cast("double") / F.col("__tc"))
+        share_base = F.when(F.col("__tb") > 0,
+                            F.col("n_base").cast("double") / F.col("__tb"))
+        return (j.withColumn("share_cur", share_cur)
+                .withColumn("share_base", share_base)
+                .withColumn("share_diff",
+                            F.col("share_cur") - F.col("share_base"))
+                .drop("__tc", "__tb"))
+    # |n_cur/tc - n_base/tb| = |n_cur*tb - n_base*tc| / (tc*tb):
+    # keep the numerator exact-integer (decimal(38,0) products — a
+    # bigint product overflows past ~3e9-row snapshots)
+    num = F.abs(F.col("n_cur").cast("decimal(38,0)") * F.col("__tb")
+                - F.col("n_base").cast("decimal(38,0)") * F.col("__tc"))
+    return (j.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.when(F.col("n_base") == 0, 1).otherwise(0)
+              ).cast("long").alias("n_new"),
+        F.sum(F.when(F.col("n_cur") == 0, 1).otherwise(0)
+              ).cast("long").alias("n_gone"),
+        F.sum(num).cast("string").cast("double").alias("__num"),
+        F.first("__tc").alias("__tc"), F.first("__tb").alias("__tb"))
+        .select("n_categories", "n_new", "n_gone",
+                F.when((F.col("__tc") > 0) & (F.col("__tb") > 0),
+                       F.col("__num") / (F.lit(2.0) * F.col("__tc")
+                                         * F.col("__tb"))).alias("tvd")))
+
+
 @register("fillna")
 def op_fillna(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Replace NULLs: ``values`` maps column -> constant. Strategy

@@ -1012,3 +1012,49 @@ def test_round5_operators_handle_empty_input(spark):
     assert op("dedup_embedding_against", empty_vecs,
               {"threshold": 0.5, "dim": 4, "n_planes": 2, "n_tables": 2,
                "history": empty_vecs}, views={}).count() == 0
+
+
+def test_category_drift_per_category_and_nulls(spark):
+    cur = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "cat string")
+    base = spark.createDataFrame(
+        [("a",), ("c",), ("c",), (None,), (None,), (None,)], "cat string")
+    got = {r["category"]: r for r in op(
+        "category_drift", cur, {"baseline": base, "field": "cat"},
+        views={}).collect()}
+    assert set(got) == {"a", "b", "c", None}
+    assert (got["a"]["n_cur"], got["a"]["n_base"]) == (2, 1)
+    assert (got["b"]["n_cur"], got["b"]["n_base"]) == (1, 0)
+    assert (got["c"]["n_cur"], got["c"]["n_base"]) == (0, 2)
+    assert (got[None]["n_cur"], got[None]["n_base"]) == (1, 3)
+    assert got["a"]["share_cur"] == 2 / 4 and got["a"]["share_base"] == 1 / 6
+    assert got["b"]["share_diff"] == 1 / 4 - 0.0
+
+
+def test_category_drift_summary_tvd(spark):
+    cur = spark.createDataFrame([("a",)] * 3 + [("b",)], "cat string")
+    base = spark.createDataFrame([("a",)] * 2 + [("c",)] * 2, "cat string")
+    row = op("category_drift", cur, {
+        "baseline": base, "field": "cat", "mode": "summary"},
+        views={}).collect()[0]
+    assert (row["n_categories"], row["n_new"], row["n_gone"]) == (3, 1, 1)
+    # shares: cur a=.75 b=.25 c=0; base a=.5 b=0 c=.5 -> tvd = .5
+    assert row["tvd"] == 0.5
+    # identical snapshots -> zero drift
+    same = op("category_drift", cur, {
+        "baseline": cur, "field": "cat", "mode": "summary"},
+        views={}).collect()[0]
+    assert same["tvd"] == 0.0 and same["n_new"] == 0
+
+
+def test_category_drift_empty_and_validation(spark):
+    cur = spark.createDataFrame([("a",)], "cat string")
+    empty = cur.where("cat = 'zz'")
+    row = op("category_drift", cur, {
+        "baseline": empty, "field": "cat", "mode": "summary"},
+        views={}).collect()[0]
+    assert row["n_categories"] == 1 and row["tvd"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        op("category_drift", cur, {"baseline": empty, "field": "cat",
+                                   "mode": "x"}, views={})
