@@ -495,6 +495,51 @@ SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
 """
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS pairing step (llmops/text.py op_winnow_overlap): document
+    pairs sharing >= 2 winnow fingerprints at the discriminative
+    char-20-gram / 8-window geometry. Work is per-fingerprint
+    postings², never corpus all-pairs; max_postings is set past the
+    corpus size here so DuckDB's full inverted-index replay
+    value-checks every pair."""
+    d = _t(spark, sf_dir, "documents")
+    df = op("winnow_overlap", d, {
+        "field": "text", "id_field": "doc_id", "k": 20, "window": 8,
+        "min_shared": 2, "max_postings": 10_000_000})
+    return op("sort", df, {"fields": ["id_a", "id_b"]})
+
+
+_SQL_WINNOW_OVERLAP = r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(concat('0x', substring(md5(substring(norm,
+              CAST(i + 1 AS INT), 20)), 1, 15)) AS BIGINT) AS h
+  FROM d, UNNEST(range(0, greatest(length(norm) - 19, 0))) AS t(i)),
+w AS (
+  SELECT doc_id, pos AS e,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM g),
+v AS (SELECT * FROM w WHERE e >= 7 OR (n < 8 AND e = n - 1)),
+sel AS (
+  SELECT v.doc_id, MAX(g.pos) AS pos, v.mn AS fp
+  FROM v JOIN g ON g.doc_id = v.doc_id AND g.pos BETWEEN v.e - 7 AND v.e
+              AND g.h = v.mn
+  GROUP BY v.doc_id, v.e, v.mn),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     df = op("dedup_exact", d, {"field": "text", "id_field": "doc_id"})
@@ -5277,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "l_diversity": q_l_diversity,
         "winnow": q_winnow,
+        "winnow_overlap": q_winnow_overlap,
         "attribution_last": q_attribution_last,
         "attribution_linear": q_attribution_linear,
         "category_drift": q_category_drift,
@@ -5471,6 +5517,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_merge": _SQL_INTERVAL_MERGE,
         "l_diversity": _SQL_L_DIVERSITY,
         "winnow": _SQL_WINNOW,
+        "winnow_overlap": _SQL_WINNOW_OVERLAP,
         "attribution_last": _SQL_ATTRIBUTION_LAST,
         "attribution_linear": _SQL_ATTRIBUTION_LINEAR,
         "category_drift": _SQL_CATEGORY_DRIFT,

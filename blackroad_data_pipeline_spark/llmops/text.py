@@ -253,6 +253,54 @@ def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("__c")).drop("__c"))
 
 
+@register("winnow_overlap")
+def op_winnow_overlap(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Cross-document overlap detection on winnowing fingerprints
+    (the MOSS pairing step): document pairs sharing at least
+    ``min_shared`` selected fingerprints, with the shared count.
+    Catches partial/plagiarized/boilerplate overlap that whole-doc
+    dedup misses and localizes what minhash only scores.
+
+    Shape: ``winnow`` (one id shuffle) -> per-doc fingerprint SET ->
+    inverted index keyed on the fingerprint -> per-fp self-join ->
+    pair count. Work is Σ postings² per fingerprint, NEVER all-pairs
+    across the corpus — and ``max_postings`` (default 1000) drops
+    fingerprints appearing in more documents first (boilerplate
+    n-grams — headers, licenses — whose postings lists would
+    otherwise go quadratic; raise it past the corpus size for exact
+    parity runs). The fp-keyed exchange is built once and reused for
+    both join sides (self-join ReuseExchange, the LSH-bucket
+    precedent).
+
+    config: winnow's ``field``/``id_field``/``k``/``window`` plus
+    ``min_shared`` (default 2) and ``max_postings``. Output: id_a,
+    id_b (id_a < id_b), n_shared (long).
+    """
+    id_field = config.get("id_field", "doc_id")
+    min_shared = int(config.get("min_shared", 2))
+    max_postings = int(config.get("max_postings", 1000))
+    if min_shared < 1 or max_postings < 2:
+        raise ValueError(
+            f"min_shared must be >= 1 and max_postings >= 2, got "
+            f"{min_shared}/{max_postings}")
+    fps = (op_winnow(df, config, views)
+           .groupBy(id_field, "fp").agg(F.count(F.lit(1)).alias("__c"))
+           .drop("__c"))
+    from pyspark.sql import Window
+
+    postings = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    fps = fps.withColumn("__p", postings).filter(
+        F.col("__p") <= max_postings).drop("__p")
+    a = fps.select(F.col(id_field).alias("id_a"), "fp")
+    b = fps.select(F.col(id_field).alias("id_b"), "fp")
+    pairs = (a.join(b, "fp")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    return pairs
+
+
 @register("chunk_text")
 def op_chunk_text(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Sliding token-window chunking — the context-window prep step of

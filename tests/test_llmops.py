@@ -1320,3 +1320,29 @@ def test_bpe_apply_unicode_whitespace_matches_train_split(spark):
     # rejoin equals the Java-split word sequence
     joined = "".join(got["bpe_tokens"]).replace("</w>", "")
     assert joined == "low low" + "lower"
+
+
+def test_winnow_overlap_pairs_and_postings_cap(spark):
+    shared = "an unmistakably shared long passage that dominates both docs"
+    rows = [(1, "alpha " + shared), (2, "beta " + shared),
+            (3, "entirely unrelated content in this third document here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = {"k": 12, "window": 4, "min_shared": 2}
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in op("winnow_overlap", df, cfg, views={}).collect()}
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 2
+    # max_postings=2 drops nothing here (each fp in <= 2 docs) ...
+    same = {(r["id_a"], r["id_b"]) for r in op(
+        "winnow_overlap", df, {**cfg, "max_postings": 2},
+        views={}).collect()}
+    assert same == {(1, 2)}
+    # ... but duplicating the passage into doc 3 pushes its fps to 3
+    # postings, and the cap now suppresses the boilerplate pairs
+    df3 = spark.createDataFrame(
+        rows[:2] + [(3, "gamma " + shared)], "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]) for r in op(
+        "winnow_overlap", df3, {**cfg, "max_postings": 2},
+        views={}).collect()}
+    assert capped == set()
+    with pytest.raises(ValueError, match="min_shared"):
+        op("winnow_overlap", df, {"min_shared": 0}, views={})
