@@ -3076,6 +3076,47 @@ GROUP BY tc, tb
 """
 
 
+def q_ks_drift(spark, sf_dir):
+    """Numeric drift gate (op_ks_drift): exact two-sample KS
+    statistic over parity-split customer balances. ECDFs run as a
+    distributed prefix sum; the numerator is exact integer
+    (|cum_cur*n_base - cum_base*n_cur| in decimal(38,0) / HUGEINT),
+    the max is ONE TakeOrdered row, and the single division is the
+    only float op — both engines agree bit-for-bit."""
+    c = _t(spark, sf_dir, "customer")
+    c = op("expr", c, {"exprs": {"par": "c_custkey % 2"}})
+    cur = op("filter", c, {"field": "par", "op": "eq", "value": 1})
+    base = op("filter", c, {"field": "par", "op": "eq", "value": 0})
+    return op("ks_drift", cur, {"baseline": base, "field": "c_acctbal"},
+              views={})
+
+
+_SQL_KS_DRIFT = """
+WITH cur AS (SELECT c_acctbal AS v FROM customer
+             WHERE c_custkey % 2 = 1 AND c_acctbal IS NOT NULL),
+base AS (SELECT c_acctbal AS v FROM customer
+         WHERE c_custkey % 2 = 0 AND c_acctbal IS NOT NULL),
+counts AS (
+  SELECT v, SUM(ic) AS c_cur, SUM(ib) AS c_base FROM (
+    SELECT v, 1 AS ic, 0 AS ib FROM cur
+    UNION ALL SELECT v, 0, 1 FROM base) GROUP BY v),
+cums AS (
+  SELECT v,
+         CAST(SUM(c_cur) OVER (ORDER BY v) AS BIGINT) AS cum_cur,
+         CAST(SUM(c_base) OVER (ORDER BY v) AS BIGINT) AS cum_base
+  FROM counts),
+t AS (SELECT COUNT(*) AS nc FROM cur),
+b AS (SELECT COUNT(*) AS nb FROM base),
+nums AS (
+  SELECT v, ABS(CAST(cum_cur AS HUGEINT) * nb
+                - CAST(cum_base AS HUGEINT) * nc) AS num
+  FROM cums, t, b)
+SELECT nc AS n_cur, nb AS n_base, v AS ks_at,
+       CAST(num AS DOUBLE) / (CAST(nc AS DOUBLE) * nb) AS ks
+FROM nums, t, b ORDER BY num DESC, v LIMIT 1
+"""
+
+
 def q_merge_agg(spark, sf_dir):
     """Incremental aggregate maintenance (operators/relational.py
     op_merge_agg): the lineitem fact is split by orderkey parity into
@@ -5327,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": q_attribution_linear,
         "category_drift": q_category_drift,
         "category_drift_summary": q_category_drift_summary,
+        "ks_drift": q_ks_drift,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5522,6 +5564,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_linear": _SQL_ATTRIBUTION_LINEAR,
         "category_drift": _SQL_CATEGORY_DRIFT,
         "category_drift_summary": _SQL_CATEGORY_DRIFT_SUMMARY,
+        "ks_drift": _SQL_KS_DRIFT,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,

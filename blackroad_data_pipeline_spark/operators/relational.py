@@ -1703,6 +1703,73 @@ def op_category_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
                                          * F.col("__tb"))).alias("tvd")))
 
 
+@register("ks_drift")
+def op_ks_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Numeric-distribution drift between two snapshots: the
+    two-sample Kolmogorov–Smirnov statistic, computed EXACTLY — the
+    companion of category_drift for continuous columns (balance/
+    latency/score drift gates). KS = max over values of
+    |ECDF_cur - ECDF_base|; PSI needs ln (libm-divergent across
+    engines), KS needs only counting, so any engine replays it
+    bit-for-bit.
+
+    Distributed shape: both sides reduce to per-VALUE counts (one
+    hash shuffle, cardinality-bounded after that), the two ECDFs run
+    as a distributed prefix sum over range partitions (per-partition
+    window cumsums + broadcast offsets — never a single-partition
+    WindowExec), and the max lands via ONE TakeOrdered row. The
+    numerator |cum_cur·n_base - cum_base·n_cur| stays exact integer
+    in DECIMAL(38,0); the single final division is the only float op.
+
+    config: ``baseline`` (view/DataFrame), ``field`` (numeric; NULLs
+    excluded on both sides — an unknown value has no ECDF position),
+    ``n_partitions`` (default parallelism). Output: ONE row —
+    n_cur, n_base (longs), ks_at (the value attaining the max;
+    smallest such value on ties), ks (double). Empty output if
+    either side has no non-NULL values.
+    """
+    baseline = views[config["baseline"]] if isinstance(
+        config["baseline"], str) else config["baseline"]
+    field = config["field"]
+    n_parts = int(config.get("n_partitions", 0)) or \
+        df.sparkSession.sparkContext.defaultParallelism
+    tag = lambda frame, c, b: (frame.select(F.col(field).alias("v"))  # noqa: E731
+                               .filter(F.col("v").isNotNull())
+                               .select("v", F.lit(c).alias("__ic"),
+                                       F.lit(b).alias("__ib")))
+    counts = (tag(df, 1, 0).unionByName(tag(baseline, 0, 1))
+              .groupBy("v").agg(F.sum("__ic").alias("c_cur"),
+                                F.sum("__ib").alias("c_base")))
+    ranged = (counts.repartitionByRange(n_parts, F.col("v"))
+              .withColumn("__pid", F.spark_partition_id()))
+    totals = ranged.groupBy("__pid").agg(
+        F.sum("c_cur").alias("__wc"), F.sum("c_base").alias("__wb")).collect()
+    offc, offb, accc, accb = {}, {}, 0, 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offc[r["__pid"]], offb[r["__pid"]] = accc, accb
+        accc += int(r["__wc"] or 0)
+        accb += int(r["__wb"] or 0)
+    if accc == 0 or accb == 0:
+        return ranged.filter(F.lit(False)).select(
+            F.col("c_cur").alias("n_cur"), F.col("c_base").alias("n_base"),
+            F.col("v").alias("ks_at"), F.lit(None).cast("double").alias("ks"))
+    def _off(m):  # noqa: E306
+        return F.element_at(F.create_map(
+            *[F.lit(x) for kv in m.items() for x in kv]), F.col("__pid"))
+    w = (Window.partitionBy("__pid").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_cur = F.sum("c_cur").over(w) + _off(offc)
+    cum_base = F.sum("c_base").over(w) + _off(offb)
+    num = F.abs(cum_cur.cast("decimal(38,0)") * F.lit(accb)
+                - cum_base.cast("decimal(38,0)") * F.lit(accc))
+    return (ranged.withColumn("__num", num)
+            .orderBy(F.col("__num").desc(), F.col("v").asc()).limit(1)
+            .select(F.lit(accc).alias("n_cur"), F.lit(accb).alias("n_base"),
+                    F.col("v").alias("ks_at"),
+                    (F.col("__num").cast("string").cast("double")
+                     / F.lit(float(accc) * float(accb))).alias("ks")))
+
+
 @register("fillna")
 def op_fillna(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Replace NULLs: ``values`` maps column -> constant. Strategy

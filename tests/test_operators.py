@@ -1058,3 +1058,47 @@ def test_category_drift_empty_and_validation(spark):
     with _pytest.raises(ValueError, match="mode"):
         op("category_drift", cur, {"baseline": empty, "field": "cat",
                                    "mode": "x"}, views={})
+
+
+def test_ks_drift_exact_statistic(spark):
+    # cur: {1,2,3,4}; base: {3,4,5,6} -> D = max|F_c - F_b| = 0.5 at v=2
+    cur = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)],
+                                "x double")
+    base = spark.createDataFrame([(float(v),) for v in (3, 4, 5, 6)],
+                                 "x double")
+    row = op("ks_drift", cur, {"baseline": base, "field": "x"},
+             views={}).collect()[0]
+    assert (row["n_cur"], row["n_base"]) == (4, 4)
+    assert row["ks"] == 0.5 and row["ks_at"] == 2.0
+    # identical distributions -> ks 0, ks_at the smallest value (ties)
+    same = op("ks_drift", cur, {"baseline": cur, "field": "x"},
+              views={}).collect()[0]
+    assert same["ks"] == 0.0 and same["ks_at"] == 1.0
+
+
+def test_ks_drift_nulls_and_empty_side(spark):
+    cur = spark.createDataFrame([(1.0,), (None,)], "x double")
+    base = spark.createDataFrame([(2.0,)], "x double")
+    row = op("ks_drift", cur, {"baseline": base, "field": "x"},
+             views={}).collect()[0]
+    assert (row["n_cur"], row["n_base"], row["ks"]) == (1, 1, 1.0)
+    empty = base.where("x < 0")
+    out = op("ks_drift", cur, {"baseline": empty, "field": "x"}, views={})
+    assert out.count() == 0
+    assert out.columns == ["n_cur", "n_base", "ks_at", "ks"]
+
+
+def test_ks_drift_matches_scipy_model(spark):
+    # brute-force two-sample KS on asymmetric multisets with dup values
+    import itertools
+    cur_v = [1.0, 1.0, 2.5, 3.0, 7.0]
+    base_v = [0.5, 2.5, 2.5, 6.0]
+    def ecdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+    xs = sorted(set(cur_v) | set(base_v))
+    exp = max(abs(ecdf(cur_v, x) - ecdf(base_v, x)) for x in xs)
+    cur = spark.createDataFrame([(v,) for v in cur_v], "x double")
+    base = spark.createDataFrame([(v,) for v in base_v], "x double")
+    row = op("ks_drift", cur, {"baseline": base, "field": "x"},
+             views={}).collect()[0]
+    assert abs(row["ks"] - exp) < 1e-12
