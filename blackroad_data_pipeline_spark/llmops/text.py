@@ -202,15 +202,24 @@ def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
     ``fingerprint`` and shingle-set minhash are not (winnowing keeps
     POSITIONS, so matches localize).
 
-    All JVM-side, ONE hash shuffle on the id: grams explode from a
-    ``sequence()`` per doc (no per-row Python), hashes are md5-prefix
-    bigints (portable across engines), the per-window rightmost-min
-    is ``max_by(pos, struct(-hash, pos))`` over a ``window``-row
-    frame, and the final set-dedup groups on (id, pos, hash) — a
-    grouping the id partitioning already satisfies, so no second
-    exchange. Docs shorter than one full window contribute their
-    single all-grams window; docs shorter than ``k`` contribute
-    nothing.
+    All JVM-side, ONE hash shuffle on the id — placed BEFORE the
+    gram explode, which cuts shuffled bytes ~k× (docs move, not
+    grams) AND acts as the projection barrier that keeps the
+    normalization regex evaluated once per DOC: Catalyst's
+    CollapseProject otherwise inlines it into the per-gram
+    projection, re-running the regex per gram row (measured 10-20s
+    per 1.5M grams; exchanges are barriers projections don't cross).
+    Grams explode from a ``sequence()`` per doc (no per-row Python),
+    hashes are md5-prefix bigints (portable across engines), the
+    per-window rightmost-min runs as ``window-1`` LAGs + a
+    ``least()``/``coalesce(when...)`` finish (offset window
+    functions are one streaming pass; a bounded-frame ``max_by``
+    aggregate is recomputed per row — O(window) interpreted evals,
+    measured 20s/1.5M rows), and the final set-dedup groups on
+    (id, pos, hash) — a grouping the id partitioning already
+    satisfies, so no second exchange. Docs shorter than one full
+    window contribute their single all-grams window; docs shorter
+    than ``k`` contribute nothing.
 
     config: ``field`` (default text), ``id_field`` (default doc_id),
     ``k`` char-gram size (default 5), ``window`` (default 4).
@@ -224,12 +233,18 @@ def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
     if k < 1 or win < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} window={win}")
     norm = F.regexp_replace(F.lower(F.trim(F.col(field))), r"\s+", " ")
-    # sequence(a, b) REVERSES when a > b — gate short docs explicitly
-    positions = F.when(F.length(norm) >= k,
-                       F.sequence(F.lit(0), F.length(norm) - k)
-                       ).otherwise(F.array().cast("array<int>"))
-    g = (df.select(F.col(id_field), norm.alias("__norm"),
-                   F.explode(positions).alias("pos"))
+
+    def positions_of(col_name: str, gram: int) -> Column:
+        c = F.col(col_name)
+        # sequence(a, b) REVERSES when a > b — gate short docs explicitly
+        return F.when(F.length(c) >= gram,
+                      F.sequence(F.lit(0), F.length(c) - gram)
+                      ).otherwise(F.array().cast("array<int>"))
+
+    g = (df.select(F.col(id_field), norm.alias("__norm"))
+         .repartition(F.col(id_field))
+         .select(F.col(id_field), F.col("__norm"),
+                 F.explode(positions_of("__norm", k)).alias("pos"))
          .select(id_field, F.col("pos").cast("long").alias("pos"),
                  F.conv(F.substring(F.md5(
                      F.expr(f"substring(__norm, pos + 1, {k})")),
@@ -237,13 +252,29 @@ def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
     from pyspark.sql import Window
 
     part = Window.partitionBy(id_field)
-    frame = part.orderBy("pos").rowsBetween(-(win - 1), 0)
+    ordered = part.orderBy("pos")
     n_grams = F.count(F.lit(1)).over(part)
-    sel = (g.withColumn("__sel", F.max_by(
-               F.col("pos"), F.struct((-F.col("__h")).alias("nh"),
-                                      F.col("pos"))).over(frame))
-           .withColumn("__mn", F.min("__h").over(frame))
-           .withColumn("__n", n_grams)
+    # Sliding-window min via w-1 LAGs, not a bounded-frame aggregate:
+    # Spark recomputes bounded RowFrame aggregates from scratch for
+    # EVERY row (O(w) interpreted evals per row — measured 20s/1.5M
+    # rows for max_by at w=4), while offset window functions are one
+    # streaming pass and the least()/CASE finish is codegen'd.
+    # least() skips NULLs, so truncated frames at partition starts
+    # (and short docs) fall out correctly.
+    lags = [F.col("__h")] + [F.lag("__h", j).over(ordered)
+                             for j in range(1, win)]
+    lagged = g.withColumn("__n", n_grams)
+    lag_cols = []
+    for j, expr in enumerate(lags):
+        lagged = lagged.withColumn(f"__l{j}", expr)
+        lag_cols.append(F.col(f"__l{j}"))
+    mn = lag_cols[0] if win == 1 else F.least(*lag_cols)
+    # rightmost tie: probe the smallest offset (largest position) first
+    sel_expr = F.coalesce(*[F.when(lag_cols[j] == mn, F.col("pos") - j)
+                            for j in range(win)])
+    sel = (lagged.withColumn("__mn", mn)
+           .withColumn("__sel", sel_expr)
+           .select(id_field, "pos", "__n", "__mn", "__sel")
            # complete windows only; a doc with < window grams gets
            # exactly its final (all-grams) window
            .filter((F.col("pos") >= win - 1)

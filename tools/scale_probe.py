@@ -102,6 +102,17 @@ PROBED = [
     "interval_merge",
     "l_diversity",
     "excess_suppliers",
+    # round 5 (cont. 2): winnow is linear in corpus BYTES (per-char
+    # gram explode after the doc-level shuffle barrier);
+    # winnow_overlap adds per-fp postings² (bounded by max_postings);
+    # attribution last = as-of carry, linear = lookback-bounded range
+    # join; the drift gates are cardinality-bounded after the counts
+    "winnow",
+    "winnow_overlap",
+    "attribution_last",
+    "attribution_linear",
+    "ks_drift",
+    "category_drift",
 ]
 
 
