@@ -3076,6 +3076,27 @@ GROUP BY tc, tb
 """
 
 
+def q_sequence_assemble(spark, sf_dir):
+    """User-journey assembly (op_sequence_assemble): each user's
+    event types concatenated in (ts, event_id) order — one shuffle,
+    map-side partial collect, array_sort orders inside the struct.
+    DuckDB replays with ORDER BY-qualified string_agg."""
+    e = _t(spark, sf_dir, "events")
+    df = op("sequence_assemble", e, {
+        "key": ["user_id"], "ts_field": "ts",
+        "token_field": "event_type", "tiebreak": ["event_id"]},
+        views={})
+    return op("sort", df, {"fields": ["user_id"]})
+
+
+_SQL_SEQUENCE_ASSEMBLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_ks_drift(spark, sf_dir):
     """Numeric drift gate (op_ks_drift): exact two-sample KS
     statistic over parity-split customer balances. ECDFs run as a
@@ -5369,6 +5390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift": q_category_drift,
         "category_drift_summary": q_category_drift_summary,
         "ks_drift": q_ks_drift,
+        "sequence_assemble": q_sequence_assemble,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5565,6 +5587,7 @@ def oracle_sql() -> dict[str, str]:
         "category_drift": _SQL_CATEGORY_DRIFT,
         "category_drift_summary": _SQL_CATEGORY_DRIFT_SUMMARY,
         "ks_drift": _SQL_KS_DRIFT,
+        "sequence_assemble": _SQL_SEQUENCE_ASSEMBLE,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,

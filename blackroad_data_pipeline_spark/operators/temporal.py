@@ -697,3 +697,49 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
                          .alias("touch_ts"),
                          F.lit(0.0).alias("credit")))
     return attributed.unionByName(leftovers)
+
+
+@register("sequence_assemble")
+def op_sequence_assemble(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-key ordered sequence assembly: one row per key holding the
+    key's ``token_field`` values concatenated in event-time order —
+    the behavioral-sequence prep step (user journeys as training
+    documents, session paths for path mining, action logs for
+    next-event models). The inverse shape of chunk/split: many rows
+    become one ordered artifact.
+
+    ONE hash shuffle: collect_list(struct(order cols, token)) with
+    map-side partial aggregation, array_sort on the struct (order
+    cols lead, so the sort IS the event order), optional head
+    truncation, transform to tokens, concat_ws. (ts, *tiebreak) must
+    totally order each key's events or the struct sort falls back to
+    comparing the token itself — deterministic but surprising;
+    pass a unique tiebreak. ``max_len`` keeps the EARLIEST that-many
+    events per key, bounding row width when a bot key has millions
+    of events (the full count is still reported in n_events).
+
+    config: ``key`` (list), ``ts_field`` (default ts),
+    ``token_field`` (default event_type), ``tiebreak`` extra order
+    columns, ``sep`` (default " "), ``max_len`` (optional).
+    Output: key cols + ``sequence`` (string) + ``n_events`` (long).
+    """
+    keys = list(config.get("key", ["user_id"]))
+    ts_field = config.get("ts_field", "ts")
+    token_field = config.get("token_field", "event_type")
+    tiebreak = list(config.get("tiebreak", []))
+    sep = config.get("sep", " ")
+    max_len = config.get("max_len")
+    if max_len is not None and int(max_len) < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    order_cols = [F.col(ts_field), *(F.col(c) for c in tiebreak)]
+    packed = F.struct(*[c.alias(f"__o{i}") for i, c in enumerate(order_cols)],
+                      F.col(token_field).cast("string").alias("__tok"))
+    agg = df.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(packed)).alias("__seq"),
+        F.count(F.lit(1)).alias("n_events"))
+    arr = F.col("__seq")
+    if max_len is not None:
+        arr = F.slice(arr, 1, int(max_len))
+    tokens = F.transform(arr, lambda x: x["__tok"])
+    return (agg.withColumn("sequence", F.concat_ws(sep, tokens))
+            .drop("__seq"))

@@ -510,3 +510,29 @@ def test_attribution_last_single_shuffle(spark):
         "lookback": 300, "model": "last"}, views={})
     plans.assert_no_row_python(out)
     plans.assert_max_shuffles(out, 1)
+
+
+def test_sequence_assemble_order_truncation_and_plan(spark):
+    rows = [("u1", 30, 3, "c"), ("u1", 10, 1, "a"), ("u1", 20, 2, "b"),
+            ("u1", 20, 1, "x"),      # ts tie -> event_id orders x before b
+            ("u2", 5, 9, "solo")]
+    df = spark.createDataFrame(rows, "user_id string, ts long, "
+                                     "event_id long, event_type string")
+    cfg = {"key": ["user_id"], "ts_field": "ts",
+           "token_field": "event_type", "tiebreak": ["event_id"]}
+    got = {r["user_id"]: (r["sequence"], r["n_events"])
+           for r in op("sequence_assemble", df, cfg, views={}).collect()}
+    assert got["u1"] == ("a x b c", 4)
+    assert got["u2"] == ("solo", 1)
+    # max_len keeps the EARLIEST events; n_events still counts all
+    capped = {r["user_id"]: (r["sequence"], r["n_events"]) for r in op(
+        "sequence_assemble", df, {**cfg, "max_len": 2},
+        views={}).collect()}
+    assert capped["u1"] == ("a x", 4)
+    with pytest.raises(ValueError, match="max_len"):
+        op("sequence_assemble", df, {**cfg, "max_len": 0}, views={})
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    out = op("sequence_assemble", df, cfg, views={})
+    plans.assert_no_row_python(out)
+    plans.assert_max_shuffles(out, 1)
