@@ -3076,6 +3076,40 @@ GROUP BY tc, tb
 """
 
 
+def q_bucketize(spark, sf_dir):
+    """Equal-frequency binning (op_bucketize): customer balances into
+    4 per-segment quantile buckets. Boundaries use the repo's PINNED
+    rank definition (max(ceil(q*n),1)) and bucket membership is a
+    strict-comparison count, so DuckDB replays the assignment
+    bit-for-bit via the same rank arithmetic."""
+    c = _t(spark, sf_dir, "customer")
+    df = op("bucketize", c, {"field": "c_acctbal", "n_buckets": 4,
+                             "group_by": ["c_mktsegment"]})
+    df = op("select", df, {"fields": ["c_custkey", "c_mktsegment",
+                                      "bucket"]})
+    return op("sort", df, {"fields": ["c_custkey"]})
+
+
+_SQL_BUCKETIZE = """
+WITH nn AS (
+  SELECT c_mktsegment AS g, c_acctbal AS val FROM customer
+  WHERE c_acctbal IS NOT NULL),
+ranked AS (
+  SELECT g, val, ROW_NUMBER() OVER (PARTITION BY g ORDER BY val) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM nn),
+bnds AS (
+  SELECT DISTINCT g, val AS b FROM ranked JOIN range(1, 4) r(j)
+    ON rn = greatest((j * n + 3) // 4, 1))
+SELECT c.c_custkey, c.c_mktsegment,
+       CASE WHEN c.c_acctbal IS NULL THEN NULL ELSE
+         (SELECT COUNT(*) FROM bnds
+          WHERE bnds.g = c.c_mktsegment AND c.c_acctbal > bnds.b) END
+         AS bucket
+FROM customer c ORDER BY c_custkey
+"""
+
+
 def q_sequence_assemble(spark, sf_dir):
     """User-journey assembly (op_sequence_assemble): each user's
     event types concatenated in (ts, event_id) order — one shuffle,
@@ -5391,6 +5425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift_summary": q_category_drift_summary,
         "ks_drift": q_ks_drift,
         "sequence_assemble": q_sequence_assemble,
+        "bucketize": q_bucketize,
         # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
@@ -5588,6 +5623,7 @@ def oracle_sql() -> dict[str, str]:
         "category_drift_summary": _SQL_CATEGORY_DRIFT_SUMMARY,
         "ks_drift": _SQL_KS_DRIFT,
         "sequence_assemble": _SQL_SEQUENCE_ASSEMBLE,
+        "bucketize": _SQL_BUCKETIZE,
         "dedup_embedding_against": _SQL_DEDUP_EMBEDDING_AGAINST,
         "top_p": _SQL_TOP_P,
         "winsorize": _SQL_WINSORIZE,

@@ -1703,6 +1703,75 @@ def op_category_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
                                          * F.col("__tb"))).alias("tvd")))
 
 
+@register("bucketize")
+def op_bucketize(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Quantile (equal-frequency) binning — the feature-prep /
+    stratification primitive: assign each row the bucket of its
+    ``field`` value among ``n_buckets`` per-group quantile bins, or
+    against explicit ``boundaries``. Bucket j = number of boundaries
+    strictly below the value (ties land in the LOWER bucket), so
+    membership is a plain comparison count any engine replays —
+    boundaries use the repo's PINNED discrete-percentile definition
+    (value at rank max(ceil(q·n), 1); engine-native percentile_disc
+    disagrees at boundary ranks across engines).
+
+    Shapes: explicit boundaries = pure projection (zero shuffle).
+    Grouped quantiles = ONE rank window over the group key, boundary
+    rows filtered by rank arithmetic, dedup'd (coinciding quantiles
+    merge bins), and joined back on the key. Global quantiles = the
+    distributed prefix-sum rank, boundaries collected (n_buckets-1
+    driver scalars) and re-broadcast as a LITERAL array — the
+    mix_corpus precedent, so the consumer plan adds no shuffle.
+    NULL values get a NULL bucket.
+
+    config: ``field``, ``n_buckets`` (>= 2) or ``boundaries`` (list),
+    ``group_by`` keys (quantile mode), ``as`` (default "bucket").
+    """
+    field = config["field"]
+    out_col = config.get("as", "bucket")
+    keys = list(config.get("group_by", []))
+    explicit = config.get("boundaries")
+    v = F.col(field)
+    if explicit is not None:
+        bnds = sorted(set(float(b) for b in explicit))
+        arr = F.array(*[F.lit(b) for b in bnds])
+        bucket = F.when(v.isNotNull(), F.size(
+            F.filter(arr, lambda b: v > b)).cast("long"))
+        return df.withColumn(out_col, bucket)
+    nb = int(config.get("n_buckets", 4))
+    if nb < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {nb}")
+    nn = df.filter(v.isNotNull()).select(*keys, v.alias("__v"))
+    if keys:
+        ranked = (nn.withColumn("__rn", F.row_number().over(
+                      Window.partitionBy(*keys).orderBy(F.col("__v"))))
+                  .withColumn("__n", F.count(F.lit(1)).over(
+                      Window.partitionBy(*keys))))
+        ks = F.array(*[F.expr(f"greatest(({j} * __n + {nb - 1}) div {nb}, 1)")
+                       for j in range(1, nb)])
+        bounds = (ranked.filter(F.array_contains(ks, F.col("__rn")))
+                  .groupBy(*keys)
+                  .agg(F.array_sort(F.collect_set("__v")).alias("__bnds")))
+        joined = df.join(bounds, keys, "left")
+    else:
+        n_parts = int(config.get("n_partitions", 0)) or \
+            df.sparkSession.sparkContext.defaultParallelism
+        ranged, running, total = _distributed_prefix_sum(
+            nn.select("__v"), F.lit(1), [F.col("__v")], n_parts)
+        ppq = sorted({max(-(-j * total // nb), 1) for j in range(1, nb)})
+        rows = (ranged.withColumn("__rn", running)
+                .filter(F.col("__rn").isin([int(x) for x in ppq]))
+                .select("__v").collect()) if total else []
+        bnds = sorted({r["__v"] for r in rows})
+        joined = df.withColumn(
+            "__bnds", F.array(*[F.lit(b) for b in bnds]) if bnds
+            else F.array().cast("array<double>"))
+    bucket = F.when(
+        v.isNotNull() & F.col("__bnds").isNotNull(),
+        F.size(F.filter(F.col("__bnds"), lambda b: v > b)).cast("long"))
+    return joined.withColumn(out_col, bucket).drop("__bnds")
+
+
 @register("ks_drift")
 def op_ks_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Numeric-distribution drift between two snapshots: the

@@ -1102,3 +1102,35 @@ def test_ks_drift_matches_scipy_model(spark):
     row = op("ks_drift", cur, {"baseline": base, "field": "x"},
              views={}).collect()[0]
     assert abs(row["ks"] - exp) < 1e-12
+
+
+def test_bucketize_grouped_quantiles_and_ties(spark):
+    rows = [("g", float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 8)] + \
+           [("h", 10.0), ("h", 20.0), ("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["v"]): r["bucket"] for r in op(
+        "bucketize", df, {"field": "v", "n_buckets": 4,
+                          "group_by": ["g"]}, views={}).collect()}
+    # g: n=8, boundaries at ranks ceil(j*8/4)={2,4,6} -> values 2,4,6
+    assert out[("g", 1.0)] == 0 and out[("g", 2.0)] == 0   # tie -> lower
+    assert out[("g", 3.0)] == 1 and out[("g", 4.0)] == 1
+    assert out[("g", 5.0)] == 2 and out[("g", 7.0)] == 3
+    assert out[("g", None)] is None
+    # h: n=2, ranks {1,1,2} dedup -> boundaries {10, 20} -> merged bins
+    assert out[("h", 10.0)] == 0 and out[("h", 20.0)] == 1
+
+
+def test_bucketize_global_and_explicit(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)],
+                               "v double")
+    out = {r["v"]: r["bucket"] for r in op(
+        "bucketize", df, {"field": "v", "n_buckets": 2},
+        views={}).collect()}
+    # global: boundary at rank ceil(10/2)=5 -> value 5.0
+    assert out[1.0] == 0 and out[5.0] == 0 and out[6.0] == 1
+    exp = {r["v"]: r["bucket"] for r in op(
+        "bucketize", df, {"field": "v", "boundaries": [3.0, 7.0]},
+        views={}).collect()}
+    assert exp[3.0] == 0 and exp[4.0] == 1 and exp[8.0] == 2
+    with pytest.raises(ValueError, match="n_buckets"):
+        op("bucketize", df, {"field": "v", "n_buckets": 1}, views={})
