@@ -5346,52 +5346,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Order = driver-evidence rotation (VERDICT r4 next-round #3):
-        # the driver samples the FIRST ~50 keys per round. Front section =
-        # the 38 entries with no cumulative driver-green evidence after r4
-        # (30 never-sampled, 5 red in r1/r2 before their oracles landed,
-        # 3 r4 comparator reds now fixed); then the 102 entries already
-        # driver-green in CORRECTNESS_r01-r04. Every entry oracle-anchored.
-        # -- needing driver evidence (38) --
-        "expect_fk": q_expect_fk,
+        # Order = driver-evidence rotation (VERDICT r5 next-round #1):
+        # the driver samples the FIRST ~50 keys per round. Front = the 23
+        # entries with zero cumulative driver evidence after r5 (local
+        # oracle-green, never sampled), then new round-6 entries, then
+        # driver-green anchors filling out the ~50-key window; remainder =
+        # cumulative driver-green r1-r5. Every entry oracle-anchored.
+        # -- never driver-sampled after r5 (23) --
+        "winnow": q_winnow,
+        "winnow_overlap": q_winnow_overlap,
+        "interval_merge": q_interval_merge,
+        "l_diversity": q_l_diversity,
+        "ks_drift": q_ks_drift,
+        "bucketize": q_bucketize,
+        "attribution_last": q_attribution_last,
+        "attribution_linear": q_attribution_linear,
+        "category_drift": q_category_drift,
+        "category_drift_summary": q_category_drift_summary,
+        "collocations": q_collocations,
+        "sequence_assemble": q_sequence_assemble,
+        "mad_outlier": q_mad_outlier,
+        "winsorize": q_winsorize,
+        "resample": q_resample,
+        "quantile_sketch_gate": q_quantile_sketch_gate,
+        "heavy_hitters_stream": q_heavy_hitters_stream,
+        "events_session_window_stream": q_events_session_window_stream,
+        "top_supplier": q_top_supplier,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "excess_suppliers": q_excess_suppliers,
+        "customer_distribution": q_customer_distribution,
+        # -- new in round 6 (insert here, inside the sample window) --
+        # -- driver-green anchors (r1-r5) filling the window --
+        "filter_agg": q_filter_agg,
+        "join": q_join,
+        "dedup": q_dedup,
+        "sort_limit": q_sort_limit,
+        "aggregate_count": q_aggregate_count,
+        "dedup_exact": q_dedup_exact,
+        "mix_corpus": q_mix_corpus,
+        "pagerank": q_pagerank,
+        "funnel": q_funnel,
+        "components": q_components,
         "sample_pps": q_sample_pps,
+        "expect_fk": q_expect_fk,
+        "ann_lsh": q_ann_lsh,
+        "similarity_join": q_similarity_join,
+        "gopher_quality": q_gopher_quality,
+        "phash": q_phash,
+        "quantize_embedding": q_quantize_embedding,
+        "split_assign": q_split_assign,
+        "budget_select": q_budget_select,
+        "text_normalize": q_text_normalize,
+        "dup_spans": q_dup_spans,
+        "embedding_outlier": q_embedding_outlier,
+        "shuffle_rows": q_shuffle_rows,
+        "fuzzy_join": q_fuzzy_join,
+        "retention": q_retention,
+        "top_p": q_top_p,
+        "dedup_near_against": q_dedup_near_against,
+        # -- cumulative driver-green r1-r5 --
         "sample_pps_group": q_sample_pps_group,
         "ntile": q_ntile,
         "first_last": q_first_last,
         "ts_features": q_ts_features,
         "fillna_dropna": q_fillna_dropna,
-        "dup_spans": q_dup_spans,
-        "embedding_outlier": q_embedding_outlier,
-        "components": q_components,
-        "mix_corpus": q_mix_corpus,
-        "shuffle_rows": q_shuffle_rows,
-        "budget_select": q_budget_select,
         "corpus_diff": q_corpus_diff,
         "dedup_lines": q_dedup_lines,
-        "fuzzy_join": q_fuzzy_join,
         "expect": q_expect,
-        "gopher_quality": q_gopher_quality,
         "importance_weight": q_importance_weight,
         "quality_classifier_gate": q_quality_classifier_gate,
         "split_paragraphs": q_split_paragraphs,
         "dup_spans_remove": q_dup_spans_remove,
         "small_qty_revenue": q_small_qty_revenue,
         "large_volume_orders": q_large_volume_orders,
-        "phash": q_phash,
-        "quantize_embedding": q_quantize_embedding,
-        "dedup_near_against": q_dedup_near_against,
-        "funnel": q_funnel,
-        "retention": q_retention,
         "event_transitions": q_event_transitions,
-        "pagerank": q_pagerank,
-        "text_normalize": q_text_normalize,
         "compression_gate": q_compression_gate,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "similarity_join": q_similarity_join,
-        "split_assign": q_split_assign,
         "profile": q_profile,
-        # -- new in round 5 (10 TPC-H shapes; sampled immediately) --
         "order_priority_check": q_order_priority_check,
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
@@ -5403,30 +5435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "sales_opportunity": q_sales_opportunity,
         "dedup_embedding_against": q_dedup_embedding_against,
-        "top_p": q_top_p,
-        "winsorize": q_winsorize,
-        "resample": q_resample,
-        "mad_outlier": q_mad_outlier,
-        "quantile_sketch_gate": q_quantile_sketch_gate,
-        "heavy_hitters_stream": q_heavy_hitters_stream,
-        "collocations": q_collocations,
-        "customer_distribution": q_customer_distribution,
-        "top_supplier": q_top_supplier,
-        "min_cost_supplier": q_min_cost_supplier,
-        "important_parts": q_important_parts,
-        "excess_suppliers": q_excess_suppliers,
-        "interval_merge": q_interval_merge,
-        "l_diversity": q_l_diversity,
-        "winnow": q_winnow,
-        "winnow_overlap": q_winnow_overlap,
-        "attribution_last": q_attribution_last,
-        "attribution_linear": q_attribution_linear,
-        "category_drift": q_category_drift,
-        "category_drift_summary": q_category_drift_summary,
-        "ks_drift": q_ks_drift,
-        "sequence_assemble": q_sequence_assemble,
-        "bucketize": q_bucketize,
-        # -- cumulative driver-green r1-r4 (102) --
         "dedup_near_best": q_dedup_near_best,
         "mix_temperature": q_mix_temperature,
         "stream_join_stream": q_stream_join_stream,
@@ -5454,7 +5462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_gate": q_split_assign_gate,
         "mix_corpus_gate": q_mix_corpus_gate,
         "events_window_stream": q_events_window_stream,
-        "events_session_window_stream": q_events_session_window_stream,
         "stateful_dedup_stream": q_stateful_dedup_stream,
         "corpus_prep_stream": q_corpus_prep_stream,
         "chunk_text": q_chunk_text,
@@ -5475,17 +5482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "key_skew": q_key_skew,
         "hash_columns": q_hash_columns,
-        "filter_agg": q_filter_agg,
         "filter_eq": q_filter_eq,
         "filter_contains": q_filter_contains,
         "filter_notnull": q_filter_notnull,
         "map_ops": q_map,
-        "aggregate_count": q_aggregate_count,
         "aggregate_global": q_aggregate_global,
-        "join": q_join,
         "join_multi": q_join_multi,
-        "sort_limit": q_sort_limit,
-        "dedup": q_dedup,
         "rename_union": q_rename_union,
         "topk_per_group": q_topk_per_group,
         "window_rank": q_window_rank,
@@ -5494,7 +5496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "multimodal_meta": q_multimodal_meta,
