@@ -601,6 +601,11 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     touch with ``conv_ts - lookback <= touch_ts <= conv_ts``, credit
     1.0) ride the as-of join's union+carry shape — ONE key shuffle,
     linear state, NO touch-pair materialization, the 100 TB path.
+    Window-bound precision: ``last`` compares ``touch_ts <= conv_ts``
+    exactly but measures the lookback DEPTH at second granularity
+    (floor(conv)-floor(touch) <= lookback); ``first`` evaluates BOTH
+    bounds at native timestamp precision (exact interval subtraction
+    for the start, exact comparison for the end).
     ``linear`` (every in-window touch splits the credit equally,
     credit = 1/n exactly representable or not — both engines compute
     the same IEEE division) rides the bucketized range join: pairs
@@ -636,26 +641,16 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     tiebreak = config.get("tiebreak")
     conv_cols = conv.columns
 
-    if model in ("last", "first"):
-        if model == "last":
-            left, direction = conv, "backward"
-        else:
-            # first touch in [conv_ts - lookback, conv_ts]: forward
-            # as-of from the window START, same lookback tolerance.
-            # The union inside asof needs __ts type-compatible with
-            # the touch timestamp, so keep numeric ts numeric
-            wstart = epoch_seconds(F.col(cts)) - lookback
-            if not isinstance(df.schema[tts].dataType,
-                              (T.LongType, T.IntegerType)):
-                wstart = wstart.cast("timestamp")
-            left = conv.withColumn("__wstart", wstart)
-            direction = "forward"
-        out = op_asof_join(left, {
+    if model == "last":
+        # backward as-of: upper bound touch_ts <= conv_ts is EXACT
+        # (native ordering inside the window); the lookback DEPTH is
+        # second-granularity (floor(conv)-floor(touch) <= lookback),
+        # matching the oracle's epoch-second tolerance.
+        out = op_asof_join(conv, {
             "right": df, "by": by,
-            "left_ts": cts if model == "last" else "__wstart",
-            "right_ts": tts,
+            "left_ts": cts, "right_ts": tts,
             "values": [touch_id, tts],
-            "prefix": "__at_", "direction": direction,
+            "prefix": "__at_", "direction": "backward",
             "tolerance_seconds": lookback,
             "right_tiebreak": tiebreak,
             "how": "left" if unmatched == "keep" else "inner",
@@ -665,6 +660,49 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
             *conv_cols,
             F.col(f"__at_{touch_id}").alias("touch_id"),
             F.col(f"__at_{tts}").alias("touch_ts"),
+            F.when(matched, F.lit(1.0)).otherwise(F.lit(0.0))
+             .alias("credit"))
+
+    if model == "first":
+        # first touch in [conv_ts - lookback, conv_ts], BOTH bounds at
+        # native timestamp precision: the window start is the exact
+        # interval subtraction (not truncated to whole seconds — a
+        # second-truncated start could admit touches up to 1s before
+        # the nominal window, or after the conversion within the same
+        # second), and the upper bound is enforced with an exact
+        # post-join comparison instead of the asof's second-granular
+        # tolerance. The union inside asof needs __ts type-compatible
+        # with the touch timestamp, so keep numeric ts numeric.
+        tts_type = df.schema[tts].dataType
+        if isinstance(tts_type, (T.LongType, T.IntegerType)):
+            # integer-second domain: subtraction is already exact
+            wstart = (epoch_seconds(F.col(cts)) - lookback).cast(tts_type)
+        else:
+            wstart = (F.col(cts).cast("timestamp")
+                      - F.expr(f"INTERVAL {lookback} SECOND")
+                      ).cast(tts_type)
+        left = conv.withColumn("__wstart", wstart)
+        out = op_asof_join(left, {
+            "right": df, "by": by,
+            "left_ts": "__wstart", "right_ts": tts,
+            "values": [touch_id, tts],
+            "prefix": "__at_", "direction": "forward",
+            "right_tiebreak": tiebreak,
+            "how": "left",
+        }, views)
+        # forward asof guarantees touch_ts >= wstart natively; the
+        # exact upper bound makes a too-late first touch unmatched
+        # (the earliest touch >= wstart being past conv_ts means no
+        # touch is in the window at all).
+        matched = (F.col(f"__at_{touch_id}").isNotNull()
+                   & (F.col(f"__at_{tts}").cast("timestamp")
+                      <= F.col(cts).cast("timestamp")))
+        if unmatched == "drop":
+            out = out.filter(matched)
+        return out.select(
+            *conv_cols,
+            F.when(matched, F.col(f"__at_{touch_id}")).alias("touch_id"),
+            F.when(matched, F.col(f"__at_{tts}")).alias("touch_ts"),
             F.when(matched, F.lit(1.0)).otherwise(F.lit(0.0))
              .alias("credit"))
 

@@ -500,6 +500,36 @@ def test_attribution_lookback_boundary_and_validation(spark):
         op("attribution", touches, {**cfg, "lookback": -1}, views={})
 
 
+def test_attribution_first_subsecond_bounds(spark):
+    # 'first' evaluates BOTH window bounds at native (sub-second)
+    # precision: a touch after the conversion within the same second
+    # must NOT be credited, nor may a touch up to 1s before the
+    # nominal window start (both slipped through the old
+    # second-truncated wstart/tolerance).
+    touches = spark.createDataFrame(
+        [("u1", 5.2, 1),            # 0.3s before window start 5.5
+         ("u2", 10.8, 2),           # 0.3s AFTER conv, same second
+         ("u3", 5.6, 3), ("u3", 7.0, 4)],
+        "user_id string, sec double, event_id long",
+    ).select("user_id", "event_id",
+             F.col("sec").cast("timestamp").alias("ts"))
+    convs = spark.createDataFrame(
+        [("u1", 10.5, 10), ("u2", 10.5, 11), ("u3", 10.5, 12)],
+        "user_id string, sec double, conv_id long",
+    ).select("user_id", "conv_id",
+             F.col("sec").cast("timestamp").alias("conv_ts"))
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "lookback": 5, "model": "first", "tiebreak": "event_id"}
+    got = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, cfg, views={}).collect()}
+    assert got == {12: 3}   # 10 and 11 unmatched -> dropped
+    kept = {r["conv_id"]: (r["touch_id"], r["credit"]) for r in op(
+        "attribution", touches, {**cfg, "unmatched": "keep"},
+        views={}).collect()}
+    assert kept == {10: (None, 0.0), 11: (None, 0.0), 12: (3, 1.0)}
+
+
 def test_attribution_last_single_shuffle(spark):
     from blackroad_data_pipeline_spark.plans import quality as plans
 
