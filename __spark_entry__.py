@@ -2009,6 +2009,46 @@ ORDER BY conv_id
 """
 
 
+def q_attribution_first(spark, sf_dir):
+    """First-touch attribution (operators/temporal.py op_attribution
+    model='first'): each purchase credited to the user's EARLIEST
+    click within 6 hours, BOTH window bounds evaluated at native
+    (microsecond) timestamp precision — the exact-interval window
+    start and exact upper-bound comparison introduced in round 6.
+    Rides the forward as-of union+carry shape (one key shuffle).
+    DuckDB replays at the same µs precision: epoch_ns(ts)//1000 on
+    both sides, window [c_us - lookback·1e6, c_us], earliest by
+    (ts, touch_id)."""
+    touches, convs = _touches_convs(spark, sf_dir)
+    df = op("attribution", touches, {
+        "conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+        "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+        "lookback": 21600, "model": "first", "tiebreak": "event_id"},
+        views={})
+    df = op("select", df, {"fields": ["conv_id", "user_id", "touch_id",
+                                      "credit"]})
+    return op("sort", df, {"fields": ["conv_id"]})
+
+
+_SQL_ATTRIBUTION_FIRST = """
+WITH t AS (SELECT user_id, event_id AS touch_id,
+                  epoch_ns(ts) // 1000 AS tus
+           FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id, event_id AS conv_id,
+             epoch_ns(ts) // 1000 AS cus
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.conv_id, c.user_id, t.touch_id,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.tus ASC, t.touch_id ASC) AS rn
+  FROM c JOIN t ON c.user_id = t.user_id
+              AND t.tus >= c.cus - 21600000000
+              AND t.tus <= c.cus)
+SELECT conv_id, user_id, touch_id, 1e0 AS credit FROM pairs WHERE rn = 1
+ORDER BY conv_id
+"""
+
+
 def q_attribution_linear(spark, sf_dir):
     """Linear attribution: every in-window click splits the
     purchase's credit equally (credit = 1/n, the same IEEE division
@@ -3104,7 +3144,8 @@ bnds AS (
 SELECT c.c_custkey, c.c_mktsegment,
        CASE WHEN c.c_acctbal IS NULL THEN NULL ELSE
          (SELECT COUNT(*) FROM bnds
-          WHERE bnds.g = c.c_mktsegment AND c.c_acctbal > bnds.b) END
+          WHERE bnds.g IS NOT DISTINCT FROM c.c_mktsegment
+            AND c.c_acctbal > bnds.b) END
          AS bucket
 FROM customer c ORDER BY c_custkey
 """
@@ -4781,7 +4822,7 @@ SELECT doc_id, d.lang,
        CASE WHEN n_chars IS NULL THEN NULL
             ELSE LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)
        END AS n_chars_wins
-FROM documents d LEFT JOIN b ON d.lang = b.lang
+FROM documents d LEFT JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
 ORDER BY doc_id
 """
 
@@ -4866,7 +4907,7 @@ r2 AS (
          ROW_NUMBER() OVER (PARTITION BY nn.lang
                             ORDER BY ABS(v - med)) AS rn,
          COUNT(*) OVER (PARTITION BY nn.lang) AS n
-  FROM nn JOIN med ON nn.lang = med.lang),
+  FROM nn JOIN med ON nn.lang IS NOT DISTINCT FROM med.lang),
 mad AS (
   SELECT lang, MIN(dv) AS mad FROM r2
   WHERE rn = GREATEST((500000000 * n + 999999999) // 1000000000, 1)
@@ -4881,8 +4922,8 @@ SELECT doc_id, d.lang,
             ELSE ABS(CAST(n_chars AS DOUBLE) - med) / mad > 3.5
        END AS is_outlier
 FROM documents d
-LEFT JOIN med ON d.lang = med.lang
-LEFT JOIN mad ON d.lang = mad.lang
+LEFT JOIN med ON d.lang IS NOT DISTINCT FROM med.lang
+LEFT JOIN mad ON d.lang IS NOT DISTINCT FROM mad.lang
 ORDER BY doc_id
 """
 
@@ -5376,7 +5417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "excess_suppliers": q_excess_suppliers,
         "customer_distribution": q_customer_distribution,
-        # -- new in round 6 (insert here, inside the sample window) --
+        # -- new in round 7 (inside the sample window) --
+        "attribution_first": q_attribution_first,
         # -- driver-green anchors (r1-r5) filling the window --
         "filter_agg": q_filter_agg,
         "join": q_join,
@@ -5619,6 +5661,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow": _SQL_WINNOW,
         "winnow_overlap": _SQL_WINNOW_OVERLAP,
         "attribution_last": _SQL_ATTRIBUTION_LAST,
+        "attribution_first": _SQL_ATTRIBUTION_FIRST,
         "attribution_linear": _SQL_ATTRIBUTION_LINEAR,
         "category_drift": _SQL_CATEGORY_DRIFT,
         "category_drift_summary": _SQL_CATEGORY_DRIFT_SUMMARY,

@@ -87,7 +87,33 @@ SCALE_PROBES = {
         {"threshold": 0.9, "dim": 64, "n_planes": 12, "n_tables": 2,
          "history": _embs(s, d).filter("vec_id % 2 = 0")},
         views={}).select("vec_id"),
+    # round 7: the composed incremental daily-ingest chain (the
+    # pytest test_incremental_daily_ingest_end_to_end proves
+    # correctness vs a from-scratch batch run; this measures the
+    # scale shape): documents split into 3 "days" by doc_id % 3,
+    # each day deduped within itself, then against the growing
+    # minhash_bands store of ALL previously seen docs.
+    "incremental_ingest_scale": lambda s, d: _incremental_ingest(s, d),
 }
+
+
+def _incremental_ingest(s, d):
+    docs = _docs(s, d)
+    store, kept_parts = None, []
+    for i in range(3):
+        day = docs.filter(f"doc_id % 3 = {i}")
+        kept = op("dedup_near_minhash", day, _MINHASH_SCALE)
+        if store is not None:
+            kept = op("dedup_near_against", kept,
+                      {**_MINHASH_SCALE, "history": store,
+                       "history_is_bands": True}, views={})
+        bands = op("minhash_bands", day, _MINHASH_SCALE)
+        store = bands if store is None else store.unionByName(bands)
+        kept_parts.append(kept.select("doc_id"))
+    out = kept_parts[0]
+    for p in kept_parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def run_once(fn, spark, sf_dir) -> float:
@@ -133,6 +159,16 @@ def main() -> None:
     # lead the dict). Best-of-N over more runs also rides out the
     # sandbox's ~1s scheduling spikes.
     ordered = [n for n in bench_queries if n not in headline]
+    # SPARK_GRAFT_BENCH_SHUFFLE=<seed>: randomize detail-query order.
+    # Diagnostic for order-dependence — BENCH_r06 showed >20% swings
+    # on exactly the queries rotated to the front of queries(), i.e.
+    # the ones now timed earliest in the session (coldest JIT/codegen
+    # caches). A per-seed shuffle separates real regressions from
+    # position effects.
+    seed = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE")
+    if seed:
+        import random
+        random.Random(int(seed)).shuffle(ordered)
     timings: dict[str, float] = {}
     for name in ordered:
         fn = bench_queries[name]

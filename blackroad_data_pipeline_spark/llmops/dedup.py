@@ -245,6 +245,18 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     shuffles on (band_idx, band_hash) — bucket-sized groups, never the
     corpus. Exact shingle-set jaccard then verifies candidates, so LSH
     recall tuning can't create false positives.
+
+    ``max_bucket`` (default 0 = uncapped, exact-parity mode) bounds
+    the per-bucket self-join: the join is O(|bucket|²) per bucket, and
+    at corpus scale a boilerplate-heavy bucket (thousands of
+    near-identical headers/licenses) goes quadratic. With a cap,
+    buckets holding more than ``max_bucket`` doc ids are DROPPED
+    before the join (the winnow_overlap ``max_postings`` precedent) —
+    docs lose at most those buckets' candidate pairs, and a doc dense
+    enough to blow the cap is boilerplate by definition; route such
+    corpora through dedup_exact first. The bucket count rides the same
+    bucket-key exchange the join already needs, so the cap adds no
+    shuffle.
     """
     field = config.get("field", "text")
     id_field = config.get("id_field", "doc_id")
@@ -274,6 +286,15 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     # doubling the kernel work (measured 3.6x on candidate generation)
     buckets = (sigs.select("__id", F.explode(band_entries).alias("b"))
                .repartition("b"))
+    max_bucket = int(config.get("max_bucket", 0))
+    if max_bucket:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2 (or 0 for "
+                             f"uncapped), got {max_bucket}")
+        from pyspark.sql import Window
+        bc = F.count(F.lit(1)).over(Window.partitionBy("b"))
+        buckets = (buckets.withColumn("__bc", bc)
+                   .filter(F.col("__bc") <= max_bucket).drop("__bc"))
     cands = (
         buckets.select(F.col("__id").alias("id_a"), "b")
         .join(buckets.select(F.col("__id").alias("id_b"), "b"), ["b"])
@@ -1212,6 +1233,17 @@ def op_dedup_near_against(df: DataFrame, config: Mapping, views) -> DataFrame:
         ).select(F.col(h_id).alias("__hid"), "band_idx", "band_hash")
         verify = True
 
+    max_bucket = int(config.get("max_bucket", 0))
+    if max_bucket:
+        # same hazard class as near_dup_minhash's self-join: a
+        # boilerplate band bucket with H history docs multiplies every
+        # matching batch doc by H. Cap the HISTORY side (the unbounded
+        # one); the count window shares the join's bucket-key exchange.
+        from pyspark.sql import Window as _W
+        bc = F.count(F.lit(1)).over(_W.partitionBy("band_idx",
+                                                   "band_hash"))
+        hist_bands = (hist_bands.withColumn("__bc", bc)
+                      .filter(F.col("__bc") <= max_bucket).drop("__bc"))
     cands = (batch_bands.join(hist_bands, ["band_idx", "band_hash"])
              .select("__bid", "__hid").dropDuplicates(["__bid", "__hid"]))
 

@@ -179,9 +179,15 @@ def op_quantile_sketch(df: DataFrame, config: Mapping, views) -> DataFrame:
     not just a tolerance gate. Quantile error from a k-sample is the
     standard order-statistic bound ~O(1/sqrt(k)).
 
-    One rank window per group (single key shuffle). Output: group
-    keys + ``id_field`` + ``field`` value + ``sample_hash`` (carried
-    so merges never need the salt) + ``sample_rank``.
+    Grouped: one rank window per group (single key shuffle). Global
+    (empty ``group_by``): distributed bottom-k via orderBy+limit —
+    Spark's TakeOrdered takes per-partition bottom-k then merges k·P
+    rows, so the corpus NEVER sorts in one task (the previous
+    ``Window.partitionBy(lit(1))`` did exactly that); the rank window
+    then runs over only the ≤k surviving rows, which is bounded by
+    construction. Output: group keys + ``id_field`` + ``field`` value
+    + ``sample_hash`` (carried so merges never need the salt) +
+    ``sample_rank``.
     """
     field = config["field"]
     id_field = config.get("id_field", "doc_id")
@@ -193,13 +199,17 @@ def op_quantile_sketch(df: DataFrame, config: Mapping, views) -> DataFrame:
     from pyspark.sql import Window
     h = F.md5(F.concat(F.col(id_field).cast("string"),
                        F.lit("\x1f"), F.lit(salt)))
-    part = (Window.partitionBy(*group_by) if group_by
-            else Window.partitionBy(F.lit(1)))
-    return (df.filter(F.col(field).isNotNull())
-            .select(*group_by, id_field, field, h.alias("sample_hash"))
-            .withColumn("sample_rank", F.row_number().over(
-                part.orderBy(F.col("sample_hash"), F.col(id_field))))
-            .filter(F.col("sample_rank") <= k))
+    sel = (df.filter(F.col(field).isNotNull())
+           .select(*group_by, id_field, field, h.alias("sample_hash")))
+    if group_by:
+        part = Window.partitionBy(*group_by)
+        return (sel.withColumn("sample_rank", F.row_number().over(
+                    part.orderBy(F.col("sample_hash"), F.col(id_field))))
+                .filter(F.col("sample_rank") <= k))
+    topk = sel.orderBy(F.col("sample_hash"), F.col(id_field)).limit(k)
+    return topk.withColumn("sample_rank", F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.col("sample_hash"),
+                                             F.col(id_field))))
 
 
 @register("quantile_sketch_merge")
@@ -218,12 +228,19 @@ def op_quantile_sketch_merge(df: DataFrame, config: Mapping, views) -> DataFrame
     for o in config.get("others", []):
         other = views[o] if isinstance(o, str) else o
         out = out.unionByName(other)
-    part = (Window.partitionBy(*group_by) if group_by
-            else Window.partitionBy(F.lit(1)))
-    return (out.dropDuplicates([*group_by, id_field])
-            .withColumn("sample_rank", F.row_number().over(
-                part.orderBy(F.col("sample_hash"), F.col(id_field))))
-            .filter(F.col("sample_rank") <= k))
+    deduped = out.dropDuplicates([*group_by, id_field])
+    if group_by:
+        part = Window.partitionBy(*group_by)
+        return (deduped.withColumn("sample_rank", F.row_number().over(
+                    part.orderBy(F.col("sample_hash"), F.col(id_field))))
+                .filter(F.col("sample_rank") <= k))
+    # global: bottom-k via TakeOrdered (input is ≤ k·n_frames rows by
+    # construction, but keep the no-single-partition-corpus-window
+    # invariant uniform with quantile_sketch)
+    topk = deduped.orderBy(F.col("sample_hash"), F.col(id_field)).limit(k)
+    return topk.withColumn("sample_rank", F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.col("sample_hash"),
+                                             F.col(id_field))))
 
 
 @register("quantile_estimate")

@@ -190,6 +190,70 @@ def op_fingerprint(df: DataFrame, config: Mapping, views) -> DataFrame:
     return df.withColumn(config.get("as", "fingerprint"), F.md5(normalized))
 
 
+def _winnow_arrow(df: DataFrame, id_field: str, field: str, k: int,
+                  win: int) -> DataFrame:
+    """Whole-winnow Arrow kernel (see op_winnow): per doc, normalize
+    exactly like the JVM path (trim = spaces only, Java-\\s whitespace
+    collapse — Python's Unicode \\s would diverge on NBSP), memoize
+    the md5-prefix hash per batch-unique gram, vectorize the sliding
+    rightmost-min in numpy, dedup (pos, fp) per doc. Doc-local work →
+    zero shuffle; only (id, text) crosses the Arrow boundary."""
+    import hashlib
+    import re
+
+    jvm_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    schema = T.StructType([
+        T.StructField(id_field, df.schema[id_field].dataType),
+        T.StructField("pos", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[str, int] = {}   # gram -> md5-prefix bigint
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__t"]):
+                norm = jvm_ws.sub(" ", (text or "").strip(" ").lower())
+                n = len(norm) - k + 1
+                if n <= 0:
+                    continue
+                if len(cache) > 4_000_000:   # bound kernel memory
+                    cache.clear()
+                h = np.empty(n, dtype=np.int64)
+                for p in range(n):
+                    gram = norm[p:p + k]
+                    v = cache.get(gram)
+                    if v is None:
+                        v = int(hashlib.md5(
+                            gram.encode("utf-8")).hexdigest()[:15], 16)
+                        cache[gram] = v
+                    h[p] = v
+                if n >= win:
+                    m = np.lib.stride_tricks.sliding_window_view(h, win)
+                    mn = m.min(axis=1)
+                    # rightmost tie: first min of the REVERSED window
+                    r = m[:, ::-1].argmin(axis=1)
+                    sel = (np.arange(n - win + 1, dtype=np.int64)
+                           + (win - 1 - r))
+                else:   # short doc: its single all-grams window
+                    mn = np.array([h.min()], dtype=np.int64)
+                    sel = np.array([n - 1 - int(h[::-1].argmin())],
+                                   dtype=np.int64)
+                pairs = np.unique(np.stack([sel, mn], axis=1), axis=0)
+                ids.extend([doc_id] * len(pairs))
+                poss.extend(pairs[:, 0].tolist())
+                fps.extend(pairs[:, 1].tolist())
+            yield pd.DataFrame({id_field: ids,
+                                "pos": pd.Series(poss, dtype="int64"),
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return (df.select(F.col(id_field).alias("__id"),
+                      F.col(field).alias("__t"))
+            .mapInPandas(gen, schema))
+
+
 @register("winnow")
 def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 —
@@ -221,8 +285,23 @@ def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
     window contribute their single all-grams window; docs shorter
     than ``k`` contribute nothing.
 
+    Two implementations, byte-identical output (parity pytest):
+
+    - ``impl: "arrow"`` (default): the whole algorithm — normalize,
+      gram-hash, sliding rightmost-min, per-doc dedup — runs in ONE
+      ``mapInPandas`` kernel, because winnowing is doc-local: ZERO
+      shuffle at any scale, the per-gram md5 memoized per
+      batch-unique gram (the minhash_text_kernel Zipf argument), the
+      sliding min vectorized in numpy. This removed the dominant
+      cost of the JVM path (the 1-row-per-gram explode + window
+      machinery; winnow was the slowest batch op at 8.3 s/sf0.1).
+    - ``impl: "jvm"``: the original all-JVM plan described above
+      (one id shuffle, LAG-based sliding min) — kept as the
+      no-Python-workers fallback and the parity anchor.
+
     config: ``field`` (default text), ``id_field`` (default doc_id),
-    ``k`` char-gram size (default 5), ``window`` (default 4).
+    ``k`` char-gram size (default 5), ``window`` (default 4),
+    ``impl`` ("arrow"|"jvm").
     Output: one row per selected fingerprint — id_field, ``pos``
     (gram offset in the normalized text, long), ``fp`` (bigint).
     """
@@ -232,6 +311,11 @@ def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
     win = int(config.get("window", 4))
     if k < 1 or win < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} window={win}")
+    impl = config.get("impl", "arrow")
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(f"winnow impl must be arrow|jvm, got {impl!r}")
+    if impl == "arrow":
+        return _winnow_arrow(df, id_field, field, k, win)
     norm = F.regexp_replace(F.lower(F.trim(F.col(field))), r"\s+", " ")
 
     def positions_of(col_name: str, gram: int) -> Column:

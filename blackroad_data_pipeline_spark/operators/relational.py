@@ -1092,6 +1092,27 @@ def op_top_p_select(df: DataFrame, config: Mapping, views) -> DataFrame:
     return out.drop("__pid", "__cum", "__w_tp")
 
 
+def _nullsafe_left_join(df: DataFrame, small: DataFrame, keys: list,
+                        broadcast: bool = True) -> DataFrame:
+    """Left-join a per-group scalar frame back onto ``df`` with
+    NULL-SAFE key equality. groupBy/Window treat a NULL key as a
+    regular group, but a plain equi-join drops that group's match —
+    rows with a NULL ``by`` key would silently miss their group
+    scalars (the exact groupBy-vs-join mismatch the l_diversity
+    docstring warns about). The small side's key columns are renamed
+    so the ``eqNullSafe`` condition is unambiguous even when ``small``
+    derives from ``df``, then dropped. NULL-safe equality is still an
+    equi-join predicate, so the physical plan stays a (broadcast)
+    hash join."""
+    renamed = small.select(
+        *[F.col(c).alias(f"__k_{c}") if c in keys else F.col(c)
+          for c in small.columns])
+    right = F.broadcast(renamed) if broadcast else renamed
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys])
+    return df.join(right, cond, "left").drop(*[f"__k_{k}" for k in keys])
+
+
 @register("winsorize")
 def op_winsorize(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Percentile clipping (winsorization) of a numeric column — the
@@ -1151,7 +1172,7 @@ def op_winsorize(df: DataFrame, config: Mapping, views) -> DataFrame:
                                    F.col("__v"))).alias("__lo"),
                       F.min(F.when(F.col("__rn") == F.col("__khi"),
                                    F.col("__v"))).alias("__hi")))
-        out = df.join(F.broadcast(bounds), by, "left")
+        out = _nullsafe_left_join(df, bounds, by)
     else:
         n_parts = int(config.get("n_partitions", 0)) or \
             df.sparkSession.sparkContext.defaultParallelism
@@ -1265,7 +1286,7 @@ def op_mad_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
     med = localize(_pinned_rank_value(nn.select(*by, v.alias("__v")), by,
                                       half, "__med", n_parts), "__med")
     if by:
-        j = df.join(F.broadcast(med), by, "left")
+        j = _nullsafe_left_join(df, med, by)
     else:
         j = df.crossJoin(F.broadcast(med))
     dev = (j.filter(v.isNotNull())
@@ -1273,7 +1294,7 @@ def op_mad_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
     mad = localize(_pinned_rank_value(dev, by, half, "__mad", n_parts),
                    "__mad")
     if by:
-        out = j.join(F.broadcast(mad), by, "left")
+        out = _nullsafe_left_join(j, mad, by)
     else:
         out = j.crossJoin(F.broadcast(mad))
     deviation = F.abs(v - F.col("__med"))
@@ -1366,15 +1387,24 @@ def op_sample_pps(df: DataFrame, config: Mapping, views) -> DataFrame:
                                     F.lit(salt))),
                      F.col(id_field)]
     raw_w = F.col(weight).cast("long")
-    # executor-side guards, embedded in the USED weight expression so
-    # Catalyst cannot prune them: assert_true yields NULL on pass
-    # (coalesce→+0) and raises on the first offending row
-    w_long = raw_w + F.coalesce(
+    # executor-side guard embedded in the USED weight expression so
+    # Catalyst cannot prune it, written as a NULL-explicit
+    # when/otherwise as the VALUE expression itself. The earlier
+    # `raw_w + coalesce(assert_true(...), 0)` shape silently passed
+    # NULL weights: binary Add short-circuits to NULL when the left
+    # side is NULL, so the assert on the right was never evaluated and
+    # the row just vanished from the sample (and a bare `raw_w >= 0`
+    # condition would have raised with a NULL — blank — message, the
+    # concat being NULL too). when/otherwise evaluates the offending
+    # branch per row, so NULL and negative weights both fail loud and
+    # named.
+    w_long = F.when(raw_w >= 0, raw_w).otherwise(
         F.assert_true(
-            raw_w >= 0,
-            F.concat(F.lit(f"sample_pps: negative weight in {weight!r}: "),
-                     raw_w.cast("string"))).cast("long"),
-        F.lit(0))
+            F.lit(False),
+            F.concat(F.lit(f"sample_pps: weight in {weight!r} must be a "
+                           "non-negative non-NULL integer, got "),
+                     F.coalesce(raw_w.cast("string"),
+                                F.lit("NULL")))).cast("long"))
     cum_limit = ((1 << 63) - 1) // n   # W*n must fit int64
 
     if group_by:
@@ -1752,7 +1782,7 @@ def op_bucketize(df: DataFrame, config: Mapping, views) -> DataFrame:
         bounds = (ranked.filter(F.array_contains(ks, F.col("__rn")))
                   .groupBy(*keys)
                   .agg(F.array_sort(F.collect_set("__v")).alias("__bnds")))
-        joined = df.join(bounds, keys, "left")
+        joined = _nullsafe_left_join(df, bounds, keys, broadcast=False)
     else:
         n_parts = int(config.get("n_partitions", 0)) or \
             df.sparkSession.sparkContext.defaultParallelism

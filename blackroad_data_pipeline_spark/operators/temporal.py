@@ -387,8 +387,22 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
     max_buckets = int(config.get("max_buckets", 10_000_000))
     specs = config.get("aggregates") or [{"function": "count"}]
 
-    bucket = (F.floor(epoch_seconds(F.col(ts_field)) / F.lit(step))
-              * F.lit(step)).cast("long")
+    # exact long floor-to-multiple: e - pmod(e, step) == floor(e/step)*step
+    # for every long e (pmod is non-negative for positive step). A double
+    # `/` + floor can misround near 2^52-magnitude operands (CLAUDE.md
+    # invariant; matters when ts_field is already a large raw long).
+    # Integral ts columns bypass epoch_seconds entirely: its
+    # timestamp roundtrip SATURATES past the timestamp range
+    # (~9.2e12 s), silently corrupting e.g. epoch-ns longs — integral
+    # input is already in the bucket domain. (bucket_ts for such
+    # buckets saturates at the max timestamp; the long `bucket` is
+    # the exact column.)
+    ts_dt = df.schema[ts_field].dataType
+    e = (F.col(ts_field).cast("long")
+         if isinstance(ts_dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType))
+         else epoch_seconds(F.col(ts_field)))
+    bucket = (e - F.pmod(e, F.lit(step))).cast("long")
     floaty = {f.name for f in df.schema.fields
               if f.dataType.typeName() in ("float", "double")}
     agg_cols, out_names = [], []
@@ -675,8 +689,17 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
         # with the touch timestamp, so keep numeric ts numeric.
         tts_type = df.schema[tts].dataType
         if isinstance(tts_type, (T.LongType, T.IntegerType)):
-            # integer-second domain: subtraction is already exact
-            wstart = (epoch_seconds(F.col(cts)) - lookback).cast(tts_type)
+            # integer-second touch domain: a whole-second touch t is in
+            # [conv_exact - lookback, ...] iff t >= ceil(conv_exact) -
+            # lookback. Flooring conv_exact instead (epoch_seconds
+            # truncates) would admit touches up to ~1s before the
+            # nominal window start whenever conv_ts carries sub-second
+            # precision (ADVICE r6). Exact long ceil: floor + carry.
+            fs = epoch_seconds(F.col(cts))
+            mc = F.unix_micros(F.col(cts).cast("timestamp"))
+            ceil_s = fs + F.when(mc > fs * F.lit(1_000_000),
+                                 F.lit(1)).otherwise(F.lit(0))
+            wstart = (ceil_s - lookback).cast(tts_type)
         else:
             wstart = (F.col(cts).cast("timestamp")
                       - F.expr(f"INTERVAL {lookback} SECOND")

@@ -119,13 +119,43 @@ def test_winnow_validation_and_plan(spark):
         op("winnow", df, {"k": 0}, views={})
     from blackroad_data_pipeline_spark.plans import quality as plans
 
-    out = op("winnow", df, {}, views={})
-    plans.assert_no_row_python(out)
+    with pytest.raises(ValueError, match="impl"):
+        op("winnow", df, {"impl": "rust"}, views={})
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plans.assert_max_shuffles(out, 1)
+        # default (arrow kernel): doc-local -> ZERO shuffles
+        out = op("winnow", df, {}, views={})
+        plans.assert_no_row_python(out)
+        plans.assert_max_shuffles(out, 0)
+        # jvm path: the one documented id shuffle
+        outj = op("winnow", df, {"impl": "jvm"}, views={})
+        plans.assert_no_row_python(outj)
+        plans.assert_max_shuffles(outj, 1)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_winnow_arrow_jvm_parity(spark):
+    """impl='arrow' (zero-shuffle mapInPandas kernel) and impl='jvm'
+    (explode + LAG window) must be byte-identical — including
+    rightmost-tie selection on degenerate all-equal hashes, short and
+    NULL docs, Java-\\s-only whitespace collapse (NBSP must NOT
+    collapse), and non-ASCII lowercasing."""
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "aaaaaaaaaaaa"),
+            (3, "abc"), (4, None),
+            (5, "ab\u00a0cd efgh\u00a0ijkl"),   # real NBSPs
+            (6, "  MiXeD   Case\tand\nnewlines  "),
+            (7, "abcdefg"),
+            (8, "ÉLAN déjà vu naïve")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for cfg in ({"k": 5, "window": 4}, {"k": 2, "window": 7},
+                {"k": 1, "window": 1}):
+        a = sorted(map(tuple, op("winnow", df, {**cfg, "impl": "arrow"},
+                                 views={}).collect()))
+        j = sorted(map(tuple, op("winnow", df, {**cfg, "impl": "jvm"},
+                                 views={}).collect()))
+        assert a and a == j, cfg
 
 
 # -- dedup --------------------------------------------------------------------
@@ -188,6 +218,57 @@ def test_near_dup_minhash_leaves_no_cache(spark, docs):
               "bands": 16, "rows_per_band": 1})
     assert out.count() >= 2
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_near_dup_minhash_max_bucket_caps_boilerplate(spark):
+    """The band-bucket self-join is O(|bucket|²) per bucket; a
+    boilerplate-heavy bucket goes quadratic at corpus scale (VERDICT
+    r6 #5). ``max_bucket`` drops over-full buckets BEFORE the join
+    (the winnow_overlap max_postings pattern): a 200-doc identical
+    clique contributes zero candidates under a 50 cap, while a
+    2-doc near-dup pair in its own buckets is untouched. Default
+    (0 = uncapped) keeps exact-parity behavior."""
+    boiler = "the same license header text repeated for every file"
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000, "quick brown fox jumps over the lazy dog tonight"),
+             (1001, "quick brown fox jumps over the lazy dog today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = {"threshold": 0.5, "shingle_size": 2, "bands": 8,
+           "rows_per_band": 1}
+    capped = op("near_dup_minhash", df, {**cfg, "max_bucket": 50}).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1000, 1001)}
+    # uncapped default still finds the boilerplate clique
+    assert op("near_dup_minhash", df, cfg) \
+        .filter("id_a = 0 AND id_b = 1").count() == 1
+    with pytest.raises(ValueError, match="max_bucket"):
+        op("near_dup_minhash", df, {**cfg, "max_bucket": 1})
+
+
+def test_dedup_near_against_max_bucket_caps_history_buckets(spark):
+    """Same hazard on the incremental path: a history band bucket
+    with H docs multiplies every matching batch doc by H. The cap
+    drops over-full HISTORY buckets — a boilerplate batch doc then
+    survives dedup (the documented recall trade; route boilerplate
+    through dedup_exact first), while normal near-dups still drop."""
+    boiler = "the same license header text repeated for every file"
+    hist = spark.createDataFrame(
+        [(i, boiler) for i in range(100)]
+        + [(500, "quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(9000, boiler),
+         (9001, "quick brown fox jumps over the lazy dog tonight"),
+         (9002, "totally unrelated content about spark physical plans")],
+        "doc_id long, text string")
+    cfg = {"threshold": 0.5, "shingle_size": 2, "bands": 8,
+           "rows_per_band": 1, "history": hist}
+    kept_un = sorted(r["doc_id"] for r in
+                     op("dedup_near_against", batch, cfg).collect())
+    assert kept_un == [9002]
+    kept_cap = sorted(r["doc_id"] for r in
+                      op("dedup_near_against", batch,
+                         {**cfg, "max_bucket": 50}).collect())
+    assert kept_cap == [9000, 9002]    # boilerplate bucket dropped
 
 
 def test_dedup_near_minhash(docs):
@@ -1046,6 +1127,86 @@ def test_dedup_near_against_band_store(spark):
     out = op("dedup_near_against", batch,
              {**cfg, "history": store, "history_is_bands": True}, views={})
     assert sorted(r["doc_id"] for r in out.collect()) == [11]
+
+
+def test_incremental_daily_ingest_end_to_end(spark):
+    """The composed 100 TB daily-ingest story (VERDICT r6 #7): three
+    successive 'days' flow through the WHOLE incremental family —
+    within-day dedup_near_minhash, dedup_near_against a growing
+    minhash_bands store (bands of ALL docs seen, kept or dropped, so
+    the greedy smaller-id policy matches the batch run), merge_agg
+    folding per-day partials, quantile_sketch_merge folding per-day
+    sketches — and day-3 state must EQUAL the from-scratch batch run
+    over the 3-day union: same kept ids, same aggregate row, same
+    sketch rows. Banding is the recall~1 geometry so band agreement
+    and verified jaccard coincide on this corpus."""
+    from pyspark.sql import functions as F
+
+    base_b = "completely different content about spark engines and"
+    base_c = "el gato y el perro corren por la casa con los"
+    days = {
+        1: [(1001, "the quick brown fox jumps over the lazy dog tonight"),
+            (1002, base_b + " data"),
+            (1003, base_b + " files")],     # within-day near-dup of 1002
+        2: [(2001, "the quick brown fox jumps over the lazy dog today"),
+            # near-dup of 1001 -> dropped vs history
+            (2002, base_c + " ninos")],     # new
+        3: [(3001, base_b + " models"),     # near-dup of 1002 (dropped
+            # doc 1003 is ALSO its twin — batch still drops 3001)
+            (3002, base_c + " gatos"),      # near-dup of 2002
+            (3003, "streaming watermarks bound state for late events")],
+    }
+    cfg = {"field": "text", "shingle_size": 2, "bands": 16,
+           "rows_per_band": 1, "threshold": 0.5}
+    agg_cfg = {"group_by": [], "aggregates": [
+        {"function": "count", "alias": "n_docs"},
+        {"field": "n_chars", "function": "sum", "alias": "sum_chars"},
+        {"field": "n_chars", "function": "max", "alias": "max_chars"}]}
+    sk_cfg = {"field": "n_chars", "id_field": "doc_id", "k": 8}
+
+    def mk(d):
+        return spark.createDataFrame(days[d], "doc_id long, text string")
+
+    def with_len(frame):
+        return frame.withColumn("n_chars", F.length("text"))
+
+    band_store, agg_store, sk_store, kept_ids = None, None, None, []
+    for d in (1, 2, 3):
+        batch = mk(d)
+        kept = op("dedup_near_minhash", batch, cfg)
+        if band_store is not None:
+            kept = op("dedup_near_against", kept,
+                      {**cfg, "history": band_store,
+                       "history_is_bands": True}, views={})
+        bands = op("minhash_bands", batch, cfg)   # ALL docs seen
+        band_store = bands if band_store is None \
+            else band_store.unionByName(bands)
+        agg_store = op("merge_agg", with_len(kept), agg_cfg,
+                       views={}) if agg_store is None else \
+            op("merge_agg", with_len(kept),
+               {**agg_cfg, "store": agg_store}, views={})
+        day_sk = op("quantile_sketch", with_len(kept), sk_cfg, views={})
+        sk_store = day_sk if sk_store is None else \
+            op("quantile_sketch_merge", sk_store,
+               {**sk_cfg, "others": [day_sk]}, views={})
+        kept_ids.extend(r["doc_id"] for r in kept.select("doc_id").collect())
+        # materialize the stores like a real daily job would persist
+        band_store = band_store.localCheckpoint()
+        agg_store = agg_store.localCheckpoint()
+        sk_store = sk_store.localCheckpoint()
+
+    union = mk(1).unionByName(mk(2)).unionByName(mk(3))
+    batch_kept = op("dedup_near_minhash", union, cfg)
+    assert sorted(kept_ids) == \
+        sorted(r["doc_id"] for r in batch_kept.select("doc_id").collect())
+    assert sorted(kept_ids) == [1001, 1002, 2002, 3003]
+    batch_agg = op("merge_agg", with_len(batch_kept), agg_cfg, views={})
+    assert sorted(map(tuple, agg_store.collect())) == \
+        sorted(map(tuple, batch_agg.collect()))
+    batch_sk = op("quantile_sketch", with_len(batch_kept), sk_cfg,
+                  views={})
+    assert sorted(map(tuple, sk_store.collect())) == \
+        sorted(map(tuple, batch_sk.collect()))
 
 
 # -- pagerank --------------------------------------------------------------

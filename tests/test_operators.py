@@ -758,12 +758,31 @@ def test_sample_pps_rejects_negative_weight(spark):
     silently emit negative/inflated n_copies (ADVICE r4-low)."""
     df = spark.createDataFrame(
         [(1, 10), (2, -3), (3, 5)], "doc_id long, w long")
-    with pytest.raises(Exception, match="negative weight"):
+    with pytest.raises(Exception, match="non-negative"):
         op("sample_pps", df, {"weight_field": "w", "n": 5,
                               "id_field": "doc_id"}, views={}).collect()
-    with pytest.raises(Exception, match="negative weight"):
+    with pytest.raises(Exception, match="non-negative"):
         op("sample_pps", df.withColumn("g", F.lit("a")),
            {"weight_field": "w", "n": 5, "id_field": "doc_id",
+            "group_by": ["g"]}, views={}).collect()
+
+
+def test_sample_pps_rejects_null_weight_with_named_message(spark):
+    """A NULL weight must fail LOUD AND NAMED (VERDICT r6 #4). Two
+    historical failure shapes: (a) `raw_w + coalesce(assert_true(...))`
+    never evaluates the assert — binary Add short-circuits to NULL on a
+    NULL left operand, so the row silently vanished from the sample;
+    (b) a bare `raw_w >= 0` assert condition raises but with a NULL
+    (blank) message, the concat'd message being NULL too. The guard is
+    now a when/otherwise VALUE expression with a coalesced message."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, w long")
+    with pytest.raises(Exception, match="non-NULL.*got NULL"):
+        op("sample_pps", df, {"weight_field": "w", "n": 2,
+                              "id_field": "doc_id"}, views={}).collect()
+    with pytest.raises(Exception, match="non-NULL.*got NULL"):
+        op("sample_pps", df.withColumn("g", F.lit("a")),
+           {"weight_field": "w", "n": 2, "id_field": "doc_id",
             "group_by": ["g"]}, views={}).collect()
 
 
@@ -843,6 +862,49 @@ def test_winsorize_group_global_and_nulls(spark):
     r2 = {r["id"]: r["x_wins"] for r in op(
         "winsorize", df, {"field": "x", "by": ["g"]}, views={}).collect()}
     assert r2[1] == 1.0 and r2[10] == 10.0
+
+
+def test_group_scalar_joinback_null_group_keys(spark):
+    """NULL group keys form a regular group in groupBy/Window, but a
+    plain equi-join joinback silently drops that group's match
+    (VERDICT r6 #1) — the rows passed through unclipped / NULL-binned
+    / NULL-scored. The joinbacks in winsorize, bucketize and
+    mad_outlier are eqNullSafe, so NULL-key rows get THEIR OWN
+    group's scalars, exactly as if the key were any other value."""
+    rows = [(1, "g", 1.0), (2, "g", 2.0),
+            (3, None, 10.0), (4, None, 20.0), (5, None, 30.0)]
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    w = {r["id"]: r["x_wins"] for r in op(
+        "winsorize", df, {"field": "x", "by": ["g"], "upper": 0.5},
+        views={}).collect()}
+    # NULL group: n=3, k_hi=ceil(0.5*3)=2 -> hi=20.0; 30 clips DOWN
+    assert w[5] == 20.0 and w[3] == 10.0 and w[4] == 20.0
+    b = {r["id"]: r["bucket"] for r in op(
+        "bucketize", df, {"field": "x", "n_buckets": 2,
+                          "group_by": ["g"]}, views={}).collect()}
+    # NULL group boundary: rank ceil(3/2)=2 -> 20.0; ties go LOWER
+    assert b[3] == 0 and b[4] == 0 and b[5] == 1
+    m = {r["id"]: r for r in op(
+        "mad_outlier", df, {"field": "x", "by": ["g"]},
+        views={}).collect()}
+    # NULL group: med=20 (rank ceil(3/2)=2), MAD=10 -> z(30)=1.0
+    assert m[5]["robust_z"] == 1.0 and m[4]["robust_z"] == 0.0
+    assert m[3]["robust_z"] == 1.0
+
+
+def test_time_resample_bucket_exact_near_2pow53(spark):
+    """Bucket assignment is exact long floor-to-multiple
+    (e - pmod(e, step)): the previous double floor(e/step)*step
+    rounds UP across a multiple boundary at 2^53-magnitude raw-long
+    timestamps (CLAUDE.md invariant; VERDICT r6 #2) — double(
+    9007199254740999) ties-to-even to ...741000, so the old bucket
+    START landed AFTER the event. bucket_ts for such epochs exceeds
+    Python datetime range, so assert on the long bucket only."""
+    e = 9_007_199_254_740_999
+    df = spark.createDataFrame([(e,)], "ts long")
+    out = op("time_resample", df, {"ts_field": "ts", "interval": 10},
+             views={}).select("bucket", "n_rows").collect()
+    assert [(r["bucket"], r["n_rows"]) for r in out] == [(e - 9, 1)]
 
 
 def test_winsorize_definition_pinned_at_boundary(spark):

@@ -529,3 +529,58 @@ def test_round5_operator_plan_shapes(spark):
     ws = q_waiting_suppliers(spark, SF)
     assert "CartesianProduct" not in plans.join_strategies(ws)
     plans.assert_no_row_python(ws)
+
+
+def test_skewed_join_aqe_split_engages(spark):
+    """The skew machinery must PROVABLY engage on a skewed join, not
+    just exist in config (VERDICT r6 #8). A 95:5 hot-key fact joined
+    to a non-broadcastable dim, with the AQE skew thresholds scaled
+    to fixture bytes, must execute with SortMergeJoin(skew=true) —
+    the hot partition split at runtime. And the salted-join fallback
+    (for skew AQE can't fix) must actually SPREAD the hot key: its
+    deterministic row hash lands on many salt values, and results
+    stay identical to the plain join."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    saved = {k: conf.get(k) for k in keys}
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin."
+             "skewedPartitionThresholdInBytes", "16384")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        left = spark.range(60000).select(
+            F.when(F.col("id") < 57000, F.lit("hot")).otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 500).cast("string"))
+            ).alias("k"),
+            F.col("id").alias("payload"))
+        right = spark.createDataFrame(
+            [("hot", 1)] + [(f"k{i}", i) for i in range(500)],
+            "k string, dim int")
+        out = op("join", left, {"right": right, "left_key": "k",
+                                "right_key": "k"}, views={})
+        rows = out.collect()          # runs THIS df's QE (count() won't)
+        assert len(rows) == 60000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        # salted fallback: hot key spreads across many salt values...
+        n_salts = (left.filter("k = 'hot'")
+                   .select(F.pmod(F.xxhash64(*[F.col(c)
+                                               for c in left.columns]),
+                                  F.lit(8)).alias("s"))
+                   .distinct().count())
+        assert n_salts == 8
+        # ...and the salted join is result-identical to the plain one
+        salted = op("join", left, {"right": right, "left_key": "k",
+                                   "right_key": "k", "salt": 8}, views={})
+        assert sorted(map(tuple, salted.collect())) == \
+            sorted(map(tuple, rows))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -143,6 +143,31 @@ def test_quantile_sketch_deterministic_and_bounded(spark):
         assert abs(est[g]["q90"] - exact[g]["q90"]) < 1000 * 0.15
 
 
+def test_quantile_sketch_global_is_distributed_topk(spark):
+    """Global (empty group_by) mode must NEVER sort the corpus in one
+    task (VERDICT r6 #3): the physical plan is a TakeOrdered
+    (per-partition bottom-k + k·P merge), with the only Window —
+    the rank stamp — running over the ≤k surviving rows. Results are
+    identical to the old single-partition-window definition."""
+    df = spark.createDataFrame(
+        [(i, float(i % 97)) for i in range(3000)],
+        "doc_id long, v double").repartition(16)
+    sk = op("quantile_sketch", df, {"field": "v", "k": 32}, views={})
+    from blackroad_data_pipeline_spark import plans
+    plan = plans.explain_text(sk)
+    assert "TakeOrdered" in plan, plan
+    rows = sk.collect()
+    assert len(rows) == 32
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 33))
+    # bottom-32 by hash: recompute driver-side and compare exactly
+    import hashlib
+    exact = sorted(
+        (hashlib.md5(f"{i}\x1fqsk".encode()).hexdigest(), i)
+        for i in range(3000))[:32]
+    got = sorted((r["sample_hash"], r["doc_id"]) for r in rows)
+    assert got == exact
+
+
 def test_quantile_sketch_merge_law_and_overlap(spark):
     """merge(sketch(A), sketch(B)) == sketch(A ∪ B) row-for-row —
     including when A and B OVERLAP (duplicate ids collapse before the

@@ -530,6 +530,30 @@ def test_attribution_first_subsecond_bounds(spark):
     assert kept == {10: (None, 0.0), 11: (None, 0.0), 12: (3, 1.0)}
 
 
+def test_attribution_first_integer_touch_mixed_precision(spark):
+    """Integer-second touch domain with sub-second conv_ts (ADVICE
+    r6): a whole-second touch t is in-window iff
+    t >= ceil(conv_exact) - lookback. The old floor-truncated wstart
+    admitted touches up to ~1s before the nominal window start. The
+    inclusive boundary for whole-second conversions is unchanged."""
+    touches = spark.createDataFrame(
+        [("u1", 5, 1),      # 0.5s before exact window start 5.5
+         ("u2", 6, 2),      # exactly at the ceil'd start
+         ("u3", 5, 3)],     # whole-second conv: boundary stays inclusive
+        "user_id string, ts long, event_id long")
+    convs = spark.createDataFrame(
+        [("u1", 10.5, 10), ("u2", 10.5, 11), ("u3", 10.0, 12)],
+        "user_id string, sec double, conv_id long",
+    ).select("user_id", "conv_id",
+             F.col("sec").cast("timestamp").alias("conv_ts"))
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "lookback": 5, "model": "first", "unmatched": "keep"}
+    got = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, cfg, views={}).collect()}
+    assert got == {10: None, 11: 2, 12: 3}
+
+
 def test_attribution_last_single_shuffle(spark):
     from blackroad_data_pipeline_spark.plans import quality as plans
 

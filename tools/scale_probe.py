@@ -113,6 +113,14 @@ PROBED = [
     "attribution_linear",
     "ks_drift",
     "category_drift",
+    # round 7: the composed incremental daily-ingest chain (3 "days"
+    # deduped within-day + against the growing band store; cost is
+    # 3x the single-batch band machinery plus day_i x store_i band
+    # joins — expected alpha ~ 1 while buckets stay balanced, the
+    # same geometry argument as near_dup_minhash_scale); winnow's
+    # Arrow kernel (zero-shuffle, linear in corpus bytes)
+    "incremental_ingest_scale",
+    "attribution_first",
 ]
 
 
