@@ -518,7 +518,11 @@ def op_embedding_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
         F.array(*[F.col(f"__s{i}").cast("double")
                   for i in range(dim)]).alias("__centroid"))
     if keys:
-        out = df.join(F.broadcast(centroid), keys, "left")
+        # NULL-safe joinback: a NULL `by` key forms a regular group in
+        # the aggregation above; a plain equi-join would drop its
+        # centroid match and NULL-score the whole group
+        from ..operators.relational import _nullsafe_left_join
+        out = _nullsafe_left_join(df, centroid, keys)
     else:
         out = df.crossJoin(F.broadcast(centroid))
     out = out.withColumn(

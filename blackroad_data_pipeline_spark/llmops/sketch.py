@@ -251,7 +251,16 @@ def op_quantile_estimate(df: DataFrame, config: Mapping, views) -> DataFrame:
     group keys + one ``q<percent>`` column per requested quantile
     (q50, q90, ... — quantiles finer than 1% need explicit
     ``aliases``). Deterministic sample + pinned rank = any engine
-    replays the estimates bit-for-bit."""
+    replays the estimates bit-for-bit.
+
+    Shapes: grouped = one rank window per group (single key shuffle).
+    Global (empty ``group_by``) = the distributed prefix-sum rank
+    over range partitions (winsorize precedent) — the op ALSO
+    accepts raw corpora (the exact-vs-sketch comparisons do), so the
+    global mode must not sort its input in one task the way a
+    ``partitionBy(lit(1))`` window would; the requested ranks are
+    computed driver-side from the exact total and filtered, never
+    materializing a global sort."""
     field = config["field"]
     group_by = list(config.get("group_by", []))
     qs = [float(q) for q in config.get("quantiles", [0.5])]
@@ -264,20 +273,37 @@ def op_quantile_estimate(df: DataFrame, config: Mapping, views) -> DataFrame:
                          "explicit aliases for sub-1% quantiles")
     ppb = 1_000_000_000
     from pyspark.sql import Window
-    part = (Window.partitionBy(*group_by) if group_by
-            else Window.partitionBy(F.lit(1)))
     v = F.col(field).cast("double")
-    ranked = (df.filter(v.isNotNull())
-              .select(*group_by, v.alias("__v"))
-              .withColumn("__rn", F.row_number().over(
-                  part.orderBy(F.col("__v"))))
-              .withColumn("__n", F.count(F.lit(1)).over(part)))
+    nn = df.filter(v.isNotNull()).select(*group_by, v.alias("__v"))
+    if group_by:
+        part = Window.partitionBy(*group_by)
+        ranked = (nn.withColumn("__rn", F.row_number().over(
+                      part.orderBy(F.col("__v"))))
+                  .withColumn("__n", F.count(F.lit(1)).over(part)))
+        aggs = []
+        for q, alias in zip(qs, aliases):
+            q_ppb = int(round(q * ppb))
+            kx = F.expr(
+                f"greatest(({q_ppb} * __n + {ppb - 1}) div {ppb}, 1)")
+            aggs.append(F.min(F.when(F.col("__rn") == kx, F.col("__v")))
+                        .alias(alias))
+        return ranked.groupBy(*group_by).agg(*aggs)
+    # global: distributed prefix-sum rank, requested ranks computed
+    # from the exact driver-side total — never a one-task sort
+    from ..operators.relational import _distributed_prefix_sum
+    n_parts = int(config.get("n_partitions", 0)) or \
+        df.sparkSession.sparkContext.defaultParallelism
+    ranged, running, total = _distributed_prefix_sum(
+        nn.select("__v"), F.lit(1), [F.col("__v")], n_parts)
     aggs = []
     for q, alias in zip(qs, aliases):
         q_ppb = int(round(q * ppb))
-        kx = F.expr(f"greatest(({q_ppb} * __n + {ppb - 1}) div {ppb}, 1)")
-        aggs.append(F.min(F.when(F.col("__rn") == kx, F.col("__v")))
+        k = max((q_ppb * total + ppb - 1) // ppb, 1) if total else 0
+        aggs.append(F.min(F.when(F.col("__rn") == int(k), F.col("__v")))
                     .alias(alias))
-    if group_by:
-        return ranked.groupBy(*group_by).agg(*aggs)
-    return ranked.groupBy().agg(*aggs)
+    ranks = {max((int(round(q * ppb)) * total + ppb - 1) // ppb, 1)
+             for q in qs} if total else set()
+    return (ranged.withColumn("__rn", running)
+            .filter(F.col("__rn").isin([int(r) for r in ranks])
+                    if ranks else F.lit(False))
+            .groupBy().agg(*aggs))

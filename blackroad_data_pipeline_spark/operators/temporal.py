@@ -356,13 +356,16 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
 
     Buckets are epoch-second floors (``bucket = epoch div interval *
     interval``, exact long arithmetic — timestamps truncate, never
-    round, so any engine replays bucket membership). The grid is
-    generated DISTRIBUTED: per-key (min, max) bounds come from the
-    already-aggregated buckets (narrow), each key explodes its own
-    ``sequence()`` — so grid generation parallelizes over keys and no
-    single task materializes the global span. The observed-bucket
-    aggregate, the grid join, and the ffill window all share the one
-    hash shuffle on the key columns.
+    round, so any engine replays bucket membership). Empty buckets
+    are generated DISTRIBUTED and WITHOUT A JOIN: a per-key LAG over
+    the observed buckets finds each gap, and the gap row explodes its
+    own ``sequence()`` — so grid generation parallelizes over keys,
+    no single task materializes the global span, and (because
+    Window.partitionBy treats a NULL key as a regular group, unlike
+    the equi-join a grid-join-back would need) rows with NULL group
+    keys keep their aggregates. The observed-bucket aggregate runs
+    one (keys, bucket) shuffle; the gap window and the ffill window
+    share one shuffle on the keys.
 
     config: ``ts_field`` (default ts), ``interval`` seconds,
     ``group_by`` keys, ``aggregates`` [{field, function, alias}]
@@ -428,8 +431,15 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
         else:
             raise ValueError(f"unknown resample aggregate {fn!r}")
 
+    # The rollup is checkpointed because THREE consumers need it (the
+    # span guard — which already made this operator eager — the gap
+    # branch, and the fill branch): lazy lineage would re-scan the
+    # raw corpus once per consumer, since column pruning specializes
+    # each branch's aggregate subtree and defeats ReuseExchange. One
+    # corpus scan, then everything downstream works on the
+    # (keys × buckets)-sized rollup.
     obs = (df.withColumn("__bkt", bucket)
-           .groupBy(*keys, "__bkt").agg(*agg_cols))
+           .groupBy(*keys, "__bkt").agg(*agg_cols)).localCheckpoint()
     bounds = obs.groupBy(*keys).agg(F.min("__bkt").alias("__mn"),
                                     F.max("__bkt").alias("__mx"))
     span_guard = bounds.agg(F.max(
@@ -439,10 +449,24 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
         raise ValueError(
             f"time_resample: a key spans {int(span_guard['m'])} buckets "
             f"(max_buckets={max_buckets}) — raise interval or max_buckets")
-    grid = bounds.select(
-        *keys, F.explode(F.sequence(
-            F.col("__mn"), F.col("__mx"), F.lit(step))).alias("__bkt"))
-    out = grid.join(obs, [*keys, "__bkt"], "left")
+    # empty buckets WITHOUT a grid join-back: a plain equi-join on the
+    # keys would drop NULL-key groups' matches (groupBy treats NULL as
+    # a group, joins don't), and a null-safe join condition would cost
+    # obs a second exchange. The per-key LAG finds each gap; the gap
+    # row explodes exactly the missing buckets; unionByName leaves
+    # their aggregate columns NULL (= fill "none" semantics). With no
+    # keys the gap window is single-partition over OBSERVED BUCKETS —
+    # grid-sized (max_buckets-guarded), never corpus-sized.
+    gw = (Window.partitionBy(*keys) if keys
+          else Window.partitionBy(F.lit(1))).orderBy("__bkt")
+    gaps = (obs.select(*keys, "__bkt",
+                       F.lag("__bkt").over(gw).alias("__prev"))
+            .filter(F.col("__prev").isNotNull()
+                    & (F.col("__bkt") - F.col("__prev") > step))
+            .select(*keys, F.explode(F.sequence(
+                F.col("__prev") + step, F.col("__bkt") - step,
+                F.lit(step))).alias("__bkt")))
+    out = obs.unionByName(gaps, allowMissingColumns=True)
     if fill == "zero":
         for alias in out_names:
             out = out.withColumn(alias, F.coalesce(

@@ -909,6 +909,17 @@ def test_embedding_outlier_by_group_and_filter(spark):
                "min_sim": 0.8}, views={})
     assert sorted(r["vec_id"] for r in kept.collect()) == [0, 1, 3, 4]
     assert "centroid_sim" not in kept.columns
+    # NULL group label: a regular group to the aggregation, so the
+    # joinback must be null-safe — its rows score against their OWN
+    # centroid, not NULL (the unlabeled-slice case)
+    nulls = spark.createDataFrame(
+        rows + [(9, None, [0.0, -1.0]), (10, None, [0.05, -1.0])],
+        "vec_id long, label string, embedding array<float>")
+    outn = {r["vec_id"]: r["centroid_sim"]
+            for r in op("embedding_outlier", nulls,
+                        {"dim": 2, "by": "label"}, views={}).collect()}
+    assert outn[9] is not None and outn[9] > 0.9 and outn[10] > 0.9
+    assert abs(outn[0] - out[0]) < 1e-12   # labeled groups unchanged
 
 
 # -- quality_classifier ----------------------------------------------------

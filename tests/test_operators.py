@@ -892,6 +892,24 @@ def test_group_scalar_joinback_null_group_keys(spark):
     assert m[3]["robust_z"] == 1.0
 
 
+def test_time_resample_null_group_key_keeps_aggregates(spark):
+    """Empty buckets come from a per-key LAG + sequence explode, not
+    a grid join-back — so a NULL group key (a regular group to
+    groupBy/Window) keeps its observed aggregates and still gets its
+    gap buckets, instead of the join silently zeroing the group."""
+    rows = [("a", 100, 1.0), (None, 100, 5.0), (None, 130, 7.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    out = {(r["g"], r["bucket"]): r["n_rows"] for r in op(
+        "time_resample", df,
+        {"ts_field": "ts", "interval": 10, "group_by": ["g"],
+         "fill": "zero"}, views={}).collect()}
+    assert out[("a", 100)] == 1
+    # NULL-key group: observed buckets keep counts, gaps fill zero
+    assert out[(None, 100)] == 1 and out[(None, 130)] == 1
+    assert out[(None, 110)] == 0 and out[(None, 120)] == 0
+    assert len(out) == 5
+
+
 def test_time_resample_bucket_exact_near_2pow53(spark):
     """Bucket assignment is exact long floor-to-multiple
     (e - pmod(e, step)): the previous double floor(e/step)*step

@@ -501,14 +501,15 @@ def test_round5_operator_plan_shapes(spark):
     plans.assert_broadcast_join(mo)
     assert "CartesianProduct" not in plans.join_strategies(mo)
 
-    # time_resample: observed-bucket agg + grid join + ffill share the
-    # key shuffle chain; no row-Python anywhere
+    # time_resample: downstream of the checkpointed rollup (one
+    # corpus scan at build) only the gap window and the ffill window
+    # shuffle, both on the keys; no grid join, no row-Python
     tr = op("time_resample", events,
             {"ts_field": "ts", "interval": 3600, "group_by": ["user_id"],
              "aggregates": [{"function": "count", "alias": "n"}],
              "fill": "ffill"}, views={})
     plans.assert_no_row_python(tr)
-    plans.assert_max_shuffles(tr, 3)
+    plans.assert_max_shuffles(tr, 2)
 
     # dedup_embedding_against: bucket join candidates, never a
     # cartesian batch x history product; kernels are Arrow-batched

@@ -192,6 +192,25 @@ def test_quantile_sketch_merge_law_and_overlap(spark):
     assert merged2.count() == 64
 
 
+def test_quantile_estimate_global_distributed(spark):
+    """Global (empty group_by) mode runs on the distributed
+    prefix-sum rank (winsorize precedent), not a single-partition
+    window — the op also accepts raw corpora, not just k-row
+    sketches. Pinned values: n=10, q50 -> rank ceil(5)=5, q90 ->
+    rank 9; partition-invariant; empty input -> one all-NULL row."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                               "id long, v double")
+    for frame in (df, df.repartition(7)):
+        r = op("quantile_estimate", frame,
+               {"field": "v", "quantiles": [0.5, 0.9]},
+               views={}).collect()
+        assert len(r) == 1
+        assert (r[0]["q50"], r[0]["q90"]) == (5.0, 9.0)
+    empty = df.filter("v IS NULL")
+    r = op("quantile_estimate", empty, {"field": "v"}, views={}).collect()
+    assert len(r) == 1 and r[0]["q50"] is None
+
+
 def test_quantile_estimate_validation(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with pytest.raises(ValueError, match="duplicate"):
