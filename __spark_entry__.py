@@ -4711,6 +4711,67 @@ FROM g GROUP BY user_id, island ORDER BY user_id, island
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval-overlap join (operators/temporal.py op_interval_join):
+    each user's DAILY click-activity window [first click, last click]
+    paired with every purchase-activity window it overlaps (closed
+    intervals, exact overlap spans). Bucketized to stay a plain
+    shuffled equi-join — both sides explode into 6h buckets, each
+    pair kept exactly once at the bucket of its overlap start; never
+    a distinct, never an inequality nested-loop. Exact long epoch
+    arithmetic end-to-end, so DuckDB replays the pairs with a direct
+    overlap join."""
+    e = _t(spark, sf_dir, "events")
+    iv = op("expr", e, {"replace": True, "exprs": {
+        "user_id": "user_id",
+        "event_type": "event_type",
+        "e": "cast(cast(ts as timestamp) as long)",
+        "day": "cast(cast(ts as timestamp) as long) div 86400",
+    }})
+
+    def _side(tp):
+        d = op("filter", iv, {"field": "event_type", "op": "eq",
+                              "value": tp})
+        g = op("aggregate", d, {
+            "group_by": ["user_id", "day"],
+            "aggregates": [
+                {"field": "e", "function": "min", "alias": "start"},
+                {"field": "e", "function": "max", "alias": "end"}]})
+        # aggregate's min/max coerce to double (reference parity);
+        # the interval bounds must stay exact longs
+        return op("expr", g, {"replace": True, "exprs": {
+            "user_id": "user_id", "day": "day",
+            "start": "cast(start as bigint)",
+            "end": "cast(`end` as bigint)"}})
+
+    df = op("interval_join", _side("click"), {
+        "right": _side("purchase"), "by": ["user_id"],
+        "bucket_width": 21600, "end_inclusive": True, "overlap": True},
+        views={})
+    return op("sort", df, {"fields": ["user_id", "day", "r_day"]})
+
+
+_SQL_INTERVAL_JOIN = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) // 1000 AS e,
+         (epoch_ms(ts) // 1000) // 86400 AS day
+  FROM events),
+l AS (SELECT user_id, day, MIN(e) AS start, MAX(e) AS "end"
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, day),
+r AS (SELECT user_id, day, MIN(e) AS start, MAX(e) AS "end"
+      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, day)
+SELECT l.user_id, l.day, l.start, l."end",
+       r.user_id AS r_user_id, r.day AS r_day,
+       r.start AS r_start, r."end" AS r_end,
+       GREATEST(l.start, r.start) AS overlap_start,
+       LEAST(l."end", r."end") AS overlap_end,
+       LEAST(l."end", r."end") - GREATEST(l.start, r.start) AS overlap_len
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.start <= r."end" AND r.start <= l."end"
+ORDER BY l.user_id, l.day, r_day
+"""
+
+
 def q_excess_suppliers(spark, sf_dir):
     """TPC-H Q20 shape (suppliers dominating a part's yearly flow;
     the half-of-total-quantity test stands in for partsupp availqty
@@ -5419,6 +5480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_distribution": q_customer_distribution,
         # -- new in round 7 (inside the sample window) --
         "attribution_first": q_attribution_first,
+        "interval_join": q_interval_join,
         # -- driver-green anchors (r1-r5) filling the window --
         "filter_agg": q_filter_agg,
         "join": q_join,
@@ -5662,6 +5724,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": _SQL_WINNOW_OVERLAP,
         "attribution_last": _SQL_ATTRIBUTION_LAST,
         "attribution_first": _SQL_ATTRIBUTION_FIRST,
+        "interval_join": _SQL_INTERVAL_JOIN,
         "attribution_linear": _SQL_ATTRIBUTION_LINEAR,
         "category_drift": _SQL_CATEGORY_DRIFT,
         "category_drift_summary": _SQL_CATEGORY_DRIFT_SUMMARY,

@@ -170,6 +170,120 @@ def op_range_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     return joined.filter(contained).drop("__b")
 
 
+@register("interval_join")
+def op_interval_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Interval-overlap join: left intervals [left_start, left_end)
+    against right intervals [right_start, right_end) per ``by`` key —
+    the two-table companion of interval_merge (ad exposures × user
+    sessions, incident windows × deploy windows, span-vs-span
+    contamination). Absent from the reference (its only join is the
+    single-key equi inner join, main.py:251-263); Spark OSS plans a
+    raw inequality predicate as BroadcastNestedLoopJoin, which dies
+    at scale.
+
+    Bucketized to stay an equi-join (range_join's machinery, doubled):
+    each side explodes its interval into the fixed-width buckets it
+    overlaps, the join runs on (by..., bucket), and the exact overlap
+    predicate filters last — each surviving pair kept exactly ONCE
+    without a distinct: only the copy in the bucket containing the
+    overlap start (``bucket(greatest(l_start, r_start))``, provably
+    inside both sides' explosions) survives, so the plan is a plain
+    shuffled hash join at any scale. Buckets come from exact integral
+    division (SQL ``div`` — a double ``/``+floor misrounds near 2^52;
+    ``div`` truncates toward zero, a monotone map, so bucket
+    containment is exact for negative bounds too). Integral bound
+    columns are used directly (the timestamp roundtrip in
+    epoch_seconds SATURATES past ~9.2e12 s — time_resample
+    precedent); timestamp bounds go through ``epoch_seconds``.
+
+    Overlap semantics: half-open by default (``l_start < r_end AND
+    r_start < l_end``); ``end_inclusive: true`` closes both ends so
+    touching intervals match. Degenerate intervals (empty under the
+    chosen semantics) and NULL bounds match nothing and are filtered
+    BEFORE the explode (``sequence(hi, lo)`` would descend, not
+    return empty). NULL ``by`` keys never match (standard equi-join
+    semantics — both engines agree, unlike the groupBy-joinback ops
+    where NULL is a group). A per-interval executor-side guard fails
+    loud when one interval spans more than ``max_buckets`` buckets
+    (the explosion bound; sample_pps's when/otherwise VALUE pattern,
+    so Catalyst cannot prune it).
+
+    config: ``right`` (view name or DataFrame), ``by`` keys,
+    ``left_start``/``left_end`` (default start/end),
+    ``right_start``/``right_end`` (default: the left names),
+    ``bucket_width`` in the bounds' unit (default 3600 — pick ≈ the
+    typical interval length so the explosion factor stays O(1)),
+    ``max_buckets`` per interval (default 10_000), ``prefix``
+    (default "r\\_") on every right column, ``end_inclusive``
+    (default false), ``overlap: true`` adds exact ``overlap_start`` /
+    ``overlap_end`` / ``overlap_len`` longs (end-exclusive length —
+    touching inclusive intervals overlap with len 0).
+    """
+    right_df = _resolve(config["right"], views)
+    by = list(config.get("by", []))
+    ls_f = config.get("left_start", "start")
+    le_f = config.get("left_end", "end")
+    rs_f = config.get("right_start", ls_f)
+    re_f = config.get("right_end", le_f)
+    bw = int(config.get("bucket_width", 3600))
+    if bw <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bw}")
+    max_buckets = int(config.get("max_buckets", 10_000))
+    prefix = config.get("prefix", "r_")
+    inclusive = bool(config.get("end_inclusive", False))
+
+    def _bound(frame: DataFrame, name: str) -> F.Column:
+        dt = frame.schema[name].dataType
+        c = F.col(name)
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return c.cast("long")
+        return epoch_seconds(c)
+
+    def _explode(frame, s_field, e_field, s_name, e_name, b_name, cols):
+        staged = frame.select(*cols,
+                              _bound(frame, s_field).alias(s_name),
+                              _bound(frame, e_field).alias(e_name))
+        s, e = F.col(s_name), F.col(e_name)
+        nonempty = (e >= s) if inclusive else (e > s)
+        lo_raw = F.expr(f"{s_name} div {bw}")
+        hi = F.expr(f"{e_name} div {bw}")
+        nb = hi - lo_raw + F.lit(1)
+        lo = F.when(nb <= max_buckets, lo_raw).otherwise(
+            F.assert_true(F.lit(False), F.concat(
+                F.lit("interval_join: an interval spans "),
+                F.coalesce(nb.cast("string"), F.lit("NULL")),
+                F.lit(f" buckets (max_buckets={max_buckets}) — raise "
+                      "bucket_width or max_buckets"))).cast("long"))
+        return (staged.filter(nonempty)
+                .withColumn(b_name, F.explode(F.sequence(lo, hi))))
+
+    left = _explode(df, ls_f, le_f, "__ls", "__le", "__b", df.columns)
+    right = _explode(
+        right_df, rs_f, re_f, "__rs", "__re", "__rb",
+        [F.col(c).alias(f"{prefix}{c}") for c in right_df.columns])
+    cond = [left[f"{k}"] == right[f"{prefix}{k}"] for k in by]
+    cond.append(left["__b"] == right["__rb"])
+    joined = left.join(right, cond)
+    ls, le = F.col("__ls"), F.col("__le")
+    rs, re_ = F.col("__rs"), F.col("__re")
+    if inclusive:
+        overlap = (ls <= re_) & (rs <= le)
+    else:
+        overlap = (ls < re_) & (rs < le)
+    once = F.expr(f"greatest(__ls, __rs) div {bw}") == F.col("__b")
+    out = joined.filter(overlap & once)
+    extra = []
+    if config.get("overlap"):
+        extra = [F.greatest(ls, rs).alias("overlap_start"),
+                 F.least(le, re_).alias("overlap_end"),
+                 (F.least(le, re_) - F.greatest(ls, rs))
+                 .alias("overlap_len")]
+    return out.select(*df.columns,
+                      *[f"{prefix}{c}" for c in right_df.columns],
+                      *extra)
+
+
 @register("funnel")
 def op_funnel(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Ordered-step funnel analysis over an event stream: for each

@@ -590,3 +590,124 @@ def test_sequence_assemble_order_truncation_and_plan(spark):
     out = op("sequence_assemble", df, cfg, views={})
     plans.assert_no_row_python(out)
     plans.assert_max_shuffles(out, 1)
+
+
+# -- interval_join ---------------------------------------------------------
+
+
+def _ij_fixture(spark):
+    left = spark.createDataFrame(
+        [("u1", 0, 100, "a"), ("u1", 200, 300, "b"), ("u2", 0, 50, "c"),
+         (None, 0, 10, "n"), ("u1", 400, 400, "z")],
+        "user string, start long, end long, lid string")
+    right = spark.createDataFrame(
+        [("u1", 90, 250, "R1"), ("u1", 300, 350, "R2"),
+         ("u2", 50, 60, "R3"), (None, 0, 10, "RN")],
+        "user string, start long, end long, rid string")
+    return left, right
+
+
+def test_interval_join_halfopen_pairs_and_overlap_columns(spark):
+    left, right = _ij_fixture(spark)
+    out = op("interval_join", left, {
+        "right": right, "by": ["user"], "bucket_width": 64,
+        "overlap": True}, views={})
+    got = {(r["lid"], r["r_rid"]): (r["overlap_start"], r["overlap_end"],
+                                    r["overlap_len"])
+           for r in out.collect()}
+    # a=[0,100) x R1=[90,250) overlap [90,100); b x R1 [200,250);
+    # c=[0,50) touches R3=[50,60) -> no match half-open; b touches R2
+    # at 300 -> no; NULL keys never match; z=[400,400) is empty.
+    assert got == {("a", "R1"): (90, 100, 10), ("b", "R1"): (200, 250, 50)}
+
+
+def test_interval_join_end_inclusive_touching(spark):
+    left, right = _ij_fixture(spark)
+    out = op("interval_join", left, {
+        "right": right, "by": ["user"], "bucket_width": 64,
+        "end_inclusive": True}, views={})
+    got = {(r["lid"], r["r_rid"]) for r in out.collect()}
+    # touching pairs now match; z=[400,400] is a 1-point interval and
+    # touches nothing in range
+    assert got == {("a", "R1"), ("b", "R1"), ("b", "R2"), ("c", "R3")}
+
+
+def test_interval_join_pair_counted_once_across_shared_buckets(spark):
+    # both intervals span MANY common buckets: the overlap-start
+    # bucket rule must keep exactly one copy, no distinct
+    left = spark.createDataFrame([("k", 0, 1000, "L")],
+                                 "user string, start long, end long, lid string")
+    right = spark.createDataFrame([("k", 5, 995, "R")],
+                                  "user string, start long, end long, rid string")
+    out = op("interval_join", left, {
+        "right": right, "by": ["user"], "bucket_width": 10}, views={})
+    assert out.count() == 1
+
+
+def test_interval_join_negative_bounds_exact(spark):
+    # div truncates toward zero (monotone), so bucket containment
+    # stays exact for negative epochs
+    l2 = spark.createDataFrame([("k", -130, -10, "L")],
+                               "user string, start long, end long, lid string")
+    r2 = spark.createDataFrame(
+        [("k", -50, -5, "A"), ("k", -200, -130, "B"),
+         ("k", -200, -129, "C"), ("k", -400, -301, "D")],
+        "user string, start long, end long, rid string")
+    cfg = {"right": r2, "by": ["user"], "bucket_width": 7}
+    got = {r["r_rid"] for r in
+           op("interval_join", l2, cfg, views={}).collect()}
+    assert got == {"A", "C"}  # B touches at -130 (half-open: no)
+    got_inc = {r["r_rid"] for r in
+               op("interval_join", l2, {**cfg, "end_inclusive": True},
+                  views={}).collect()}
+    assert got_inc == {"A", "B", "C"}
+
+
+def test_interval_join_null_bounds_drop_and_guard(spark):
+    left = spark.createDataFrame([("k", None, 100, "L"), ("k", 0, 9, "M")],
+                                 "user string, start long, end long, lid string")
+    right = spark.createDataFrame([("k", 0, 50, "R")],
+                                  "user string, start long, end long, rid string")
+    out = op("interval_join", left, {
+        "right": right, "by": ["user"], "bucket_width": 16}, views={})
+    assert [r["lid"] for r in out.collect()] == ["M"]
+    # executor-side explosion guard fails loud and named
+    wide = spark.createDataFrame([("k", 0, 10_000, "W")],
+                                 "user string, start long, end long, lid string")
+    with pytest.raises(Exception, match="interval_join"):
+        op("interval_join", wide, {
+            "right": right, "by": ["user"], "bucket_width": 1,
+            "max_buckets": 100}, views={}).collect()
+
+
+def test_interval_join_timestamp_bounds(spark):
+    # timestamp bound columns route through epoch_seconds
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "2024-01-01 02:00:00", "L")],
+        "user string, s string, e string, lid string"
+    ).selectExpr("user", "cast(s as timestamp) as s",
+                 "cast(e as timestamp) as e", "lid")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 01:00:00", "2024-01-01 03:00:00", "R"),
+         ("k", "2024-01-01 02:30:00", "2024-01-01 03:00:00", "S")],
+        "user string, s string, e string, rid string"
+    ).selectExpr("user", "cast(s as timestamp) as s",
+                 "cast(e as timestamp) as e", "rid")
+    out = op("interval_join", left, {
+        "right": right, "by": ["user"], "left_start": "s",
+        "left_end": "e", "bucket_width": 3600, "overlap": True}, views={})
+    rows = out.collect()
+    assert [r["r_rid"] for r in rows] == ["R"]
+    assert rows[0]["overlap_len"] == 3600
+
+
+def test_interval_join_plan_no_cartesian_no_row_python(spark):
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    left, right = _ij_fixture(spark)
+    out = op("interval_join", left, {
+        "right": right, "by": ["user"], "bucket_width": 64}, views={})
+    plans.assert_no_row_python(out)
+    strategies = plans.join_strategies(out)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
