@@ -94,7 +94,26 @@ SCALE_PROBES = {
     # each day deduped within itself, then against the growing
     # minhash_bands store of ALL previously seen docs.
     "incremental_ingest_scale": lambda s, d: _incremental_ingest(s, d),
+    # round 7: interval x interval overlap join at event granularity
+    # (every click a 300s window, every purchase a 600s window, 600s
+    # buckets) — candidate pairs are bucket-bounded, so the probe
+    # measures the explode + equi-join + count-once chain growing
+    # linearly with events, never user x user.
+    "interval_join_scale": lambda s, d: _interval_join_probe(s, d),
 }
+
+
+def _interval_join_probe(s, d):
+    ev = entry_mod._t(s, d, "events")
+    base = ev.selectExpr("user_id", "event_type",
+                         "cast(cast(ts as timestamp) as long) as s0")
+    clicks = base.filter("event_type = 'click'").selectExpr(
+        "user_id", "s0 as start", "s0 + 300 as end")
+    buys = base.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "s0 as start", "s0 + 600 as end")
+    return op("interval_join", clicks,
+              {"right": buys, "by": ["user_id"], "bucket_width": 600,
+               "overlap": True}, views={})
 
 
 def _incremental_ingest(s, d):

@@ -921,3 +921,45 @@ def test_mad_outlier_matches_python_model(spark, rows, n_parts):
         else:
             assert r["robust_z"] == dev / mad[k]
             assert r["is_outlier"] == (dev / mad[k] > 2.0)
+
+
+ij_intervals = st.lists(
+    st.tuples(st.integers(0, 2),          # key (collisions likely)
+              st.integers(-40, 40),       # start (negatives probe div
+              st.integers(-40, 40)),      # end    truncation-vs-floor)
+    min_size=0, max_size=12)
+
+
+@given(left=ij_intervals, right=ij_intervals,
+       bw=st.integers(1, 13),
+       inclusive=st.booleans())
+@settings(**SETTINGS)
+def test_interval_join_matches_bruteforce_overlap(
+        spark, left, right, bw, inclusive):
+    """The bucketized interval join (explode + equi-join +
+    overlap-start-bucket count-once rule) returns EXACTLY the pairs a
+    brute-force overlap scan finds, each exactly once — for any
+    bucket width, negative bounds, degenerate intervals, and both
+    end semantics."""
+    lrows = [(k, s, e, i) for i, (k, s, e) in enumerate(left)]
+    rrows = [(k, s, e, i) for i, (k, s, e) in enumerate(right)]
+    schema = "k int, start long, end long, seq long"
+    ldf = (spark.createDataFrame(lrows, schema) if lrows
+           else spark.createDataFrame([], schema))
+    rdf = (spark.createDataFrame(rrows, schema) if rrows
+           else spark.createDataFrame([], schema))
+    out = op("interval_join", ldf, {
+        "right": rdf, "by": ["k"], "bucket_width": bw,
+        "end_inclusive": inclusive}, views={})
+    got = sorted((r["seq"], r["r_seq"]) for r in out.collect())
+
+    def overlaps(ls, le, rs, re):
+        if inclusive:
+            return ls <= re and rs <= le and le >= ls and re >= rs
+        return ls < re and rs < le and le > ls and re > rs
+
+    want = sorted((li, ri)
+                  for (lk, ls, le, li) in lrows
+                  for (rk, rs, re, ri) in rrows
+                  if lk == rk and overlaps(ls, le, rs, re))
+    assert got == want

@@ -121,6 +121,11 @@ PROBED = [
     # Arrow kernel (zero-shuffle, linear in corpus bytes)
     "incremental_ingest_scale",
     "attribution_first",
+    # round 7 (cont.): interval x interval overlap join at event
+    # granularity — cost is the two-sided bucket explode + equi-join
+    # + count-once filter; expected alpha ~ 1 while pairs stay
+    # bucket-bounded (the explosion factor is fixed at window/bucket)
+    "interval_join_scale",
 ]
 
 
