@@ -684,9 +684,15 @@ def op_pack_sequences(df: DataFrame, config: Mapping, views) -> DataFrame:
     cum_before = F.coalesce(F.sum("__n_tok").over(w), F.lit(0))
     return (
         df.withColumn("__n_tok", n_tok)
+        .withColumn("__cum_before", cum_before)
+        # exact integral division (cum_before >= 0 so div == floor):
+        # the double /+floor misrounds once a shard's cumulative
+        # token count nears 2^52 (CLAUDE.md invariant)
         .withColumn("pack_id",
                     F.concat_ws("#", F.col(shard_by).cast("string"),
-                                F.floor(cum_before / seq_tokens).cast("string")))
+                                F.expr(f"__cum_before div {seq_tokens}")
+                                .cast("string")))
+        .drop("__cum_before")
         .withColumnRenamed("__n_tok", "n_tokens")
     )
 

@@ -142,6 +142,14 @@ def op_range_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     Config: ``right``, ``by``, ``left_ts`` (default "ts"),
     ``start_field``/``end_field``, ``bucket_seconds`` (default 3600),
     ``prefix`` (default "r\\_"), ``end_inclusive`` (default False).
+
+    Exactness: buckets use integral ``div`` (a double ``/``+floor can
+    misround near 2^52 — CLAUDE.md invariant; ``div`` truncates
+    toward zero, which is monotone, so bucket containment stays exact
+    for negative epochs too), and integral ts/bound columns are used
+    DIRECTLY — the seconds→timestamp→long roundtrip in epoch_seconds
+    SATURATES past ~9.2e12 s, silently clamping e.g. raw epoch-ns
+    longs (time_resample precedent).
     """
     right_df = _resolve(config["right"], views)
     by = list(config.get("by", []))
@@ -150,24 +158,30 @@ def op_range_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     bw = int(config.get("bucket_seconds", 3600))
     prefix = config.get("prefix", "r_")
 
-    lb = F.floor(epoch_seconds(F.col(lts)) / bw)
-    left = df.withColumn("__b", lb)
+    def _sec(frame: DataFrame, name: str) -> F.Column:
+        dt = frame.schema[name].dataType
+        c = F.col(name)
+        return (c.cast("long")
+                if isinstance(dt, (T.ByteType, T.ShortType,
+                                   T.IntegerType, T.LongType))
+                else epoch_seconds(c))
 
-    rb_lo = F.floor(epoch_seconds(F.col(start)) / bw)
-    rb_hi = F.floor(epoch_seconds(F.col(end)) / bw)
-    right = right_df.select(
+    left = (df.withColumn("__pt", _sec(df, lts))
+            .withColumn("__b", F.expr(f"__pt div {bw}")))
+
+    right = (right_df.select(
         *[F.col(c).alias(f"{prefix}{c}") for c in right_df.columns],
-        F.explode(F.sequence(rb_lo, rb_hi)).alias("__b"),
-    )
+        _sec(right_df, start).alias("__lo"),
+        _sec(right_df, end).alias("__hi"))
+        .withColumn("__b", F.explode(F.sequence(
+            F.expr(f"__lo div {bw}"), F.expr(f"__hi div {bw}")))))
 
     joined = left.join(right, [*[
         left[k] == right[f"{prefix}{k}"] for k in by
     ], left["__b"] == right["__b"]] if by else [left["__b"] == right["__b"]])
-    pt = epoch_seconds(F.col(lts))
-    lo = epoch_seconds(F.col(f"{prefix}{start}"))
-    hi = epoch_seconds(F.col(f"{prefix}{end}"))
+    pt, lo, hi = F.col("__pt"), F.col("__lo"), F.col("__hi")
     contained = (pt >= lo) & (pt <= hi if config.get("end_inclusive") else pt < hi)
-    return joined.filter(contained).drop("__b")
+    return joined.filter(contained).drop("__b", "__pt", "__lo", "__hi")
 
 
 @register("interval_join")
@@ -238,7 +252,17 @@ def op_interval_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
                            T.LongType)):
             return c.cast("long")
-        return epoch_seconds(c)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                           T.DateType)):
+            # second granularity: sub-second bound precision truncates
+            return epoch_seconds(c)
+        # float/decimal bounds would ride the saturating
+        # seconds->timestamp->long roundtrip and round unpredictably —
+        # the overlap contract is exact long arithmetic only
+        raise ValueError(
+            f"interval_join: bound column {name!r} must be integral, "
+            f"timestamp, or date (exact long bucket arithmetic), "
+            f"got {dt.simpleString()}")
 
     def _explode(frame, s_field, e_field, s_name, e_name, b_name, cols):
         staged = frame.select(*cols,

@@ -711,3 +711,30 @@ def test_interval_join_plan_no_cartesian_no_row_python(spark):
     strategies = plans.join_strategies(out)
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_interval_join_rejects_float_bounds(spark):
+    left = spark.createDataFrame([("k", 0.5, 10.5, "L")],
+                                 "user string, start double, end double, lid string")
+    right = spark.createDataFrame([("k", 0, 50, "R")],
+                                  "user string, start long, end long, rid string")
+    with pytest.raises(ValueError, match="must be integral"):
+        op("interval_join", left, {"right": right, "by": ["user"]},
+           views={})
+
+
+def test_range_join_integral_ts_bypasses_saturation(spark):
+    """Integral ts/bound columns are used directly: the old
+    epoch_seconds roundtrip SATURATED past ~9.2e12 s, silently
+    clamping raw epoch-ns longs so every huge point landed in the
+    max-timestamp bucket (and 'contained' compared clamped values)."""
+    big = 4_102_444_800 * 1_000_000_000  # year-2100 epoch-ns
+    points = spark.createDataFrame([("u", big + 500)], "uid string, ts long")
+    intervals = spark.createDataFrame(
+        [("u", big, big + 1000, "in"), ("u", big + 600, big + 1000, "out")],
+        "uid string, start long, end long, wname string")
+    out = op("range_join", points, {
+        "right": intervals, "by": ["uid"], "left_ts": "ts",
+        "start_field": "start", "end_field": "end",
+        "bucket_seconds": 1000}, views={})
+    assert [r["r_wname"] for r in out.collect()] == ["in"]
