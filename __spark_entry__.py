@@ -799,27 +799,49 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 
 def q_quantiles(spark, sf_dir):
     """Per-group percentiles (p50/p95) of order totals — the skew/
-    distribution primitive for data profiling. approx_percentile at
-    accuracy 100k is exact at these group sizes and matches DuckDB's
-    discrete quantile value-for-value; at larger scale the same plan
-    degrades gracefully to a bounded-error sketch instead of a sort."""
+    distribution primitive for data profiling. PINNED discrete rank:
+    value at row_number rank max(ceil(q*n), 1), integer arithmetic on
+    both sides (the _pinned_rank_value / quantile_estimate rule) —
+    engine-native quantiles are banned from oracle pairs because
+    approx_percentile, ANSI percentile_disc, and DuckDB quantile_disc
+    all disagree at boundary ranks (this exact query mismatched at
+    sf0.1 under approx_percentile before round 7 pinned it)."""
     o = _t(spark, sf_dir, "orders")
     df = op("sql", o, {"query": """
+        WITH r AS (
+          SELECT o_orderstatus, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM self)
         SELECT o_orderstatus,
-               COUNT(*) AS n_orders,
-               approx_percentile(o_totalprice, 0.5, 100000) AS p50_total,
-               approx_percentile(o_totalprice, 0.95, 100000) AS p95_total
-        FROM self GROUP BY o_orderstatus"""}, views={})
+               MAX(n) AS n_orders,
+               MIN(CASE WHEN rn = GREATEST(
+                   (500000000 * n + 999999999) div 1000000000, 1)
+                   THEN o_totalprice END) AS p50_total,
+               MIN(CASE WHEN rn = GREATEST(
+                   (950000000 * n + 999999999) div 1000000000, 1)
+                   THEN o_totalprice END) AS p95_total
+        FROM r GROUP BY o_orderstatus"""}, views={})
     return op("sort", df, {"fields": ["o_orderstatus"]})
 
 
 _SQL_QUANTILES = """
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders)
 SELECT o_orderstatus,
-       COUNT(*) AS n_orders,
-       quantile_disc(o_totalprice, 0.5) AS p50_total,
-       quantile_disc(o_totalprice, 0.95) AS p95_total
-FROM orders
-GROUP BY o_orderstatus
+       MAX(n) AS n_orders,
+       MIN(CASE WHEN rn = GREATEST(
+           (500000000 * n + 999999999) // 1000000000, 1)
+           THEN o_totalprice END) AS p50_total,
+       MIN(CASE WHEN rn = GREATEST(
+           (950000000 * n + 999999999) // 1000000000, 1)
+           THEN o_totalprice END) AS p95_total
+FROM r GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 

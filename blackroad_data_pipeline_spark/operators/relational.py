@@ -1319,9 +1319,19 @@ def _distributed_prefix_sum(df: DataFrame, weight: Column, sort_cols,
     sample_pps: range partitions on the order key, per-partition
     totals to the driver (N_partitions scalars), per-partition window
     cumsums in parallel + broadcast offsets. Returns (ranged frame
-    with __pid, exact running-sum Column, grand total)."""
+    with __pid, exact running-sum Column, grand total).
+
+    The ranged frame is localCheckpointed BEFORE the totals collect:
+    the offsets job and the consuming query are two separate actions,
+    and repartitionByRange SAMPLES its boundaries from the upstream
+    partitions' row order — which is fetch-order-nondeterministic
+    after a shuffle — so without pinning, the two jobs can land on
+    DIFFERENT partition boundaries and the per-pid offsets silently
+    corrupt the running sum (observed as a ks_drift value mismatch at
+    sf0.1 under concurrent load, round 7)."""
     ranged = (df.repartitionByRange(n_parts, *sort_cols)
-              .withColumn("__pid", F.spark_partition_id()))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint())
     totals = ranged.groupBy("__pid").agg(
         F.sum(weight.cast("long")).alias("__w")).collect()
     offsets, acc = {}, 0
@@ -1839,8 +1849,15 @@ def op_ks_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
     counts = (tag(df, 1, 0).unionByName(tag(baseline, 0, 1))
               .groupBy("v").agg(F.sum("__ic").alias("c_cur"),
                                 F.sum("__ib").alias("c_base")))
+    # localCheckpoint pins the sampled range boundaries: the totals
+    # collect and the final query are separate jobs, and an unpinned
+    # repartitionByRange can re-sample DIFFERENT boundaries per job
+    # (upstream shuffle fetch order is nondeterministic), silently
+    # mis-assigning the per-pid ECDF offsets (_distributed_prefix_sum
+    # note; this exact op produced ks=0.0136 vs 0.0133 at sf0.1)
     ranged = (counts.repartitionByRange(n_parts, F.col("v"))
-              .withColumn("__pid", F.spark_partition_id()))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint())
     totals = ranged.groupBy("__pid").agg(
         F.sum("c_cur").alias("__wc"), F.sum("c_base").alias("__wb")).collect()
     offc, offb, accc, accb = {}, {}, 0, 0

@@ -738,3 +738,23 @@ def test_range_join_integral_ts_bypasses_saturation(spark):
         "start_field": "start", "end_field": "end",
         "bucket_seconds": 1000}, views={})
     assert [r["r_wname"] for r in out.collect()] == ["in"]
+
+
+def test_time_resample_global_gap_fill(spark):
+    """Empty group_by: the gap window runs single-partition but over
+    OBSERVED BUCKETS (grid-sized, max_buckets-guarded), never the raw
+    corpus — gaps still fill and ffill carries across them."""
+    rows = [(100, 1.0), (101, 2.0), (140, 7.0)]
+    df = spark.createDataFrame(rows, "ts long, v double")
+    out = {r["bucket"]: (r["n_rows"], r["v_last"]) for r in op(
+        "time_resample", df,
+        {"ts_field": "ts", "interval": 10,
+         "aggregates": [{"function": "count", "alias": "n_rows"},
+                        {"field": "v", "function": "max",
+                         "alias": "v_last"}],
+         "fill": "ffill"}, views={}).collect()}
+    assert out[100] == (2, 2.0)
+    # ffill carries EVERY aggregate column across gap buckets
+    assert out[110] == (2, 2.0) and out[130] == (2, 2.0)
+    assert out[140] == (1, 7.0)
+    assert len(out) == 5
