@@ -963,3 +963,80 @@ def test_interval_join_matches_bruteforce_overlap(
                   for (rk, rs, re, ri) in rrows
                   if lk == rk and overlaps(ls, le, rs, re))
     assert got == want
+
+
+rj_points = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-40, 40)),
+    min_size=0, max_size=12)
+
+
+@given(points=rj_points, right=ij_intervals,
+       bw=st.integers(1, 13),
+       inclusive=st.booleans())
+@settings(**SETTINGS)
+def test_range_join_matches_bruteforce_containment(
+        spark, points, right, bw, inclusive):
+    """The bucketized point-in-interval join returns EXACTLY the
+    brute-force containment pairs, each exactly once (a point lives
+    in one bucket), for any bucket width and negative epochs."""
+    prows = [(k, ts, i) for i, (k, ts) in enumerate(points)]
+    rrows = [(k, s, e, i) for i, (k, s, e) in enumerate(right)]
+    pdf_ = (spark.createDataFrame(prows, "k int, ts long, seq long")
+            if prows else spark.createDataFrame([], "k int, ts long, seq long"))
+    rdf = (spark.createDataFrame(rrows, "k int, start long, end long, rseq long")
+           if rrows else
+           spark.createDataFrame([], "k int, start long, end long, rseq long"))
+    out = op("range_join", pdf_, {
+        "right": rdf, "by": ["k"], "left_ts": "ts",
+        "start_field": "start", "end_field": "end",
+        "bucket_seconds": bw, "end_inclusive": inclusive}, views={})
+    got = sorted((r["seq"], r["r_rseq"]) for r in out.collect())
+    want = sorted(
+        (pi, ri)
+        for (pk, ts, pi) in prows
+        for (rk, s, e, ri) in rrows
+        if pk == rk and ts >= s and (ts <= e if inclusive else ts < e))
+    assert got == want
+
+
+tr_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 2)),   # key incl. NULL
+              st.integers(-50, 50)),                     # ts (negatives too)
+    min_size=1, max_size=20)
+
+
+@given(rows=tr_rows, step=st.integers(1, 9),
+       fill=st.sampled_from(["zero", "ffill"]))
+@settings(**SETTINGS)
+def test_time_resample_matches_grid_model(spark, rows, step, fill):
+    """LAG-gap-generated empty buckets == the obvious dense-grid
+    model per key (NULL keys form a regular group), for any step,
+    negative timestamps, and both fill modes. Bucket = exact
+    floor-to-multiple (e - pmod(e, step), i.e. floor for negatives
+    too)."""
+    df = spark.createDataFrame(rows, "k int, ts long")
+    out = op("time_resample", df, {
+        "ts_field": "ts", "interval": step, "group_by": ["k"],
+        "fill": fill}, views={})
+    got = {(r["k"], r["bucket"]): r["n_rows"] for r in out.collect()}
+
+    def bkt(ts):
+        return ts - (ts % step)  # python % matches pmod for step > 0
+
+    from collections import Counter
+    per_key = {}
+    for k, ts in rows:
+        per_key.setdefault(k, []).append(bkt(ts))
+    want = {}
+    for k, bkts in per_key.items():
+        counts = Counter(bkts)
+        lo, hi = min(bkts), max(bkts)
+        last = None
+        for b in range(lo, hi + step, step):
+            n = counts.get(b, 0)
+            if n == 0:
+                want[(k, b)] = 0 if fill == "zero" else last
+            else:
+                want[(k, b)] = n
+                last = n
+    assert got == want
