@@ -758,3 +758,15 @@ def test_time_resample_global_gap_fill(spark):
     assert out[110] == (2, 2.0) and out[130] == (2, 2.0)
     assert out[140] == (1, 7.0)
     assert len(out) == 5
+
+
+def test_interval_join_no_keys_global(spark):
+    """Empty ``by``: the join runs on the bucket alone — global
+    interval overlap (maintenance windows x incident spans)."""
+    left = spark.createDataFrame([(0, 100, "L1"), (500, 600, "L2")],
+                                 "start long, end long, lid string")
+    right = spark.createDataFrame([(90, 110, "R1"), (700, 800, "R2")],
+                                  "start long, end long, rid string")
+    out = op("interval_join", left, {"right": right, "bucket_width": 50},
+             views={})
+    assert {(r["lid"], r["r_rid"]) for r in out.collect()} == {("L1", "R1")}
