@@ -778,10 +778,15 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     1.0) ride the as-of join's union+carry shape — ONE key shuffle,
     linear state, NO touch-pair materialization, the 100 TB path.
     Window-bound precision: ``last`` compares ``touch_ts <= conv_ts``
-    exactly but measures the lookback DEPTH at second granularity
-    (floor(conv)-floor(touch) <= lookback); ``first`` evaluates BOTH
-    bounds at native timestamp precision (exact interval subtraction
-    for the start, exact comparison for the end).
+    exactly but by default measures the lookback DEPTH at second
+    granularity (floor(conv)-floor(touch) <= lookback — oracle
+    parity); ``precision: "exact"`` upgrades it to the exact
+    microsecond interval (unifying with ``first`` so the two models
+    agree on boundary touches — ADVICE r6 #2); ``first`` always
+    evaluates BOTH bounds at native timestamp precision (exact
+    interval subtraction for the start, exact comparison for the
+    end). ``linear``'s window start stays second-floored (its
+    bucketized range join and oracle share the arithmetic).
     ``linear`` (every in-window touch splits the credit equally,
     credit = 1/n exactly representable or not — both engines compute
     the same IEEE division) rides the bucketized range join: pairs
@@ -791,8 +796,9 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     (default [user_id]), ``conv_id`` (required — a unique conversion
     id), ``touch_id`` (required), ``touch_ts``/``conv_ts`` (default
     ts), ``lookback`` seconds (required), ``model`` (default last),
-    ``tiebreak`` (orders equal-timestamp touches: last picks the
-    max, first the min), ``unmatched``: drop (default) | keep
+    ``precision``: second (default) | exact (model=last only — see
+    above), ``tiebreak`` (orders equal-timestamp touches: last picks
+    the max, first the min), ``unmatched``: drop (default) | keep
     (conversions with no in-window touch survive with NULL touch and
     credit 0.0 — the "direct" bucket). Output: conversion columns +
     ``touch_id`` + ``touch_ts`` + ``credit`` (double).
@@ -817,21 +823,63 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     tiebreak = config.get("tiebreak")
     conv_cols = conv.columns
 
+    precision = config.get("precision", "second")
+    if precision not in ("second", "exact"):
+        raise ValueError(
+            f"precision must be second|exact, got {precision!r}")
+
     if model == "last":
         # backward as-of: upper bound touch_ts <= conv_ts is EXACT
         # (native ordering inside the window); the lookback DEPTH is
         # second-granularity (floor(conv)-floor(touch) <= lookback),
-        # matching the oracle's epoch-second tolerance.
-        out = op_asof_join(conv, {
+        # matching the oracle's epoch-second tolerance. precision:
+        # "exact" (ADVICE r6 #2 — unify with model='first') adds an
+        # exact microsecond post-filter on the PICKED touch: the
+        # second-granular window is provably a superset of the exact
+        # one (t >= c-L implies floor(t) >= floor(c)-L for integer
+        # L), and 'last' picks the max touch_ts — if the latest
+        # in-window touch fails the exact bound, every earlier one
+        # fails too, so filtering the pick is complete, not just
+        # sound.
+        # mixed precision: integral touches + non-integral conv_ts
+        # would fail the asof's union type check — as-of on the
+        # FLOORED conv epoch instead, which is exact for whole-second
+        # touches (t <= c_exact <=> t <= floor(c_exact) for integer t)
+        tts_type = df.schema[tts].dataType
+        left_frame, left_ts = conv, cts
+        if (isinstance(tts_type, (T.LongType, T.IntegerType))
+                and not isinstance(conv.schema[cts].dataType,
+                                   (T.LongType, T.IntegerType))):
+            left_frame = conv.withColumn(
+                "__cfloor", epoch_seconds(F.col(cts)).cast(tts_type))
+            left_ts = "__cfloor"
+        out = op_asof_join(left_frame, {
             "right": df, "by": by,
-            "left_ts": cts, "right_ts": tts,
+            "left_ts": left_ts, "right_ts": tts,
             "values": [touch_id, tts],
             "prefix": "__at_", "direction": "backward",
             "tolerance_seconds": lookback,
             "right_tiebreak": tiebreak,
-            "how": "left" if unmatched == "keep" else "inner",
+            "how": "left" if unmatched == "keep" or precision == "exact"
+                   else "inner",
         }, views)
         matched = F.col(f"__at_{touch_id}").isNotNull()
+        if precision == "exact":
+            tts_type = df.schema[tts].dataType
+            picked = F.col(f"__at_{tts}")
+            t_us = (picked.cast("long") * F.lit(1_000_000)
+                    if isinstance(tts_type, (T.LongType, T.IntegerType))
+                    else F.unix_micros(picked.cast("timestamp")))
+            c_us = F.unix_micros(F.col(cts).cast("timestamp"))
+            ok = matched & (t_us >= c_us - F.lit(lookback * 1_000_000))
+            if unmatched == "keep":
+                out = (out.withColumn(
+                    f"__at_{touch_id}",
+                    F.when(ok, F.col(f"__at_{touch_id}")))
+                    .withColumn(f"__at_{tts}", F.when(ok, picked)))
+                matched = F.col(f"__at_{touch_id}").isNotNull()
+            else:
+                out = out.filter(ok)
         return out.select(
             *conv_cols,
             F.col(f"__at_{touch_id}").alias("touch_id"),

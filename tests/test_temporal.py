@@ -770,3 +770,50 @@ def test_interval_join_no_keys_global(spark):
     out = op("interval_join", left, {"right": right, "bucket_width": 50},
              views={})
     assert {(r["lid"], r["r_rid"]) for r in out.collect()} == {("L1", "R1")}
+
+
+def test_attribution_last_precision_exact(spark):
+    """precision='exact' for model=last (ADVICE r6 #2): the picked
+    touch must satisfy the exact microsecond window start, so last
+    and first agree on boundary touches. Default 'second' keeps the
+    oracle-parity floor-depth semantics."""
+    touches = spark.createDataFrame(
+        [("u1", 5.2, 1),             # 0.3s before exact start 5.5
+         ("u2", 5.6, 2),             # inside the exact window
+         ("u3", 5.2, 3), ("u3", 5.6, 4)],  # last in-window: 4
+        "user_id string, sec double, event_id long",
+    ).select("user_id", "event_id",
+             F.col("sec").cast("timestamp").alias("ts"))
+    convs = spark.createDataFrame(
+        [("u1", 10.5, 10), ("u2", 10.5, 11), ("u3", 10.5, 12)],
+        "user_id string, sec double, conv_id long",
+    ).select("user_id", "conv_id",
+             F.col("sec").cast("timestamp").alias("conv_ts"))
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "lookback": 5, "model": "last", "tiebreak": "event_id"}
+    # default second-granular depth admits the u1 boundary touch
+    loose = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, cfg, views={}).collect()}
+    assert loose == {10: 1, 11: 2, 12: 4}
+    # exact: u1's only touch fails the exact bound -> dropped
+    exact = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, {**cfg, "precision": "exact"},
+        views={}).collect()}
+    assert exact == {11: 2, 12: 4}
+    # keep mode: failed pick nulls out with credit 0
+    kept = {r["conv_id"]: (r["touch_id"], r["credit"]) for r in op(
+        "attribution", touches,
+        {**cfg, "precision": "exact", "unmatched": "keep"},
+        views={}).collect()}
+    assert kept == {10: (None, 0.0), 11: (2, 1.0), 12: (4, 1.0)}
+    # integer-second touches: exact t*1e6 path
+    itouch = spark.createDataFrame([("u1", 5, 1), ("u2", 6, 2)],
+                                   "user_id string, ts long, event_id long")
+    iexact = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", itouch,
+        {**cfg, "precision": "exact", "unmatched": "keep"},
+        views={}).collect()}
+    assert iexact[10] is None and iexact[11] == 2
+    with pytest.raises(ValueError, match="precision"):
+        op("attribution", touches, {**cfg, "precision": "ns"}, views={})
