@@ -1454,9 +1454,10 @@ def op_chunk_cdc(df: DataFrame, config: Mapping, views) -> DataFrame:
 
     powers = np.empty(window, dtype=np.uint64)
     acc = np.uint64(1)
-    for i in range(window - 1, -1, -1):
-        powers[i] = acc
-        acc = acc * base  # uint64 wraparound == mod 2^64
+    with np.errstate(over="ignore"):  # wraparound == mod 2^64, by design
+        for i in range(window - 1, -1, -1):
+            powers[i] = acc
+            acc = acc * base
 
     def snap(data: bytes, c: int, n: int) -> int:
         # advance past UTF-8 continuation bytes so the cut lands on a
