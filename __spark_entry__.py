@@ -805,7 +805,13 @@ def q_quantiles(spark, sf_dir):
     engine-native quantiles are banned from oracle pairs because
     approx_percentile, ANSI percentile_disc, and DuckDB quantile_disc
     all disagree at boundary ranks (this exact query mismatched at
-    sf0.1 under approx_percentile before round 7 pinned it)."""
+    sf0.1 under approx_percentile before round 7 pinned it).
+
+    Scale note: a rank window over 3 status groups is the EXACTNESS
+    contract shape, not the 100 TB shape — at corpus scale the same
+    question runs through quantile_sketch -> quantile_estimate
+    (mergeable bottom-k, see quantile_sketch_gate) or
+    approx_percentile where a bounded-error sketch is acceptable."""
     o = _t(spark, sf_dir, "orders")
     df = op("sql", o, {"query": """
         WITH r AS (
