@@ -4800,6 +4800,50 @@ ORDER BY l.user_id, l.day, r_day
 """
 
 
+def q_time_rollup(spark, sf_dir):
+    """Multi-resolution time rollup (operators/temporal.py
+    op_time_rollup — the hypertable continuous-aggregate shape):
+    hourly AND daily event counts + exact value cents per
+    event_type, produced in ONE pass — each row expands into a
+    (granularity, bucket) struct per level, then a single hash
+    shuffle aggregates all levels together (the GROUPING SETS Expand
+    shape). DuckDB replays it as a UNION ALL of the per-granularity
+    aggregates over the same exact long bucket arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    e = op("expr", e, {"exprs": {
+        "value_c": "CAST(ROUND(value * 100) AS BIGINT)"}})
+    df = op("time_rollup", e, {
+        "ts_field": "ts", "intervals": [3600, 86400],
+        "group_by": ["event_type"],
+        "aggregates": [{"function": "count", "alias": "n_events"},
+                       {"field": "value_c", "function": "sum",
+                        "alias": "value_cents"}]})
+    df = op("select", df, {"fields": ["granularity", "bucket",
+                                      "event_type", "n_events",
+                                      "value_cents"]})
+    return op("sort", df, {"fields": ["granularity", "event_type",
+                                      "bucket"]})
+
+
+_SQL_TIME_ROLLUP = """
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) // 1000 AS e,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events),
+l AS (
+  SELECT CAST(3600 AS BIGINT) AS granularity,
+         (e // 3600) * 3600 AS bucket, event_type,
+         COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
+  FROM ev GROUP BY bucket, event_type
+  UNION ALL
+  SELECT CAST(86400 AS BIGINT), (e // 86400) * 86400, event_type,
+         COUNT(*), CAST(SUM(vc) AS BIGINT)
+  FROM ev GROUP BY 2, event_type)
+SELECT granularity, bucket, event_type, n_events, value_cents
+FROM l ORDER BY granularity, event_type, bucket
+"""
+
+
 def q_excess_suppliers(spark, sf_dir):
     """TPC-H Q20 shape (suppliers dominating a part's yearly flow;
     the half-of-total-quantity test stands in for partsupp availqty
@@ -5509,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 7 (inside the sample window) --
         "attribution_first": q_attribution_first,
         "interval_join": q_interval_join,
+        "time_rollup": q_time_rollup,
         # -- driver-green anchors (r1-r5) filling the window --
         "filter_agg": q_filter_agg,
         "join": q_join,
@@ -5753,6 +5798,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last": _SQL_ATTRIBUTION_LAST,
         "attribution_first": _SQL_ATTRIBUTION_FIRST,
         "interval_join": _SQL_INTERVAL_JOIN,
+        "time_rollup": _SQL_TIME_ROLLUP,
         "attribution_linear": _SQL_ATTRIBUTION_LINEAR,
         "category_drift": _SQL_CATEGORY_DRIFT,
         "category_drift_summary": _SQL_CATEGORY_DRIFT_SUMMARY,

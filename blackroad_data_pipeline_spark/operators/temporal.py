@@ -482,6 +482,48 @@ def op_event_transitions(df: DataFrame, config: Mapping, views) -> DataFrame:
     return pairs
 
 
+def _epoch_col(df: DataFrame, ts_field: str) -> F.Column:
+    """Epoch-seconds long for a ts column: integral columns pass
+    through DIRECTLY (epoch_seconds' timestamp roundtrip SATURATES
+    past ~9.2e12 s, silently corrupting raw epoch-ns longs);
+    everything else routes through epoch_seconds."""
+    ts_dt = df.schema[ts_field].dataType
+    return (F.col(ts_field).cast("long")
+            if isinstance(ts_dt, (T.ByteType, T.ShortType, T.IntegerType,
+                                  T.LongType))
+            else epoch_seconds(F.col(ts_field)))
+
+
+def _resample_aggs(df: DataFrame, specs, opname: str):
+    """Aggregate-spec builder shared by time_resample / time_rollup:
+    count/sum/min/max with the decimal(38,10)-via-string route for
+    float sums (double sums associate differently per partitioning/
+    engine — op_aggregate precedent). Returns (agg_cols, aliases)."""
+    floaty = {f.name for f in df.schema.fields
+              if f.dataType.typeName() in ("float", "double")}
+    agg_cols, out_names = [], []
+    for spec in specs:
+        fn = spec["function"]
+        field = spec.get("field")
+        alias = spec.get("alias") or (f"{field}_{fn}" if field else "n_rows")
+        out_names.append(alias)
+        if fn == "count":
+            agg_cols.append((F.count(F.col(field)) if field
+                             else F.count(F.lit(1))).alias(alias))
+        elif fn == "sum":
+            c = F.col(field)
+            if field in floaty:
+                agg_cols.append(F.sum(c.cast("decimal(38,10)"))
+                                .cast("string").cast("double").alias(alias))
+            else:
+                agg_cols.append(F.sum(c).alias(alias))
+        elif fn in ("min", "max"):
+            agg_cols.append(getattr(F, fn)(F.col(field)).alias(alias))
+        else:
+            raise ValueError(f"unknown {opname} aggregate {fn!r}")
+    return agg_cols, out_names
+
+
 @register("time_resample")
 def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Regularize an event series onto a fixed time grid: one output
@@ -538,36 +580,9 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
     # input is already in the bucket domain. (bucket_ts for such
     # buckets saturates at the max timestamp; the long `bucket` is
     # the exact column.)
-    ts_dt = df.schema[ts_field].dataType
-    e = (F.col(ts_field).cast("long")
-         if isinstance(ts_dt, (T.ByteType, T.ShortType, T.IntegerType,
-                               T.LongType))
-         else epoch_seconds(F.col(ts_field)))
+    e = _epoch_col(df, ts_field)
     bucket = (e - F.pmod(e, F.lit(step))).cast("long")
-    floaty = {f.name for f in df.schema.fields
-              if f.dataType.typeName() in ("float", "double")}
-    agg_cols, out_names = [], []
-    for spec in specs:
-        fn = spec["function"]
-        field = spec.get("field")
-        alias = spec.get("alias") or (f"{field}_{fn}" if field else "n_rows")
-        out_names.append(alias)
-        if fn == "count":
-            agg_cols.append((F.count(F.col(field)) if field
-                             else F.count(F.lit(1))).alias(alias))
-        elif fn == "sum":
-            c = F.col(field)
-            if field in floaty:
-                # same decimal route as op_aggregate: double sums
-                # associate differently per partitioning/engine
-                agg_cols.append(F.sum(c.cast("decimal(38,10)"))
-                                .cast("string").cast("double").alias(alias))
-            else:
-                agg_cols.append(F.sum(c).alias(alias))
-        elif fn in ("min", "max"):
-            agg_cols.append(getattr(F, fn)(F.col(field)).alias(alias))
-        else:
-            raise ValueError(f"unknown resample aggregate {fn!r}")
+    agg_cols, out_names = _resample_aggs(df, specs, "resample")
 
     # The rollup is checkpointed because THREE consumers need it (the
     # span guard — which already made this operator eager — the gap
@@ -620,6 +635,60 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
     return (out.withColumn("bucket", F.col("__bkt"))
             .withColumn("bucket_ts", F.col("__bkt").cast("timestamp"))
             .drop("__bkt"))
+
+
+@register("time_rollup")
+def op_time_rollup(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-
+    aggregate shape): aggregate the SAME event stream into several
+    bucket granularities — hour + day + week dashboards, the
+    coarse-to-fine layout a time-series store maintains — in ONE
+    pass. The reference has no time semantics at all (its transforms
+    are row-local, SURVEY.md §2.5).
+
+    Plan shape: each row expands into one (granularity, bucket)
+    struct per requested interval via a JVM-side inline explode (the
+    same row multiplication a GROUPING SETS Expand node performs),
+    then ONE hash shuffle on (granularity, bucket, keys) with
+    map-side partial aggregation — never N scans of the corpus, and
+    the per-granularity partials combine before the exchange. At
+    100 TB the alternative (one aggregate per granularity, union) is
+    N full scans or one scan + N-way static reuse; the explode keeps
+    it a single pipelined pass whose shuffle volume equals the sum
+    of the N rollup cardinalities.
+
+    Buckets are exact long floor-to-multiple (``e - pmod(e, step)``)
+    on epoch seconds; integral ts columns are used directly
+    (saturation bypass — time_resample rules). ``intervals`` must be
+    positive and distinct; output: ``granularity`` (the interval,
+    long) + ``bucket`` (long) + ``bucket_ts`` + keys + aggregates.
+    config: ``ts_field`` (default ts), ``intervals`` (list of
+    seconds, required), ``group_by`` keys, ``aggregates``
+    [{field, function, alias}] (default count -> n_rows; count/sum/
+    min/max, float sums via the exact decimal route).
+    """
+    ts_field = config.get("ts_field", "ts")
+    intervals = [int(x) for x in config.get("intervals", [])]
+    if not intervals:
+        raise ValueError("time_rollup requires non-empty intervals")
+    if any(s < 1 for s in intervals):
+        raise ValueError(f"intervals must be >= 1 second, got {intervals}")
+    if len(set(intervals)) != len(intervals):
+        raise ValueError(f"duplicate interval in {intervals}")
+    keys = list(config.get("group_by", []))
+    specs = config.get("aggregates") or [{"function": "count"}]
+    agg_cols, _ = _resample_aggs(df, specs, "time_rollup")
+    e = _epoch_col(df, ts_field)
+    levels = F.array(*[
+        F.struct(F.lit(s).cast("long").alias("granularity"),
+                 (e - F.pmod(e, F.lit(s))).cast("long").alias("bucket"))
+        for s in intervals])
+    expanded = df.withColumn("__lvl", F.explode(levels))
+    return (expanded
+            .groupBy(F.col("__lvl.granularity").alias("granularity"),
+                     F.col("__lvl.bucket").alias("bucket"), *keys)
+            .agg(*agg_cols)
+            .withColumn("bucket_ts", F.col("bucket").cast("timestamp")))
 
 
 @register("scd2")

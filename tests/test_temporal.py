@@ -817,3 +817,52 @@ def test_attribution_last_precision_exact(spark):
     assert iexact[10] is None and iexact[11] == 2
     with pytest.raises(ValueError, match="precision"):
         op("attribution", touches, {**cfg, "precision": "ns"}, views={})
+
+
+# -- time_rollup -------------------------------------------------------------
+
+
+def test_time_rollup_two_granularities(spark):
+    df = spark.createDataFrame(
+        [("a", 3600, 1.0), ("a", 3700, 2.0), ("a", 90000, 4.0),
+         ("b", 100, 8.0)],
+        "k string, ts long, v double")
+    out = {(r["granularity"], r["k"], r["bucket"]): (r["n"], r["sv"])
+           for r in op("time_rollup", df, {
+               "ts_field": "ts", "intervals": [3600, 86400],
+               "group_by": ["k"],
+               "aggregates": [{"function": "count", "alias": "n"},
+                              {"field": "v", "function": "sum",
+                               "alias": "sv"}]}, views={}).collect()}
+    assert out[(3600, "a", 3600)] == (2, 3.0)
+    assert out[(3600, "a", 90000)] == (1, 4.0)
+    assert out[(86400, "a", 0)] == (2, 3.0)
+    assert out[(86400, "a", 86400)] == (1, 4.0)
+    assert out[(86400, "b", 0)] == (1, 8.0)
+    assert len(out) == 6
+
+
+def test_time_rollup_validation_and_exact_buckets(spark):
+    df = spark.createDataFrame([(1, 1.0)], "ts long, v double")
+    for bad in ([], [0, 3600], [3600, 3600]):
+        with pytest.raises(ValueError):
+            op("time_rollup", df, {"ts_field": "ts", "intervals": bad},
+               views={})
+    # integral ts bypasses the saturating roundtrip; bucket math is
+    # exact long near 2^53 (the double floor(e/s)*s class of bug)
+    e = (1 << 53) + 3
+    big = spark.createDataFrame([(e,)], "ts long")
+    r = op("time_rollup", big, {"ts_field": "ts", "intervals": [10]},
+           views={}).select("bucket").collect()[0]  # bucket_ts saturates
+    assert r["bucket"] == e - (e % 10)
+
+
+def test_time_rollup_single_shuffle_plan(spark):
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, ts long, v double")
+    out = op("time_rollup", df, {
+        "ts_field": "ts", "intervals": [60, 3600, 86400],
+        "group_by": ["k"]}, views={})
+    plans.assert_no_row_python(out)
+    plans.assert_max_shuffles(out, 1)
