@@ -5554,6 +5554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_first": q_attribution_first,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
+        # rotated into the sampled prefix: rewritten this round
+        # (pinned-rank arithmetic; the old approx_percentile pair
+        # mismatched at sf0.1)
+        "quantiles": q_quantiles,
         # -- driver-green anchors (r1-r5) filling the window --
         "filter_agg": q_filter_agg,
         "join": q_join,
@@ -5693,7 +5697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_funcs": q_expr_funcs,
         "json_extract": q_json_extract,
         "parse_props": q_parse_props,
-        "quantiles": q_quantiles,
         "monthly_revenue": q_monthly_revenue,
         "shipping_priority": q_shipping_priority,
         "regional_volume": q_regional_volume,

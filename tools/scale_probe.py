@@ -126,6 +126,9 @@ PROBED = [
     # + count-once filter; expected alpha ~ 1 while pairs stay
     # bucket-bounded (the explosion factor is fixed at window/bucket)
     "interval_join_scale",
+    # round 7 (cont. 2): multi-resolution rollup — one Expand-shaped
+    # explode + one shuffle, alpha ~ 1 by construction
+    "time_rollup",
 ]
 
 
