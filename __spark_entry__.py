@@ -3793,20 +3793,33 @@ SELECT l_orderkey, l_linenumber, a | (b << 1) AS zvalue FROM s5
 def q_key_skew(spark, sf_dir):
     """Shuffle-key skew diagnosis on events.user_id
     (operators/relational.py op_key_skew_stats): one row of the
-    distribution stats that pick a partitioning strategy."""
+    distribution stats that pick a partitioning strategy.
+    percentiles='exact' (the pinned rank max(ceil(q*k), 1) over the
+    counts table) — engine-native quantiles are banned from oracle
+    pairs; the old approx_percentile/quantile_disc pair was the same
+    latent boundary-rank hazard that bit `quantiles` at sf0.1."""
     e = _t(spark, sf_dir, "events")
-    return op("key_skew_stats", e, {"keys": ["user_id"]})
+    return op("key_skew_stats", e, {"keys": ["user_id"],
+                                    "percentiles": "exact"})
 
 
 _SQL_KEY_SKEW = """
-WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
-SELECT COUNT(*) AS n_keys,
-       CAST(SUM(n) AS BIGINT) AS n_rows,
-       MAX(n) AS max_count,
-       quantile_disc(n, 0.5) AS p50_count,
-       quantile_disc(n, 0.99) AS p99_count,
-       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS max_share
-FROM c
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+             COUNT(*) OVER () AS k
+      FROM c)
+SELECT (SELECT COUNT(*) FROM c) AS n_keys,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS n_rows,
+       (SELECT MAX(n) FROM c) AS max_count,
+       MIN(CASE WHEN rn = GREATEST(
+           (500000000 * k + 999999999) // 1000000000, 1)
+           THEN n END) AS p50_count,
+       MIN(CASE WHEN rn = GREATEST(
+           (990000000 * k + 999999999) // 1000000000, 1)
+           THEN n END) AS p99_count,
+       (SELECT CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) FROM c)
+         AS max_share
+FROM r
 """
 
 
@@ -5556,8 +5569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
-        # mismatched at sf0.1)
+        # mismatched at sf0.1 — key_skew carried the same latent
+        # hazard and now runs percentiles='exact')
         "quantiles": q_quantiles,
+        "key_skew": q_key_skew,
         # -- driver-green anchors (r1-r5) filling the window --
         "filter_agg": q_filter_agg,
         "join": q_join,
@@ -5661,7 +5676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "stream_join": q_stream_join,
         "zorder": q_zorder,
-        "key_skew": q_key_skew,
         "hash_columns": q_hash_columns,
         "filter_eq": q_filter_eq,
         "filter_contains": q_filter_contains,

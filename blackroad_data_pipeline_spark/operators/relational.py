@@ -1651,12 +1651,39 @@ def op_key_skew_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
     Two narrow aggregations: word-count on the keys (map-side partial
     agg), then global stats over the count column (single reduce of
     one row per key). Output is ONE row regardless of input size.
-    approx_percentile at accuracy 100k is exact below 100k distinct
-    counts and degrades to a bounded-error sketch beyond — the right
-    trade at 100 TB where an exact percentile would sort the counts.
+    ``percentiles``: "approx" (default) — approx_percentile at
+    accuracy 100k, exact below 100k distinct counts, bounded-error
+    sketch beyond, the right trade at 100 TB; "exact" — the pinned
+    rank max(ceil(q·k), 1) over the counts table via the distributed
+    prefix-sum rank (quantile_estimate's global machinery; the
+    counts table is #keys-sized, not corpus-sized), which any engine
+    replays bit-for-bit — engine-native quantiles are banned from
+    oracle pairs (CLAUDE.md; approx_percentile vs quantile_disc
+    diverge at boundary ranks).
     """
     keys = list(config["keys"])
+    pmode = config.get("percentiles", "approx")
+    if pmode not in ("approx", "exact"):
+        raise ValueError(
+            f"percentiles must be approx|exact, got {pmode!r}")
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    if pmode == "exact":
+        counts = counts.localCheckpoint()  # two consumers, one build
+        from ..llmops.sketch import op_quantile_estimate
+        est = op_quantile_estimate(counts, {
+            "field": "__n", "quantiles": [0.5, 0.99],
+            "aliases": ["p50_count", "p99_count"]}, views)
+        est = est.select(F.col("p50_count").cast("long").alias("p50_count"),
+                         F.col("p99_count").cast("long").alias("p99_count"))
+        base = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("__n").alias("n_rows"),
+            F.max("__n").alias("max_count"))
+        joined = base.crossJoin(F.broadcast(est))
+        return joined.select(
+            "n_keys", "n_rows", "max_count", "p50_count", "p99_count",
+            (F.col("max_count").cast("double")
+             / F.col("n_rows").cast("double")).alias("max_share"))
     acc = 100_000
     return counts.agg(
         F.count(F.lit(1)).alias("n_keys"),

@@ -1214,3 +1214,22 @@ def test_bucketize_global_and_explicit(spark):
     assert exp[3.0] == 0 and exp[4.0] == 1 and exp[8.0] == 2
     with pytest.raises(ValueError, match="n_buckets"):
         op("bucketize", df, {"field": "v", "n_buckets": 1}, views={})
+
+
+def test_key_skew_stats_exact_percentiles(spark):
+    """percentiles='exact': pinned rank max(ceil(q*k),1) over the
+    counts table — k=4 counts sorted [1,2,3,10]: p50 -> rank 2 (2),
+    p99 -> rank 4 (10); approx mode agrees here (tiny cardinality)
+    but only exact is oracle-safe."""
+    rows = ([("a",)] * 1 + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 10)
+    df = spark.createDataFrame(rows, "k string")
+    for mode in ("exact", "approx"):
+        r = op("key_skew_stats", df,
+               {"keys": ["k"], "percentiles": mode}, views={}).collect()[0]
+        assert (r["n_keys"], r["n_rows"], r["max_count"]) == (4, 16, 10)
+        assert (r["p50_count"], r["p99_count"]) == (2, 10)
+        assert abs(r["max_share"] - 10 / 16) < 1e-15
+    import pytest as _pt
+    with _pt.raises(ValueError, match="percentiles"):
+        op("key_skew_stats", df, {"keys": ["k"], "percentiles": "p2"},
+           views={})
