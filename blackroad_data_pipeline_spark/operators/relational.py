@@ -784,10 +784,12 @@ def op_mix_corpus(df: DataFrame, config: Mapping, views) -> DataFrame:
         # buckets below); stringifying a NULL would otherwise create a
         # 'None' threshold no NULL column value can ever match
         # (ADVICE r4-low)
+        max_groups = int(config.get("max_groups", 1_000_000))
         counts = {str(r[0]): r[1]
-                  for r in df.groupBy(F.col(by).cast("string"))
-                             .agg(F.count(F.lit(1)).alias("n"))
-                             .collect()
+                  for r in _collect_group_scalars(
+                      df.groupBy(F.col(by).cast("string"))
+                        .agg(F.count(F.lit(1)).alias("n")),
+                      max_groups, "mix_corpus", [by])
                   if r[0] is not None}
         if not counts:
             # empty input (or all-NULL strata): nothing to rebalance
@@ -1274,11 +1276,14 @@ def op_mad_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
     nn = df.filter(v.isNotNull())
     spark = df.sparkSession
 
+    max_groups = int(config.get("max_groups", 1_000_000))
+
     def localize(frame: DataFrame, out: str) -> DataFrame:
         schema = T.StructType(
             [df.schema[k] for k in by]
             + [T.StructField(out, T.DoubleType())])
-        rows = [tuple(r) for r in frame.collect()]
+        rows = [tuple(r) for r in _collect_group_scalars(
+            frame, max_groups, "mad_outlier", by)]
         if not rows and not by:
             rows = [(None,)]   # keep the crossJoin from wiping rows
         return spark.createDataFrame(rows, schema)
@@ -1311,6 +1316,36 @@ def op_mad_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
         return (out.filter(~F.coalesce(F.col("is_outlier"), F.lit(False)))
                 .drop("robust_z", "is_outlier"))
     return out
+
+
+class GroupCardinalityError(RuntimeError):
+    """A group-scalar driver collect would exceed ``max_groups``.
+
+    The collect-and-rebroadcast pattern (mad_outlier medians,
+    mix_corpus stratum counts) is bounded by design — the scalars must
+    fit a broadcast anyway — but a pathological high-cardinality
+    ``by`` would otherwise OOM the driver instead of failing loud.
+    """
+
+
+def _collect_group_scalars(frame: DataFrame, max_groups: int,
+                           op_name: str, by) -> list:
+    """Collect one-row-per-group scalars with a loud cardinality cap.
+
+    ``limit(max_groups + 1)`` bounds the job AND driver memory before
+    the check — the overflow is detected from a single extra row, not
+    after materializing the full group set.
+    """
+    rows = frame.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise GroupCardinalityError(
+            f"{op_name}: more than {max_groups} distinct groups on "
+            f"{list(by)!r}. This operator collects one scalar row per "
+            f"group to the driver and re-broadcasts it; that is only "
+            f"sound for bounded group cardinality. Raise 'max_groups' "
+            f"if the driver can hold the groups, or group on a coarser "
+            f"key.")
+    return rows
 
 
 def _distributed_prefix_sum(df: DataFrame, weight: Column, sort_cols,

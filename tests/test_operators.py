@@ -386,6 +386,32 @@ def test_mix_corpus_rejects_bad_rate(spark):
         op("mix_corpus", df, {"by": "k", "on": ["k"], "rates": {"0": 1.5}})
 
 
+def test_group_scalar_collects_fail_loud_on_high_cardinality(spark):
+    """The collect-and-rebroadcast group scalars (mad_outlier medians,
+    mix_corpus temperature counts) must raise a NAMED error when the
+    group cardinality exceeds max_groups — not OOM the driver."""
+    from blackroad_data_pipeline_spark.operators.relational import (
+        GroupCardinalityError)
+
+    df = (spark.range(0, 200)
+          .withColumn("g", F.col("id") % 100)
+          .withColumn("x", F.col("id").cast("double")))
+    with pytest.raises(GroupCardinalityError, match="mad_outlier.*50"):
+        op("mad_outlier", df,
+           {"field": "x", "by": ["g"], "max_groups": 50})
+    with pytest.raises(GroupCardinalityError, match="mix_corpus.*50"):
+        op("mix_corpus", df,
+           {"by": "g", "on": ["id"], "temperature": 0.5, "max_groups": 50})
+    # at-the-cap cardinality still works (the +1 probe row is the
+    # only overflow signal)
+    ok = op("mad_outlier", df,
+            {"field": "x", "by": ["g"], "max_groups": 100})
+    assert ok.count() == 200
+    ok2 = op("mix_corpus", df, {"by": "g", "on": ["id"],
+                                "temperature": 1.0, "max_groups": 100})
+    assert ok2.count() == 200  # alpha=1 keeps everything
+
+
 def test_profile_single_pass(spark):
     df = spark.createDataFrame(
         [(1, None, "x"), (2, 5.0, "y"), (2, 7.5, None)],

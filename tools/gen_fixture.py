@@ -1,0 +1,250 @@
+#!/usr/bin/env python3
+"""Synthetic fixture generator — scale clones of /root/testdata.
+
+The driver-provided fixtures stop at sf0.1 and the directory is
+read-only (TESTDATA.md). Scale sweeps beyond that (sf1 ~ 6M lineitem
+rows) need a locally generated clone with the SAME schema and the same
+distribution shapes, so every contract query exercises the same code
+paths at 10x the rows. This reproduces the observed sf0.1
+distributions (profiled 2026-08-15, seed-42 driver data):
+
+- region/nation: fixed 5/25 rows, NATION_i, n_regionkey = i % 5.
+- customer/supplier: Customer#%09d / Supplier#%09d, nationkey ~ U(25),
+  acctbal ~ U(-1000, 10000) rounded to cents, mktsegment ~ U(5 values).
+- part: "<adj> <noun>" names from 8x8 vocab, Brand#1..25, 6 types,
+  p_size ~ U(1..50), p_retailprice ~ U(900, 1000).
+- orders: o_custkey ~ U(#customers), status F/O/P, priority 5 values,
+  o_totalprice ~ U(1000, 500000), o_orderdate midnight-uniform over
+  1995-01-01..2001-08-01.
+- lineitem: avg 4 lines/order via independent l_orderkey ~ U(#orders),
+  l_linenumber ~ U(1..7), l_quantity integral U(1..50),
+  l_extendedprice ~ U(900, 105000), discount 0..0.10 / tax 0..0.08 in
+  cent steps, l_shipdate midnight-uniform 1995-01-02..2001-11-04.
+- events: ts sorted uniform-us over 2024-01-01..2024-01-31 (written as
+  TIMESTAMP(MICROS, isAdjustedToUTC=false) like the current fixtures;
+  the nanos encoding path is covered by unit fixtures),
+  user_id ~ U(#customers/10), 5 event types, value ~ Exp(50) rounded,
+  props = '{"k": N}' with N ~ U(0..100).
+- documents: 31-word vocab salads of U(10..100) words; ~4.7% of docs
+  are NEAR-DUPS of an earlier doc (tail +/- one word, matching the
+  observed prefix-identical pair structure) and ~0.16% exact dups —
+  these rates drive the minhash/simhash bucket loads, so they scale
+  proportionally; lang ~ {en: .41, de/es/fr/zh: ~.1475}, source =
+  src{i % 20}.
+- embeddings: 64-d unit vectors = normalize(N(0, I) + 0.56 * u_label)
+  — reproduces the observed weak cluster structure (centroid norm
+  ~0.07 after normalization, within-cluster std ~0.125).
+
+Usage: python tools/gen_fixture.py --sf 1 --out /tmp/sf1 [--seed 42]
+
+Row counts scale linearly from the sf0.1 reference counts. Output is
+one snappy parquet per table with pyarrow's default row-group size
+(sf1 gets multiple row groups — closer to cluster reality than the
+single-row-group driver files; see CLAUDE.md scan-stage note).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Row counts at sf0.1 (the driver fixture this clones).
+BASE = {
+    "customer": 15_000,
+    "supplier": 1_000,
+    "part": 20_000,
+    "orders": 150_000,
+    "lineitem": 600_000,
+    "events": 100_000,
+    "documents": 5_000,
+    "embeddings": 2_000,
+}
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+STATUSES = ["F", "O", "P"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ADJS = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+NOUNS = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+DAY_US = 86_400_000_000
+
+
+def _midnight_days(rng, n, start, end):
+    """Uniform midnight timestamps (us) over [start, end] inclusive days."""
+    lo = np.datetime64(start, "D").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(end, "D").astype("datetime64[us]").astype(np.int64)
+    days = (hi - lo) // DAY_US
+    return (lo + rng.integers(0, days + 1, n) * DAY_US).astype("datetime64[us]")
+
+
+def _money(rng, n, lo, hi):
+    return np.round(rng.uniform(lo, hi, n), 2)
+
+
+def gen(sf: float, out: str, seed: int = 42) -> dict:
+    s = sf / 0.1
+    n = {t: max(1, int(round(c * s))) for t, c in BASE.items()}
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    stats = {}
+
+    def write(name, table):
+        path = os.path.join(out, f"{name}.parquet")
+        pq.write_table(table, path, compression="snappy")
+        stats[name] = table.num_rows
+
+    write("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": REGIONS,
+    }))
+    write("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    nc = n["customer"]
+    write("customer", pa.table({
+        "c_custkey": pa.array(np.arange(nc), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(nc)],
+        "c_nationkey": pa.array(rng.integers(0, 25, nc), pa.int32()),
+        "c_acctbal": _money(rng, nc, -1000, 10000),
+        "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, nc)]),
+    }))
+
+    ns = n["supplier"]
+    write("supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(ns), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
+        "s_nationkey": pa.array(rng.integers(0, 25, ns), pa.int32()),
+        "s_acctbal": _money(rng, ns, -1000, 10000),
+    }))
+
+    npart = n["part"]
+    adj = np.array(ADJS)[rng.integers(0, 8, npart)]
+    noun = np.array(NOUNS)[rng.integers(0, 8, npart)]
+    write("part", pa.table({
+        "p_partkey": pa.array(np.arange(npart), pa.int64()),
+        "p_name": pa.array(np.char.add(np.char.add(adj, " "), noun)),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, npart)]),
+        "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, npart)]),
+        "p_size": pa.array(rng.integers(1, 51, npart), pa.int32()),
+        "p_retailprice": _money(rng, npart, 900, 1000),
+    }))
+
+    no = n["orders"]
+    write("orders", pa.table({
+        "o_orderkey": pa.array(np.arange(no), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, nc, no), pa.int64()),
+        "o_orderstatus": pa.array(np.array(STATUSES)[rng.integers(0, 3, no)]),
+        "o_totalprice": _money(rng, no, 1000, 500000),
+        "o_orderdate": pa.array(
+            _midnight_days(rng, no, "1995-01-01", "2001-08-01")),
+        "o_orderpriority": pa.array(
+            np.array(PRIORITIES)[rng.integers(0, 5, no)]),
+    }))
+
+    nl = n["lineitem"]
+    write("lineitem", pa.table({
+        "l_orderkey": pa.array(rng.integers(0, no, nl), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, npart, nl), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, ns, nl), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, nl), pa.int32()),
+        "l_quantity": rng.integers(1, 51, nl).astype(np.float64),
+        "l_extendedprice": _money(rng, nl, 900, 105000),
+        "l_discount": np.round(rng.integers(0, 11, nl) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, nl) / 100.0, 2),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[
+            rng.integers(0, 3, nl)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[
+            rng.integers(0, 2, nl)]),
+        "l_shipdate": pa.array(
+            _midnight_days(rng, nl, "1995-01-02", "2001-11-04")),
+    }))
+
+    ne = n["events"]
+    t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    span = 30 * DAY_US
+    ts = np.sort(t0 + rng.integers(0, span, ne))
+    write("events", pa.table({
+        "event_id": pa.array(np.arange(ne), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, max(1, nc // 10), ne), pa.int64()),
+        "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, ne)]),
+        "value": np.round(rng.exponential(50.0, ne), 2),
+        "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 101, ne)]),
+    }))
+
+    nd = n["documents"]
+    vocab = np.array(DOC_VOCAB)
+    texts: list[str] = []
+    for i in range(nd):
+        r = rng.random()
+        if i > 0 and r < 0.0016:  # exact dup
+            texts.append(texts[rng.integers(0, i)])
+        elif i > 0 and r < 0.047 + 0.0016:  # near dup: tail +/- 1 word
+            words = texts[rng.integers(0, i)].split()
+            if len(words) > 10 and rng.random() < 0.5:
+                words = words[:-1]
+            else:
+                words = words + [vocab[rng.integers(0, len(vocab))]]
+            texts.append(" ".join(words))
+        else:
+            k = int(rng.integers(10, 101))
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), k)]))
+    write("documents", pa.table({
+        "doc_id": pa.array(np.arange(nd), pa.int64()),
+        "text": texts,
+        "lang": pa.array(np.array(LANGS)[
+            rng.choice(5, nd, p=LANG_P)]),
+        "source": [f"src{i % 20}" for i in range(nd)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    nv = n["embeddings"]
+    label = rng.integers(0, 10, nv).astype(np.int32)
+    cents = rng.standard_normal((10, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = rng.standard_normal((nv, 64)) + 0.56 * cents[label]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    write("embeddings", pa.table({
+        "vec_id": pa.array(np.arange(nv), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(label, pa.int32()),
+    }))
+
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    t0 = time.time()
+    stats = gen(args.sf, args.out, args.seed)
+    print(json.dumps({"sf": args.sf, "out": args.out,
+                      "seconds": round(time.time() - t0, 1),
+                      "rows": stats}))
+
+
+if __name__ == "__main__":
+    main()
