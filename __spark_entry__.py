@@ -4845,12 +4845,12 @@ WITH ev AS (
   FROM events),
 l AS (
   SELECT CAST(3600 AS BIGINT) AS granularity,
-         (e // 3600) * 3600 AS bucket, event_type,
+         e - ((e % 3600) + 3600) % 3600 AS bucket, event_type,
          COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
   FROM ev GROUP BY bucket, event_type
   UNION ALL
-  SELECT CAST(86400 AS BIGINT), (e // 86400) * 86400, event_type,
-         COUNT(*), CAST(SUM(vc) AS BIGINT)
+  SELECT CAST(86400 AS BIGINT), e - ((e % 86400) + 86400) % 86400,
+         event_type, COUNT(*), CAST(SUM(vc) AS BIGINT)
   FROM ev GROUP BY 2, event_type)
 SELECT granularity, bucket, event_type, n_events, value_cents
 FROM l ORDER BY granularity, event_type, bucket
@@ -4999,12 +4999,13 @@ def q_resample(spark, sf_dir):
 _SQL_RESAMPLE = """
 WITH obs AS (
   SELECT user_id,
-         (epoch_ms(ts) // 1000 // 3600) * 3600 AS bucket,
+         (epoch_ms(ts) // 1000) - (((epoch_ms(ts) // 1000) % 3600)
+           + 3600) % 3600 AS bucket,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
            AS value_cents
   FROM events WHERE user_id < 50
-  GROUP BY user_id, (epoch_ms(ts) // 1000 // 3600) * 3600),
+  GROUP BY 1, 2),
 b AS (
   SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
   FROM obs GROUP BY user_id),

@@ -299,6 +299,14 @@ def op_winnow(df: DataFrame, config: Mapping, views) -> DataFrame:
       (one id shuffle, LAG-based sliding min) — kept as the
       no-Python-workers fallback and the parity anchor.
 
+    Locale note (ADVICE r7): the Arrow kernel lowercases with Python
+    ``str.lower()`` (locale-independent); the JVM path's ``F.lower``
+    falls back to Java ``String.toLowerCase()`` for non-ASCII, which
+    is DEFAULT-LOCALE sensitive (a Turkish-locale JVM lowers 'I' to
+    dotless 'ı'). The session factory pins the JVM default locale to
+    en-US (driver at runtime, executors via extraJavaOptions —
+    session.py), so the two impls stay byte-identical on any host.
+
     config: ``field`` (default text), ``id_field`` (default doc_id),
     ``k`` char-gram size (default 5), ``window`` (default 4),
     ``impl`` ("arrow"|"jvm").

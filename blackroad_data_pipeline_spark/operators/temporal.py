@@ -834,6 +834,29 @@ def op_interval_merge(df: DataFrame, config: Mapping, views) -> DataFrame:
                  F.count(F.lit(1)).alias("n_intervals")))
 
 
+def _narrow_checked(v: F.Column, dtype, what: str) -> F.Column:
+    """Narrow a long epoch-second column to an integral touch-ts type
+    with a LOUD overflow guard: Spark's non-ANSI long→int cast
+    silently WRAPS, so an IntegerType touch column meeting a
+    conversion past 2038-01-19 would corrupt the as-of key instead of
+    erroring (ADVICE r7). The guard is the VALUE expression
+    (when/otherwise — a guard embedded behind binary arithmetic is
+    silently skipped when the other operand is NULL, sample_pps
+    precedent); NULL epochs pass through as NULL."""
+    if not isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        return v.cast(dtype)
+    bits = {T.IntegerType: 31, T.ShortType: 15, T.ByteType: 7}[type(dtype)]
+    lo, hi = -(1 << bits), (1 << bits) - 1
+    ok = v.isNull() | v.between(lo, hi)
+    return F.when(ok, v).otherwise(
+        F.assert_true(F.lit(False), F.concat(
+            F.lit(f"{what}: epoch second "),
+            F.coalesce(v.cast("string"), F.lit("NULL")),
+            F.lit(f" overflows the {dtype.simpleString()} touch-ts "
+                  f"column — use a BIGINT or timestamp touch column")))
+        .cast("long")).cast(dtype)
+
+
 @register("attribution")
 def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Marketing-touch attribution: credit each conversion to the
@@ -846,27 +869,33 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     touch with ``conv_ts - lookback <= touch_ts <= conv_ts``, credit
     1.0) ride the as-of join's union+carry shape — ONE key shuffle,
     linear state, NO touch-pair materialization, the 100 TB path.
-    Window-bound precision: ``last`` compares ``touch_ts <= conv_ts``
-    exactly but by default measures the lookback DEPTH at second
-    granularity (floor(conv)-floor(touch) <= lookback — oracle
-    parity); ``precision: "exact"`` upgrades it to the exact
-    microsecond interval (unifying with ``first`` so the two models
-    agree on boundary touches — ADVICE r6 #2); ``first`` always
-    evaluates BOTH bounds at native timestamp precision (exact
-    interval subtraction for the start, exact comparison for the
-    end). ``linear``'s window start stays second-floored (its
-    bucketized range join and oracle share the arithmetic).
-    ``linear`` (every in-window touch splits the credit equally,
-    credit = 1/n exactly representable or not — both engines compute
-    the same IEEE division) rides the bucketized range join: pairs
-    are bounded by lookback, never all-history.
+    Window-bound precision (``precision: second | exact``, accepted by
+    every model — round 8 unifies the config surface ADVICE r6 #2
+    flagged): ``exact`` evaluates BOTH window bounds at native
+    (microsecond) timestamp precision; ``second`` measures the
+    lookback depth at epoch-second granularity
+    (floor(conv) − floor(touch) <= lookback), the cross-engine-replay
+    arithmetic the oracles pin. Model defaults keep each model's
+    historical (oracle-anchored) behavior: ``last`` and ``linear``
+    default to ``second``; ``first`` has been exact since round 6 and
+    defaults to ``exact`` (its ``second`` mode mirrors ``last``'s
+    default: second-granular depth, exact ``touch_ts <= conv_ts``
+    upper bound). ``linear``'s exact mode runs the same bucketized
+    range join on MICROSECOND longs (window
+    [conv − lookback·1e6 µs, conv], both bounds exact); its second
+    mode keeps both bounds second-granular. ``linear`` (every
+    in-window touch splits the credit equally, credit = 1/n exactly
+    representable or not — both engines compute the same IEEE
+    division) rides the bucketized range join: pairs are bounded by
+    lookback, never all-history.
 
     Config: ``conversions`` (view name or DataFrame), ``by`` keys
     (default [user_id]), ``conv_id`` (required — a unique conversion
     id), ``touch_id`` (required), ``touch_ts``/``conv_ts`` (default
     ts), ``lookback`` seconds (required), ``model`` (default last),
-    ``precision``: second (default) | exact (model=last only — see
-    above), ``tiebreak`` (orders equal-timestamp touches: last picks
+    ``precision``: second | exact (default second for last/linear,
+    exact for first — see above), ``tiebreak`` (orders
+    equal-timestamp touches: last picks
     the max, first the min), ``unmatched``: drop (default) | keep
     (conversions with no in-window touch survive with NULL touch and
     credit 0.0 — the "direct" bucket). Output: conversion columns +
@@ -892,7 +921,10 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     tiebreak = config.get("tiebreak")
     conv_cols = conv.columns
 
-    precision = config.get("precision", "second")
+    # model defaults preserve each model's historical (oracle-pinned)
+    # behavior: first has been both-bounds-exact since round 6
+    precision = config.get("precision") or (
+        "exact" if model == "first" else "second")
     if precision not in ("second", "exact"):
         raise ValueError(
             f"precision must be second|exact, got {precision!r}")
@@ -920,7 +952,8 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
                 and not isinstance(conv.schema[cts].dataType,
                                    (T.LongType, T.IntegerType))):
             left_frame = conv.withColumn(
-                "__cfloor", epoch_seconds(F.col(cts)).cast(tts_type))
+                "__cfloor", _narrow_checked(epoch_seconds(F.col(cts)),
+                                            tts_type, "attribution"))
             left_ts = "__cfloor"
         out = op_asof_join(left_frame, {
             "right": df, "by": by,
@@ -968,21 +1001,34 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
         # with the touch timestamp, so keep numeric ts numeric.
         tts_type = df.schema[tts].dataType
         if isinstance(tts_type, (T.LongType, T.IntegerType)):
-            # integer-second touch domain: a whole-second touch t is in
-            # [conv_exact - lookback, ...] iff t >= ceil(conv_exact) -
-            # lookback. Flooring conv_exact instead (epoch_seconds
-            # truncates) would admit touches up to ~1s before the
-            # nominal window start whenever conv_ts carries sub-second
-            # precision (ADVICE r6). Exact long ceil: floor + carry.
             fs = epoch_seconds(F.col(cts))
-            mc = F.unix_micros(F.col(cts).cast("timestamp"))
-            ceil_s = fs + F.when(mc > fs * F.lit(1_000_000),
-                                 F.lit(1)).otherwise(F.lit(0))
-            wstart = (ceil_s - lookback).cast(tts_type)
-        else:
+            if precision == "exact":
+                # integer-second touch domain: a whole-second touch t
+                # is in [conv_exact - lookback, ...] iff t >=
+                # ceil(conv_exact) - lookback. Flooring conv_exact
+                # instead (epoch_seconds truncates) would admit touches
+                # up to ~1s before the nominal window start whenever
+                # conv_ts carries sub-second precision (ADVICE r6).
+                # Exact long ceil: floor + carry.
+                mc = F.unix_micros(F.col(cts).cast("timestamp"))
+                start_s = fs + F.when(mc > fs * F.lit(1_000_000),
+                                      F.lit(1)).otherwise(F.lit(0)) \
+                    - lookback
+            else:
+                # second-granular depth (last's default semantics):
+                # floor(t) >= floor(c) - L, and integral touches ARE
+                # their own floor
+                start_s = fs - lookback
+            wstart = _narrow_checked(start_s, tts_type, "attribution")
+        elif precision == "exact":
             wstart = (F.col(cts).cast("timestamp")
                       - F.expr(f"INTERVAL {lookback} SECOND")
                       ).cast(tts_type)
+        else:
+            # second-granular depth on timestamp touches: floor(t) >=
+            # floor(c) - L  <=>  t >= the (whole-second) boundary
+            wstart = ((epoch_seconds(F.col(cts)) - lookback)
+                      .cast("timestamp").cast(tts_type))
         left = conv.withColumn("__wstart", wstart)
         out = op_asof_join(left, {
             "right": df, "by": by,
@@ -1008,16 +1054,39 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
             F.when(matched, F.lit(1.0)).otherwise(F.lit(0.0))
              .alias("credit"))
 
-    windows = conv.select(
-        *conv_cols,
-        (epoch_seconds(F.col(cts)) - lookback).cast("timestamp")
-        .alias("__wstart"))
-    pairs = op_range_join(df, {
-        "right": windows, "by": by, "left_ts": tts,
-        "start_field": "__wstart", "end_field": cts,
-        "bucket_seconds": max(lookback, 1), "prefix": "c_",
-        "end_inclusive": True,
-    }, views)
+    if precision == "exact":
+        # exact µs window [conv − lookback·1e6, conv]: the same
+        # bucketized range join, run on MICROSECOND longs (integral
+        # touch columns are whole seconds by contract — same ×1e6 as
+        # model='last' exact). Bucket width = the window span in µs,
+        # so the explosion factor stays ≤2.
+        def _us(frame: DataFrame, name: str) -> F.Column:
+            dt = frame.schema[name].dataType
+            c = F.col(name)
+            if isinstance(dt, (T.LongType, T.IntegerType)):
+                return c.cast("long") * F.lit(1_000_000)
+            return F.unix_micros(c.cast("timestamp"))
+        c_us = _us(conv, cts)
+        windows = conv.select(
+            *conv_cols, c_us.alias("__c_us"),
+            (c_us - F.lit(lookback * 1_000_000)).alias("__w_us"))
+        pairs = op_range_join(df.withColumn("__t_us", _us(df, tts)), {
+            "right": windows, "by": by, "left_ts": "__t_us",
+            "start_field": "__w_us", "end_field": "__c_us",
+            "bucket_seconds": max(lookback, 1) * 1_000_000,
+            "prefix": "c_", "end_inclusive": True,
+        }, views)
+    else:
+        windows = conv.select(
+            *conv_cols,
+            (epoch_seconds(F.col(cts)) - lookback).cast("timestamp")
+            .alias("__wstart"))
+        pairs = op_range_join(df, {
+            "right": windows, "by": by, "left_ts": tts,
+            "start_field": "__wstart", "end_field": cts,
+            "bucket_seconds": max(lookback, 1), "prefix": "c_",
+            "end_inclusive": True,
+        }, views)
     n = Window.partitionBy(F.col(f"c_{conv_id}"))
     attributed = pairs.select(
         *[F.col(f"c_{c}").alias(c) for c in conv_cols],

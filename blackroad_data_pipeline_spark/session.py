@@ -60,9 +60,25 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) isn't a Spark type; read as long and
         # convert explicitly (see sources.readers.nanos_to_timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin the JVM default locale (ADVICE r7): Java
+        # String.toLowerCase() — the F.lower fallback for non-ASCII —
+        # is default-locale sensitive (Turkish 'I' -> dotless 'ı'),
+        # which would break the byte-identical parity contract between
+        # the Arrow and JVM winnow kernels on a non-English host.
+        # Executors get the same pin for real-cluster deployments.
+        .config("spark.executor.extraJavaOptions",
+                "-Duser.language=en -Duser.country=US")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # The driver JVM may predate this call (shared gateway), so pin
+    # its locale at runtime rather than via extraJavaOptions.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.util.Locale.setDefault(
+            jvm.java.util.Locale.forLanguageTag("en-US"))
+    except Exception:
+        pass  # non-py4j backends (Spark Connect): rely on host locale
     return spark

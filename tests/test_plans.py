@@ -236,6 +236,44 @@ def test_key_skew_stats_two_narrow_aggregations(spark):
     plans.assert_max_shuffles(df, 2)
 
 
+def test_key_skew_stats_exact_ranks_counts_table_not_corpus(spark):
+    """VERDICT r7 #5: the exact-percentile mode costs 4.3x its approx
+    predecessor, and that price is only acceptable because the pinned
+    rank runs over the #KEYS-sized counts table, not the corpus. Pin
+    that shape: the corpus is scanned ONCE at build (into the
+    localCheckpoint the plan consumes as Scan ExistingRDD — no
+    parquet scan may survive in the consumer plan), everything
+    downstream is counts-sized, and a future edit must not silently
+    upgrade the rank to a corpus-wide sort (shuffle-count gate)."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    df = op("key_skew_stats", events,
+            {"keys": ["user_id"], "percentiles": "exact"})
+    plans.assert_no_row_python(df)
+    txt = plans.explain_text(df)
+    assert "Scan parquet" not in txt          # corpus scanned at build only
+    assert "Scan ExistingRDD" in txt          # the checkpointed counts table
+    # downstream shuffles are all #keys-sized: the prefix-sum rank's
+    # pid regroup, the base stats reduce, and the rank's range
+    # partitioning — gate so none of them grows back into the corpus
+    plans.assert_max_shuffles(df, 3)
+    # the est scalar joins back as a 1-row broadcast, never cartesian
+    assert "CartesianProduct" not in plans.join_strategies(df)
+
+
+def test_quantiles_contract_single_corpus_shuffle(spark):
+    """The rewritten pinned-rank `quantiles` pair (round 7) costs
+    2.2x its approx predecessor; gate its plan so the cost stays
+    bounded: ONE corpus scan, ONE hash shuffle on the 3-value group
+    key feeding both windows, plus only the final presentation sort."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["quantiles"](spark, SF)
+    plans.assert_no_row_python(df)
+    tree = plans.explain_text(df, "simple")
+    assert tree.count("Scan parquet") == 1
+    plans.assert_max_shuffles(df, 2)
+
+
 def test_funnel_users_single_key_shuffle(spark):
     """VERDICT r3 #3: the k chained window minima share ONE hash
     shuffle on the key and the per-key rollup reuses that

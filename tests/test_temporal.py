@@ -819,6 +819,119 @@ def test_attribution_last_precision_exact(spark):
         op("attribution", touches, {**cfg, "precision": "ns"}, views={})
 
 
+def test_attribution_first_precision_second(spark):
+    """precision='second' for model=first (round 8 config parity):
+    the window depth drops to last's default floor-granular
+    semantics — floor(c) - floor(t) <= lookback — while the upper
+    bound stays exact. Default stays 'exact' (first's round-6
+    oracle-pinned behavior)."""
+    touches = spark.createDataFrame(
+        [("u1", 5.2, 1),             # 0.3s before the exact start 5.5
+         ("u2", 10.8, 2)],           # after conv (same second)
+        "user_id string, sec double, event_id long",
+    ).select("user_id", "event_id",
+             F.col("sec").cast("timestamp").alias("ts"))
+    convs = spark.createDataFrame(
+        [("u1", 10.5, 10), ("u2", 10.5, 11)],
+        "user_id string, sec double, conv_id long",
+    ).select("user_id", "conv_id",
+             F.col("sec").cast("timestamp").alias("conv_ts"))
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "lookback": 5, "model": "first", "unmatched": "keep"}
+    # default == exact: the boundary touch fails, the late touch fails
+    assert {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, cfg, views={}).collect()} == \
+        {10: None, 11: None}
+    # second: floor depth admits u1's boundary touch; the exact upper
+    # bound still rejects u2's post-conversion touch
+    got = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, {**cfg, "precision": "second"},
+        views={}).collect()}
+    assert got == {10: 1, 11: None}
+    # integral touches, second mode: t >= floor(c) - L
+    itouch = spark.createDataFrame([("u1", 5, 1), ("u2", 4, 2)],
+                                   "user_id string, ts long, event_id long")
+    igot = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", itouch, {**cfg, "precision": "second"},
+        views={}).collect()}
+    assert igot == {10: 1, 11: None}    # floor(10.5)-5=5: 5 in, 4 out
+
+
+def test_attribution_linear_precision_exact(spark):
+    """precision='exact' for model=linear (round 8): the bucketized
+    range join runs on microsecond longs — window
+    [conv - lookback*1e6 us, conv], both bounds exact. Default
+    'second' keeps the oracle-pinned floor-granular bounds."""
+    touches = spark.createDataFrame(
+        [("u1", 5.2, 1),    # in floor window [5,10], out of exact [5.5,10.5]
+         ("u1", 5.6, 2),    # in both
+         ("u1", 10.8, 3),   # after conv exactly; floor 10 <= 10 admits it
+         ("u2", 5.2, 4)],   # u2's only touch -> unmatched under exact
+        "user_id string, sec double, event_id long",
+    ).select("user_id", "event_id",
+             F.col("sec").cast("timestamp").alias("ts"))
+    convs = spark.createDataFrame(
+        [("u1", 10.5, 10), ("u2", 10.5, 11)],
+        "user_id string, sec double, conv_id long",
+    ).select("user_id", "conv_id",
+             F.col("sec").cast("timestamp").alias("conv_ts"))
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "lookback": 5, "model": "linear"}
+    loose = {(r["conv_id"], r["touch_id"]): r["credit"] for r in op(
+        "attribution", touches, cfg, views={}).collect()}
+    assert loose == {(10, 1): 1 / 3, (10, 2): 1 / 3, (10, 3): 1 / 3,
+                     (11, 4): 1.0}
+    exact = {(r["conv_id"], r["touch_id"]): r["credit"] for r in op(
+        "attribution", touches, {**cfg, "precision": "exact"},
+        views={}).collect()}
+    assert exact == {(10, 2): 1.0}
+    kept = {r["conv_id"]: (r["touch_id"], r["credit"]) for r in op(
+        "attribution", touches,
+        {**cfg, "precision": "exact", "unmatched": "keep"},
+        views={}).collect() if r["touch_id"] is None}
+    assert kept == {11: (None, 0.0)}
+    # integral whole-second touches ride the same x1e6 mapping
+    itouch = spark.createDataFrame([("u1", 5, 1), ("u1", 6, 2)],
+                                   "user_id string, ts long, event_id long")
+    iexact = {(r["conv_id"], r["touch_id"]) for r in op(
+        "attribution", itouch, {**cfg, "precision": "exact"},
+        views={}).collect()}
+    assert iexact == {(10, 2)}          # 5 < exact start 5.5
+
+
+def test_attribution_int_touch_overflow_fails_loud(spark):
+    """ADVICE r7: an IntegerType touch column meeting a conversion
+    past 2038-01-19 must raise, not silently wrap the as-of key
+    (Spark's non-ANSI long->int cast wraps)."""
+    import pyspark.errors
+
+    touches = spark.createDataFrame(
+        [("u1", 100, 1)], "user_id string, ts int, event_id long")
+    convs = spark.createDataFrame(
+        [("u1", float(1 << 33), 10)],     # epoch ~2242, > int32 max
+        "user_id string, sec double, conv_id long",
+    ).select("user_id", "conv_id",
+             F.col("sec").cast("timestamp").alias("conv_ts"))
+    cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+           "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+           "lookback": 5}
+    for model in ("last", "first"):
+        with pytest.raises(Exception, match="overflows the int"):
+            op("attribution", touches, {**cfg, "model": model},
+               views={}).collect()
+    # in-range conversions on an int touch column still work
+    ok_convs = spark.createDataFrame(
+        [("u1", 100.5, 10)], "user_id string, sec double, conv_id long",
+    ).select("user_id", "conv_id",
+             F.col("sec").cast("timestamp").alias("conv_ts"))
+    got = {r["conv_id"]: r["touch_id"] for r in op(
+        "attribution", touches, {**cfg, "conversions": ok_convs},
+        views={}).collect()}
+    assert got == {10: 1}
+
+
 # -- time_rollup -------------------------------------------------------------
 
 
@@ -855,6 +968,35 @@ def test_time_rollup_validation_and_exact_buckets(spark):
     r = op("time_rollup", big, {"ts_field": "ts", "intervals": [10]},
            views={}).select("bucket").collect()[0]  # bucket_ts saturates
     assert r["bucket"] == e - (e % 10)
+
+
+def test_time_rollup_negative_epoch_buckets_replay_in_duckdb(spark):
+    """ADVICE r7: the time_rollup/resample oracles bucketed with
+    DuckDB `(e // step) * step`, which truncates toward zero
+    (-7 // 2 = -3), while the operator floors via `e - pmod(e, step)`
+    — divergent for pre-1970 epochs. The repaired oracle arithmetic
+    `e - ((e % step) + step) % step` must replay the operator's floor
+    buckets on NEGATIVE epochs too."""
+    duckdb = pytest.importorskip("duckdb")
+
+    rows = [-90000, -86400, -7, -1, 0, 1, 3599, 3600]
+    df = spark.createDataFrame([(e,) for e in rows], "ts long")
+    got = {(r["granularity"], r["bucket"]): r["n"]
+           for r in op("time_rollup", df, {
+               "ts_field": "ts", "intervals": [3600, 86400],
+               "aggregates": [{"function": "count", "alias": "n"}]},
+               views={}).collect()}
+    want = {}
+    con = duckdb.connect()
+    for step in (3600, 86400):
+        q = con.sql(
+            f"SELECT e - ((e % {step}) + {step}) % {step} AS b, COUNT(*) "
+            f"FROM (SELECT UNNEST({rows!r}) AS e) GROUP BY b").fetchall()
+        for b, n in q:
+            want[(step, b)] = n
+    assert got == want
+    # and the floor semantics themselves: -7 lands in bucket -3600
+    assert got[(3600, -3600)] >= 2      # -7 and -1
 
 
 def test_time_rollup_single_shuffle_plan(spark):
