@@ -2156,7 +2156,15 @@ SELECT event_id, user_id, value AS r_value FROM pairs WHERE rn = 1
 
 def q_range_join(spark, sf_dir):
     """Clicks landing inside [purchase, purchase+6h) windows per user —
-    bucketized point-in-interval join (stays a shuffled equi-join)."""
+    bucketized point-in-interval join (stays a shuffled equi-join).
+
+    Containment is SECOND-granular by operator contract (range_join
+    floors timestamp bounds through epoch_seconds — sub-second bound
+    precision truncates, operators/temporal.py), and the oracle must
+    replay THAT arithmetic: an exact-µs oracle disagrees whenever a
+    click and a window bound share a second (one such boundary pair
+    appeared in the round-8 sf1 sweep: spark=21917 vs duck=21916 —
+    fixture-scale luck had hidden it at sf0.01/sf0.1)."""
     e = _t(spark, sf_dir, "events")
     clicks = op("filter", e, {"field": "event_type", "op": "eq", "value": "click"})
     purchases = op("filter", e, {"field": "event_type", "op": "eq", "value": "purchase"})
@@ -2175,13 +2183,13 @@ def q_range_join(spark, sf_dir):
 
 
 _SQL_RANGE_JOIN = """
-WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
+WITH c AS (SELECT event_id, user_id, epoch_ms(ts)//1000 AS tsec
            FROM events WHERE event_type = 'click'),
-     p AS (SELECT event_id AS win_id, user_id, epoch_ns(ts)//1000 AS s
+     p AS (SELECT event_id AS win_id, user_id, epoch_ms(ts)//1000 AS s
            FROM events WHERE event_type = 'purchase')
 SELECT c.event_id, c.user_id, p.win_id AS r_win_id
 FROM c JOIN p
-  ON c.user_id = p.user_id AND c.tus >= p.s AND c.tus < p.s + CAST(21600 AS BIGINT) * 1000000
+  ON c.user_id = p.user_id AND c.tsec >= p.s AND c.tsec < p.s + 21600
 """
 
 

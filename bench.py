@@ -94,6 +94,14 @@ SCALE_PROBES = {
     # each day deduped within itself, then against the growing
     # minhash_bands store of ALL previously seen docs.
     "incremental_ingest_scale": lambda s, d: _incremental_ingest(s, d),
+    # round 8: the embedding-side composed ingest chain (pytest
+    # test_embedding_incremental_ingest_end_to_end proves day-3 ==
+    # from-scratch batch; this measures the scale shape): embeddings
+    # split into 3 "days" by vec_id % 3, deduped within-day, then
+    # against the growing INT8 history (quantize -> store ->
+    # dequantize on read), finishing with an ann_ivf probe over the
+    # dequantized kept store — the serve step.
+    "embedding_ingest_scale": lambda s, d: _embedding_ingest(s, d),
     # round 7: interval x interval overlap join at event granularity
     # (every click a 300s window, every purchase a 600s window, 600s
     # buckets) — candidate pairs are bucket-bounded, so the probe
@@ -133,6 +141,32 @@ def _incremental_ingest(s, d):
     for p in kept_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _embedding_ingest(s, d):
+    embs = _embs(s, d)
+    cfg = {"threshold": 0.9, "dim": 64, "n_planes": 12, "n_tables": 2}
+    qcfg = {"dim": 64, "bits": 8, "bounds": [-1.0, 1.0]}
+    store, kept_parts = None, []
+    for i in range(3):
+        day = embs.filter(f"vec_id % 3 = {i}")
+        kept = op("dedup_embedding", day, cfg)
+        if store is not None:
+            hist = op("dequantize_embedding", store, {"bits": 8})
+            kept = op("dedup_embedding_against", kept,
+                      {**cfg, "history": hist}, views={})
+        q = op("quantize_embedding", day, qcfg).select(
+            "vec_id", "embedding", "q_lo", "q_hi")
+        store = q if store is None else store.unionByName(q)
+        kept_parts.append(kept.select("vec_id"))
+    kept_ids = kept_parts[0]
+    for p in kept_parts[1:]:
+        kept_ids = kept_ids.unionByName(p)
+    serve = op("dequantize_embedding", store.join(kept_ids, "vec_id"),
+               {"bits": 8})
+    return op("ann_ivf", serve, {"probe_id": 0, "k": 10, "dim": 64,
+                                 "n_cells": 8, "nprobe": 3, "refine": 1},
+              views={})
 
 
 def run_once(fn, spark, sf_dir) -> float:

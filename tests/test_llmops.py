@@ -1220,6 +1220,100 @@ def test_incremental_daily_ingest_end_to_end(spark):
         sorted(map(tuple, batch_sk.collect()))
 
 
+def test_embedding_incremental_ingest_end_to_end(spark):
+    """The embedding-side composed daily-ingest story (VERDICT r7 #6,
+    the vector twin of test_incremental_daily_ingest_end_to_end):
+    three 'days' flow through within-day dedup_embedding, then
+    dedup_embedding_against a growing INT8 history store
+    (quantize_embedding with fixed bounds, dequantized on read — raw
+    fp32 history is never re-read), and the day-3 kept set must EQUAL
+    the from-scratch dedup_embedding batch run over the 3-day union.
+    The serving step is pinned too: ann_ivf over the incremental kept
+    store (int8 -> dequantize) must return row-identical results to
+    ann_ivf over the batch-kept corpus quantized the same way —
+    fixed-bounds quantization is per-element deterministic, so the
+    codes agree no matter which frame produced them.
+
+    Vector geometry keeps every decision far from the 0.9 threshold
+    on BOTH raw and dequantized comparisons (near-dups at cos>0.999,
+    distinct pairs orthogonal; 8-bit midpoint error ~4e-3), so int8
+    history cannot flip a keep/drop vs the raw batch run. The LSH
+    geometry (2 planes x 8 tables) is recall~1 at these angles."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [float(x / n) for x in v]
+
+    a = unit([1.0, 0.02, 0.0, 0.0])
+    b = unit([0.0, 1.0, 0.03, 0.0])
+    c = unit([0.0, 0.0, 1.0, 0.04])
+    dd = unit([0.02, 0.0, 0.0, 1.0])
+
+    def near(v, eps):
+        return unit([x + e for x, e in zip(v, eps)])
+
+    days = {
+        1: [(101, a), (102, b),
+            (103, near(a, [0.0, 0.01, 0.0, 0.0]))],   # within-day dup of 101
+        2: [(201, near(a, [0.0, 0.0, 0.01, 0.0])),    # dup of history 101
+            (202, c)],                                # new
+        3: [(301, near(b, [0.01, 0.0, 0.0, 0.0])),    # dup of history 102
+            (302, near(c, [0.0, 0.01, 0.0, 0.0])),    # dup of history 202
+            (303, dd)],                               # new
+    }
+    cfg = {"threshold": 0.9, "dim": 4, "n_planes": 2, "n_tables": 8,
+           "id_field": "vec_id"}
+    qcfg = {"dim": 4, "bits": 8, "bounds": [-1.0, 1.0]}
+
+    def mk(d):
+        return spark.createDataFrame(
+            days[d], "vec_id long, embedding array<float>")
+
+    store, kept_ids = None, []
+    for d in (1, 2, 3):
+        batch = mk(d)
+        kept = op("dedup_embedding", batch, cfg)
+        if store is not None:
+            hist = op("dequantize_embedding", store, {"bits": 8})
+            kept = op("dedup_embedding_against", kept,
+                      {**cfg, "history": hist}, views={})
+        # the store holds ALL docs seen (kept or dropped) as int8 —
+        # the greedy smaller-id policy needs dropped docs too, exactly
+        # like the minhash band store
+        q = op("quantize_embedding", batch, qcfg).select(
+            "vec_id", "embedding", "q_lo", "q_hi")
+        store = q if store is None else store.unionByName(q)
+        store = store.localCheckpoint()
+        kept_ids.extend(r["vec_id"]
+                        for r in kept.select("vec_id").collect())
+
+    union = mk(1).unionByName(mk(2)).unionByName(mk(3))
+    batch_kept = op("dedup_embedding", union, cfg)
+    assert sorted(kept_ids) == sorted(
+        r["vec_id"] for r in batch_kept.select("vec_id").collect())
+    assert sorted(kept_ids) == [101, 102, 202, 303]
+
+    # serving parity: ann over the incremental int8 kept store ==
+    # ann over the batch-kept corpus quantized with the same bounds
+    kept_frame = spark.createDataFrame(
+        [(i,) for i in kept_ids], "vec_id long")
+    inc_serve = op("dequantize_embedding",
+                   store.join(kept_frame, "vec_id"), {"bits": 8})
+    batch_serve = op("dequantize_embedding",
+                     op("quantize_embedding", batch_kept, qcfg).select(
+                         "vec_id", "embedding", "q_lo", "q_hi"),
+                     {"bits": 8})
+    ann_cfg = {"probe_id": 202, "k": 3, "dim": 4, "n_cells": 2,
+               "nprobe": 2, "refine": 0, "id_field": "vec_id"}
+    inc_rows = sorted(map(tuple, op("ann_ivf", inc_serve, ann_cfg,
+                                    views={}).collect()))
+    batch_rows = sorted(map(tuple, op("ann_ivf", batch_serve, ann_cfg,
+                                      views={}).collect()))
+    assert inc_rows == batch_rows
+    assert [r[0] for r in sorted(inc_rows, key=lambda t: -t[1])][0] == 202
+
+
 # -- pagerank --------------------------------------------------------------
 
 

@@ -99,6 +99,38 @@ def test_range_join_end_bound(spark):
               views={}).count() == 1
 
 
+def test_range_join_timestamp_bounds_are_second_granular(spark):
+    """Pin the containment contract the round-8 sf1 sweep exposed:
+    timestamp points/bounds floor through epoch_seconds, so
+    containment compares WHOLE SECONDS — a point earlier in the same
+    second as the window start is IN (floor equal), and a point in
+    the same second as an exclusive end is OUT even when its µs value
+    is below the exact end. Any oracle for this op must replay the
+    floored arithmetic (an exact-µs replay disagrees on same-second
+    boundary pairs — q_range_join docstring)."""
+    pts = spark.createDataFrame(
+        [("u", 100.2, "early_in_start_second"),
+         ("u", 100.8, "late_in_start_second"),
+         ("u", 110.3, "in_end_second")],
+        "uid string, sec double, tag string",
+    ).select("uid", "tag", F.col("sec").cast("timestamp").alias("ts"))
+    win = spark.createDataFrame(
+        [("u", 100.5, 110.5, "w")],
+        "uid string, s double, e double, wname string",
+    ).select("uid", "wname",
+             F.col("s").cast("timestamp").alias("start"),
+             F.col("e").cast("timestamp").alias("end"))
+    out = op("range_join", pts, {
+        "right": win, "by": ["uid"], "left_ts": "ts",
+        "start_field": "start", "end_field": "end",
+        "bucket_seconds": 5}, views={})
+    got = {r["tag"] for r in out.collect()}
+    # floors: points 100,100,110 vs window [100, 110): both
+    # start-second points in (even 100.2 < exact 100.5), the
+    # end-second point out (even 110.3 < exact 110.5)
+    assert got == {"early_in_start_second", "late_in_start_second"}
+
+
 def test_asof_timestamp_tiebreak(spark):
     """right_tiebreak of a non-numeric type (timestamp) must union
     cleanly with the left side's placeholder."""

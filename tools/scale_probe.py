@@ -129,6 +129,12 @@ PROBED = [
     # round 7 (cont. 2): multi-resolution rollup — one Expand-shaped
     # explode + one shuffle, alpha ~ 1 by construction
     "time_rollup",
+    # round 8: the embedding-side composed ingest chain (within-day
+    # dedup + against the growing int8 history + ann_ivf serve) —
+    # candidate work is per (table, bucket), so alpha ~ 1 while the
+    # 4096-bucket geometry holds; the day_i x store_i joins grow the
+    # constant, not the exponent
+    "embedding_ingest_scale",
 ]
 
 
