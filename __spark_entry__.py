@@ -2110,6 +2110,46 @@ ORDER BY conv_id, touch_id
 """
 
 
+def q_attribution_linear_exact(spark, sf_dir):
+    """Linear attribution at ``precision: "exact"`` (round 8 — the
+    config-parity completion of ADVICE r6 #2): the lookback window
+    [conv − 6h, conv] evaluated at native MICROSECOND precision on
+    BOTH bounds, riding the same bucketized range join on µs longs
+    (operators/temporal.py op_attribution). DuckDB replays at
+    epoch_ns//1000 — the same µs arithmetic as attribution_first.
+    The events fixture carries sub-second timestamps, so this pair
+    genuinely differs from the second-granular attribution_linear
+    (boundary touches flip) and the oracle value-checks the exact
+    window."""
+    touches, convs = _touches_convs(spark, sf_dir)
+    df = op("attribution", touches, {
+        "conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
+        "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
+        "lookback": 21600, "model": "linear", "precision": "exact"},
+        views={})
+    df = op("select", df, {"fields": ["conv_id", "user_id", "touch_id",
+                                      "credit"]})
+    return op("sort", df, {"fields": ["conv_id", "touch_id"]})
+
+
+_SQL_ATTRIBUTION_LINEAR_EXACT = """
+WITH t AS (SELECT user_id, event_id AS touch_id,
+                  epoch_ns(ts) // 1000 AS tus
+           FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id, event_id AS conv_id,
+             epoch_ns(ts) // 1000 AS cus
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.conv_id, c.user_id, t.touch_id,
+         COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+  FROM c JOIN t ON c.user_id = t.user_id
+              AND t.tus >= c.cus - 21600000000
+              AND t.tus <= c.cus)
+SELECT conv_id, user_id, touch_id, 1e0 / n AS credit FROM pairs
+ORDER BY conv_id, touch_id
+"""
+
+
 # oracle compares at epoch-microseconds (Spark timestamps are µs; the
 # parquet source is ns — both sides truncate identically)
 _SQL_ASOF_JOIN = """
@@ -5576,6 +5616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_first": q_attribution_first,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
+        # -- new in round 8 (inside the sample window) --
+        "attribution_linear_exact": q_attribution_linear_exact,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
         # mismatched at sf0.1 — key_skew carried the same latent
@@ -5826,6 +5868,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _SQL_INTERVAL_JOIN,
         "time_rollup": _SQL_TIME_ROLLUP,
         "attribution_linear": _SQL_ATTRIBUTION_LINEAR,
+        "attribution_linear_exact": _SQL_ATTRIBUTION_LINEAR_EXACT,
         "category_drift": _SQL_CATEGORY_DRIFT,
         "category_drift_summary": _SQL_CATEGORY_DRIFT_SUMMARY,
         "ks_drift": _SQL_KS_DRIFT,
