@@ -2166,6 +2166,49 @@ SELECT event_id, user_id, value AS r_value FROM pairs WHERE rn = 1
 """
 
 
+def q_asof_nearest(spark, sf_dir):
+    """For each click, the purchase CLOSEST in event time per user
+    (direction='nearest', round 8 — pandas merge_asof parity;
+    operators/temporal.py op_asof_join). Both directional picks come
+    out of one shared window sort (one shuffle); the choice compares
+    exact µs distances, ties resolve backward, equal-ts candidates by
+    the directional tiebreak rules (backward max event_id, forward
+    min). DuckDB replays the choice as a ROW_NUMBER over
+    (distance, side, signed tiebreak)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = op("filter", e, {"field": "event_type", "op": "eq",
+                              "value": "click"})
+    purchases = op("filter", e, {"field": "event_type", "op": "eq",
+                                 "value": "purchase"})
+    df = op("asof_join", clicks, {
+        "right": purchases, "by": ["user_id"], "left_ts": "ts",
+        "values": ["value"], "right_tiebreak": "event_id",
+        "how": "inner", "direction": "nearest",
+    }, views={})
+    return op("select", df, {"fields": ["event_id", "user_id", "r_value"]})
+
+
+_SQL_ASOF_NEAREST = """
+WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id AS pid, user_id, epoch_ns(ts)//1000 AS tus,
+                  value
+           FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT c.event_id, c.user_id, p.value,
+         CASE WHEN p.tus <= c.tus THEN c.tus - p.tus
+              ELSE p.tus - c.tus END AS d,
+         CASE WHEN p.tus <= c.tus THEN 0 ELSE 1 END AS side,
+         CASE WHEN p.tus <= c.tus THEN -p.pid ELSE p.pid END AS tb
+  FROM c JOIN p ON c.user_id = p.user_id),
+r AS (SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY d, side, tb) AS rn
+      FROM cand)
+SELECT event_id, user_id, value AS r_value FROM r WHERE rn = 1
+"""
+
+
 def q_asof_forward(spark, sf_dir):
     """For each click, the NEXT purchase at/after it per user
     (forward as-of — e.g. time-to-conversion analysis)."""
@@ -5618,6 +5661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         # -- new in round 8 (inside the sample window) --
         "attribution_linear_exact": q_attribution_linear_exact,
+        "asof_nearest": q_asof_nearest,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
         # mismatched at sf0.1 — key_skew carried the same latent
@@ -5927,6 +5971,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
         "asof_forward": _SQL_ASOF_FORWARD,
+        "asof_nearest": _SQL_ASOF_NEAREST,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,

@@ -35,9 +35,20 @@ def epoch_seconds(col: F.Column) -> F.Column:
 @register("asof_join")
 def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """As-of join: for each left row, attach the most recent right row
-    with ``right_ts <= left_ts`` (``direction: "backward"``, default)
-    or the next right row with ``right_ts >= left_ts``
-    (``direction: "forward"``), per ``by`` key.
+    with ``right_ts <= left_ts`` (``direction: "backward"``, default),
+    the next right row with ``right_ts >= left_ts``
+    (``direction: "forward"``), or whichever of the two is CLOSER in
+    event time (``direction: "nearest"``, pandas merge_asof parity),
+    per ``by`` key.
+
+    ``nearest`` computes both directional picks in the SAME window
+    sort (two frames over one partitioning — still ONE shuffle) and
+    chooses by exact native-unit distance (µs for timestamps, raw
+    units for integral ts). Pinned tie rules: an at-instant right row
+    is a backward candidate at distance 0 (so it always wins);
+    equidistant backward/forward candidates resolve BACKWARD;
+    equal-ts candidates resolve by tiebreak (backward picks the max,
+    forward the min — the directional rules, unchanged).
 
     Implemented as the union + carry pattern: tag both sides, union by
     name, and take ``last``/``first`` (ignorenulls) of the right
@@ -64,9 +75,13 @@ def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     tiebreak = config.get("right_tiebreak")
     how = config.get("how", "left")
     direction = config.get("direction", "backward")
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"asof direction must be backward|forward, not {direction!r}")
-    backward = direction == "backward"
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof direction must be backward|forward|nearest, "
+            f"not {direction!r}")
+    # nearest rides the backward tag layout: at-instant right rows
+    # land in the running frame (distance-0 backward candidates)
+    backward = direction != "forward"
 
     payload = F.struct(*[F.col(c) for c in values], F.col(rts).alias("__rts"))
     # left rows need a __tb of the SAME TYPE as the right tiebreak for
@@ -101,21 +116,65 @@ def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     # among equal-ts right rows: backward last() picks the max
     # tiebreak, forward first() picks the min
     w = Window.partitionBy(*by).orderBy("__ts", "__tag", "__tb")
-    if backward:
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = F.last("__rpay", ignorenulls=True)
-    else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = F.first("__rpay", ignorenulls=True)
-    matched = merged.withColumn("__m", pick.over(w))
-    out = matched.filter(F.col("__tag") == ltag)
-
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     tol = config.get("tolerance_seconds")
-    if tol is not None:
-        lead = epoch_seconds(F.col("__ts")) - epoch_seconds(F.col("__m.__rts"))
-        age = lead if backward else -lead
+    if direction == "nearest":
+        # both frames share the one (partition, order) sort — Spark
+        # plans a single WindowExec, still exactly one key shuffle
+        matched = (merged
+                   .withColumn("__mb",
+                               F.last("__rpay", ignorenulls=True).over(wb))
+                   .withColumn("__mf",
+                               F.first("__rpay", ignorenulls=True).over(wf)))
+        out = matched.filter(F.col("__tag") == ltag)
+
+        def _unit(c: F.Column) -> F.Column:
+            # exact native-unit instant: µs for timestamps, the raw
+            # value for integral ts (used directly — the timestamp
+            # roundtrip SATURATES, range_join precedent)
+            ts_type = df.schema[lts].dataType
+            if isinstance(ts_type, (T.LongType, T.IntegerType,
+                                    T.ShortType, T.ByteType)):
+                return c.cast("long")
+            return F.unix_micros(c.cast("timestamp"))
+
+        d_b = _unit(F.col("__ts")) - _unit(F.col("__mb.__rts"))
+        d_f = _unit(F.col("__mf.__rts")) - _unit(F.col("__ts"))
+        if tol is not None:
+            # tolerance stays SECOND-granular like the directional
+            # modes (epoch_seconds difference), applied per candidate
+            # BEFORE the nearest choice
+            age_b = (epoch_seconds(F.col("__ts"))
+                     - epoch_seconds(F.col("__mb.__rts")))
+            age_f = (epoch_seconds(F.col("__mf.__rts"))
+                     - epoch_seconds(F.col("__ts")))
+            out = (out.withColumn(
+                "__mb", F.when(age_b <= int(tol), F.col("__mb")))
+                .withColumn(
+                "__mf", F.when(age_f <= int(tol), F.col("__mf"))))
+            d_b = _unit(F.col("__ts")) - _unit(F.col("__mb.__rts"))
+            d_f = _unit(F.col("__mf.__rts")) - _unit(F.col("__ts"))
+        # ties resolve backward (d_b <= d_f)
         out = out.withColumn(
-            "__m", F.when(age <= int(tol), F.col("__m")))
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+             .when(F.col("__mf").isNull(), F.col("__mb"))
+             .when(d_b <= d_f, F.col("__mb"))
+             .otherwise(F.col("__mf"))).drop("__mb", "__mf")
+    else:
+        if backward:
+            pick = F.last("__rpay", ignorenulls=True).over(wb)
+        else:
+            pick = F.first("__rpay", ignorenulls=True).over(wf)
+        matched = merged.withColumn("__m", pick)
+        out = matched.filter(F.col("__tag") == ltag)
+        if tol is not None:
+            lead = (epoch_seconds(F.col("__ts"))
+                    - epoch_seconds(F.col("__m.__rts")))
+            age = lead if backward else -lead
+            out = out.withColumn(
+                "__m", F.when(age <= int(tol), F.col("__m")))
     if how == "inner":
         out = out.filter(F.col("__m").isNotNull())
 

@@ -196,11 +196,38 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     return reader.load(path)
 
 
-def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+def run_stream_to_memory(df: DataFrame, name: str,
+                         output_mode: str = "complete",
+                         shuffle_partitions: int | None = None):
     """Drive a streaming query to completion over available input
-    (test/bench harness): memory sink + processAllAvailable."""
-    q = (df.writeStream.outputMode(output_mode)
-         .format("memory").queryName(name).start())
+    (test/bench harness): memory sink + processAllAvailable.
+
+    ``shuffle_partitions`` sizes the STATEFUL operator's partitioning
+    for this query only (the value is captured into the stream's own
+    SQLConf at start; the session conf is restored immediately).
+    Stateful streaming cost scales with state-store COUNT, not state
+    size: a stream-stream join materializes 4 HDFS-backed store
+    instances per shuffle partition (left/right × keyToNumValues/
+    keyWithIndexToValue), so the local[32] default of 32 partitions
+    spends the micro-batch creating+committing 128 stores for
+    kilobytes of state. Size it to throughput: fixture-scale contract
+    entries pass a small value; a production job at real event rates
+    wants the default (or higher). NOTE: for a checkpointed
+    production stream this is fixed at FIRST start — the state is
+    physically laid out by partition — so pick for peak, not current,
+    throughput there."""
+    spark = df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
+    try:
+        q = (df.writeStream.outputMode(output_mode)
+             .format("memory").queryName(name).start())
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     q.stop()
     return q

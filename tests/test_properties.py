@@ -135,12 +135,15 @@ asof_right = st.lists(
 
 
 @given(left=asof_rows, right=asof_right,
-       direction=st.sampled_from(["backward", "forward"]))
+       direction=st.sampled_from(["backward", "forward", "nearest"]))
 @settings(**SETTINGS)
 def test_asof_join_matches_python_model(spark, left, right, direction):
     """The union+carry as-of equals the obvious per-row model:
     backward = max-ts right at/before each left row (ties: max seq);
-    forward = min-ts right at/after (ties: min seq)."""
+    forward = min-ts right at/after (ties: min seq); nearest = the
+    closer of (backward at/before, forward STRICTLY after), distance
+    ties resolving backward — at-instant rows are distance-0 backward
+    candidates."""
     ldf = (spark.createDataFrame(left, "k int, ts int") if left
            else spark.createDataFrame([], "k int, ts int"))
     rrows = [(k, ts, i) for i, (k, ts, _) in enumerate(right)]
@@ -152,13 +155,23 @@ def test_asof_join_matches_python_model(spark, left, right, direction):
     }, views={})
 
     def model(k, ts):
+        back = [(rts, seq) for (rk, rts, seq) in rrows
+                if rk == k and rts <= ts]
         if direction == "backward":
+            return max(back)[1] if back else None
+        if direction == "forward":
             cands = [(rts, seq) for (rk, rts, seq) in rrows
-                     if rk == k and rts <= ts]
-            return max(cands)[1] if cands else None
-        cands = [(rts, seq) for (rk, rts, seq) in rrows
-                 if rk == k and rts >= ts]
-        return min(cands)[1] if cands else None
+                     if rk == k and rts >= ts]
+            return min(cands)[1] if cands else None
+        fwd = [(rts, seq) for (rk, rts, seq) in rrows
+               if rk == k and rts > ts]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is None:
+            return f[1] if f else None
+        if f is None:
+            return b[1]
+        return b[1] if (ts - b[0]) <= (f[0] - ts) else f[1]
 
     got = sorted((r["k"], r["ts"], r["r_seq"]) for r in out.collect())
     want = sorted((k, ts, model(k, ts)) for (k, ts) in left)

@@ -99,6 +99,69 @@ def test_range_join_end_bound(spark):
               views={}).count() == 1
 
 
+def test_asof_nearest_basic_ties_and_tolerance(spark):
+    """direction='nearest' (pandas merge_asof parity, round 8): picks
+    whichever directional candidate is closer in exact native units;
+    at-instant rows win at distance 0; equidistant ties resolve
+    BACKWARD; tolerance_seconds bounds BOTH candidates before the
+    choice; still one shuffle."""
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 30, 2.0),
+         ("B", 50, 3.0), ("B", 70, 4.0),   # left at 60: equidistant
+         ("C", 40, 5.0), ("C", 40, 6.0),   # at-instant tie: max tiebreak
+         ("D", 1000, 7.0)],
+        "sym string, qts long, price double")
+    trades = spark.createDataFrame(
+        [("A", 24, 100), ("B", 60, 101), ("C", 40, 102), ("D", 10, 103),
+         ("E", 5, 104)],
+        "sym string, tts long, trade_id long")
+    cfg = {"right": quotes, "by": ["sym"], "left_ts": "tts",
+           "right_ts": "qts", "values": ["price"],
+           "right_tiebreak": "price", "direction": "nearest"}
+    out = {r["sym"]: (r["r_price"], r["r_qts_asof"]) for r in op(
+        "asof_join", trades, cfg, views={}).collect()}
+    assert out["A"] == (2.0, 30)        # 24: |24-10|=14 > |30-24|=6
+    assert out["B"] == (3.0, 50)        # 60: equidistant -> backward
+    assert out["C"] == (6.0, 40)        # at-instant, backward max tiebreak
+    assert out["D"] == (7.0, 1000)      # only a forward candidate
+    assert out["E"] == (None, None)     # no candidate, how=left
+    # tolerance bounds both sides before the choice: D's 990s-away
+    # forward candidate drops, E stays unmatched; inner drops both
+    tout = {r["sym"]: r["r_price"] for r in op(
+        "asof_join", trades, {**cfg, "tolerance_seconds": 100},
+        views={}).collect()}
+    assert tout["D"] is None and tout["A"] == 2.0
+    iout = {r["sym"] for r in op(
+        "asof_join", trades,
+        {**cfg, "tolerance_seconds": 100, "how": "inner"},
+        views={}).collect()}
+    assert iout == {"A", "B", "C"}
+    # the two directional frames share one sort: exactly one shuffle
+    plans.assert_no_row_python(op("asof_join", trades, cfg, views={}))
+    plans.assert_max_shuffles(op("asof_join", trades, cfg, views={}), 1)
+
+
+def test_asof_nearest_timestamp_microsecond_distance(spark):
+    """nearest compares EXACT µs distances on timestamp columns: a
+    candidate 0.4s before beats one 0.5s after, even though both are
+    in the same whole second."""
+    quotes = spark.createDataFrame(
+        [("A", 99.8, 1.0), ("A", 100.7, 2.0)],
+        "sym string, sec double, price double",
+    ).select("sym", "price", F.col("sec").cast("timestamp").alias("qts"))
+    trades = spark.createDataFrame(
+        [("A", 100.2, 10)], "sym string, sec double, trade_id long",
+    ).select("sym", "trade_id",
+             F.col("sec").cast("timestamp").alias("tts"))
+    out = op("asof_join", trades, {
+        "right": quotes, "by": ["sym"], "left_ts": "tts",
+        "right_ts": "qts", "values": ["price"],
+        "direction": "nearest"}, views={}).collect()
+    assert out[0]["r_price"] == 1.0     # 0.4s back < 0.5s forward
+
+
 def test_range_join_timestamp_bounds_are_second_granular(spark):
     """Pin the containment contract the round-8 sf1 sweep exposed:
     timestamp points/bounds floor through epoch_seconds, so
