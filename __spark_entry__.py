@@ -1799,7 +1799,7 @@ def q_stateful_dedup_stream(spark, sf_dir):
         read_events_stream(spark, f"{sf_dir}/events.parquet"), "ts")
     dedup = op("stateful_dedup", stream, {"keys": ["user_id", "event_type"]})
     run_stream_to_memory(dedup, "stateful_dedup_stream_out",
-                         output_mode="append")
+                         output_mode="append", shuffle_partitions=8)
     df = spark.table("stateful_dedup_stream_out")
     df = op("select", df, {"fields": ["user_id", "event_type"]})
     return op("sort", df, {"fields": ["user_id", "event_type"]})
@@ -1834,7 +1834,7 @@ def q_corpus_prep_stream(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws_tokens").alias("total_ws_tokens"))
     run_stream_to_memory(agg, "corpus_prep_stream_out",
-                         output_mode="complete")
+                         output_mode="complete", shuffle_partitions=8)
     out = spark.table("corpus_prep_stream_out")
     return op("sort", out, {"fields": ["lang"]})
 
@@ -1939,7 +1939,8 @@ def q_events_window_stream(spark, sf_dir):
             {"field": "event_id", "function": "count", "alias": "n_events"},
             {"field": "value", "function": "sum", "alias": "sum_value"},
         ]})
-    run_stream_to_memory(agg, "events_window_stream_out")
+    run_stream_to_memory(agg, "events_window_stream_out",
+                         shuffle_partitions=8)
     df = spark.table("events_window_stream_out")
     return op("sort", df, {"fields": ["window_start", "event_type"]})
 
@@ -1967,7 +1968,8 @@ def q_events_session_window_stream(spark, sf_dir):
             {"field": "event_id", "function": "count", "alias": "n_events"},
             {"field": "value", "function": "sum", "alias": "sum_value"},
         ]})
-    run_stream_to_memory(agg, "events_session_window_stream_out")
+    run_stream_to_memory(agg, "events_session_window_stream_out",
+                         shuffle_partitions=8)
     df = spark.table("events_session_window_stream_out")
     return op("sort", df, {"fields": ["user_id", "window_start"]})
 
@@ -3840,7 +3842,7 @@ def q_stream_join_stream(spark, sf_dir):
                  "after": 1800, "watermark": "30 minutes"}, views={})
     assert joined.isStreaming
     run_stream_to_memory(joined, "stream_join_stream_out",
-                         output_mode="append")
+                         output_mode="append", shuffle_partitions=8)
     df = spark.table("stream_join_stream_out")
     df = op("select", df, {"fields": ["event_id", "r_event_id", "user_id"]})
     return op("sort", df, {"fields": ["event_id", "r_event_id"]})
@@ -5240,7 +5242,8 @@ def q_heavy_hitters_stream(spark, sf_dir):
         " x -> x != '')) AS value")
     counts = toks.groupBy("value").count().withColumnRenamed(
         "count", "n_occurrences")
-    run_stream_to_memory(counts, "hh_stream_out", "complete")
+    run_stream_to_memory(counts, "hh_stream_out", "complete",
+                         shuffle_partitions=8)
     c = spark.table("hh_stream_out")
     df = op("sql", c, {"query": """
         WITH t AS (SELECT SUM(n_occurrences) AS total FROM self)
