@@ -2172,6 +2172,56 @@ SELECT event_id, user_id, value AS r_value FROM pairs WHERE rn = 1
 """
 
 
+def q_time_weighted(spark, sf_dir):
+    """LOCF time-weighted average purchase value (in exact CENTS) per
+    user (operators/temporal.py op_time_weighted, round 8 — the
+    irregular-sampling mean a plain AVG mis-weights): each purchase
+    holds until the user's next purchase; twa = Σ v·Δt / span over
+    exact µs instants.
+
+    The pair feeds INTEGER cents, not raw dollars, and that is what
+    makes it cross-engine replayable: with integer v and integer Δt,
+    every per-term product double is the identical correctly-rounded
+    INTEGER-valued double in both engines (doubles ≥ 2^52 are exact
+    integers), so the 10-dp decimal quantization has no boundary to
+    disagree on. Raw 2-dp doubles multiplied by µs deltas produce
+    long fractional expansions where Spark's shortest-repr
+    double→decimal cast and DuckDB's full-binary cast can round the
+    10th decimal apart (~1e-16 rel — measured 19 mismatching groups
+    at sf0.01 before the cents rewrite; the CLAUDE.md decimal-cast
+    caveat, now demonstrated)."""
+    e = _t(spark, sf_dir, "events")
+    p = op("filter", e, {"field": "event_type", "op": "eq",
+                         "value": "purchase"})
+    p = op("expr", p, {"exprs": {
+        "value_c": "CAST(ROUND(value * 100) AS BIGINT)"}})
+    df = op("time_weighted", p, {
+        "ts_field": "ts", "value_field": "value_c",
+        "group_by": ["user_id"]}, views={})
+    return op("sort", df, {"fields": ["user_id"]})
+
+
+_SQL_TIME_WEIGHTED = """
+WITH p AS (SELECT user_id, epoch_ns(ts)//1000 AS e,
+                  CAST(ROUND(value * 100) AS BIGINT) AS vc
+           FROM events
+           WHERE event_type = 'purchase'
+             AND ts IS NOT NULL AND value IS NOT NULL),
+o AS (SELECT user_id, e, vc,
+             LEAD(e) OVER (PARTITION BY user_id
+                           ORDER BY e, vc) AS ne
+      FROM p),
+a AS (SELECT user_id, COUNT(*) AS n_obs,
+             MAX(e) - MIN(e) AS span,
+             CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0)) * (ne - e))
+                       AS VARCHAR) AS DOUBLE) AS num
+      FROM o GROUP BY user_id)
+SELECT user_id, n_obs, span,
+       CASE WHEN span > 0 THEN num / CAST(span AS DOUBLE) END AS twa
+FROM a ORDER BY user_id
+"""
+
+
 def q_asof_nearest(spark, sf_dir):
     """For each click, the purchase CLOSEST in event time per user
     (direction='nearest', round 8 — pandas merge_asof parity;
@@ -5669,6 +5719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 8 (inside the sample window) --
         "attribution_linear_exact": q_attribution_linear_exact,
         "asof_nearest": q_asof_nearest,
+        "time_weighted": q_time_weighted,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
         # mismatched at sf0.1 — key_skew carried the same latent
@@ -5979,6 +6030,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _SQL_ASOF_JOIN,
         "asof_forward": _SQL_ASOF_FORWARD,
         "asof_nearest": _SQL_ASOF_NEAREST,
+        "time_weighted": _SQL_TIME_WEIGHTED,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,

@@ -696,6 +696,127 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
             .drop("__bkt"))
 
 
+@register("time_weighted")
+def op_time_weighted(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Time-weighted average per key — the irregular-sampling mean
+    a plain AVG gets wrong (a sensor reporting 100x/s while hot and
+    1x/h while idle; a price quoted on every trade): each observation
+    holds (LOCF) until the next one, so the mean weights each value
+    by how LONG it was current, not how OFTEN it was reported. The
+    TimescaleDB ``time_weight('locf')`` shape; no counterpart in the
+    reference (zero temporal ops, SURVEY.md §2).
+
+    Output per group: ``n_obs``, ``span`` (last − first observation
+    instant in native units: µs for timestamps, raw units for
+    integral ts — used directly, saturation bypass), and ``twa`` =
+    Σ v_i·(e_{i+1} − e_i) / span as double (NULL when span = 0 —
+    fewer than two distinct instants means no elapsed time to
+    weight). The LAST observation contributes nothing (its holding
+    interval is unobserved) — the closed-form integral over exactly
+    the observed span.
+
+    Exactness, two tiers by the VALUE column's type:
+
+    - INTEGRAL values (the replayable tier — feed cents, not
+      dollars): the numerator runs entirely in DECIMAL(38,0) integer
+      arithmetic (v cast to decimal, multiplied by the long Δt,
+      summed exactly), string-cast to double once, divided by the
+      exact long span once — bit-for-bit identical in any engine and
+      at any partitioning. The double detour is NOT taken: a product
+      like cents·Δt_µs ≈ 1e17 exceeds 2^53, and Spark's shortest-
+      roundtrip double→decimal cast then drops exact integer digits
+      past 17 significant figures while DuckDB's full-binary cast
+      keeps them (measured: ~1e-16 rel divergence on the events
+      fixture before this split).
+    - FLOAT values: per-term products v·Δt are single IEEE multiplies
+      (identical in any engine), summed through the DECIMAL(38,10)
+      route (order-independent within Spark — deterministic at any
+      partitioning). Cross-engine replay is ~1-ulp-per-term only:
+      Spark quantizes the SHORTEST double repr to 10 dp, other
+      engines the full binary expansion, and the 10th decimal can
+      round apart (CLAUDE.md decimal-cast caveat). Oracle pairs must
+      use the integral tier.
+
+    Duplicate instants order by (instant, value): the earlier-ordered
+    duplicate holds for 0 time, so the contribution multiset is
+    deterministic. NULL values/timestamps are excluded (an unreported
+    value has no LOCF meaning).
+
+    Shape: grouped mode is ONE hash shuffle (the LEAD window and the
+    per-key aggregate share the key partitioning). Global mode
+    (empty ``group_by``) must not single-partition-sort the corpus
+    (the banned global-window shape): it range-partitions on the
+    instant, LEADs within each partition, and stitches the partition
+    boundaries with a collected O(#partitions) first-instant map —
+    the distributed-prefix-sum machinery (ranged frame
+    localCheckpointed BEFORE the boundary collect, CLAUDE.md race
+    invariant).
+
+    config: ``ts_field`` (default ts), ``value_field`` (required),
+    ``group_by`` (default [] = global), ``n_partitions`` (global
+    mode; default defaultParallelism).
+    """
+    tsf = config.get("ts_field", "ts")
+    vf = config["value_field"]
+    by = list(config.get("group_by", []))
+
+    ts_type = df.schema[tsf].dataType
+    if isinstance(ts_type, (T.LongType, T.IntegerType, T.ShortType,
+                            T.ByteType)):
+        inst = F.col(tsf).cast("long")
+    else:
+        inst = F.unix_micros(F.col(tsf).cast("timestamp"))
+    v_integral = isinstance(df.schema[vf].dataType,
+                            (T.LongType, T.IntegerType, T.ShortType,
+                             T.ByteType))
+    v = F.col(vf).cast("long" if v_integral else "double")
+    nn = (df.filter(F.col(tsf).isNotNull() & F.col(vf).isNotNull())
+          .select(*by, inst.alias("__e"), v.alias("__v")))
+
+    if by:
+        w = Window.partitionBy(*by).orderBy("__e", "__v")
+        staged = nn.withColumn("__ne", F.lead("__e").over(w))
+    else:
+        n_parts = int(config.get("n_partitions", 0)) or \
+            df.sparkSession.sparkContext.defaultParallelism
+        ranged = (nn.repartitionByRange(n_parts, "__e", "__v")
+                  .withColumn("__pid", F.spark_partition_id())
+                  .localCheckpoint())
+        firsts = ranged.groupBy("__pid").agg(F.min("__e").alias("__f"))
+        rows = sorted((r["__pid"], r["__f"]) for r in firsts.collect())
+        # each partition's LAST row holds until the first instant of
+        # the next NON-EMPTY partition
+        nxt = {}
+        for i, (pid, first) in enumerate(rows):
+            nxt[pid] = rows[i + 1][1] if i + 1 < len(rows) else None
+        pairs = [x for kv in nxt.items() if kv[1] is not None
+                 for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        boundary = (F.element_at(F.create_map(*pairs), F.col("__pid"))
+                    if pairs else F.lit(None).cast("long"))
+        wp = Window.partitionBy("__pid").orderBy("__e", "__v")
+        staged = ranged.withColumn(
+            "__ne", F.coalesce(F.lead("__e").over(wp), boundary))
+
+    if v_integral:
+        term = (F.col("__v").cast("decimal(38,0)")
+                * (F.col("__ne") - F.col("__e")))
+    else:
+        term = (F.col("__v")
+                * (F.col("__ne") - F.col("__e")).cast("double")
+                ).cast("decimal(38,10)")
+    num = F.sum(term).cast("string").cast("double")
+    span = (F.max("__e") - F.min("__e")).cast("long")
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        span.alias("span"),
+        num.alias("__num"))
+    return agg.select(
+        *by, "n_obs", "span",
+        F.when(F.col("span") > 0,
+               F.col("__num") / F.col("span").cast("double"))
+        .alias("twa"))
+
+
 @register("time_rollup")
 def op_time_rollup(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Multi-resolution time rollup (the hypertable continuous-

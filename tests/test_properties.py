@@ -178,6 +178,58 @@ def test_asof_join_matches_python_model(spark, left, right, direction):
     assert got == want
 
 
+tw_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-50, 50),
+              st.integers(-500, 500)),
+    min_size=0, max_size=20)
+
+
+@given(rows=tw_rows, n_parts=st.sampled_from([1, 3, 8]))
+@settings(**SETTINGS)
+def test_time_weighted_matches_python_model(spark, rows, n_parts):
+    """time_weighted == the closed-form LOCF integral: per key, sort
+    by (instant, value), each value holds until the next instant, the
+    last holds nothing; twa = Σ v·Δt / (max − min). WHOLE-NUMBER
+    values keep every per-term product and partial sum exactly
+    representable, so the op's decimal-route sum equals the python
+    float sum bit-for-bit at any partitioning (incl. the global
+    ranged-boundary path); fractional values go through the same
+    10-dp decimal quantization on BOTH engines and are value-checked
+    by the oracle pair instead."""
+    data = [(k, t, float(c)) for (k, t, c) in rows]
+    df = (spark.createDataFrame(data, "k int, ts long, v double")
+          if data else spark.createDataFrame([], "k int, ts long, v double"))
+
+    def model(sub):
+        srt = sorted(sub)
+        if not srt:
+            return None
+        span = srt[-1][0] - srt[0][0]
+        num = sum(v * (srt[i + 1][0] - t)
+                  for i, (t, v) in enumerate(srt[:-1]))
+        return (len(srt), span, num / span if span > 0 else None)
+
+    got = {r["k"]: (r["n_obs"], r["span"], r["twa"]) for r in op(
+        "time_weighted", df.repartition(n_parts),
+        {"value_field": "v", "group_by": ["k"]}, views={}).collect()}
+    keys = {k for (k, _, _) in data}
+    want = {k: model([(t, v) for (kk, t, v) in data if kk == k])
+            for k in keys}
+    assert got == want
+    # global mode agrees with a single-group model
+    gglob = op("time_weighted", df.repartition(n_parts),
+               {"value_field": "v", "n_partitions": n_parts},
+               views={}).collect()
+    wglob = model([(t, v) for (_, t, v) in data])
+    if data:
+        r = gglob[0]
+        assert (r["n_obs"], r["span"], r["twa"]) == wglob
+    else:
+        # SQL global-aggregate semantics: empty input -> one row
+        assert [(r["n_obs"], r["span"], r["twa"]) for r in gglob] == \
+            [(0, None, None)]
+
+
 def test_median_aggregate(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("a", 10.0), ("b", 4.0)], ["k", "v"])

@@ -1027,6 +1027,68 @@ def test_attribution_int_touch_overflow_fails_loud(spark):
     assert got == {10: 1}
 
 
+# -- time_weighted -----------------------------------------------------------
+
+
+def test_time_weighted_grouped_basic(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 10, 20.0), ("a", 30, 0.0),
+         ("b", 5, 4.0),                      # single obs: span 0
+         ("c", 0, 5.0), ("c", 0, 7.0), ("c", 10, 1.0),  # dup instant
+         ("d", 0, None), ("d", 3, 6.0), ("d", 9, 0.0)],  # NULL excluded
+        "k string, ts long, v double")
+    got = {r["k"]: (r["n_obs"], r["span"], r["twa"]) for r in op(
+        "time_weighted", df,
+        {"value_field": "v", "group_by": ["k"]}, views={}).collect()}
+    # a: 10*10 + 20*20 = 500 over span 30
+    assert got["a"] == (3, 30, 500.0 / 30.0)
+    assert got["b"] == (1, 0, None)
+    # c: dup instant -> lower value holds 0s: 7*10 = 70 over 10
+    assert got["c"] == (3, 10, 7.0)
+    # d: NULL-value row excluded: 6*(9-3)=36 over 6
+    assert got["d"] == (2, 6, 6.0)
+
+
+def test_time_weighted_global_and_partition_invariance(spark):
+    rows = [(i, float((i * 7) % 13)) for i in range(0, 400, 3)]
+    df = spark.createDataFrame(rows, "ts long, v double")
+    expected = None
+    srt = sorted(rows)
+    num = sum(v * (srt[i + 1][0] - t)
+              for i, (t, v) in enumerate(srt[:-1]))
+    span = srt[-1][0] - srt[0][0]
+    expected = (len(rows), span, num / span)
+    for parts in (1, 7, 32):
+        got = op("time_weighted", df.repartition(parts),
+                 {"value_field": "v", "n_partitions": parts},
+                 views={}).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["n_obs"], r["span"], r["twa"]) == expected, parts
+
+
+def test_time_weighted_timestamp_microseconds(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("a", 10.5, 4.0), ("a", 11.0, 0.0)],
+        "k string, sec double, v double",
+    ).select("k", "v", F.col("sec").cast("timestamp").alias("ts"))
+    r = op("time_weighted", df,
+           {"value_field": "v", "group_by": ["k"]}, views={}).collect()[0]
+    # µs units: 2*500000 + 4*500000 = 3e6 over 1e6 -> 3.0
+    assert r["span"] == 1_000_000
+    assert r["twa"] == 3.0
+
+
+def test_time_weighted_grouped_single_shuffle(spark):
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, ts long, v double")
+    out = op("time_weighted", df, {"value_field": "v", "group_by": ["k"]},
+             views={})
+    plans.assert_no_row_python(out)
+    plans.assert_max_shuffles(out, 1)
+
+
 # -- time_rollup -------------------------------------------------------------
 
 
