@@ -2222,6 +2222,61 @@ FROM a ORDER BY user_id
 """
 
 
+def q_time_weighted_daily(spark, sf_dir):
+    """Bucketed time_weighted (round 8 — the continuous-aggregate
+    shape): DAILY time-weighted average purchase cents per user.
+    Holding intervals explode into the daily buckets they overlap
+    (exact pmod floor arithmetic) with durations CLIPPED per bucket;
+    one hash aggregate on (user, bucket); partial edge buckets divide
+    by covered time. Integral cents keep the numerator in exact
+    DECIMAL(38,0) (see q_time_weighted). DuckDB replays with
+    generate_series over the same floor buckets; its HUGEINT covered
+    sum is cast back to BIGINT (driver dtype invariant)."""
+    e = _t(spark, sf_dir, "events")
+    p = op("filter", e, {"field": "event_type", "op": "eq",
+                         "value": "purchase"})
+    p = op("expr", p, {"exprs": {
+        "value_c": "CAST(ROUND(value * 100) AS BIGINT)"}})
+    df = op("time_weighted", p, {
+        "ts_field": "ts", "value_field": "value_c",
+        "group_by": ["user_id"], "interval": 86400}, views={})
+    df = op("select", df, {"fields": ["user_id", "bucket", "n_obs",
+                                      "covered", "twa"]})
+    return op("sort", df, {"fields": ["user_id", "bucket"]})
+
+
+_SQL_TIME_WEIGHTED_DAILY = """
+WITH p AS (SELECT user_id, epoch_ns(ts)//1000 AS e,
+                  CAST(ROUND(value * 100) AS BIGINT) AS vc
+           FROM events
+           WHERE event_type = 'purchase'
+             AND ts IS NOT NULL AND value IS NOT NULL),
+o AS (SELECT user_id, e, vc,
+             LEAD(e) OVER (PARTITION BY user_id
+                           ORDER BY e, vc) AS ne
+      FROM p),
+h AS (SELECT * FROM o WHERE ne > e),
+x AS (SELECT user_id, vc, e, ne,
+             UNNEST(generate_series(
+               e - ((e % 86400000000) + 86400000000) % 86400000000,
+               (ne - 1) - (((ne - 1) % 86400000000) + 86400000000)
+                 % 86400000000,
+               86400000000)) AS b
+      FROM h),
+a AS (SELECT user_id, b AS bucket, COUNT(*) AS n_obs,
+             CAST(SUM(LEAST(ne, b + 86400000000) - GREATEST(e, b))
+                  AS BIGINT) AS covered,
+             CAST(CAST(SUM(CAST(vc AS DECIMAL(38,0))
+                           * (LEAST(ne, b + 86400000000)
+                              - GREATEST(e, b)))
+                       AS VARCHAR) AS DOUBLE) AS num
+      FROM x GROUP BY user_id, b)
+SELECT user_id, bucket, n_obs, covered,
+       num / CAST(covered AS DOUBLE) AS twa
+FROM a ORDER BY user_id, bucket
+"""
+
+
 def q_asof_nearest(spark, sf_dir):
     """For each click, the purchase CLOSEST in event time per user
     (direction='nearest', round 8 — pandas merge_asof parity;
@@ -5720,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear_exact": q_attribution_linear_exact,
         "asof_nearest": q_asof_nearest,
         "time_weighted": q_time_weighted,
+        "time_weighted_daily": q_time_weighted_daily,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
         # mismatched at sf0.1 — key_skew carried the same latent
@@ -6031,6 +6087,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward": _SQL_ASOF_FORWARD,
         "asof_nearest": _SQL_ASOF_NEAREST,
         "time_weighted": _SQL_TIME_WEIGHTED,
+        "time_weighted_daily": _SQL_TIME_WEIGHTED_DAILY,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,

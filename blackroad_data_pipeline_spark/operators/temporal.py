@@ -752,9 +752,27 @@ def op_time_weighted(df: DataFrame, config: Mapping, views) -> DataFrame:
     localCheckpointed BEFORE the boundary collect, CLAUDE.md race
     invariant).
 
+    Bucketed mode (``interval`` seconds, timestamp ts — raw units for
+    integral ts): the continuous-aggregate shape ("hourly TWAP per
+    symbol"). Each holding interval [e_i, e_{i+1}) explodes into the
+    fixed-width buckets it overlaps (exact pmod floor-to-multiple
+    arithmetic; per-interval ``max_buckets`` explosion guard, the
+    interval_join VALUE-pattern assert) with its duration CLIPPED to
+    each bucket, then ONE hash aggregate on (keys, bucket) — so a
+    value holding across a bucket boundary weights each side by
+    exactly the time it was current there. Output per (group,
+    bucket): ``bucket`` (native-unit floor multiple; ``bucket_ts``
+    added for timestamp inputs), ``n_obs`` (holding intervals
+    touching the bucket), ``covered`` (observed time inside the
+    bucket — partial first/last buckets divide by their covered
+    span, not the full width), ``twa``. Zero-length holding
+    intervals (duplicate instants) contribute nothing; a key's last
+    observation still holds nothing.
+
     config: ``ts_field`` (default ts), ``value_field`` (required),
     ``group_by`` (default [] = global), ``n_partitions`` (global
-    mode; default defaultParallelism).
+    mode; default defaultParallelism), ``interval`` (optional —
+    bucketed mode), ``max_buckets`` (default 10_000).
     """
     tsf = config.get("ts_field", "ts")
     vf = config["value_field"]
@@ -796,6 +814,54 @@ def op_time_weighted(df: DataFrame, config: Mapping, views) -> DataFrame:
         wp = Window.partitionBy("__pid").orderBy("__e", "__v")
         staged = ranged.withColumn(
             "__ne", F.coalesce(F.lead("__e").over(wp), boundary))
+
+    interval = config.get("interval")
+    if interval is not None:
+        ts_is_time = not isinstance(ts_type, (T.LongType, T.IntegerType,
+                                              T.ShortType, T.ByteType))
+        width = int(interval) * (1_000_000 if ts_is_time else 1)
+        if width <= 0:
+            raise ValueError(f"interval must be positive, got {interval}")
+        max_buckets = int(config.get("max_buckets", 10_000))
+        e, ne = F.col("__e"), F.col("__ne")
+        # exact floor-to-multiple (pmod, never a double floor); the
+        # holding interval is half-open so its last bucket is the one
+        # containing ne - 1
+        held = (staged.filter(F.col("__ne") > F.col("__e"))
+                .withColumn("__blo", e - F.pmod(e, F.lit(width)))
+                .withColumn("__bhi",
+                            (ne - 1) - F.pmod(ne - 1, F.lit(width))))
+        # exact integral div (the bucket-count guard must not misround
+        # near 2^53 any more than the buckets themselves)
+        nb = F.expr(f"(__bhi - __blo) div {width}") + F.lit(1)
+        lo_guarded = F.when(nb <= max_buckets, F.col("__blo")).otherwise(
+            F.assert_true(F.lit(False), F.concat(
+                F.lit("time_weighted: a holding interval spans "),
+                F.coalesce(nb.cast("string"), F.lit("NULL")),
+                F.lit(f" buckets (max_buckets={max_buckets}) — raise "
+                      "interval or max_buckets"))).cast("long"))
+        ex = held.withColumn(
+            "__b", F.explode(F.sequence(lo_guarded, F.col("__bhi"),
+                                        F.lit(width))))
+        b = F.col("__b")
+        clip = (F.least(ne, b + width) - F.greatest(e, b))
+        if v_integral:
+            term = F.col("__v").cast("decimal(38,0)") * clip
+        else:
+            term = (F.col("__v") * clip.cast("double")
+                    ).cast("decimal(38,10)")
+        agg = ex.groupBy(*by, b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(clip).alias("covered"),
+            F.sum(term).cast("string").cast("double").alias("__num"))
+        out = agg.select(
+            *by, "bucket", "n_obs", "covered",
+            (F.col("__num") / F.col("covered").cast("double"))
+            .alias("twa"))
+        if ts_is_time:
+            out = out.withColumn(
+                "bucket_ts", F.timestamp_micros(F.col("bucket")))
+        return out
 
     if v_integral:
         term = (F.col("__v").cast("decimal(38,0)")

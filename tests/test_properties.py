@@ -230,6 +230,48 @@ def test_time_weighted_matches_python_model(spark, rows, n_parts):
             [(0, None, None)]
 
 
+@given(rows=tw_rows, width=st.integers(1, 25))
+@settings(**SETTINGS)
+def test_time_weighted_bucketed_matches_python_model(spark, rows, width):
+    """Bucketed time_weighted == the clipped-integral model for ANY
+    bucket width (bucketization is an implementation detail of the
+    weighting, not a semantic knob beyond the grouping): per key,
+    each holding interval [e, ne) spreads v over the buckets it
+    overlaps, clipped; twa_bucket = Σ v·clip / Σ clip. Negative
+    instants exercise the pmod floor (a truncating div would misplace
+    pre-epoch buckets)."""
+    data = [(k, t, float(c)) for (k, t, c) in rows]
+    df = (spark.createDataFrame(data, "k int, ts long, v double")
+          if data else spark.createDataFrame([], "k int, ts long, v double"))
+
+    def model(sub):
+        srt = sorted(sub)
+        out = {}
+        for i, (t, v) in enumerate(srt[:-1]):
+            ne = srt[i + 1][0]
+            if ne <= t:
+                continue
+            b = t - (t % width) if width else t
+            while b < ne:
+                clip = min(ne, b + width) - max(t, b)
+                n, cov, num = out.get(b, (0, 0, 0.0))
+                out[b] = (n + 1, cov + clip, num + v * clip)
+                b += width
+        return {b: (n, cov, num / cov) for b, (n, cov, num) in out.items()}
+
+    got = {}
+    for r in op("time_weighted", df,
+                {"value_field": "v", "group_by": ["k"],
+                 "interval": width}, views={}).collect():
+        got[(r["k"], r["bucket"])] = (r["n_obs"], r["covered"], r["twa"])
+    want = {}
+    for k in {k for (k, _, _) in data}:
+        for b, tpl in model([(t, v) for (kk, t, v) in data
+                             if kk == k]).items():
+            want[(k, b)] = tpl
+    assert got == want
+
+
 def test_median_aggregate(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("a", 10.0), ("b", 4.0)], ["k", "v"])

@@ -1079,6 +1079,53 @@ def test_time_weighted_timestamp_microseconds(spark):
     assert r["twa"] == 3.0
 
 
+def test_time_weighted_bucketed_clips_at_boundaries(spark):
+    """Bucketed mode: a value holding across a bucket boundary
+    weights each bucket by exactly the clipped duration; partial
+    first/last buckets divide by covered time, not bucket width;
+    duplicate instants contribute nothing."""
+    df = spark.createDataFrame(
+        [("a", 5, 10.0),     # holds [5,12): 5s in bucket 0, 2s in 10
+         ("a", 12, 20.0),    # holds [12,25): 8s in 10, 5s in 20
+         ("a", 25, 0.0),     # last: holds nothing
+         ("b", 3, 4.0), ("b", 3, 6.0), ("b", 4, 1.0)],  # dup instant
+        "k string, ts long, v double")
+    got = {(r["k"], r["bucket"]): (r["n_obs"], r["covered"], r["twa"])
+           for r in op("time_weighted", df,
+                       {"value_field": "v", "group_by": ["k"],
+                        "interval": 10}, views={}).collect()}
+    assert got[("a", 0)] == (1, 5, 10.0)
+    # bucket 10: 10*2 + 20*8 = 180 over 10s covered
+    assert got[("a", 10)] == (2, 10, 18.0)
+    assert got[("a", 20)] == (1, 5, 20.0)
+    # b: only the 6-value holds (dup instant at 3 contributes 0-time)
+    assert got[("b", 0)] == (1, 1, 6.0)
+    assert len(got) == 4
+
+
+def test_time_weighted_bucketed_timestamp_and_guard(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 2.0), ("a", 7200.0, 4.0), ("a", 7260.0, 0.0)],
+        "k string, sec double, v double",
+    ).select("k", "v", F.col("sec").cast("timestamp").alias("ts"))
+    rows = op("time_weighted", df,
+              {"value_field": "v", "group_by": ["k"],
+               "interval": 3600}, views={}).collect()
+    got = {r["bucket"]: (r["covered"], r["twa"],
+                         str(r["bucket_ts"])) for r in rows}
+    hour = 3600 * 1_000_000
+    assert got[0] == (hour, 2.0, "1970-01-01 00:00:00")
+    assert got[hour] == (hour, 2.0, "1970-01-01 01:00:00")
+    assert got[2 * hour][0] == 60 * 1_000_000   # partial: 60s covered
+    assert got[2 * hour][1] == 4.0
+    # explosion guard fails loud
+    import pyspark.errors
+    with pytest.raises(Exception, match="max_buckets"):
+        op("time_weighted", df,
+           {"value_field": "v", "group_by": ["k"], "interval": 1,
+            "max_buckets": 100}, views={}).collect()
+
+
 def test_time_weighted_grouped_single_shuffle(spark):
     from blackroad_data_pipeline_spark.plans import quality as plans
 
