@@ -2910,6 +2910,74 @@ FROM v ORDER BY user_id, valid_from
 """
 
 
+def q_pit_enrich(spark, sf_dir):
+    """Point-in-time enrichment (round 8, composition — no new
+    operator): each purchase joined to the scd2 VERSION of the user's
+    click-profile tier that was valid at purchase time. The
+    dimensional correctness problem every feature-store backfill has
+    — joining facts to today's dimension leaks the future. Shape:
+    op_scd2 builds [valid_from, valid_to) versions (one key shuffle),
+    open current versions close at a fixed horizon literal, and
+    op_range_join buckets the point-in-interval join into a plain
+    equi-join. BOTH sides convert to µs LONGS first, so containment
+    is exact microseconds by construction — the operator's
+    second-granular timestamp path is deliberately bypassed (the
+    range_join granularity lesson, q_range_join docstring)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = op("filter", e, {"field": "event_type", "op": "eq",
+                              "value": "click"})
+    clicks = op("expr", clicks, {"exprs": {
+        "tier": "CAST(get_json_object(props, '$.k') AS INT) % 4"}})
+    hist = op("scd2", clicks, {"keys": ["user_id"], "attrs": ["tier"],
+                               "ts_field": "ts",
+                               "tiebreak": ["event_id"]})
+    hist = op("sql", hist, {"query": """
+        SELECT user_id, tier,
+               unix_micros(valid_from) AS vf,
+               COALESCE(unix_micros(valid_to),
+                        4102444800000000) AS vt
+        FROM self"""}, views={})
+    purchases = op("filter", e, {"field": "event_type", "op": "eq",
+                                 "value": "purchase"})
+    purchases = op("sql", purchases, {"query": """
+        SELECT event_id, user_id, unix_micros(ts) AS pt FROM self"""},
+        views={})
+    df = op("range_join", purchases, {
+        "right": hist, "by": ["user_id"], "left_ts": "pt",
+        "start_field": "vf", "end_field": "vt",
+        "bucket_seconds": 86400 * 1_000_000, "prefix": "v_",
+    }, views={})
+    df = op("select", df, {"fields": ["event_id", "user_id", "v_tier"]})
+    return op("sort", df, {"fields": ["event_id"]})
+
+
+_SQL_PIT_ENRICH = """
+WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                  event_id,
+                  CAST(json_extract_string(props, '$.k') AS INT) % 4
+                    AS tier
+           FROM events WHERE event_type = 'click'),
+o AS (SELECT user_id, tier, t,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS rn,
+             LAG(tier) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id) AS pv
+      FROM c),
+p2 AS (SELECT user_id, tier, t, rn FROM o
+       WHERE rn = 1 OR tier IS DISTINCT FROM pv),
+v AS (SELECT user_id, tier, t AS vf, rn,
+             COALESCE(LEAD(t) OVER (PARTITION BY user_id ORDER BY rn),
+                      4102444800000000) AS vt
+      FROM p2),
+b AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+      FROM events WHERE event_type = 'purchase')
+SELECT b.event_id, b.user_id, v.tier AS v_tier
+FROM b JOIN v ON b.user_id = v.user_id
+             AND b.pt >= v.vf AND b.pt < v.vt
+ORDER BY event_id
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Corpus heavy hitters (llmops/sketch.py op_heavy_hitters, exact
     mode): tokens with frequency > 1/60 of all tokens. One key
@@ -5776,6 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "time_weighted": q_time_weighted,
         "time_weighted_daily": q_time_weighted_daily,
+        "pit_enrich": q_pit_enrich,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
         # mismatched at sf0.1 — key_skew carried the same latent
@@ -6088,6 +6157,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": _SQL_ASOF_NEAREST,
         "time_weighted": _SQL_TIME_WEIGHTED,
         "time_weighted_daily": _SQL_TIME_WEIGHTED_DAILY,
+        "pit_enrich": _SQL_PIT_ENRICH,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,
