@@ -2931,11 +2931,17 @@ def q_pit_enrich(spark, sf_dir):
     hist = op("scd2", clicks, {"keys": ["user_id"], "attrs": ["tier"],
                                "ts_field": "ts",
                                "tiebreak": ["event_id"]})
+    # open (current) versions close at a horizon just past the fixture
+    # event span (2024-07-01) — NOT a far-future date: range_join
+    # explodes each interval into the daily buckets it spans, and a
+    # year-2100 horizon would emit ~28k buckets per user for identical
+    # join results (caught by the round-8 self-review: 4.16M exploded
+    # rows at sf0.01, ~416M at sf1)
     hist = op("sql", hist, {"query": """
         SELECT user_id, tier,
                unix_micros(valid_from) AS vf,
                COALESCE(unix_micros(valid_to),
-                        4102444800000000) AS vt
+                        1719792000000000) AS vt
         FROM self"""}, views={})
     purchases = op("filter", e, {"field": "event_type", "op": "eq",
                                  "value": "purchase"})
@@ -2967,7 +2973,7 @@ p2 AS (SELECT user_id, tier, t, rn FROM o
        WHERE rn = 1 OR tier IS DISTINCT FROM pv),
 v AS (SELECT user_id, tier, t AS vf, rn,
              COALESCE(LEAD(t) OVER (PARTITION BY user_id ORDER BY rn),
-                      4102444800000000) AS vt
+                      1719792000000000) AS vt
       FROM p2),
 b AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt
       FROM events WHERE event_type = 'purchase')

@@ -785,12 +785,16 @@ def op_mix_corpus(df: DataFrame, config: Mapping, views) -> DataFrame:
         # 'None' threshold no NULL column value can ever match
         # (ADVICE r4-low)
         max_groups = int(config.get("max_groups", 1_000_000))
+        # NULL strata are excluded from the stats (always kept — see
+        # above), so filter them BEFORE the cardinality probe: a
+        # frame with exactly max_groups real strata plus NULL-keyed
+        # rows must not trip the guard on the discarded NULL row
         counts = {str(r[0]): r[1]
                   for r in _collect_group_scalars(
-                      df.groupBy(F.col(by).cast("string"))
+                      df.filter(F.col(by).isNotNull())
+                        .groupBy(F.col(by).cast("string"))
                         .agg(F.count(F.lit(1)).alias("n")),
-                      max_groups, "mix_corpus", [by])
-                  if r[0] is not None}
+                      max_groups, "mix_corpus", [by])}
         if not counts:
             # empty input (or all-NULL strata): nothing to rebalance
             return df

@@ -32,6 +32,20 @@ def epoch_seconds(col: F.Column) -> F.Column:
     return col.cast("timestamp").cast("long")
 
 
+def native_instant(col: F.Column, dtype) -> F.Column:
+    """Exact native-unit instant: µs for timestamp/date columns, the
+    RAW value for integral ts columns — used DIRECTLY, because the
+    seconds→timestamp→long roundtrip in epoch_seconds SATURATES past
+    ~9.2e12 s (range_join precedent), and because an integral ts's
+    unit is the caller's contract, not ours. Shared by asof nearest
+    distances and time_weighted durations (one definition — a future
+    type addition must not diverge per site)."""
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType,
+                          T.ByteType)):
+        return col.cast("long")
+    return F.unix_micros(col.cast("timestamp"))
+
+
 @register("asof_join")
 def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """As-of join: for each left row, attach the most recent right row
@@ -130,14 +144,7 @@ def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         out = matched.filter(F.col("__tag") == ltag)
 
         def _unit(c: F.Column) -> F.Column:
-            # exact native-unit instant: µs for timestamps, the raw
-            # value for integral ts (used directly — the timestamp
-            # roundtrip SATURATES, range_join precedent)
-            ts_type = df.schema[lts].dataType
-            if isinstance(ts_type, (T.LongType, T.IntegerType,
-                                    T.ShortType, T.ByteType)):
-                return c.cast("long")
-            return F.unix_micros(c.cast("timestamp"))
+            return native_instant(c, df.schema[lts].dataType)
 
         d_b = _unit(F.col("__ts")) - _unit(F.col("__mb.__rts"))
         d_f = _unit(F.col("__mf.__rts")) - _unit(F.col("__ts"))
@@ -779,11 +786,7 @@ def op_time_weighted(df: DataFrame, config: Mapping, views) -> DataFrame:
     by = list(config.get("group_by", []))
 
     ts_type = df.schema[tsf].dataType
-    if isinstance(ts_type, (T.LongType, T.IntegerType, T.ShortType,
-                            T.ByteType)):
-        inst = F.col(tsf).cast("long")
-    else:
-        inst = F.unix_micros(F.col(tsf).cast("timestamp"))
+    inst = native_instant(F.col(tsf), ts_type)
     v_integral = isinstance(df.schema[vf].dataType,
                             (T.LongType, T.IntegerType, T.ShortType,
                              T.ByteType))

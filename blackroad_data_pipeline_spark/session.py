@@ -60,16 +60,24 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) isn't a Spark type; read as long and
         # convert explicitly (see sources.readers.nanos_to_timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Pin the JVM default locale (ADVICE r7): Java
-        # String.toLowerCase() — the F.lower fallback for non-ASCII —
-        # is default-locale sensitive (Turkish 'I' -> dotless 'ı'),
-        # which would break the byte-identical parity contract between
-        # the Arrow and JVM winnow kernels on a non-English host.
-        # Executors get the same pin for real-cluster deployments.
-        .config("spark.executor.extraJavaOptions",
-                "-Duser.language=en -Duser.country=US")
     )
-    for k, v in (extra_conf or {}).items():
+    # Pin the JVM default locale (ADVICE r7): Java
+    # String.toLowerCase() — the F.lower fallback for non-ASCII — is
+    # default-locale sensitive (Turkish 'I' -> dotless 'ı'), which
+    # would break the byte-identical parity contract between the
+    # Arrow and JVM winnow kernels on a non-English host. Executors
+    # get the same pin for real-cluster deployments — APPENDED to any
+    # caller-supplied executor JVM options, never replacing them.
+    # (Options set only in spark-defaults.conf are not visible here
+    # and WOULD be overridden by this key — a cluster deployment that
+    # manages executor JVM flags there should add the locale flags to
+    # its own list.)
+    conf_map = dict(extra_conf or {})
+    locale_flags = "-Duser.language=en -Duser.country=US"
+    prev_opts = conf_map.get("spark.executor.extraJavaOptions", "")
+    conf_map["spark.executor.extraJavaOptions"] = \
+        f"{prev_opts} {locale_flags}".strip()
+    for k, v in conf_map.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

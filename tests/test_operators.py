@@ -410,6 +410,14 @@ def test_group_scalar_collects_fail_loud_on_high_cardinality(spark):
     ok2 = op("mix_corpus", df, {"by": "g", "on": ["id"],
                                 "temperature": 1.0, "max_groups": 100})
     assert ok2.count() == 200  # alpha=1 keeps everything
+    # a NULL stratum must NOT count toward the cap (it is excluded
+    # from the proportion stats and always kept)
+    withnull = df.withColumn(
+        "g", F.when(F.col("id") < 198, F.col("g")))
+    ok3 = op("mix_corpus", withnull, {"by": "g", "on": ["id"],
+                                      "temperature": 1.0,
+                                      "max_groups": 100})
+    assert ok3.count() == 200
 
 
 def test_profile_single_pass(spark):
