@@ -2910,6 +2910,46 @@ FROM v ORDER BY user_id, valid_from
 """
 
 
+def q_rolling(spark, sf_dir):
+    """Per-row rolling velocity features (operators/temporal.py
+    op_rolling, round 8): each purchase annotated with the user's
+    trailing-6h purchase count and exact cents spend — a value-based
+    RANGE frame [ts − 6h, ts] over µs instants (equal-instant rows
+    share the frame, deterministic in both engines), ONE key shuffle.
+    Integral cents sum as plain longs; DuckDB replays the identical
+    RANGE frame over the same µs order key."""
+    e = _t(spark, sf_dir, "events")
+    p = op("filter", e, {"field": "event_type", "op": "eq",
+                         "value": "purchase"})
+    p = op("expr", p, {"exprs": {
+        "value_c": "CAST(ROUND(value * 100) AS BIGINT)"}})
+    df = op("rolling", p, {
+        "ts_field": "ts", "group_by": ["user_id"], "window": 21600,
+        "aggregates": [
+            {"function": "count", "alias": "n_6h"},
+            {"field": "value_c", "function": "sum", "alias": "spend_6h"},
+            {"field": "value_c", "function": "max", "alias": "max_6h"}]},
+        views={})
+    df = op("select", df, {"fields": ["event_id", "user_id", "n_6h",
+                                      "spend_6h", "max_6h"]})
+    return op("sort", df, {"fields": ["event_id"]})
+
+
+_SQL_ROLLING = """
+WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS e,
+                  CAST(ROUND(value * 100) AS BIGINT) AS vc
+           FROM events WHERE event_type = 'purchase')
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_6h,
+       CAST(SUM(vc) OVER w AS BIGINT) AS spend_6h,
+       MAX(vc) OVER w AS max_6h
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY e
+             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def q_pit_enrich(spark, sf_dir):
     """Point-in-time enrichment (round 8, composition — no new
     operator): each purchase joined to the scd2 VERSION of the user's
@@ -5851,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted": q_time_weighted,
         "time_weighted_daily": q_time_weighted_daily,
         "pit_enrich": q_pit_enrich,
+        "rolling": q_rolling,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
         # mismatched at sf0.1 — key_skew carried the same latent
@@ -6164,6 +6205,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted": _SQL_TIME_WEIGHTED,
         "time_weighted_daily": _SQL_TIME_WEIGHTED_DAILY,
         "pit_enrich": _SQL_PIT_ENRICH,
+        "rolling": _SQL_ROLLING,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,

@@ -886,6 +886,87 @@ def op_time_weighted(df: DataFrame, config: Mapping, views) -> DataFrame:
         .alias("twa"))
 
 
+@register("rolling")
+def op_rolling(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Per-row rolling aggregates over an EVENT-TIME horizon — "each
+    purchase annotated with the user's purchase count / spend over
+    the trailing 6 hours" — the feature-engineering primitive behind
+    velocity/fraud/engagement signals. A RANGE window frame
+    [instant − window, instant] (value-based, both ends inclusive:
+    equal-instant rows are always in each other's frame, so ties are
+    deterministic in every engine), per ``group_by`` key, ordered by
+    the exact native-unit instant (µs for timestamps, raw units for
+    integral ts — ``native_instant``). ONE hash shuffle; the frame is
+    evaluated with Spark's sliding-window machinery, linear state.
+
+    Exactness: count/min/max are order-independent as-is; ``sum`` and
+    ``avg`` follow the aggregate op's rule — integral fields sum as
+    plain longs (exact), float fields route through DECIMAL(38,10)
+    (order-independent within the frame; string-cast back), with avg
+    = that sum / the frame count in ONE final division. Rows with a
+    NULL timestamp are EXCLUDED (a value-based frame has no defined
+    position for them); NULL aggregate-field values simply don't
+    contribute, standard SQL.
+
+    Global mode is deliberately unsupported (empty ``group_by``
+    raises): a per-row range frame over an unpartitioned corpus is
+    the banned single-partition global window; pre-aggregate to
+    buckets (time_rollup / time_weighted interval mode) instead.
+
+    config: ``ts_field`` (default ts), ``group_by`` (required,
+    non-empty), ``window`` trailing horizon (seconds for timestamp
+    ts, raw units for integral), ``aggregates``: list of {``field``
+    (optional for count), ``function`` count|sum|avg|min|max,
+    ``alias``}.
+    """
+    tsf = config.get("ts_field", "ts")
+    by = list(config.get("group_by", []))
+    if not by:
+        raise ValueError(
+            "rolling requires a non-empty group_by: a per-row range "
+            "frame over the whole corpus is a single-partition global "
+            "window — pre-aggregate with time_rollup/time_weighted "
+            "interval mode instead")
+    horizon = int(config["window"])
+    if horizon <= 0:
+        raise ValueError(f"window must be positive, got {horizon}")
+    ts_type = df.schema[tsf].dataType
+    ts_is_time = not isinstance(ts_type, (T.LongType, T.IntegerType,
+                                          T.ShortType, T.ByteType))
+    width = horizon * (1_000_000 if ts_is_time else 1)
+
+    out = (df.filter(F.col(tsf).isNotNull())
+           .withColumn("__inst", native_instant(F.col(tsf), ts_type)))
+    w = (Window.partitionBy(*by).orderBy("__inst")
+         .rangeBetween(-width, 0))
+    for spec in config["aggregates"]:
+        fn = spec["function"]
+        alias = spec["alias"]
+        field = spec.get("field")
+        if fn == "count":
+            col = (F.count(F.col(field)) if field
+                   else F.count(F.lit(1))).over(w)
+        elif fn in ("sum", "avg"):
+            c = F.col(field)
+            if isinstance(df.schema[field].dataType,
+                          (T.LongType, T.IntegerType, T.ShortType,
+                           T.ByteType)):
+                s = F.sum(c.cast("long")).over(w)
+            else:
+                s = (F.sum(c.cast("decimal(38,10)")).over(w)
+                     .cast("string").cast("double"))
+            col = s if fn == "sum" else \
+                s / F.count(c).over(w).cast("double")
+        elif fn in ("min", "max"):
+            col = getattr(F, fn)(F.col(field)).over(w)
+        else:
+            raise ValueError(
+                f"rolling aggregate function must be "
+                f"count|sum|avg|min|max, got {fn!r}")
+        out = out.withColumn(alias, col)
+    return out.drop("__inst")
+
+
 @register("time_rollup")
 def op_time_rollup(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Multi-resolution time rollup (the hypertable continuous-

@@ -272,6 +272,33 @@ def test_time_weighted_bucketed_matches_python_model(spark, rows, width):
     assert got == want
 
 
+@given(rows=tw_rows, w=st.integers(1, 30),
+       n_parts=st.sampled_from([1, 5]))
+@settings(**SETTINGS)
+def test_rolling_matches_python_model(spark, rows, w, n_parts):
+    """rolling == the per-row trailing-window model: for each row,
+    count/sum/max over all same-key rows with instant in
+    [t − w, t] (value-based frame, both ends inclusive — equal
+    instants always share the frame)."""
+    data = [(k, t, c) for (k, t, c) in rows]
+    df = (spark.createDataFrame(data, "k int, ts long, v long")
+          if data else spark.createDataFrame([], "k int, ts long, v long"))
+    out = op("rolling", df.repartition(n_parts), {
+        "group_by": ["k"], "window": w,
+        "aggregates": [{"function": "count", "alias": "n"},
+                       {"field": "v", "function": "sum", "alias": "s"},
+                       {"field": "v", "function": "max", "alias": "mx"}]},
+        views={})
+    got = sorted((r["k"], r["ts"], r["v"], r["n"], r["s"], r["mx"])
+                 for r in out.collect())
+    want = []
+    for (k, t, v) in data:
+        frame = [vv for (kk, tt, vv) in data
+                 if kk == k and t - w <= tt <= t]
+        want.append((k, t, v, len(frame), sum(frame), max(frame)))
+    assert got == sorted(want)
+
+
 def test_median_aggregate(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("a", 10.0), ("b", 4.0)], ["k", "v"])

@@ -1027,6 +1027,80 @@ def test_attribution_int_touch_overflow_fails_loud(spark):
     assert got == {10: 1}
 
 
+# -- rolling -----------------------------------------------------------------
+
+
+def test_rolling_range_frame_basic(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 5, 20), ("a", 10, 30), ("a", 100, 40),
+         ("b", 7, 5)],
+        "k string, ts long, v long")
+    got = {(r["k"], r["ts"]): (r["n"], r["s"]) for r in op(
+        "rolling", df,
+        {"group_by": ["k"], "window": 10,
+         "aggregates": [{"function": "count", "alias": "n"},
+                        {"field": "v", "function": "sum",
+                         "alias": "s"}]}, views={}).collect()}
+    # frame is [t-10, t] inclusive both ends
+    assert got[("a", 0)] == (1, 10)
+    assert got[("a", 5)] == (2, 30)
+    assert got[("a", 10)] == (3, 60)       # 0 is exactly 10 back: in
+    assert got[("a", 100)] == (1, 40)
+    assert got[("b", 7)] == (1, 5)
+
+
+def test_rolling_ties_avg_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 2.0), ("a", 5, 4.0), ("a", 6, None)],
+        "k string, ts long, v double")
+    rows = op("rolling", df, {
+        "group_by": ["k"], "window": 3,
+        "aggregates": [{"field": "v", "function": "avg", "alias": "m"},
+                       {"field": "v", "function": "count", "alias": "nv"},
+                       {"field": "v", "function": "max", "alias": "mx"}]},
+        views={}).collect()
+    got = {(r["ts"], r["v"]): (r["m"], r["nv"], r["mx"]) for r in rows}
+    # equal instants share the frame (value-based RANGE): both ts=5
+    # rows see both values; the NULL v at 6 counts 0, avg ignores it
+    assert got[(5, 2.0)] == (3.0, 2, 4.0)
+    assert got[(5, 4.0)] == (3.0, 2, 4.0)
+    assert got[(6, None)] == (3.0, 2, 4.0)
+    with pytest.raises(ValueError, match="group_by"):
+        op("rolling", df, {"group_by": [], "window": 3,
+                           "aggregates": []}, views={})
+    with pytest.raises(ValueError, match="window"):
+        op("rolling", df, {"group_by": ["k"], "window": 0,
+                           "aggregates": []}, views={})
+
+
+def test_rolling_timestamp_microseconds_and_plan(spark):
+    from blackroad_data_pipeline_spark.plans import quality as plans
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 10.4, 1), ("a", 11.0, 1)],
+        "k string, sec double, one long",
+    ).select("k", "one", F.col("sec").cast("timestamp").alias("ts"))
+    out = op("rolling", df, {
+        "group_by": ["k"], "window": 1,
+        "aggregates": [{"function": "count", "alias": "n"}]}, views={})
+    got = sorted(r["n"] for r in out.collect())
+    # µs frame: 11.0 sees 10.0 (exactly 1s back, inclusive) and 10.4
+    assert got == [1, 2, 3]
+    plans.assert_no_row_python(out)
+    # count shuffles with AQE off (AQE-on explain repeats exchanges
+    # per consuming branch — CLAUDE.md invariant)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out2 = op("rolling", df, {
+            "group_by": ["k"], "window": 1,
+            "aggregates": [{"function": "count", "alias": "n"}]},
+            views={})
+        plans.assert_max_shuffles(out2, 1)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 # -- time_weighted -----------------------------------------------------------
 
 

@@ -97,7 +97,9 @@ def _money(rng, n, lo, hi):
     return np.round(rng.uniform(lo, hi, n), 2)
 
 
-def gen(sf: float, out: str, seed: int = 42) -> dict:
+def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us") -> dict:
+    if ts_unit not in ("us", "ns"):
+        raise ValueError(f"ts_unit must be us|ns, got {ts_unit!r}")
     s = sf / 0.1
     n = {t: max(1, int(round(c * s))) for t, c in BASE.items()}
     os.makedirs(out, exist_ok=True)
@@ -182,9 +184,18 @@ def gen(sf: float, out: str, seed: int = 42) -> dict:
     t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
     span = 30 * DAY_US
     ts = np.sort(t0 + rng.integers(0, span, ne))
+    if ts_unit == "ns":
+        # the driver fixtures vary by generation between
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) and TIMESTAMP(NANOS)
+        # (CLAUDE.md); the ns variant exercises the nanosAsLong read
+        # path (epoch-ns longs -> nanos_to_timestamp) across the whole
+        # query surface
+        ts_arr = pa.array((ts * 1000).astype("datetime64[ns]"))
+    else:
+        ts_arr = pa.array(ts.astype("datetime64[us]"))
     write("events", pa.table({
         "event_id": pa.array(np.arange(ne), pa.int64()),
-        "ts": pa.array(ts.astype("datetime64[us]")),
+        "ts": ts_arr,
         "user_id": pa.array(rng.integers(0, max(1, nc // 10), ne), pa.int64()),
         "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, ne)]),
         "value": np.round(rng.exponential(50.0, ne), 2),
@@ -238,9 +249,12 @@ def main():
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--ts-unit", choices=("us", "ns"), default="us",
+                    help="events.ts parquet encoding (the driver "
+                         "fixtures vary by generation)")
     args = ap.parse_args()
     t0 = time.time()
-    stats = gen(args.sf, args.out, args.seed)
+    stats = gen(args.sf, args.out, args.seed, args.ts_unit)
     print(json.dumps({"sf": args.sf, "out": args.out,
                       "seconds": round(time.time() - t0, 1),
                       "rows": stats}))
