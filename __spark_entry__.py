@@ -5312,6 +5312,61 @@ def q_resample(spark, sf_dir):
     return op("sort", df, {"fields": ["user_id", "bucket"]})
 
 
+def q_resample_linear(spark, sf_dir):
+    """time_resample fill='linear' (round 8): hourly per-user cents
+    sums with gap buckets INTERPOLATED between their observed
+    endpoints — p + (c − p)·((b − pb)/(cb − pb)), the identical IEEE
+    op sequence in both engines, so the interpolated doubles replay
+    bit-for-bit (all aggregate columns cast to double, observed
+    buckets included). Same LAG-gap machinery as fill zero/ffill; the
+    gap row carries the endpoint values, still one key shuffle."""
+    e = _t(spark, sf_dir, "events")
+    e = op("filter", e, {"field": "user_id", "op": "lt", "value": 50})
+    e = op("expr", e, {"exprs": {
+        "value_c": "CAST(ROUND(value * 100) AS BIGINT)"}})
+    df = op("time_resample", e, {
+        "ts_field": "ts", "interval": 3600, "group_by": ["user_id"],
+        "aggregates": [{"field": "value_c", "function": "sum",
+                        "alias": "cents"}],
+        "fill": "linear"})
+    df = op("select", df, {"fields": ["user_id", "bucket", "cents"]})
+    return op("sort", df, {"fields": ["user_id", "bucket"]})
+
+
+_SQL_RESAMPLE_LINEAR = """
+WITH obs AS (
+  SELECT user_id,
+         (epoch_ms(ts) // 1000) - (((epoch_ms(ts) // 1000) % 3600)
+           + 3600) % 3600 AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE user_id < 50
+  GROUP BY 1, 2),
+l AS (
+  SELECT user_id, bucket, cents,
+         LAG(bucket) OVER w AS pb,
+         LAG(cents) OVER w AS pc
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+gaps AS (
+  SELECT user_id, pb, bucket AS cb, pc, cents AS cc,
+         UNNEST(generate_series(pb + 3600, bucket - 3600, 3600)) AS b
+  FROM l WHERE pb IS NOT NULL AND bucket - pb > 3600),
+gi AS (
+  SELECT user_id, b AS bucket,
+         CAST(pc AS DOUBLE)
+           + (CAST(cc AS DOUBLE) - CAST(pc AS DOUBLE))
+             * (CAST(b - pb AS DOUBLE) / CAST(cb - pb AS DOUBLE))
+           AS cents
+  FROM gaps)
+SELECT user_id, bucket, cents FROM (
+  SELECT user_id, bucket, CAST(cents AS DOUBLE) AS cents FROM obs
+  UNION ALL
+  SELECT user_id, bucket, cents FROM gi)
+ORDER BY user_id, bucket
+"""
+
+
 _SQL_RESAMPLE = """
 WITH obs AS (
   SELECT user_id,
@@ -5892,6 +5947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_daily": q_time_weighted_daily,
         "pit_enrich": q_pit_enrich,
         "rolling": q_rolling,
+        "resample_linear": q_resample_linear,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
         # mismatched at sf0.1 — key_skew carried the same latent
@@ -6206,6 +6262,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_daily": _SQL_TIME_WEIGHTED_DAILY,
         "pit_enrich": _SQL_PIT_ENRICH,
         "rolling": _SQL_ROLLING,
+        "resample_linear": _SQL_RESAMPLE_LINEAR,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,

@@ -618,7 +618,13 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
     with count/sum/min/max (sum over float columns routes through
     decimal(38,10) like the aggregate operator — order-independent),
     ``fill``: none (empty buckets hold NULL aggregates) | zero |
-    ffill (carry the last observed value forward). A guard rejects
+    ffill (carry the last observed value forward) | linear
+    (interpolate between the gap's two observed endpoints:
+    ``p + (c − p)·((b − pb)/(cb − pb))`` — the identical IEEE op
+    sequence in any engine, so the interpolated values replay
+    bit-for-bit; linear CASTS every aggregate column to double,
+    observed buckets included, and a NULL endpoint interpolates the
+    whole gap to NULL). A guard rejects
     grids over ``max_buckets`` (default 10M) per key — a 1-second
     interval over years of data is almost always a config mistake.
 
@@ -631,8 +637,9 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
         raise ValueError(f"interval must be >= 1 second, got {step}")
     keys = list(config.get("group_by", []))
     fill = config.get("fill", "none")
-    if fill not in ("none", "zero", "ffill"):
-        raise ValueError(f"fill must be none|zero|ffill, got {fill!r}")
+    if fill not in ("none", "zero", "ffill", "linear"):
+        raise ValueError(
+            f"fill must be none|zero|ffill|linear, got {fill!r}")
     max_buckets = int(config.get("max_buckets", 10_000_000))
     specs = config.get("aggregates") or [{"function": "count"}]
 
@@ -678,6 +685,36 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
     # grid-sized (max_buckets-guarded), never corpus-sized.
     gw = (Window.partitionBy(*keys) if keys
           else Window.partitionBy(F.lit(1))).orderBy("__bkt")
+    if fill == "linear":
+        # the SAME gap window also carries the endpoint VALUES, so
+        # each generated bucket interpolates from its own gap row —
+        # still one key shuffle, no join-back
+        staged = obs.select(
+            *keys, "__bkt", *out_names,
+            F.lag("__bkt").over(gw).alias("__prev"),
+            *[F.lag(a).over(gw).alias(f"__p_{a}") for a in out_names])
+        g = (staged.filter(F.col("__prev").isNotNull()
+                           & (F.col("__bkt") - F.col("__prev") > step))
+             .withColumn("__gb", F.explode(F.sequence(
+                 F.col("__prev") + step, F.col("__bkt") - step,
+                 F.lit(step)))))
+        frac = ((F.col("__gb") - F.col("__prev")).cast("double")
+                / (F.col("__bkt") - F.col("__prev")).cast("double"))
+
+        def interp(a: str) -> F.Column:
+            p = F.col(f"__p_{a}").cast("double")
+            c = F.col(a).cast("double")
+            return (p + (c - p) * frac).alias(a)
+
+        gaps = g.select(*keys, F.col("__gb").alias("__bkt"),
+                        *[interp(a) for a in out_names])
+        out = obs.select(
+            *keys, "__bkt",
+            *[F.col(a).cast("double").alias(a) for a in out_names]
+        ).unionByName(gaps)
+        return (out.withColumn("bucket", F.col("__bkt"))
+                .withColumn("bucket_ts", F.col("__bkt").cast("timestamp"))
+                .drop("__bkt"))
     gaps = (obs.select(*keys, "__bkt",
                        F.lag("__bkt").over(gw).alias("__prev"))
             .filter(F.col("__prev").isNotNull()

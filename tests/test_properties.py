@@ -1140,14 +1140,16 @@ tr_rows = st.lists(
 
 
 @given(rows=tr_rows, step=st.integers(1, 9),
-       fill=st.sampled_from(["zero", "ffill"]))
+       fill=st.sampled_from(["zero", "ffill", "linear"]))
 @settings(**SETTINGS)
 def test_time_resample_matches_grid_model(spark, rows, step, fill):
     """LAG-gap-generated empty buckets == the obvious dense-grid
     model per key (NULL keys form a regular group), for any step,
-    negative timestamps, and both fill modes. Bucket = exact
+    negative timestamps, and all fill modes. Bucket = exact
     floor-to-multiple (e - pmod(e, step), i.e. floor for negatives
-    too)."""
+    too). linear replays the identical IEEE interpolation
+    p + (c − p)·((b − pb)/(cb − pb)) and casts observed counts to
+    double."""
     df = spark.createDataFrame(rows, "k int, ts long")
     out = op("time_resample", df, {
         "ts_field": "ts", "interval": step, "group_by": ["k"],
@@ -1165,6 +1167,15 @@ def test_time_resample_matches_grid_model(spark, rows, step, fill):
     for k, bkts in per_key.items():
         counts = Counter(bkts)
         lo, hi = min(bkts), max(bkts)
+        if fill == "linear":
+            obs = sorted(counts)
+            for pb, cb in zip(obs, obs[1:]):
+                p, c = float(counts[pb]), float(counts[cb])
+                for b in range(pb + step, cb, step):
+                    want[(k, b)] = p + (c - p) * ((b - pb) / (cb - pb))
+            for b in obs:
+                want[(k, b)] = float(counts[b])
+            continue
         last = None
         for b in range(lo, hi + step, step):
             n = counts.get(b, 0)

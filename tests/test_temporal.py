@@ -436,6 +436,17 @@ def test_time_resample_gap_fill_and_ffill(spark):
     assert [r["vm"] for r in ff if r["k"] == 1] == [20.0, 20.0, 20.0, 5.0]
     # bucket_ts mirrors bucket
     assert all(int(r["bucket_ts"].timestamp()) == r["bucket"] for r in got)
+    # linear: minutes 1,2 interpolate between the bucket sums 30 -> 5;
+    # observed buckets cast to double
+    li = op("time_resample", df,
+            {"ts_field": "ts", "interval": 60, "group_by": ["k"],
+             "aggregates": [{"field": "v", "function": "sum",
+                             "alias": "sv"}],
+             "fill": "linear"}, views={}).orderBy("k", "bucket").collect()
+    k1 = [r["sv"] for r in li if r["k"] == 1]
+    third = (5.0 - 30.0) * (1 / 3)
+    assert k1 == [30.0, 30.0 + third, 30.0 + (5.0 - 30.0) * (2 / 3), 5.0]
+    assert all(isinstance(r["sv"], float) for r in li)
 
 
 def test_time_resample_guard_and_validation(spark):
