@@ -852,6 +852,52 @@ ORDER BY o_orderstatus
 """
 
 
+def q_quantiles_cont(spark, sf_dir):
+    """Per-status CONTINUOUS (interpolated) percentiles of order
+    totals (llmops/sketch.py op_quantile_estimate mode='cont', round
+    8): the ANSI percentile_cont semantics with the rank arithmetic
+    PINNED — h = (n−1)·q in exact ppb integers, result =
+    v[lo+1] + (v[lo+2] − v[lo+1])·frac, frac = (h mod ppb)/1e9 —
+    because engine-native percentile_cont is banned from oracle pairs
+    like every native quantile (CLAUDE.md). DuckDB replays the
+    identical integer ranks and IEEE interpolation."""
+    o = _t(spark, sf_dir, "orders")
+    df = op("quantile_estimate", o, {
+        "field": "o_totalprice", "group_by": ["o_orderstatus"],
+        "quantiles": [0.5, 0.95], "aliases": ["p50c", "p95c"],
+        "mode": "cont"}, views={})
+    return op("sort", df, {"fields": ["o_orderstatus"]})
+
+
+_SQL_QUANTILES_CONT = """
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders),
+a AS (
+  SELECT o_orderstatus,
+    MIN(CASE WHEN rn = ((500000000 * (n-1)) // 1000000000) + 1
+        THEN v END) AS lo50,
+    MIN(CASE WHEN rn = ((500000000 * (n-1)) // 1000000000) + 2
+        THEN v END) AS hi50,
+    MIN(CAST((500000000 * (n-1)) % 1000000000 AS DOUBLE) / 1e9) AS f50,
+    MIN(CASE WHEN rn = ((950000000 * (n-1)) // 1000000000) + 1
+        THEN v END) AS lo95,
+    MIN(CASE WHEN rn = ((950000000 * (n-1)) // 1000000000) + 2
+        THEN v END) AS hi95,
+    MIN(CAST((950000000 * (n-1)) % 1000000000 AS DOUBLE) / 1e9) AS f95
+  FROM r GROUP BY o_orderstatus)
+SELECT o_orderstatus,
+       CASE WHEN f50 = 0 THEN lo50
+            ELSE lo50 + (hi50 - lo50) * f50 END AS p50c,
+       CASE WHEN f95 = 0 THEN lo95
+            ELSE lo95 + (hi95 - lo95) * f95 END AS p95c
+FROM a ORDER BY o_orderstatus
+"""
+
+
 def q_parse_props(spark, sf_dir):
     """Typed JSON parsing (from_json with a declared schema, flattened)
     — the schema-first alternative to per-path get_json_object."""
@@ -5948,6 +5994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_enrich": q_pit_enrich,
         "rolling": q_rolling,
         "resample_linear": q_resample_linear,
+        "quantiles_cont": q_quantiles_cont,
         # rotated into the sampled prefix: rewritten this round
         # (pinned-rank arithmetic; the old approx_percentile pair
         # mismatched at sf0.1 — key_skew carried the same latent
@@ -6263,6 +6310,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_enrich": _SQL_PIT_ENRICH,
         "rolling": _SQL_ROLLING,
         "resample_linear": _SQL_RESAMPLE_LINEAR,
+        "quantiles_cont": _SQL_QUANTILES_CONT,
         "range_join": _SQL_RANGE_JOIN,
         "rollup": _SQL_ROLLUP,
         "cube": _SQL_CUBE,

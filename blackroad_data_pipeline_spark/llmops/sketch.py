@@ -260,7 +260,19 @@ def op_quantile_estimate(df: DataFrame, config: Mapping, views) -> DataFrame:
     global mode must not sort its input in one task the way a
     ``partitionBy(lit(1))`` window would; the requested ranks are
     computed driver-side from the exact total and filtered, never
-    materializing a global sort."""
+    materializing a global sort.
+
+    ``mode: "cont"`` (default "disc") switches to the PINNED
+    continuous (interpolated) percentile — the ANSI percentile_cont
+    semantics, with the rank arithmetic written out so any engine
+    replays it (engine-native percentile_cont is banned from oracle
+    pairs like every native quantile): h = (n−1)·q in exact ppb
+    integers, lo = h div ppb, frac = (h mod ppb)/1e9 (a correctly-
+    rounded double both engines agree on), result =
+    v[lo+1] + (v[lo+2] − v[lo+1])·frac — the identical IEEE op
+    sequence everywhere; frac = 0 returns v[lo+1] exactly (no float
+    round-trip). Same shapes: the cont mode reads at most two ranks
+    per quantile instead of one."""
     field = config["field"]
     group_by = list(config.get("group_by", []))
     qs = [float(q) for q in config.get("quantiles", [0.5])]
@@ -271,6 +283,9 @@ def op_quantile_estimate(df: DataFrame, config: Mapping, views) -> DataFrame:
     if len(set(aliases)) != len(aliases):
         raise ValueError(f"duplicate output columns {aliases} — pass "
                          "explicit aliases for sub-1% quantiles")
+    mode = config.get("mode", "disc")
+    if mode not in ("disc", "cont"):
+        raise ValueError(f"mode must be disc|cont, got {mode!r}")
     ppb = 1_000_000_000
     from pyspark.sql import Window
     v = F.col(field).cast("double")
@@ -280,6 +295,31 @@ def op_quantile_estimate(df: DataFrame, config: Mapping, views) -> DataFrame:
         ranked = (nn.withColumn("__rn", F.row_number().over(
                       part.orderBy(F.col("__v"))))
                   .withColumn("__n", F.count(F.lit(1)).over(part)))
+        if mode == "cont":
+            aggs, finals = [], []
+            for q, alias in zip(qs, aliases):
+                q_ppb = int(round(q * ppb))
+                lo1 = F.expr(
+                    f"(({q_ppb} * (__n - 1)) div {ppb}) + 1")
+                frac = (F.expr(f"({q_ppb} * (__n - 1)) % {ppb}")
+                        .cast("double") / F.lit(1e9))
+                aggs += [
+                    F.min(F.when(F.col("__rn") == lo1, F.col("__v")))
+                    .alias(f"__lo_{alias}"),
+                    F.min(F.when(F.col("__rn") == lo1 + 1,
+                                 F.col("__v")))
+                    .alias(f"__hi_{alias}"),
+                    F.min(frac).alias(f"__f_{alias}"),
+                ]
+                lo_c, hi_c, f_c = (F.col(f"__lo_{alias}"),
+                                   F.col(f"__hi_{alias}"),
+                                   F.col(f"__f_{alias}"))
+                finals.append(
+                    F.when(f_c == 0.0, lo_c)
+                    .otherwise(lo_c + (hi_c - lo_c) * f_c)
+                    .alias(alias))
+            return (ranked.groupBy(*group_by).agg(*aggs)
+                    .select(*group_by, *finals))
         aggs = []
         for q, alias in zip(qs, aliases):
             q_ppb = int(round(q * ppb))
@@ -295,6 +335,29 @@ def op_quantile_estimate(df: DataFrame, config: Mapping, views) -> DataFrame:
         df.sparkSession.sparkContext.defaultParallelism
     ranged, running, total = _distributed_prefix_sum(
         nn.select("__v"), F.lit(1), [F.col("__v")], n_parts)
+    if mode == "cont":
+        aggs, finals, ranks = [], [], set()
+        for q, alias in zip(qs, aliases):
+            q_ppb = int(round(q * ppb))
+            h = q_ppb * (total - 1) if total else 0
+            lo1 = h // ppb + 1
+            frac = (h % ppb) / 1e9
+            ranks.update({lo1, lo1 + 1} if frac > 0 else {lo1})
+            aggs += [
+                F.min(F.when(F.col("__rn") == int(lo1), F.col("__v")))
+                .alias(f"__lo_{alias}"),
+                F.min(F.when(F.col("__rn") == int(lo1 + 1),
+                             F.col("__v")))
+                .alias(f"__hi_{alias}"),
+            ]
+            lo_c, hi_c = F.col(f"__lo_{alias}"), F.col(f"__hi_{alias}")
+            finals.append(
+                (lo_c if frac == 0.0
+                 else lo_c + (hi_c - lo_c) * F.lit(frac)).alias(alias))
+        return (ranged.withColumn("__rn", running)
+                .filter(F.col("__rn").isin([int(r) for r in ranks])
+                        if ranks and total else F.lit(False))
+                .groupBy().agg(*aggs).select(*finals))
     aggs = []
     for q, alias in zip(qs, aliases):
         q_ppb = int(round(q * ppb))

@@ -220,3 +220,35 @@ def test_quantile_estimate_validation(spark):
         op("quantile_estimate", df,
            {"field": "v", "quantiles": [0.5], "aliases": ["a", "b"]},
            views={})
+    with pytest.raises(ValueError, match="mode"):
+        op("quantile_estimate", df, {"field": "v", "mode": "approx"},
+           views={})
+
+
+def test_quantile_estimate_cont_interpolates(spark):
+    """mode='cont': the PINNED continuous percentile — h = (n-1)·q in
+    exact ppb integers, result = v[lo+1] + (v[lo+2]-v[lo+1])·frac.
+    On [1,2,4,8]: q50 -> h=1.5 -> 2+0.5·2=3; q25 -> 1.75; exact
+    indices (q=0/1) return the boundary values with NO float
+    round-trip. Grouped and global modes agree; global is
+    partition-invariant."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 8.0),
+            ("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    cfg = {"field": "v", "quantiles": [0.0, 0.25, 0.5, 1.0],
+           "aliases": ["q0", "q25", "q50", "q100"], "mode": "cont"}
+    g = {r["k"]: (r["q0"], r["q25"], r["q50"], r["q100"]) for r in op(
+        "quantile_estimate", df, {**cfg, "group_by": ["k"]},
+        views={}).collect()}
+    assert g["a"] == (1.0, 1.75, 3.0, 8.0)
+    assert g["b"] == (5.0, 5.0, 5.0, 5.0)   # single value: all ranks 1
+    onlya = df.filter("k = 'a'")
+    for frame in (onlya, onlya.repartition(7)):
+        r = op("quantile_estimate", frame, cfg, views={}).collect()
+        assert len(r) == 1
+        assert (r[0]["q0"], r[0]["q25"], r[0]["q50"], r[0]["q100"]) \
+            == (1.0, 1.75, 3.0, 8.0)
+    # empty input: one all-NULL row, like disc mode
+    r = op("quantile_estimate", df.filter("v IS NULL"), cfg,
+           views={}).collect()
+    assert len(r) == 1 and r[0]["q50"] is None
