@@ -2984,7 +2984,8 @@ def q_rolling(spark, sf_dir):
 _SQL_ROLLING = """
 WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS e,
                   CAST(ROUND(value * 100) AS BIGINT) AS vc
-           FROM events WHERE event_type = 'purchase')
+           FROM events WHERE event_type = 'purchase'
+             AND ts IS NOT NULL)
 SELECT event_id, user_id,
        COUNT(*) OVER w AS n_6h,
        CAST(SUM(vc) OVER w AS BIGINT) AS spend_6h,

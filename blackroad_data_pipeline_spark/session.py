@@ -75,6 +75,17 @@ def get_spark(
     conf_map = dict(extra_conf or {})
     locale_flags = "-Duser.language=en -Duser.country=US"
     prev_opts = conf_map.get("spark.executor.extraJavaOptions", "")
+    if not prev_opts:
+        # Surface the silent-override hazard (ADVICE r8): a value set
+        # only in spark-defaults.conf is invisible here and this
+        # .config() call replaces it. Loud, so cluster deployments that
+        # manage executor JVM flags in defaults notice and fold the
+        # locale pin into their own list.
+        import logging
+        logging.getLogger(__name__).info(
+            "setting spark.executor.extraJavaOptions=%r; any value "
+            "configured only in spark-defaults.conf is overridden — "
+            "pass it via extra_conf to preserve it", locale_flags)
     conf_map["spark.executor.extraJavaOptions"] = \
         f"{prev_opts} {locale_flags}".strip()
     for k, v in conf_map.items():

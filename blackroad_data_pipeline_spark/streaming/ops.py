@@ -9,12 +9,20 @@ aggregations use the built-in incremental state store.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.registry import register
+
+# Guards the set-conf -> start -> restore-conf window in
+# run_stream_to_memory: harness threads share ONE SparkSession, so an
+# unserialized window lets a concurrent query capture the temporary
+# shuffle-partition value into its own SQLConf — or read it back as
+# `prev` and pin the session at the temporary value (ADVICE r8).
+_CONF_LOCK = threading.Lock()
 
 
 def _windowed_aggs(config: Mapping, ts: str) -> list:
@@ -217,17 +225,22 @@ def run_stream_to_memory(df: DataFrame, name: str,
     physically laid out by partition — so pick for peak, not current,
     throughput there."""
     spark = df.sparkSession
-    prev = None
     if shuffle_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(shuffle_partitions))
-    try:
+        # the started query snapshots the session conf into its own
+        # SQLConf, so only the set->start->restore window needs the
+        # lock; queries never hold it while running
+        with _CONF_LOCK:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(shuffle_partitions))
+            try:
+                q = (df.writeStream.outputMode(output_mode)
+                     .format("memory").queryName(name).start())
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    else:
         q = (df.writeStream.outputMode(output_mode)
              .format("memory").queryName(name).start())
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     q.stop()
     return q
