@@ -1437,6 +1437,51 @@ SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_floor_met
 """
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch kNN-join (round 9 — the many-to-many ANN shape SemDeDup
+    clustering and RAG index builds run): top-3 cosine neighbors of
+    EVERY vector at the EXHAUSTIVE IVF geometry (nprobe = n_cells —
+    every inverted list probed, so the bucketed plan must reproduce
+    the exact all-pairs kNN bit-for-bit; pruned-nprobe recall stays
+    measured in pytest + SCALE_PROBES). Ids and ranks only — rank
+    ORDER needs the two engines' cosine doubles to order candidate
+    pairs identically (gaps ≫ 1 ulp for distinct pairs; exact
+    duplicates tie-break on neighbor_id in both), while the cosine
+    VALUES agree only to ~1 ulp, so they stay out of the compare.
+    Deterministic quarter of the corpus: the exhaustive gate does
+    all-pairs work BY DESIGN; the subset bounds the oracle's O(n²)
+    cost while exercising the identical code path."""
+    e = _t(spark, sf_dir, "embeddings")
+    e = op("filter", op("expr", e, {"exprs": {"m4": "vec_id % 4"}}),
+           {"field": "m4", "op": "eq", "value": 0})
+    df = op("knn_join", e, {"k": 3, "n_cells": 8, "nprobe": 8,
+                            "refine": 1})
+    df = op("select", df, {"fields": ["vec_id", "knn_rank",
+                                      "neighbor_id"]})
+    return op("sort", df, {"fields": ["vec_id", "knn_rank"]})
+
+
+_SQL_KNN_JOIN = """
+WITH sub AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 4 = 0 AND embedding IS NOT NULL),
+pairs AS (
+  SELECT q.vec_id AS vec_id, i.vec_id AS neighbor_id,
+         list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[])
+         / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+            * sqrt(list_inner_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[]))) AS cos_sim
+  FROM sub q JOIN sub i ON q.vec_id <> i.vec_id),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+  FROM pairs)
+SELECT vec_id, CAST(knn_rank AS INTEGER) AS knn_rank, neighbor_id
+FROM ranked WHERE knn_rank <= 3
+ORDER BY vec_id, knn_rank
+"""
+
+
 def q_split_assign_gate(spark, sf_dir):
     """split_assign's contract is partition-invariance: assignments on
     the natural read and on an adversarial repartition must agree row
@@ -5959,6 +6004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-green, never sampled), then new round-6 entries, then
         # driver-green anchors filling out the ~50-key window; remainder =
         # cumulative driver-green r1-r5. Every entry oracle-anchored.
+        # -- new in round 9 (inside the sample window) --
+        "knn_join": q_knn_join,
         # -- never driver-sampled after r5 (23) --
         "winnow": q_winnow,
         "winnow_overlap": q_winnow_overlap,
@@ -6338,6 +6385,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _SQL_ANN_GATE,
         "ann_ivf": _SQL_ANN_GATE,
         "similarity_join": _SQL_SIMILARITY_PARITY,
+        "knn_join": _SQL_KNN_JOIN,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "corpus_prep": _SQL_CORPUS_PREP,

@@ -100,9 +100,19 @@ SCALE_PROBES = {
     # split into 3 "days" by vec_id % 3, deduped within-day, then
     # against the growing INT8 history (quantize -> store ->
     # dequantize on read), finishing with an ann_ivf probe over the
-    # dequantized kept store — the serve step.
+    # dequantized kept store — the serve step. The chain's shape is
+    # plan-gated (test_plans.test_embedding_ingest_history_stays_int8:
+    # int8 history schema, bucketed candidate join, stacked-matmul
+    # Arrow kernels) so a regression here can't hide in the timing.
     "embedding_ingest_scale": lambda s, d: _embedding_ingest(s, d),
-    # round 7: interval x interval overlap join at event granularity
+    # round 9: batch kNN-join at the pruned production geometry —
+    # top-10 neighbors for EVERY vector, candidates bounded per IVF
+    # cell (nprobe/n_cells of the corpus per query), one cell join +
+    # one query-id window. Plan-gated in test_plans.py
+    # (test_knn_join_is_bucketed_and_batched).
+    "knn_join_scale": lambda s, d: op(
+        "knn_join", _embs(s, d), {"k": 10, "n_cells": 16, "nprobe": 2,
+                                  "refine": 1}),
     # (every click a 300s window, every purchase a 600s window, 600s
     # buckets) — candidate pairs are bucket-bounded, so the probe
     # measures the explode + equi-join + count-once chain growing

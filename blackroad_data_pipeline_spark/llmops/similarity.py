@@ -263,6 +263,160 @@ def op_ann_ivf(df: DataFrame, config: Mapping, views) -> DataFrame:
     )
 
 
+def _assign_multi_udf(centroids: np.ndarray, nprobe: int):
+    """Top-``nprobe`` nearest cells (cosine) per vector — the query
+    side of a batch kNN-join probes several inverted lists while the
+    index side stays single-cell. One matmul + one argsort per Arrow
+    batch; ties break to the lower cell index (stable argsort), so
+    the probe set is deterministic at any partitioning."""
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cents = (centroids / np.where(norms == 0, 1.0, norms)).T  # (dim, k)
+    nprobe = min(nprobe, centroids.shape[0])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        mn = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(mn == 0, 1.0, mn)
+        order = np.argsort(-(mat @ cents), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+    return assign
+
+
+@register("knn_join")
+def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Batch kNN-join: the top-``k`` nearest neighbors (cosine) of
+    EVERY vector in ``df`` against an ``index`` corpus (default:
+    ``df`` itself, excluding self-matches) — the many-to-many ANN
+    shape SemDeDup-style semantic clustering and RAG index builds
+    run at corpus scale. ``ann_*`` answer one probe; this answers all
+    of them in one bucketed plan. No counterpart in the reference
+    (zero vector ops, SURVEY.md §2).
+
+    Output: one row per (query, rank): ``<id_field>``, ``knn_rank``
+    (1-based; ties on cosine break to the smaller neighbor id —
+    deterministic in every engine), ``neighbor_id``, ``cos_sim``.
+    Queries whose candidate set is empty simply emit no rows.
+
+    method: "ivf" (default) — a deterministic coarse quantizer
+    (xxhash-seeded + Lloyd refine, `_ivf_centroids`) partitions the
+    INDEX side into single cells while each QUERY probes its
+    ``nprobe`` nearest cells. Work is per-cell — query×index pairs
+    within a cell — never all-pairs, and because the index side lands
+    in exactly ONE cell each (query, index) pair arises at most once:
+    no candidate dedup, so the wide vectors ride the one cell join
+    directly (at ``nprobe``× duplication of the query vector — the
+    classic IVF trade). ``nprobe == n_cells`` probes every list and
+    is EXACT (the parity gate's geometry); recall tunes with nprobe
+    and no index rebuild.
+
+    method: "lsh" — both sides hash into ``n_tables`` ×
+    ``n_planes`` sign-random-projection tables (one stacked-matmul
+    Arrow kernel per side, `_multi_bucket_udf`); candidates join per
+    (table, bucket) and are deduped as narrow id pairs BEFORE the
+    vectors attach (the dedup_embedding_against shape — multi-table
+    duplication is real here). Recall follows the standard
+    amplification 1-(1-p^b)^L.
+
+    Scale shape (either method): one bucket/cell-key shuffle for the
+    candidate join + one query-id shuffle for the per-query top-k
+    window — the window partitions on the high-cardinality query id,
+    never globally. Cell skew is AQE-skew-join territory; IVF's Lloyd
+    refine keeps cells balanced by construction.
+
+    config: ``k`` (default 10), ``index`` (view name or DataFrame;
+    default self with ``exclude_self`` defaulting true), ``field`` /
+    ``id_field`` (+ ``index_field`` / ``index_id_field`` overrides),
+    ``method``, IVF: ``n_cells``/``nprobe``/``refine``, LSH:
+    ``dim``/``n_planes``/``n_tables``/``seed``.
+    """
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    k = int(config.get("k", 10))
+    method = config.get("method", "ivf")
+    index = config.get("index")
+    self_join = index is None
+    if isinstance(index, str):
+        index = views[index]
+    idx_df = df if self_join else index
+    i_field = config.get("index_field", field)
+    i_id = config.get("index_id_field", id_field)
+    exclude_self = bool(config.get("exclude_self", self_join))
+    # NULL embeddings have no position in cosine space: they neither
+    # query nor serve as neighbors (documented contract — the oracle
+    # replays the same exclusion)
+    df = df.filter(F.col(field).isNotNull())
+    idx_df = idx_df.filter(F.col(i_field).isNotNull())
+
+    def norm_of(col: Column) -> Column:
+        return F.sqrt(F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    if method == "ivf":
+        n_cells = int(config.get("n_cells", 16))
+        nprobe = int(config.get("nprobe", 2))
+        cents = _ivf_centroids(
+            idx_df, {**config, "field": i_field, "id_field": i_id,
+                     "n_cells": n_cells})
+        # index side: ONE cell each => (query, index) candidate pairs
+        # are unique by construction, so vectors ride the join
+        iside = idx_df.select(
+            F.col(i_id).alias("__iid"), F.col(i_field).alias("__iemb"),
+            norm_of(F.col(i_field)).alias("__inorm"),
+            _assign_udf(cents)(F.col(i_field)).alias("__cell"))
+        qside = df.select(
+            F.col(id_field).alias("__qid"), F.col(field).alias("__qemb"),
+            norm_of(F.col(field)).alias("__qnorm"),
+            F.explode(_assign_multi_udf(cents, nprobe)(F.col(field)))
+            .alias("__cell"))
+        cands = qside.join(iside, "__cell")
+        if exclude_self:
+            cands = cands.filter(F.col("__qid") != F.col("__iid"))
+        scored = cands.withColumn(
+            "cos_sim", _pair_dot_udf(F.col("__qemb"), F.col("__iemb"))
+            / (F.col("__qnorm") * F.col("__inorm")))
+    elif method == "lsh":
+        dim = int(config.get("dim", 64))
+        n_planes = int(config.get("n_planes", 12))
+        n_tables = int(config.get("n_tables", 1))
+        seed = int(config.get("seed", 42))
+        multi = _multi_bucket_udf(dim, n_planes, seed, n_tables)
+        qb = df.select(F.col(id_field).alias("__qid"),
+                       F.posexplode(multi(F.col(field)))
+                       .alias("__tbl", "__bkt"))
+        ib = idx_df.select(F.col(i_id).alias("__iid"),
+                           F.posexplode(multi(F.col(i_field)))
+                           .alias("__tbl", "__bkt"))
+        cands = (qb.join(ib, ["__tbl", "__bkt"])
+                 .select("__qid", "__iid")
+                 .dropDuplicates(["__qid", "__iid"]))
+        if exclude_self:
+            cands = cands.filter(F.col("__qid") != F.col("__iid"))
+        qside = df.select(F.col(id_field).alias("__qid"),
+                          F.col(field).alias("__qemb"),
+                          norm_of(F.col(field)).alias("__qnorm"))
+        iside = idx_df.select(F.col(i_id).alias("__iid"),
+                              F.col(i_field).alias("__iemb"),
+                              norm_of(F.col(i_field)).alias("__inorm"))
+        scored = (cands.join(qside, "__qid").join(iside, "__iid")
+                  .withColumn("cos_sim",
+                              _pair_dot_udf(F.col("__qemb"), F.col("__iemb"))
+                              / (F.col("__qnorm") * F.col("__inorm"))))
+    else:
+        raise ValueError(f"knn_join method must be ivf|lsh, got {method!r}")
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cos_sim").desc(), F.col("__iid"))
+    return (scored
+            .withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+            .select(F.col("__qid").alias(id_field), "knn_rank",
+                    F.col("__iid").alias("neighbor_id"), "cos_sim"))
+
+
 @F.pandas_udf(T.DoubleType())
 def _pair_dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Batched pair dot products: one einsum per Arrow batch. Catalyst

@@ -355,6 +355,75 @@ def test_similarity_join_multi_table_amplifies_recall(vecs):
     assert len(rows) == len(got)
 
 
+def _knn_truth(rows, k, exclude_self=True):
+    """Brute-force top-k cosine truth (ties -> smaller neighbor id)."""
+    import numpy as np
+
+    ids = [i for i, _ in rows]
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    out = {}
+    for qi, q in enumerate(ids):
+        cand = [(-sims[qi, ni], n) for ni, n in enumerate(ids)
+                if not (exclude_self and n == q)]
+        out[q] = [n for _, n in sorted(cand)[:k]]
+    return out
+
+
+def test_knn_join_exhaustive_matches_bruteforce(vecs):
+    """nprobe == n_cells probes every inverted list — the bucketed
+    plan must equal exact all-pairs kNN for EVERY query."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.7, 0.7, 0.0, 0.0])]
+    truth = _knn_truth(rows, k=2)
+    got = {}
+    for r in op("knn_join", vecs,
+                {"k": 2, "n_cells": 2, "nprobe": 2, "refine": 1}).collect():
+        got.setdefault(r["vec_id"], []).append((r["knn_rank"], r["neighbor_id"]))
+    assert {q: [n for _, n in sorted(v)] for q, v in got.items()} == truth
+
+
+def test_knn_join_lsh_mode_matches_exhaustive(vecs):
+    """A recall~1 LSH geometry (2 planes x 16 tables) must recover the
+    same ranked neighbor lists as the exhaustive-IVF exact path."""
+    exact = {(r["vec_id"], r["knn_rank"], r["neighbor_id"]) for r in
+             op("knn_join", vecs,
+                {"k": 2, "n_cells": 2, "nprobe": 2}).collect()}
+    lsh = {(r["vec_id"], r["knn_rank"], r["neighbor_id"]) for r in
+           op("knn_join", vecs,
+              {"k": 2, "method": "lsh", "dim": 4, "n_planes": 2,
+               "n_tables": 16}).collect()}
+    assert lsh == exact
+
+
+def test_knn_join_index_mode_and_exclude_self(spark, vecs):
+    """An external index searches only index vectors; with
+    exclude_self off, a vector present on both sides is its own
+    rank-1 neighbor at cos ~1."""
+    idx = vecs.filter("vec_id % 2 = 0")  # 0, 2, 4
+    out = op("knn_join", vecs, {"k": 1, "index": "idx", "n_cells": 2,
+                                "nprobe": 2, "exclude_self": False},
+             views={"idx": idx}).collect()
+    got = {r["vec_id"]: r for r in out}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert all(r["neighbor_id"] % 2 == 0 for r in out)
+    for q in (0, 2, 4):  # self is in the index -> rank 1, cos ~1
+        assert got[q]["neighbor_id"] == q
+        assert abs(got[q]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_knn_join_null_embeddings_excluded(spark):
+    """NULL embeddings neither query nor serve as neighbors."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = op("knn_join", df, {"k": 3, "n_cells": 1, "nprobe": 1}).collect()
+    assert {r["vec_id"] for r in out} == {0, 1, 3}
+    assert all(r["neighbor_id"] != 2 for r in out)
+
+
 # -- multimodal ---------------------------------------------------------------
 
 

@@ -623,3 +623,69 @@ def test_skewed_join_aqe_split_engages(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def _embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_knn_join_is_bucketed_and_batched(no_aqe):
+    """Batch kNN-join (round 9) plan gate: candidate work is per
+    IVF-cell (one cell-key join + one query-id window shuffle — never
+    an all-pairs cartesian), and Python touches data only through
+    Arrow-batched kernels (assign/pair-dot)."""
+    df = op("knn_join", _embs(no_aqe),
+            {"k": 10, "n_cells": 8, "nprobe": 2, "refine": 1})
+    plans.assert_no_cartesian(df)
+    plans.assert_no_row_python(df)
+    # cell join (broadcast at this size; <=2 when sort-merge) + the
+    # per-query top-k window: never more than 3 shuffles
+    assert plans.shuffle_exchange_count(df) <= 3, plans.explain_text(df)
+    assert len(plans.arrow_python_nodes(df)) <= 4
+
+
+def test_knn_join_lsh_mode_no_allpairs(no_aqe):
+    """LSH-mode kNN-join: candidates come from (table, bucket) joins
+    with narrow id-pair dedup — no cartesian, no nested-loop join,
+    no row-at-a-time Python."""
+    df = op("knn_join", _embs(no_aqe),
+            {"k": 10, "method": "lsh", "dim": 64, "n_planes": 8,
+             "n_tables": 4})
+    plans.assert_no_cartesian(df)
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin"), \
+        plans.explain_text(df)
+    plans.assert_no_row_python(df)
+    assert plans.shuffle_exchange_count(df) <= 6, plans.explain_text(df)
+
+
+def test_embedding_ingest_history_stays_int8(no_aqe):
+    """The embedding-ingest chain's plan gate (VERDICT r8 #4): the
+    persisted history side must be consumed as int8 codes + codebook
+    (array<int> schema — 4x narrower I/O than fp32; buckets/cosines
+    recompute from the JVM-side dequantize expression), the
+    incremental dedup must stay bucketed (no cartesian / nested-loop
+    join), and the bucket kernels must be the stacked-matmul Arrow
+    batch form, one per side — not one per table."""
+    from pyspark.sql import types as T
+
+    spark = no_aqe
+    batch = _embs(spark)
+    qcfg = {"dim": 64, "bits": 8, "bounds": [-4.0, 4.0]}
+    store = op("quantize_embedding", batch, qcfg).select(
+        "vec_id", "embedding", "q_lo", "q_hi")
+    # the int8 contract: codes are array<int>, never array<float>
+    emb_t = store.schema["embedding"].dataType
+    assert isinstance(emb_t, T.ArrayType) and \
+        isinstance(emb_t.elementType, T.IntegerType), emb_t
+    hist = op("dequantize_embedding", store, {"bits": 8})
+    df = op("dedup_embedding_against", batch,
+            {"history": hist, "threshold": 0.9, "dim": 64,
+             "n_planes": 2, "n_tables": 8}, views={})
+    plans.assert_no_cartesian(df)
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin"), \
+        plans.explain_text(df)
+    plans.assert_no_row_python(df)
+    # one stacked-matmul bucket kernel per side + one pair-dot kernel:
+    # a per-table regression would multiply the Arrow node count by L
+    assert len(plans.arrow_python_nodes(df)) <= 5, plans.explain_text(df)
+    assert plans.shuffle_exchange_count(df) <= 8, plans.explain_text(df)
