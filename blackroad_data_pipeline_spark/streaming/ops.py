@@ -126,18 +126,26 @@ def op_stateful_dedup(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Streaming-safe exact dedup with explicit per-key state
     (``applyInPandasWithState``): the first row per key is emitted,
     every later one is dropped — across micro-batches, unbounded
-    input. A processing-time timeout (``ttl_ms``) bounds state so a
-    100 TB/day stream doesn't accumulate keys forever — the accepted
-    trade-off of every at-scale streaming dedup (a key recurring
-    after the TTL is re-emitted).
+    input. A TTL bounds state so a 100 TB/day stream doesn't
+    accumulate keys forever — the accepted trade-off of every
+    at-scale streaming dedup (a key recurring after the TTL is
+    re-emitted). Two TTL clocks:
+
+    - ``ttl_mode: "event_time"`` (the scale-correct default when a
+      TTL is wanted): state evicts once the stream's WATERMARK passes
+      the key's last-seen event time + ``ttl_ms``. Driven by data
+      time, so a backfill replays identically, and the query drains
+      under processAllAvailable (no empty-batch scheduling). Requires
+      ``ts_field`` + ``watermark``.
+    - ``ttl_mode: "processing"`` (default for bare ``ttl_ms``,
+      backwards-compatible): wall-clock eviction. Note: Spark then
+      schedules continuous (possibly empty) micro-batches to evaluate
+      the timers — correct for a long-lived production stream, but a
+      finite test/backfill stream should use event_time (or no TTL)
+      so the query drains and stops.
 
     On a batch DataFrame this falls back to ``dropDuplicates`` (the
     same semantics without the state machinery).
-
-    Note: with a TTL, Spark schedules continuous (possibly empty)
-    micro-batches to evaluate processing-time timeouts — correct for
-    a long-lived production stream, but a finite test/backfill stream
-    should omit ``ttl_ms`` so the query drains and stops.
     """
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -159,7 +167,60 @@ def op_stateful_dedup(df: DataFrame, config: Mapping, views) -> DataFrame:
         return df.withWatermark(ts, wm).dropDuplicatesWithinWatermark(keys)
 
     ttl_ms = config.get("ttl_ms")
+    ttl_mode = config.get("ttl_mode", "processing")
+    if ttl_mode not in ("processing", "event_time"):
+        raise ValueError(
+            f"stateful_dedup ttl_mode must be processing|event_time, "
+            f"got {ttl_mode!r}")
     out_schema = df.schema
+
+    if ttl_ms is not None and ttl_mode == "event_time":
+        ts = config.get("ts_field", "ts")
+        wm = config.get("watermark")
+        if wm is None:
+            raise ValueError(
+                "stateful_dedup ttl_mode='event_time' requires "
+                "'watermark' (eviction is watermark-driven)")
+        df = df.withWatermark(ts, wm)
+        state_schema = T.StructType([
+            T.StructField("seen", T.BooleanType()),
+            T.StructField("last_ms", T.LongType())])
+
+        def emit_first_event_time(key, pdfs, state: GroupState):
+            import pandas as pd
+
+            if state.hasTimedOut:
+                # only reached when the group had NO rows this batch
+                # and the watermark passed last_ms + ttl
+                state.remove()
+                return
+            emitted = state.exists
+            last_ms = state.get[1] if emitted else -(1 << 62)
+            first = None
+            for pdf in pdfs:
+                if len(pdf):
+                    m = int(pd.Timestamp(pdf[ts].max()).value // 1_000_000)
+                    if m > last_ms:
+                        last_ms = m
+                    if first is None and not emitted:
+                        emitted = True
+                        first = pdf.iloc[:1]
+            # GroupState cancels the pending timer on EVERY invocation
+            # (same trap as ProcessingTimeTimeout) — re-arm each time,
+            # clamped above the current watermark (Spark rejects a
+            # timestamp the watermark has already passed)
+            state.update((True, last_ms))
+            state.setTimeoutTimestamp(
+                max(last_ms + int(ttl_ms),
+                    state.getCurrentWatermarkMs() + 1))
+            if first is not None:
+                yield first
+
+        return df.groupBy(*keys).applyInPandasWithState(
+            emit_first_event_time, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
 
     def emit_first(key, pdfs, state: GroupState):

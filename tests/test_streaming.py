@@ -118,22 +118,39 @@ def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
     import datetime as dt
     import os
 
+    import time
+
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
     d = tmp_path / "stream"
     os.makedirs(d)
-    batch1 = spark.createDataFrame(
-        [(1, base + dt.timedelta(hours=3), "a", 1.0)],
-        "event_id long, ts timestamp, event_type string, value double")
-    batch1.write.mode("overwrite").parquet(str(d / "f1.parquet"))
-    # late row: 3h older than the max seen event time, watermark 10m
-    late = spark.createDataFrame(
-        [(2, base, "a", 1.0)],
-        "event_id long, ts timestamp, event_type string, value double")
-    late.write.mode("overwrite").parquet(str(d / "f2.parquet"))
+    schema_s = "event_id long, ts timestamp, event_type string, value double"
+    # Round 9 rewrite: the original read the parquet SUBDIRS without
+    # recursiveFileLookup — zero input rows, and the all()-on-empty
+    # assertion passed vacuously. Also reordered to what Spark
+    # GUARANTEES: the late-events filter uses the PREVIOUS
+    # micro-batch's watermark (SPARK-40925 multi-operator semantics),
+    # so the late row must arrive >= 2 batches after the
+    # watermark-advancing row to be deterministically dropped.
+    batches = [
+        [(1, base + dt.timedelta(hours=3), "a", 1.0)],  # on-time 15:00
+        [(3, base + dt.timedelta(days=2), "a", 1.0)],   # advance wm + flush
+        [(2, base, "a", 1.0)],  # late: 12:00 window long past the wm
+        [(4, base + dt.timedelta(days=4), "a", 1.0)],   # final flush
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema_s).coalesce(1).write.mode(
+            "overwrite").parquet(str(d / f"f{i}.parquet"))
+        # file source orders by mod time — pin it explicitly (1s fs
+        # granularity + sub-second writes would otherwise tie)
+        for root, _, names in os.walk(d / f"f{i}.parquet"):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + 60 * i, now + 60 * i))
 
-    schema = batch1.schema
-    stream = (spark.readStream.format("parquet").schema(schema)
-              .option("maxFilesPerTrigger", 1).load(str(d)))
+    stream = (spark.readStream.format("parquet")
+              .schema(spark.createDataFrame([], schema_s).schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").load(str(d)))
     agg = op("windowed_agg", stream, {
         "ts_field": "ts", "window": "1 hour", "group_by": ["event_type"],
         "watermark": "10 minutes",
@@ -141,10 +158,11 @@ def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
                         "alias": "n"}]})
     run_stream_to_memory(agg, "late_out", output_mode="append")
     rows = spark.sql("SELECT * FROM late_out").collect()
-    # the late row's 12:00 window must not appear; append mode only
-    # finalizes windows the watermark has passed, so the on-time row's
-    # window may or may not have flushed — asserting absence is the point
-    assert all(r["window_start"] != base for r in rows)
+    got = {r["window_start"]: r["n"] for r in rows}
+    # the on-time row's 15:00 window flushed with count 1; the late
+    # row was dropped — its 12:00 window never appears
+    assert got[base + dt.timedelta(hours=3)] == 1
+    assert base not in got
 
 
 def test_incremental_ingestion_processes_only_new_files(spark, tmp_path):
@@ -302,3 +320,54 @@ def test_stream_scd2_incremental_store(spark, tmp_path):
         {"keys": ["k"], "attrs": ["v"]}, views={}).collect()),
         key=lambda t: [(x is None, str(x)) for x in t])
     assert got == whole
+
+
+def test_stateful_dedup_event_time_ttl_evicts_and_reemits(spark, tmp_path):
+    """Event-time TTL (VERDICT r8 #5): state evicts once the WATERMARK
+    passes last-seen + ttl, so a key recurring after eviction
+    re-emits — and the same key under a generous TTL stays deduped.
+    Data-time driven: the query drains under processAllAvailable
+    (no ProcessingTimeTimeout empty-batch scheduling)."""
+    import datetime as dt
+    import os
+    import time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, user_id int, ts timestamp"
+    batches = [
+        # b1: key 1 + an in-batch dup -> one emit
+        [(1, 1, base), (2, 1, base + dt.timedelta(minutes=1))],
+        # b2: advances the watermark to ~13:50 (delay 10m)
+        [(3, 2, base + dt.timedelta(hours=2))],
+        # b3: key 1 has NO rows -> its expired timer fires (evict)
+        [(4, 3, base + dt.timedelta(hours=2, minutes=30))],
+        # b4: key 1 recurs after eviction -> re-emits
+        [(5, 1, base + dt.timedelta(hours=3))],
+    ]
+    d = tmp_path / "ettl"
+    os.makedirs(d)
+    for i, rows in enumerate(batches):
+        # one physical file per batch (coalesce(1)) so mod-time order
+        # == batch order under maxFilesPerTrigger=1
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(d / f"f{i}.parquet"))
+        time.sleep(1.1)  # file source orders batches by mod time
+
+    def run(name, ttl_ms):
+        stream = (spark.readStream.format("parquet")
+                  .schema(schema).option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true")
+                  .load(str(d)))
+        out = op("stateful_dedup", stream, {
+            "keys": ["user_id"], "ttl_ms": ttl_ms,
+            "ttl_mode": "event_time", "ts_field": "ts",
+            "watermark": "10 minutes"})
+        run_stream_to_memory(out, name, output_mode="append")
+        return sorted(r["event_id"]
+                      for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+    # 10-minute TTL: key 1's state (last seen 12:01) expires when the
+    # watermark reaches 13:50 in b3 -> event 5 re-emits
+    assert run("ettl_short", 10 * 60 * 1000) == [1, 3, 4, 5]
+    # 10-hour TTL: nothing expires -> event 5 stays a duplicate
+    assert run("ettl_long", 10 * 3600 * 1000) == [1, 3, 4]
