@@ -2136,14 +2136,16 @@ ORDER BY conv_id
 
 def q_attribution_first(spark, sf_dir):
     """First-touch attribution (operators/temporal.py op_attribution
-    model='first'): each purchase credited to the user's EARLIEST
-    click within 6 hours, BOTH window bounds evaluated at native
-    (microsecond) timestamp precision — the exact-interval window
-    start and exact upper-bound comparison introduced in round 6.
-    Rides the forward as-of union+carry shape (one key shuffle).
-    DuckDB replays at the same µs precision: epoch_ns(ts)//1000 on
-    both sides, window [c_us - lookback·1e6, c_us], earliest by
-    (ts, touch_id)."""
+    model='first') at the UNIFIED default precision (round 9 —
+    VERDICT r8 #6): each purchase credited to the user's EARLIEST
+    click within 6 hours, lookback depth at epoch-second granularity
+    (floor(conv) − floor(touch) <= lookback, the same arithmetic
+    attribution_last pins) with the exact upper bound
+    touch_ts <= conv_ts. The round-6 exact-both-bounds mode is opt-in
+    (``precision: "exact"``, pytest-pinned in
+    test_attribution_first_subsecond_bounds); this pair
+    driver-verifies the new cross-model default. Rides the forward
+    as-of union+carry shape (one key shuffle)."""
     touches, convs = _touches_convs(spark, sf_dir)
     df = op("attribution", touches, {
         "conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
@@ -2156,19 +2158,18 @@ def q_attribution_first(spark, sf_dir):
 
 
 _SQL_ATTRIBUTION_FIRST = """
-WITH t AS (SELECT user_id, event_id AS touch_id,
-                  epoch_ns(ts) // 1000 AS tus
+WITH t AS (SELECT user_id, event_id AS touch_id, ts,
+                  epoch_ns(ts) // 1000000000 AS tsec
            FROM events WHERE event_type = 'click'),
-c AS (SELECT user_id, event_id AS conv_id,
-             epoch_ns(ts) // 1000 AS cus
+c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+             epoch_ns(ts) // 1000000000 AS csec
       FROM events WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.conv_id, c.user_id, t.touch_id,
          ROW_NUMBER() OVER (PARTITION BY c.conv_id
-                            ORDER BY t.tus ASC, t.touch_id ASC) AS rn
-  FROM c JOIN t ON c.user_id = t.user_id
-              AND t.tus >= c.cus - 21600000000
-              AND t.tus <= c.cus)
+                            ORDER BY t.ts ASC, t.touch_id ASC) AS rn
+  FROM c JOIN t ON c.user_id = t.user_id AND t.ts <= c.conv_ts
+              AND c.csec - t.tsec <= 21600)
 SELECT conv_id, user_id, touch_id, 1e0 AS credit FROM pairs WHERE rn = 1
 ORDER BY conv_id
 """

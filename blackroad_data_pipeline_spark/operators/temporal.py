@@ -1237,17 +1237,20 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     1.0) ride the as-of join's union+carry shape — ONE key shuffle,
     linear state, NO touch-pair materialization, the 100 TB path.
     Window-bound precision (``precision: second | exact``, accepted by
-    every model — round 8 unifies the config surface ADVICE r6 #2
+    every model — round 8 unified the config surface ADVICE r6 #2
     flagged): ``exact`` evaluates BOTH window bounds at native
     (microsecond) timestamp precision; ``second`` measures the
     lookback depth at epoch-second granularity
     (floor(conv) − floor(touch) <= lookback), the cross-engine-replay
-    arithmetic the oracles pin. Model defaults keep each model's
-    historical (oracle-anchored) behavior: ``last`` and ``linear``
-    default to ``second``; ``first`` has been exact since round 6 and
-    defaults to ``exact`` (its ``second`` mode mirrors ``last``'s
-    default: second-granular depth, exact ``touch_ts <= conv_ts``
-    upper bound). ``linear``'s exact mode runs the same bucketized
+    arithmetic the oracles pin. The default is ``second`` for EVERY
+    model (round 9 — VERDICT r8 #6 closed the per-model asymmetry
+    where ``first`` alone defaulted to its round-6 exact behavior;
+    exact is one config key away). In ``second`` mode the single-touch
+    models (``last``/``first``) keep the upper bound
+    ``touch_ts <= conv_ts`` exact — only the lookback DEPTH is
+    floor-granular — while ``linear`` floors both bounds (the
+    range_join granularity its oracle pins).
+    ``linear``'s exact mode runs the same bucketized
     range join on MICROSECOND longs (window
     [conv − lookback·1e6 µs, conv], both bounds exact); its second
     mode keeps both bounds second-granular. ``linear`` (every
@@ -1260,8 +1263,8 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     (default [user_id]), ``conv_id`` (required — a unique conversion
     id), ``touch_id`` (required), ``touch_ts``/``conv_ts`` (default
     ts), ``lookback`` seconds (required), ``model`` (default last),
-    ``precision``: second | exact (default second for last/linear,
-    exact for first — see above), ``tiebreak`` (orders
+    ``precision``: second | exact (default second for every model —
+    see above), ``tiebreak`` (orders
     equal-timestamp touches: last picks
     the max, first the min), ``unmatched``: drop (default) | keep
     (conversions with no in-window touch survive with NULL touch and
@@ -1288,10 +1291,9 @@ def op_attribution(df: DataFrame, config: Mapping, views) -> DataFrame:
     tiebreak = config.get("tiebreak")
     conv_cols = conv.columns
 
-    # model defaults preserve each model's historical (oracle-pinned)
-    # behavior: first has been both-bounds-exact since round 6
-    precision = config.get("precision") or (
-        "exact" if model == "first" else "second")
+    # ONE default across models (round 9, VERDICT r8 #6): the
+    # cross-engine-replay 'second' arithmetic; exact is opt-in
+    precision = config.get("precision") or "second"
     if precision not in ("second", "exact"):
         raise ValueError(
             f"precision must be second|exact, got {precision!r}")

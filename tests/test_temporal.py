@@ -626,7 +626,8 @@ def test_attribution_first_subsecond_bounds(spark):
              F.col("sec").cast("timestamp").alias("conv_ts"))
     cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
            "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
-           "lookback": 5, "model": "first", "tiebreak": "event_id"}
+           "lookback": 5, "model": "first", "tiebreak": "event_id",
+           "precision": "exact"}
     got = {r["conv_id"]: r["touch_id"] for r in op(
         "attribution", touches, cfg, views={}).collect()}
     assert got == {12: 3}   # 10 and 11 unmatched -> dropped
@@ -654,7 +655,8 @@ def test_attribution_first_integer_touch_mixed_precision(spark):
              F.col("sec").cast("timestamp").alias("conv_ts"))
     cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
            "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
-           "lookback": 5, "model": "first", "unmatched": "keep"}
+           "lookback": 5, "model": "first", "unmatched": "keep",
+           "precision": "exact"}
     got = {r["conv_id"]: r["touch_id"] for r in op(
         "attribution", touches, cfg, views={}).collect()}
     assert got == {10: None, 11: 2, 12: 3}
@@ -926,11 +928,11 @@ def test_attribution_last_precision_exact(spark):
 
 
 def test_attribution_first_precision_second(spark):
-    """precision='second' for model=first (round 8 config parity):
-    the window depth drops to last's default floor-granular
-    semantics — floor(c) - floor(t) <= lookback — while the upper
-    bound stays exact. Default stays 'exact' (first's round-6
-    oracle-pinned behavior)."""
+    """precision='second' IS the default for model=first since the
+    round-9 cross-model unification (VERDICT r8 #6): window depth at
+    floor granularity — floor(c) - floor(t) <= lookback — with the
+    upper bound exact; the round-6 exact-both-bounds behavior is
+    opt-in via precision='exact'."""
     touches = spark.createDataFrame(
         [("u1", 5.2, 1),             # 0.3s before the exact start 5.5
          ("u2", 10.8, 2)],           # after conv (same second)
@@ -945,15 +947,14 @@ def test_attribution_first_precision_second(spark):
     cfg = {"conversions": convs, "by": ["user_id"], "conv_id": "conv_id",
            "touch_id": "event_id", "touch_ts": "ts", "conv_ts": "conv_ts",
            "lookback": 5, "model": "first", "unmatched": "keep"}
-    # default == exact: the boundary touch fails, the late touch fails
+    # exact (opt-in): the boundary touch fails, the late touch fails
     assert {r["conv_id"]: r["touch_id"] for r in op(
-        "attribution", touches, cfg, views={}).collect()} == \
-        {10: None, 11: None}
-    # second: floor depth admits u1's boundary touch; the exact upper
-    # bound still rejects u2's post-conversion touch
+        "attribution", touches, {**cfg, "precision": "exact"},
+        views={}).collect()} == {10: None, 11: None}
+    # default == second: floor depth admits u1's boundary touch; the
+    # exact upper bound still rejects u2's post-conversion touch
     got = {r["conv_id"]: r["touch_id"] for r in op(
-        "attribution", touches, {**cfg, "precision": "second"},
-        views={}).collect()}
+        "attribution", touches, cfg, views={}).collect()}
     assert got == {10: 1, 11: None}
     # integral touches, second mode: t >= floor(c) - L
     itouch = spark.createDataFrame([("u1", 5, 1), ("u2", 4, 2)],
