@@ -5999,15 +5999,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Order = driver-evidence rotation (VERDICT r5 next-round #1):
-        # the driver samples the FIRST ~50 keys per round. Front = the 23
-        # entries with zero cumulative driver evidence after r5 (local
-        # oracle-green, never sampled), then new round-6 entries, then
-        # driver-green anchors filling out the ~50-key window; remainder =
-        # cumulative driver-green r1-r5. Every entry oracle-anchored.
-        # -- new in round 9 (inside the sample window) --
+        # Order = driver-evidence rotation (tools/check_rotation.py
+        # gates it): the first ~50 keys are the driver's per-round
+        # sample, so the prefix is ALWAYS the 50 least-recently-
+        # sampled queries (new ops count as never-sampled and lead).
+        # Remainder = cumulative driver-green, prior rotation order.
+        # -- due cohort for round 9 (least-recently-sampled 50) --
         "knn_join": q_knn_join,
-        # -- never driver-sampled after r5 (23) --
+        "corpus_prep": q_corpus_prep,
+        "embedding_stats": q_embedding_stats,
+        "running_total": q_running_total,
+        "unpivot": q_unpivot,
+        "frame_sample": q_frame_sample,
+        "aggregate_global": q_aggregate_global,
+        "ann_bruteforce": q_ann_bruteforce,
+        "asof_forward": q_asof_forward,
+        "asof_join": q_asof_join,
+        "cube": q_cube,
+        "dedup_near_groups": q_dedup_near_groups,
+        "dedup_near_minhash": q_dedup_near_minhash,
+        "dispersion": q_dispersion,
+        "events_session_window": q_events_session_window,
+        "events_sliding_window": q_events_sliding_window,
+        "events_window": q_events_window,
+        "expr_funcs": q_expr_funcs,
+        "filter_contains": q_filter_contains,
+        "filter_eq": q_filter_eq,
+        "filter_notnull": q_filter_notnull,
+        "fingerprint": q_fingerprint,
+        "grouping_sets": q_grouping_sets,
+        "join_multi": q_join_multi,
+        "json_extract": q_json_extract,
+        "lang_id": q_lang_id,
+        "map_ops": q_map,
+        "monthly_revenue": q_monthly_revenue,
+        "multimodal_meta": q_multimodal_meta,
+        "near_dup_minhash": q_near_dup_minhash,
+        "near_dup_simhash": q_near_dup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "parse_props": q_parse_props,
+        "pivot": q_pivot,
+        "quality_score": q_quality_score,
+        "range_join": q_range_join,
+        "regional_volume": q_regional_volume,
+        "rename_union": q_rename_union,
+        "returned_items": q_returned_items,
+        "revenue_forecast": q_revenue_forecast,
+        "rollup": q_rollup,
+        "sessionize": q_sessionize,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "shipping_priority": q_shipping_priority,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "topk_per_group": q_topk_per_group,
+        "window_rank": q_window_rank,
+        "audio_meta": q_audio_meta,
+        # -- cumulative driver-green (r4+ evidence) --
         "winnow": q_winnow,
         "winnow_overlap": q_winnow_overlap,
         "interval_merge": q_interval_merge,
@@ -6031,11 +6079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "excess_suppliers": q_excess_suppliers,
         "customer_distribution": q_customer_distribution,
-        # -- new in round 7 (inside the sample window) --
         "attribution_first": q_attribution_first,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
-        # -- new in round 8 (inside the sample window) --
         "attribution_linear_exact": q_attribution_linear_exact,
         "asof_nearest": q_asof_nearest,
         "time_weighted": q_time_weighted,
@@ -6044,13 +6090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling": q_rolling,
         "resample_linear": q_resample_linear,
         "quantiles_cont": q_quantiles_cont,
-        # rotated into the sampled prefix: rewritten this round
-        # (pinned-rank arithmetic; the old approx_percentile pair
-        # mismatched at sf0.1 — key_skew carried the same latent
-        # hazard and now runs percentiles='exact')
         "quantiles": q_quantiles,
         "key_skew": q_key_skew,
-        # -- driver-green anchors (r1-r5) filling the window --
         "filter_agg": q_filter_agg,
         "join": q_join,
         "dedup": q_dedup,
@@ -6078,7 +6119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "top_p": q_top_p,
         "dedup_near_against": q_dedup_near_against,
-        # -- cumulative driver-green r1-r5 --
         "sample_pps_group": q_sample_pps_group,
         "ntile": q_ntile,
         "first_last": q_first_last,
@@ -6129,7 +6169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_parity": q_dedup_embedding_parity,
         "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
         "decode_meta": q_decode_meta,
-        "audio_meta": q_audio_meta,
         "resize_meta": q_resize_meta,
         "ivf_assign_gate": q_ivf_assign_gate,
         "split_assign_gate": q_split_assign_gate,
@@ -6154,54 +6193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "zorder": q_zorder,
         "hash_columns": q_hash_columns,
-        "filter_eq": q_filter_eq,
-        "filter_contains": q_filter_contains,
-        "filter_notnull": q_filter_notnull,
-        "map_ops": q_map,
-        "aggregate_global": q_aggregate_global,
-        "join_multi": q_join_multi,
-        "rename_union": q_rename_union,
-        "topk_per_group": q_topk_per_group,
-        "window_rank": q_window_rank,
-        "text_stats": q_text_stats,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_bruteforce": q_ann_bruteforce,
-        "multimodal_meta": q_multimodal_meta,
-        "events_window": q_events_window,
-        "events_sliding_window": q_events_sliding_window,
-        "events_session_window": q_events_session_window,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "asof_forward": q_asof_forward,
-        "range_join": q_range_join,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "grouping_sets": q_grouping_sets,
-        "dispersion": q_dispersion,
-        "pivot": q_pivot,
-        "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
-        "expr_funcs": q_expr_funcs,
-        "json_extract": q_json_extract,
-        "parse_props": q_parse_props,
-        "monthly_revenue": q_monthly_revenue,
-        "shipping_priority": q_shipping_priority,
-        "regional_volume": q_regional_volume,
-        "revenue_forecast": q_revenue_forecast,
-        "returned_items": q_returned_items,
-        "near_dup_minhash": q_near_dup_minhash,
-        "dedup_near_minhash": q_dedup_near_minhash,
-        "dedup_near_groups": q_dedup_near_groups,
-        "near_dup_simhash": q_near_dup_simhash,
-        "frame_sample": q_frame_sample,
-        "corpus_prep": q_corpus_prep,
-        "unpivot": q_unpivot,
-        "running_total": q_running_total,
-        "embedding_stats": q_embedding_stats,
     }
 
 

@@ -57,3 +57,15 @@ def test_gen_fixture_row_counts_and_integrity(generated):
              AS unsorted
     """).fetchone()
     assert ok == (0, 0)
+
+
+def test_rotation_lint_passes_on_current_order():
+    """The driver samples the first ~50 queries() keys; the rotation
+    lint (tools/check_rotation.py) must hold on HEAD so the
+    least-recently-sampled cohort is always the next sample."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "tools/check_rotation.py"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
