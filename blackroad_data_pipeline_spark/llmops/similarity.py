@@ -284,6 +284,57 @@ def _assign_multi_udf(centroids: np.ndarray, nprobe: int):
     return assign
 
 
+def _knn_cells_cogroup(qside: DataFrame, iside: DataFrame,
+                       q_type, i_type, k: int,
+                       exclude_self: bool) -> DataFrame:
+    """Per-cell kNN kernel: cogroup (queries of cell) x (index rows of
+    cell), one blocked float64 matmul per cell, emit each query's
+    per-cell top-k as NARROW (qid, iid, cos) rows. Query blocks are
+    sized so the similarity matrix stays ~64 MB regardless of cell
+    size. Ties: index columns are sorted by id ascending and the
+    argsort is stable, so equal cosines pick the smaller neighbor id —
+    the same total order the final window (and the oracle) uses.
+    Zero-norm vectors are guarded to norm 1 (cosine 0) instead of
+    producing NaN."""
+    out_schema = T.StructType([
+        T.StructField("__qid", q_type), T.StructField("__iid", i_type),
+        T.StructField("cos_sim", T.DoubleType())])
+
+    def cell_topk(q: pd.DataFrame, i: pd.DataFrame):
+        if not len(q) or not len(i):
+            return pd.DataFrame({"__qid": [], "__iid": [],
+                                 "cos_sim": []})
+        order = i["__iid"].to_numpy().argsort(kind="stable")
+        iid = i["__iid"].to_numpy()[order]
+        im = np.vstack(i["__iemb"].to_numpy()).astype(np.float64)[order]
+        inorm = np.linalg.norm(im, axis=1)
+        inorm = np.where(inorm == 0, 1.0, inorm)
+        qid_all = q["__qid"].to_numpy()
+        qm_all = np.vstack(q["__qemb"].to_numpy()).astype(np.float64)
+        block = max(1, 8_000_000 // len(iid))  # ~64 MB of doubles
+        outs = []
+        for s in range(0, len(qid_all), block):
+            qid = qid_all[s:s + block]
+            qm = qm_all[s:s + block]
+            qnorm = np.linalg.norm(qm, axis=1)
+            qnorm = np.where(qnorm == 0, 1.0, qnorm)
+            sims = (qm @ im.T) / (qnorm[:, None] * inorm[None, :])
+            if exclude_self:
+                sims[qid[:, None] == iid[None, :]] = -np.inf
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            rows = np.repeat(np.arange(len(qid)), top.shape[1])
+            cols = top.ravel()
+            keep = np.isfinite(sims[rows, cols])
+            outs.append(pd.DataFrame({
+                "__qid": qid[rows[keep]], "__iid": iid[cols[keep]],
+                "cos_sim": sims[rows[keep], cols[keep]]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return (qside.groupBy("__cell")
+            .cogroup(iside.groupBy("__cell"))
+            .applyInPandas(cell_topk, out_schema))
+
+
 @register("knn_join")
 def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Batch kNN-join: the top-``k`` nearest neighbors (cosine) of
@@ -304,12 +355,17 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     INDEX side into single cells while each QUERY probes its
     ``nprobe`` nearest cells. Work is per-cell — query×index pairs
     within a cell — never all-pairs, and because the index side lands
-    in exactly ONE cell each (query, index) pair arises at most once:
-    no candidate dedup, so the wide vectors ride the one cell join
-    directly (at ``nprobe``× duplication of the query vector — the
-    classic IVF trade). ``nprobe == n_cells`` probes every list and
-    is EXACT (the parity gate's geometry); recall tunes with nprobe
-    and no index rebuild.
+    in exactly ONE cell each (query, index) pair arises at most once.
+    The default ``impl: "cogroup"`` never materializes pair rows at
+    all: a cogrouped applyInPandas runs ONE blocked numpy matmul per
+    cell (queries × index of the cell) and emits each query's
+    per-cell top-k as narrow (qid, iid, cos) rows — sound because a
+    single-cell index makes per-cell top-k a superset filter of the
+    global top-k — so the final per-query window ranks ≤ k·nprobe
+    narrow candidates. ``impl: "pairs"`` keeps the explicit
+    cell-join + Arrow pair-dot shape (pytest-pinned identical).
+    ``nprobe == n_cells`` probes every list and is EXACT (the parity
+    gate's geometry); recall tunes with nprobe and no index rebuild.
 
     method: "lsh" — both sides hash into ``n_tables`` ×
     ``n_planes`` sign-random-projection tables (one stacked-matmul
@@ -357,26 +413,47 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     if method == "ivf":
         n_cells = int(config.get("n_cells", 16))
         nprobe = int(config.get("nprobe", 2))
+        impl = config.get("impl", "cogroup")
         cents = _ivf_centroids(
             idx_df, {**config, "field": i_field, "id_field": i_id,
                      "n_cells": n_cells})
         # index side: ONE cell each => (query, index) candidate pairs
-        # are unique by construction, so vectors ride the join
+        # arise at most once — no dedup needed in either impl
         iside = idx_df.select(
             F.col(i_id).alias("__iid"), F.col(i_field).alias("__iemb"),
-            norm_of(F.col(i_field)).alias("__inorm"),
             _assign_udf(cents)(F.col(i_field)).alias("__cell"))
         qside = df.select(
             F.col(id_field).alias("__qid"), F.col(field).alias("__qemb"),
-            norm_of(F.col(field)).alias("__qnorm"),
             F.explode(_assign_multi_udf(cents, nprobe)(F.col(field)))
             .alias("__cell"))
-        cands = qside.join(iside, "__cell")
-        if exclude_self:
-            cands = cands.filter(F.col("__qid") != F.col("__iid"))
-        scored = cands.withColumn(
-            "cos_sim", _pair_dot_udf(F.col("__qemb"), F.col("__iemb"))
-            / (F.col("__qnorm") * F.col("__inorm")))
+        if impl == "cogroup":
+            # default scale path: ONE blocked numpy matmul per cell
+            # (cogrouped applyInPandas) computes every query x index
+            # cosine of the cell and keeps each query's per-cell
+            # top-k. Correct because the index side is single-cell:
+            # any global top-k neighbor is inside its own cell's
+            # top-k for that query. Pair rows with 2x wide vectors
+            # are never materialized; only <= k * nprobe narrow
+            # candidate rows per query reach the final window.
+            scored = _knn_cells_cogroup(
+                qside, iside, df.schema[id_field].dataType,
+                idx_df.schema[i_id].dataType, k, exclude_self)
+        elif impl == "pairs":
+            # reference impl (pytest-pinned equal to cogroup): vectors
+            # ride the cell join, one Arrow pair-dot per candidate
+            cands = qside.join(iside, "__cell")
+            if exclude_self:
+                cands = cands.filter(F.col("__qid") != F.col("__iid"))
+            scored = (cands
+                      .withColumn(
+                          "cos_sim",
+                          _pair_dot_udf(F.col("__qemb"), F.col("__iemb"))
+                          / (norm_of(F.col("__qemb"))
+                             * norm_of(F.col("__iemb"))))
+                      .select("__qid", "__iid", "cos_sim"))
+        else:
+            raise ValueError(
+                f"knn_join impl must be cogroup|pairs, got {impl!r}")
     elif method == "lsh":
         dim = int(config.get("dim", 64))
         n_planes = int(config.get("n_planes", 12))
@@ -403,7 +480,10 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         scored = (cands.join(qside, "__qid").join(iside, "__iid")
                   .withColumn("cos_sim",
                               _pair_dot_udf(F.col("__qemb"), F.col("__iemb"))
-                              / (F.col("__qnorm") * F.col("__inorm"))))
+                              / (F.col("__qnorm") * F.col("__inorm")))
+                  # narrow BEFORE the per-query window: the rank
+                  # shuffle must never carry the wide vectors
+                  .select("__qid", "__iid", "cos_sim"))
     else:
         raise ValueError(f"knn_join method must be ivf|lsh, got {method!r}")
 

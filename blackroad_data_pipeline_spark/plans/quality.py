@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame
 # operators; Arrow-batched nodes (ArrowEvalPython, MapInPandas,
 # FlatMapGroupsInPandas) are the sanctioned escape hatch
 _ROW_PYTHON_NODES = ("BatchEvalPython",)
-_ARROW_PYTHON_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+_ARROW_PYTHON_NODES = ("ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas")
 
 
 def explain_text(df: DataFrame, mode: str = "formatted") -> str:

@@ -414,6 +414,19 @@ def test_knn_join_index_mode_and_exclude_self(spark, vecs):
         assert abs(got[q]["cos_sim"] - 1.0) < 1e-9
 
 
+def test_knn_join_cogroup_equals_pairs_impl(spark):
+    """The default cogrouped per-cell matmul kernel must produce the
+    SAME ranked neighbor lists as the explicit pair-join impl (cos
+    values may differ by accumulation-order ulps; ordering may not)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = {"k": 4, "n_cells": 8, "nprobe": 3, "refine": 1}
+    cg = {(r["vec_id"], r["knn_rank"], r["neighbor_id"]) for r in
+          op("knn_join", e, cfg).collect()}
+    pr = {(r["vec_id"], r["knn_rank"], r["neighbor_id"]) for r in
+          op("knn_join", e, {**cfg, "impl": "pairs"}).collect()}
+    assert cg == pr and len(cg) == 4 * e.count()
+
+
 def test_knn_join_null_embeddings_excluded(spark):
     """NULL embeddings neither query nor serve as neighbors."""
     df = spark.createDataFrame(

@@ -135,6 +135,11 @@ PROBED = [
     # 4096-bucket geometry holds; the day_i x store_i joins grow the
     # constant, not the exponent
     "embedding_ingest_scale",
+    # round 9: batch kNN-join — candidate count is
+    # queries x nprobe x |cell|, so alpha ~ 1 while the Lloyd-refined
+    # cells stay balanced; the per-query top-k window is one
+    # query-id shuffle over the candidate stream
+    "knn_join_scale",
 ]
 
 
