@@ -1463,13 +1463,19 @@ def q_knn_join(spark, sf_dir):
 
 _SQL_KNN_JOIN = """
 WITH sub AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding,
+         -- zero-norm pinned to 1 (cosine 0), replaying the
+         -- operator's guard instead of NaN/inf
+         CASE WHEN sqrt(list_inner_product(
+                embedding::DOUBLE[], embedding::DOUBLE[])) = 0 THEN 1.0
+              ELSE sqrt(list_inner_product(
+                embedding::DOUBLE[], embedding::DOUBLE[])) END AS nrm
+  FROM embeddings
   WHERE vec_id % 4 = 0 AND embedding IS NOT NULL),
 pairs AS (
   SELECT q.vec_id AS vec_id, i.vec_id AS neighbor_id,
          list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[])
-         / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-            * sqrt(list_inner_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[]))) AS cos_sim
+         / (q.nrm * i.nrm) AS cos_sim
   FROM sub q JOIN sub i ON q.vec_id <> i.vec_id),
 ranked AS (
   SELECT vec_id, neighbor_id,
@@ -2117,17 +2123,19 @@ def q_attribution_last(spark, sf_dir):
 
 
 _SQL_ATTRIBUTION_LAST = """
-WITH t AS (SELECT user_id, event_id AS touch_id, ts,
+WITH t AS (SELECT user_id, event_id AS touch_id,
+                  epoch_ns(ts) // 1000 AS tus,
                   epoch_ns(ts) // 1000000000 AS tsec
            FROM events WHERE event_type = 'click'),
-c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+c AS (SELECT user_id, event_id AS conv_id,
+             epoch_ns(ts) // 1000 AS cus,
              epoch_ns(ts) // 1000000000 AS csec
       FROM events WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.conv_id, c.user_id, t.touch_id,
          ROW_NUMBER() OVER (PARTITION BY c.conv_id
-                            ORDER BY t.ts DESC, t.touch_id DESC) AS rn
-  FROM c JOIN t ON c.user_id = t.user_id AND t.ts <= c.conv_ts
+                            ORDER BY t.tus DESC, t.touch_id DESC) AS rn
+  FROM c JOIN t ON c.user_id = t.user_id AND t.tus <= c.cus
               AND c.csec - t.tsec <= 21600)
 SELECT conv_id, user_id, touch_id, 1e0 AS credit FROM pairs WHERE rn = 1
 ORDER BY conv_id
@@ -2158,17 +2166,19 @@ def q_attribution_first(spark, sf_dir):
 
 
 _SQL_ATTRIBUTION_FIRST = """
-WITH t AS (SELECT user_id, event_id AS touch_id, ts,
+WITH t AS (SELECT user_id, event_id AS touch_id,
+                  epoch_ns(ts) // 1000 AS tus,
                   epoch_ns(ts) // 1000000000 AS tsec
            FROM events WHERE event_type = 'click'),
-c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+c AS (SELECT user_id, event_id AS conv_id,
+             epoch_ns(ts) // 1000 AS cus,
              epoch_ns(ts) // 1000000000 AS csec
       FROM events WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.conv_id, c.user_id, t.touch_id,
          ROW_NUMBER() OVER (PARTITION BY c.conv_id
-                            ORDER BY t.ts ASC, t.touch_id ASC) AS rn
-  FROM c JOIN t ON c.user_id = t.user_id AND t.ts <= c.conv_ts
+                            ORDER BY t.tus ASC, t.touch_id ASC) AS rn
+  FROM c JOIN t ON c.user_id = t.user_id AND t.tus <= c.cus
               AND c.csec - t.tsec <= 21600)
 SELECT conv_id, user_id, touch_id, 1e0 AS credit FROM pairs WHERE rn = 1
 ORDER BY conv_id

@@ -284,6 +284,22 @@ def _assign_multi_udf(centroids: np.ndarray, nprobe: int):
     return assign
 
 
+def _norm_of(col: Column) -> Column:
+    """Euclidean norm of an array<float> column, element-sequential in
+    double (reduction order never varies with partitioning)."""
+    return F.sqrt(F.aggregate(
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _safe_norm(col: Column) -> Column:
+    """`_norm_of` with zero pinned to 1.0 — knn_join's contract scores
+    zero-norm vectors at cosine 0 instead of NaN (matches the cogroup
+    kernel's guard; keeps impl parity on degenerate inputs)."""
+    n = _norm_of(col)
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
 def _knn_cells_cogroup(qside: DataFrame, iside: DataFrame,
                        q_type, i_type, k: int,
                        exclude_self: bool) -> DataFrame:
@@ -349,6 +365,8 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     (1-based; ties on cosine break to the smaller neighbor id —
     deterministic in every engine), ``neighbor_id``, ``cos_sim``.
     Queries whose candidate set is empty simply emit no rows.
+    Zero-norm vectors score cosine 0 (norms are pinned to 1 in every
+    impl and in the oracle — never NaN/inf).
 
     method: "ivf" (default) — a deterministic coarse quantizer
     (xxhash-seeded + Lloyd refine, `_ivf_centroids`) partitions the
@@ -405,11 +423,6 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     df = df.filter(F.col(field).isNotNull())
     idx_df = idx_df.filter(F.col(i_field).isNotNull())
 
-    def norm_of(col: Column) -> Column:
-        return F.sqrt(F.aggregate(
-            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x))
-
     if method == "ivf":
         n_cells = int(config.get("n_cells", 16))
         nprobe = int(config.get("nprobe", 2))
@@ -440,16 +453,20 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
                 idx_df.schema[i_id].dataType, k, exclude_self)
         elif impl == "pairs":
             # reference impl (pytest-pinned equal to cogroup): vectors
-            # ride the cell join, one Arrow pair-dot per candidate
-            cands = qside.join(iside, "__cell")
+            # ride the cell join, one Arrow pair-dot per candidate.
+            # Norms attach once per SIDE row (the O(dim) aggregate
+            # must not re-run per candidate — review r9), zero-guarded
+            # like the cogroup kernel.
+            cands = (qside.withColumn("__qnorm", _safe_norm(F.col("__qemb")))
+                     .join(iside.withColumn(
+                         "__inorm", _safe_norm(F.col("__iemb"))), "__cell"))
             if exclude_self:
                 cands = cands.filter(F.col("__qid") != F.col("__iid"))
             scored = (cands
                       .withColumn(
                           "cos_sim",
                           _pair_dot_udf(F.col("__qemb"), F.col("__iemb"))
-                          / (norm_of(F.col("__qemb"))
-                             * norm_of(F.col("__iemb"))))
+                          / (F.col("__qnorm") * F.col("__inorm")))
                       .select("__qid", "__iid", "cos_sim"))
         else:
             raise ValueError(
@@ -473,10 +490,10 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
             cands = cands.filter(F.col("__qid") != F.col("__iid"))
         qside = df.select(F.col(id_field).alias("__qid"),
                           F.col(field).alias("__qemb"),
-                          norm_of(F.col(field)).alias("__qnorm"))
+                          _safe_norm(F.col(field)).alias("__qnorm"))
         iside = idx_df.select(F.col(i_id).alias("__iid"),
                               F.col(i_field).alias("__iemb"),
-                              norm_of(F.col(i_field)).alias("__inorm"))
+                              _safe_norm(F.col(i_field)).alias("__inorm"))
         scored = (cands.join(qside, "__qid").join(iside, "__iid")
                   .withColumn("cos_sim",
                               _pair_dot_udf(F.col("__qemb"), F.col("__iemb"))
@@ -669,11 +686,6 @@ def op_dedup_embedding_against(df: DataFrame, config: Mapping, views) -> DataFra
     h_field = config.get("history_field", field)
     h_id = config.get("history_id_field", id_field)
 
-    def norm_of(col: Column) -> Column:
-        return F.sqrt(F.aggregate(
-            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x))
-
     multi = _multi_bucket_udf(dim, n_planes, seed, n_tables)
     bb = df.select(F.col(id_field).alias("__bid"),
                    F.posexplode(multi(F.col(field))).alias("__tbl", "__bkt"))
@@ -685,10 +697,10 @@ def op_dedup_embedding_against(df: DataFrame, config: Mapping, views) -> DataFra
              .dropDuplicates(["__bid", "__hid"]))
     bside = df.select(F.col(id_field).alias("__bid"),
                       F.col(field).alias("__bemb"),
-                      norm_of(F.col(field)).alias("__bnorm"))
+                      _norm_of(F.col(field)).alias("__bnorm"))
     hside = history.select(F.col(h_id).alias("__hid"),
                            F.col(h_field).alias("__hemb"),
-                           norm_of(F.col(h_field)).alias("__hnorm"))
+                           _norm_of(F.col(h_field)).alias("__hnorm"))
     hits = (cands.join(bside, "__bid").join(hside, "__hid")
             .withColumn("__cos",
                         _pair_dot_udf(F.col("__bemb"), F.col("__hemb"))

@@ -82,7 +82,7 @@ def get_spark(
         # manage executor JVM flags in defaults notice and fold the
         # locale pin into their own list.
         import logging
-        logging.getLogger(__name__).info(
+        logging.getLogger(__name__).warning(
             "setting spark.executor.extraJavaOptions=%r; any value "
             "configured only in spark-defaults.conf is overridden — "
             "pass it via extra_conf to preserve it", locale_flags)

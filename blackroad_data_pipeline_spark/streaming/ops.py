@@ -172,6 +172,11 @@ def op_stateful_dedup(df: DataFrame, config: Mapping, views) -> DataFrame:
         raise ValueError(
             f"stateful_dedup ttl_mode must be processing|event_time, "
             f"got {ttl_mode!r}")
+    if ttl_ms is None and "ttl_mode" in config:
+        # an explicit mode with no ttl_ms would silently run unbounded
+        # — the opposite of what the caller asked for
+        raise ValueError(
+            "stateful_dedup: ttl_mode is set but ttl_ms is missing")
     out_schema = df.schema
 
     if ttl_ms is not None and ttl_mode == "event_time":
@@ -196,6 +201,15 @@ def op_stateful_dedup(df: DataFrame, config: Mapping, views) -> DataFrame:
                 return
             emitted = state.exists
             last_ms = state.get[1] if emitted else -(1 << 62)
+            if emitted and (state.getCurrentWatermarkMs()
+                            > last_ms + int(ttl_ms)):
+                # the timer only FIRES on a batch where the key has no
+                # rows — a key whose first post-expiry appearance
+                # carries data must still be treated as evicted, or
+                # re-emission would depend on batch scheduling
+                # (round-9 review finding)
+                emitted = False
+                last_ms = -(1 << 62)
             first = None
             for pdf in pdfs:
                 if len(pdf):
@@ -286,11 +300,13 @@ def run_stream_to_memory(df: DataFrame, name: str,
     physically laid out by partition — so pick for peak, not current,
     throughput there."""
     spark = df.sparkSession
-    if shuffle_partitions is not None:
-        # the started query snapshots the session conf into its own
-        # SQLConf, so only the set->start->restore window needs the
-        # lock; queries never hold it while running
-        with _CONF_LOCK:
+    # EVERY start() snapshots the session conf into the query's own
+    # SQLConf, so even the no-override branch must serialize with the
+    # set->start->restore window — otherwise it can capture another
+    # thread's temporary value (round-9 review finding). Queries never
+    # hold the lock while running; start() is async.
+    with _CONF_LOCK:
+        if shuffle_partitions is not None:
             prev = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions",
                            str(shuffle_partitions))
@@ -299,9 +315,9 @@ def run_stream_to_memory(df: DataFrame, name: str,
                      .format("memory").queryName(name).start())
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
-    else:
-        q = (df.writeStream.outputMode(output_mode)
-             .format("memory").queryName(name).start())
+        else:
+            q = (df.writeStream.outputMode(output_mode)
+                 .format("memory").queryName(name).start())
     q.processAllAvailable()
     q.stop()
     return q

@@ -371,3 +371,44 @@ def test_stateful_dedup_event_time_ttl_evicts_and_reemits(spark, tmp_path):
     assert run("ettl_short", 10 * 60 * 1000) == [1, 3, 4, 5]
     # 10-hour TTL: nothing expires -> event 5 stays a duplicate
     assert run("ettl_long", 10 * 3600 * 1000) == [1, 3, 4]
+
+
+def test_stateful_dedup_event_time_ttl_data_path_eviction(spark, tmp_path):
+    """Round-9 review finding: the EventTime TIMER only fires on a
+    batch where the key has NO rows — a key whose first post-expiry
+    appearance carries data must still re-emit (the data path checks
+    the watermark itself), or eviction would depend on batch
+    scheduling. Here key 1 recurs in the very next batch after the
+    watermark passed its TTL horizon — no key-free batch in between."""
+    import datetime as dt
+    import os
+    import time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, user_id int, ts timestamp"
+    batches = [
+        [(1, 1, base)],                               # key 1 emits
+        [(2, 2, base + dt.timedelta(hours=2))],       # wm -> 13:50
+        [(3, 1, base + dt.timedelta(hours=3))],       # key 1 WITH data
+    ]
+    d = tmp_path / "ettl_dp"
+    os.makedirs(d)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(d / f"f{i}.parquet"))
+        for root, _, names in os.walk(d / f"f{i}.parquet"):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + 60 * i,) * 2)
+
+    stream = (spark.readStream.format("parquet")
+              .schema(schema).option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").load(str(d)))
+    out = op("stateful_dedup", stream, {
+        "keys": ["user_id"], "ttl_ms": 10 * 60 * 1000,
+        "ttl_mode": "event_time", "ts_field": "ts",
+        "watermark": "10 minutes"})
+    run_stream_to_memory(out, "ettl_dp", output_mode="append")
+    got = sorted(r["event_id"]
+                 for r in spark.sql("SELECT * FROM ettl_dp").collect())
+    assert got == [1, 2, 3]  # event 3 re-emits despite carrying data

@@ -97,9 +97,12 @@ def _money(rng, n, lo, hi):
     return np.round(rng.uniform(lo, hi, n), 2)
 
 
-def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us") -> dict:
+def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
+        ts_jitter: bool = False) -> dict:
     if ts_unit not in ("us", "ns"):
         raise ValueError(f"ts_unit must be us|ns, got {ts_unit!r}")
+    if ts_jitter and ts_unit != "ns":
+        raise ValueError("--ts-jitter requires --ts-unit ns")
     s = sf / 0.1
     n = {t: max(1, int(round(c * s))) for t, c in BASE.items()}
     os.makedirs(out, exist_ok=True)
@@ -190,7 +193,18 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us") -> dict:
         # (CLAUDE.md); the ns variant exercises the nanosAsLong read
         # path (epoch-ns longs -> nanos_to_timestamp) across the whole
         # query surface
-        ts_arr = pa.array((ts * 1000).astype("datetime64[ns]"))
+        ts_ns = ts * 1000
+        if ts_jitter:
+            # sub-microsecond jitter (round 9): BOTH engines truncate
+            # parquet NANOS to µs on read (Spark via nanosAsLong//1000,
+            # DuckDB by mapping to its µs TIMESTAMP — verified, not
+            # assumed), so live sub-µs digits guard that READ-path
+            # agreement end-to-end across the whole oracle surface; a
+            # future reader that starts surfacing ns (e.g. DuckDB
+            # TIMESTAMP_NS mapping) would show up as sweep mismatches
+            # rather than silently shifting tie orders
+            ts_ns = np.sort(ts_ns + rng.integers(0, 1000, ne))
+        ts_arr = pa.array(ts_ns.astype("datetime64[ns]"))
     else:
         ts_arr = pa.array(ts.astype("datetime64[us]"))
     write("events", pa.table({
@@ -249,12 +263,16 @@ def main():
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--ts-jitter", action="store_true",
+                    help="ns mode only: add sub-µs jitter so DuckDB "
+                         "sees digits Spark's µs read truncates")
     ap.add_argument("--ts-unit", choices=("us", "ns"), default="us",
                     help="events.ts parquet encoding (the driver "
                          "fixtures vary by generation)")
     args = ap.parse_args()
     t0 = time.time()
-    stats = gen(args.sf, args.out, args.seed, args.ts_unit)
+    stats = gen(args.sf, args.out, args.seed, args.ts_unit,
+                args.ts_jitter)
     print(json.dumps({"sf": args.sf, "out": args.out,
                       "seconds": round(time.time() - t0, 1),
                       "rows": stats}))
