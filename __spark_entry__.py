@@ -1488,6 +1488,210 @@ ORDER BY vec_id, knn_rank
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (round 9, llmops/similarity.py
+    op_semdedup): cluster-scoped eps-dedup in flag mode over the
+    deterministic quarter of the corpus. EVERYTHING is compared —
+    the cell assignment, the float64 centroid_sim, and the dup
+    decision — because the operator's fixed-point contract (quantize
+    once to floor(x*1e6) int64; every dot's absolute-term sum under
+    2^53) makes numpy BLAS, Spark and DuckDB agree bit-for-bit: no
+    1-ulp eps-threshold risk, unlike knn_join's raw-float cosines.
+    seed_order='id' is the SQL-replayable seed policy; refine=1
+    exercises the truncated-integer-mean Lloyd round."""
+    e = _t(spark, sf_dir, "embeddings")
+    e = op("filter", op("expr", e, {"exprs": {"m4": "vec_id % 4"}}),
+           {"field": "m4", "op": "eq", "value": 0})
+    df = op("semdedup", e, {"dim": 64, "eps": 0.3, "n_cells": 4,
+                            "refine": 1, "seed_order": "id",
+                            "action": "flag"})
+    df = op("select", df, {"fields": [
+        "vec_id", "semdedup_cell", "centroid_sim", "is_dup"]})
+    return op("sort", df, {"fields": ["vec_id"]})
+
+
+_SQL_SEMDEDUP = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+           AS qe
+  FROM embeddings WHERE vec_id % 4 = 0 AND embedding IS NOT NULL),
+qn AS (
+  SELECT vec_id, qe,
+         CASE WHEN sqrt(list_inner_product(qe::DOUBLE[], qe::DOUBLE[])) = 0
+              THEN 1.0
+              ELSE sqrt(list_inner_product(qe::DOUBLE[], qe::DOUBLE[]))
+         END AS nrm
+  FROM q),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         qe AS ce
+  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 4)),
+seedn AS (
+  SELECT cell, ce,
+         CASE WHEN sqrt(list_inner_product(ce::DOUBLE[], ce::DOUBLE[])) = 0
+              THEN 1.0
+              ELSE sqrt(list_inner_product(ce::DOUBLE[], ce::DOUBLE[]))
+         END AS cn
+  FROM seeds),
+a0 AS (  -- seed-round assignment: argmax cosine, tie to lower cell
+  SELECT vec_id, qe, nrm, cell FROM (
+    SELECT qn.vec_id, qn.qe, qn.nrm, s.cell,
+           row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+             list_inner_product(qn.qe::DOUBLE[], s.ce::DOUBLE[])
+               / (qn.nrm * s.cn) DESC,
+             s.cell) AS rk
+    FROM qn CROSS JOIN seedn s) WHERE rk = 1),
+sums AS (
+  SELECT cell, i, SUM(qe[i]) AS sd, COUNT(*) AS cnt
+  FROM a0, UNNEST(range(1, 65)) u(i) GROUP BY cell, i),
+refined AS (  -- Lloyd round: truncated-toward-zero integer mean
+  SELECT cell, list(CAST(CASE WHEN sd >= 0 THEN sd // cnt
+                              ELSE -((-sd) // cnt) END AS BIGINT)
+                    ORDER BY i) AS ce
+  FROM sums GROUP BY cell),
+cents AS (  -- empty cells keep their seed centroid
+  SELECT s.cell, COALESCE(r.ce, s.ce) AS ce
+  FROM seeds s LEFT JOIN refined r USING (cell)),
+centn AS (
+  SELECT cell, ce,
+         CASE WHEN sqrt(list_inner_product(ce::DOUBLE[], ce::DOUBLE[])) = 0
+              THEN 1.0
+              ELSE sqrt(list_inner_product(ce::DOUBLE[], ce::DOUBLE[]))
+         END AS cn
+  FROM cents),
+a1 AS (
+  SELECT vec_id, qe, nrm, cell, cos AS centroid_sim FROM (
+    SELECT qn.vec_id, qn.qe, qn.nrm, c.cell,
+           list_inner_product(qn.qe::DOUBLE[], c.ce::DOUBLE[])
+             / (qn.nrm * c.cn) AS cos,
+           row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+             list_inner_product(qn.qe::DOUBLE[], c.ce::DOUBLE[])
+               / (qn.nrm * c.cn) DESC,
+             c.cell) AS rk
+    FROM qn CROSS JOIN centn c) WHERE rk = 1),
+dups AS (  -- dropped iff ANY earlier row in keep order (centroid_sim
+           -- asc, id asc) within the same cell is >= eps
+  SELECT DISTINCT b.vec_id
+  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE list_inner_product(a.qe::DOUBLE[], b.qe::DOUBLE[])
+          / (a.nrm * b.nrm) >= 0.3
+    AND (a.centroid_sim < b.centroid_sim
+         OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id)))
+SELECT e.vec_id, a1.cell AS semdedup_cell, a1.centroid_sim,
+       COALESCE(d.vec_id IS NOT NULL, FALSE) AS is_dup
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0) e
+LEFT JOIN a1 ON e.vec_id = a1.vec_id
+LEFT JOIN dups d ON e.vec_id = d.vec_id
+ORDER BY e.vec_id
+"""
+
+
+_PQ_CFG = {"dim": 64, "m": 8, "ks": 4, "refine": 1, "seed_order": "id"}
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product quantization (round 9, llmops/similarity.py
+    op_pq_encode): every vector's m=8 sub-codes at the SQL-replayable
+    geometry (ks=4, id-ordered seeds, one truncated-integer-mean
+    Lloyd round). The full code table is compared — the operator's
+    fixed-point contract makes every argmin squared-L2 decision
+    bit-replayable (see op_semdedup). Codes stringify because the
+    driver compare can't hash list cells (CLAUDE.md)."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("pq_encode", e, _PQ_CFG)
+    df = op("expr", df, {"exprs": {
+        "pq_code_str": "array_join(pq_code, ',')"}})
+    df = op("select", df, {"fields": ["vec_id", "pq_code_str"]})
+    return op("sort", df, {"fields": ["vec_id"]})
+
+
+def q_ann_pq(spark, sf_dir):
+    """Asymmetric-distance PQ search (op_ann_pq): top-10 by exact
+    int64 ADC distance for probe 0 — codes, distance tables and the
+    JVM element_at lookup-sum all replay bit-for-bit (adc_dist is an
+    integer; the oracle sums per-subspace BIGINTs in HUGEINT, so no
+    float compare anywhere)."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("ann_pq", e, {**_PQ_CFG, "probe_id": 0, "k": 10})
+    return op("sort", df, {"fields": ["adc_dist", "vec_id"]})
+
+
+# shared PQ training replay: quantize -> id-ordered seeds -> seed-round
+# argmin -> truncated-integer-mean Lloyd round -> final codes (d1)
+_SQL_PQ_BOOKS = """
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+           AS qe
+  FROM embeddings WHERE embedding IS NOT NULL),
+subs AS (
+  SELECT vec_id, CAST(j AS INTEGER) AS j,
+         list_slice(qe, j*8 + 1, j*8 + 8) AS sq
+  FROM q, UNNEST(range(0, 8)) u(j)),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         qe
+  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 4)),
+seedsub AS (
+  SELECT code, CAST(j AS INTEGER) AS j,
+         list_slice(qe, j*8 + 1, j*8 + 8) AS ce
+  FROM seeds, UNNEST(range(0, 8)) u(j)),
+d0 AS (  -- seed-round assignment: argmin squared-L2, tie to lower code
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+             list_sum(list_transform(list_zip(s.sq, b.ce),
+                      x -> CAST((x[1]-x[2]) AS DOUBLE)*(x[1]-x[2]))),
+             b.code) AS rk
+    FROM subs s JOIN seedsub b ON s.j = b.j) WHERE rk = 1),
+sums AS (
+  SELECT d0.j, d0.code, p, SUM(sq[p]) AS sd, COUNT(*) AS cnt
+  FROM d0 JOIN subs USING (vec_id, j), UNNEST(range(1, 9)) u(p)
+  GROUP BY d0.j, d0.code, p),
+refined AS (  -- Lloyd round: truncated-toward-zero integer mean
+  SELECT j, code, list(CAST(CASE WHEN sd >= 0 THEN sd // cnt
+                                 ELSE -((-sd) // cnt) END AS BIGINT)
+                       ORDER BY p) AS ce
+  FROM sums GROUP BY j, code),
+books AS (  -- empty codewords keep their seed
+  SELECT s.j, s.code, COALESCE(r.ce, s.ce) AS ce
+  FROM seedsub s LEFT JOIN refined r ON s.j = r.j AND s.code = r.code),
+d1 AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+             list_sum(list_transform(list_zip(s.sq, b.ce),
+                      x -> CAST((x[1]-x[2]) AS DOUBLE)*(x[1]-x[2]))),
+             b.code) AS rk
+    FROM subs s JOIN books b ON s.j = b.j) WHERE rk = 1)
+"""
+
+_SQL_PQ_ENCODE = f"""
+WITH {_SQL_PQ_BOOKS}
+SELECT vec_id,
+       array_to_string(list(code ORDER BY j), ',') AS pq_code_str
+FROM d1 GROUP BY vec_id ORDER BY vec_id
+"""
+
+_SQL_ANN_PQ = f"""
+WITH {_SQL_PQ_BOOKS},
+probesub AS (SELECT j, sq AS pq FROM subs WHERE vec_id = 0),
+adc AS (
+  SELECT d1.vec_id,
+         SUM(CAST(list_sum(list_transform(list_zip(p.pq, b.ce),
+             x -> CAST((x[1]-x[2]) AS DOUBLE)*(x[1]-x[2]))) AS BIGINT))
+           AS adc_dist
+  FROM d1 JOIN books b ON d1.j = b.j AND d1.code = b.code
+          JOIN probesub p ON p.j = d1.j
+  GROUP BY d1.vec_id)
+SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
+FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
 def q_split_assign_gate(spark, sf_dir):
     """split_assign's contract is partition-invariance: assignments on
     the natural read and on an adversarial repartition must agree row
@@ -6015,6 +6219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled queries (new ops count as never-sampled and lead).
         # Remainder = cumulative driver-green, prior rotation order.
         # -- due cohort for round 9 (least-recently-sampled 50) --
+        "semdedup": q_semdedup,
+        "pq_encode": q_pq_encode,
+        "ann_pq": q_ann_pq,
         "knn_join": q_knn_join,
         "corpus_prep": q_corpus_prep,
         "embedding_stats": q_embedding_stats,
@@ -6388,6 +6595,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _SQL_ANN_GATE,
         "similarity_join": _SQL_SIMILARITY_PARITY,
         "knn_join": _SQL_KNN_JOIN,
+        "semdedup": _SQL_SEMDEDUP,
+        "pq_encode": _SQL_PQ_ENCODE,
+        "ann_pq": _SQL_ANN_PQ,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "corpus_prep": _SQL_CORPUS_PREP,

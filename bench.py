@@ -113,6 +113,23 @@ SCALE_PROBES = {
     "knn_join_scale": lambda s, d: op(
         "knn_join", _embs(s, d), {"k": 10, "n_cells": 16, "nprobe": 2,
                                   "refine": 1}),
+    # round 9: SemDeDup at the production geometry — pairwise work
+    # bounded per k-means cell (n_cells scales with the corpus; the
+    # paper uses ~0.1% of n), exact fixed-point cosines inside the
+    # blocked per-cell matmul kernel. Plan-gated in test_plans.py
+    # (test_semdedup_is_cell_scoped).
+    "semdedup_scale": lambda s, d: op(
+        "semdedup", _embs(s, d), {"dim": 64, "eps": 0.95, "n_cells": 16,
+                                  "refine": 1, "action": "flag"}).select(
+            "vec_id", "semdedup_cell", "is_dup"),
+    # round 9: PQ train+encode+ADC-scan at the production geometry
+    # (8x256 codebooks = 32x narrower than fp32) with exact rerank of
+    # the top-64 — the scan is pure JVM codegen over 8-byte codes
+    # (plan-gated: test_ann_pq_scan_is_jvm_side).
+    "ann_pq_scale": lambda s, d: op(
+        "ann_pq", _embs(s, d), {"dim": 64, "m": 8, "ks": 256,
+                                "refine": 1, "probe_id": 0, "k": 10,
+                                "rerank": 64}),
     # (every click a 300s window, every purchase a 600s window, 600s
     # buckets) — candidate pairs are bucket-bounded, so the probe
     # measures the explode + equi-join + count-once chain growing

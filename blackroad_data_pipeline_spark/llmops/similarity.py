@@ -862,3 +862,456 @@ def op_dequantize_embedding(df: DataFrame, config: Mapping, views) -> DataFrame:
                    (q.cast("double") + F.lit(0.5)) * w / F.lit(levels)),
         lo, lambda v, l: v + l)
     return df.withColumn(out_field, recon).drop("q_lo", "q_hi")
+
+
+def _fixed_point_guard(dim: int, scale: float) -> int:
+    """Largest |quantized value| for which EVERY dot product in the
+    semdedup contract stays exactly representable: with
+    |q_i| <= MAXQ, the absolute-term sum of any dim-length dot is
+    <= dim * MAXQ^2 <= 2^53, so every partial sum is an integer a
+    float64 holds exactly — float64 BLAS matmul, Spark's sequential
+    aggregate and DuckDB's list_inner_product all produce the SAME
+    bit pattern regardless of summation order."""
+    import math
+    return int(math.sqrt(2.0 ** 53 / dim))
+
+
+def _int_centroids(qdf: DataFrame, id_col: str, k: int, refine: int,
+                   seed_order: str, dim: int, maxq: int) -> np.ndarray:
+    """semdedup's coarse quantizer, pinned to exact integer
+    arithmetic end-to-end (contrast `_ivf_centroids`, whose Lloyd
+    means are float and fine for recall-style gates but not for a
+    bit-replayable eps threshold): seeds are the k quantized vectors
+    first by xxhash64(id) (default) or by id (``seed_order: "id"`` —
+    the SQL-replayable policy), and each Lloyd round replaces a
+    non-empty cell's centroid with the TRUNCATED integer mean of its
+    members (sum div count, toward zero — Spark ``div`` and DuckDB
+    ``//`` agree). Cosine is scale-invariant, so the integer mean
+    quantizes the true mean with <=1 unit error per component and
+    keeps every later dot product exact. Empty cells keep their
+    previous centroid, like _ivf_centroids. Only k x dim longs reach
+    the driver per round."""
+    order = ([F.xxhash64(F.col(id_col)), F.col(id_col)]
+             if seed_order == "hash" else [F.col(id_col)])
+    seed = qdf.orderBy(*order).limit(k).select("__q").collect()
+    cents = np.array([list(r["__q"]) for r in seed], dtype=np.int64)
+    for _ in range(refine):
+        assigned = qdf.select(
+            _int_assign_udf(cents, maxq)(F.col("__q")).alias("__c"),
+            F.posexplode("__q").alias("__pos", "__v"))
+        # exact int64 sums: order-insensitive, no decimal machinery.
+        # Overflow needs n_cell * maxq >= 2^63 => ~7.8e11 rows per
+        # cell at dim 64 — document, don't pay a guard job for it.
+        rows = (assigned.groupBy("__c", "__pos")
+                .agg(F.sum("__v").alias("__s"), F.count("*").alias("__n"))
+                .collect())
+        nxt = cents.copy()
+        for r in rows:
+            s, n = int(r["__s"]), int(r["__n"])
+            # truncated-toward-zero integer mean (Spark div / DuckDB //)
+            nxt[r["__c"], r["__pos"]] = (abs(s) // n) * (1 if s >= 0 else -1)
+        cents = nxt
+    return cents
+
+
+def _int_assign_udf(cents: np.ndarray, maxq: int):
+    """Nearest-centroid (cosine) over quantized int64 vectors — one
+    exact float64 matmul per Arrow batch (see _fixed_point_guard for
+    why BLAS is bit-exact here). Ties break to the lower cell index
+    (np.argmax first-occurrence == the oracle's ORDER BY cos DESC,
+    cell). Zero norms pin to 1.0 (cosine 0)."""
+    cn = np.sqrt((cents.astype(np.float64) ** 2).sum(axis=1))
+    cn = np.where(cn == 0, 1.0, cn)
+    cf = cents.astype(np.float64).T  # (dim, k)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.vstack(qs.to_numpy()).astype(np.float64)
+        if np.abs(mat).max(initial=0.0) > maxq:
+            raise ValueError(
+                f"semdedup: |quantized value| exceeds {maxq} — exact "
+                "fixed-point replay would lose bits past 2^53; lower "
+                "`scale` or pre-normalize the embeddings")
+        qn = np.sqrt((mat ** 2).sum(axis=1))
+        qn = np.where(qn == 0, 1.0, qn)
+        cos = (mat @ cf) / (qn[:, None] * cn[None, :])
+        return pd.Series(np.argmax(cos, axis=1)).astype("int32")
+
+    return assign
+
+
+@register("semdedup")
+def op_semdedup(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup for LLM corpora — k-means-cluster the embeddings, and
+    within each cluster drop every vector whose cosine similarity to
+    an earlier-kept vector is >= ``eps``. The cluster scope is what
+    makes it tractable at 100 TB: pairwise work is per-cell (the
+    quadratic is bounded by the largest cell, tuned via ``n_cells``),
+    and unlike the LSH family (dedup_embedding*) recall within a
+    cell is EXACT — no banding loss. No counterpart in the reference
+    (zero vector ops, SURVEY.md §2).
+
+    Keep policy ``keep: "outlier"`` (default, the paper's rule):
+    within a cell, vectors are visited in ASCENDING similarity to
+    the cell centroid — the farthest-from-centroid representative of
+    each duplicate neighborhood survives, maximizing semantic spread;
+    ``keep: "min_id"`` visits by id (the dedup_embedding policy).
+    Like the rest of the dedup family, a row is dropped when ANY
+    earlier-visited row (kept or not) is within eps — one window,
+    not a sequential fold (documented divergence from the paper's
+    strictly sequential greedy; identical when dup neighborhoods are
+    cliques, which eps this high makes typical).
+
+    Exactness contract: all similarity math runs in fixed point —
+    embeddings quantize ONCE to floor(x * scale) int64 (scale 1e6
+    default, ~1e-6 relative error: noise for a curation pass), and
+    every dot product's absolute-term sum is bounded under 2^53
+    (guarded at |q| <= sqrt(2^53/dim)), so numpy BLAS, Spark and
+    DuckDB agree on every cosine BIT-FOR-BIT — the eps decision, the
+    cell assignment and the keep order are exactly replayable in the
+    oracle, with no 1-ulp threshold risk (contrast knn_join, whose
+    oracle must keep raw-float cosines out of the compare).
+
+    Plan shape: driver sees only k x dim longs (seeds + Lloyd sums);
+    one scan assigns cells; ONE shuffle groups each cell for a
+    blocked per-cell matmul kernel (applyInPandas — ~64 MB similarity
+    blocks, upper-triangle visit mask); narrow (id, cell, sim, flag)
+    rows join back (second shuffle, broadcastable when dups are few).
+    ``max_cell`` (default 1e6) bounds the per-cell quadratic loudly —
+    at corpus scale raise ``n_cells`` (the paper uses ~0.1% of n).
+
+    config: ``field``/``id_field``, ``eps`` (default 0.95),
+    ``n_cells`` (default 16), ``refine`` Lloyd rounds (default 1),
+    ``seed_order: "hash"|"id"``, ``keep: "outlier"|"min_id"``,
+    ``scale``, ``max_cell``, ``action: "filter"|"flag"`` — filter
+    returns surviving rows; flag annotates every row with
+    ``semdedup_cell``, ``centroid_sim``, ``is_dup`` (NULL-embedding
+    rows are never duplicates: flagged false with NULL cell/sim,
+    kept by filter — same exclusion the oracle replays).
+    """
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    dim = int(config.get("dim") or 0)
+    if dim < 1:
+        raise ValueError("semdedup requires dim (vector length)")
+    eps = float(config.get("eps", 0.95))
+    n_cells = int(config.get("n_cells", 16))
+    refine = int(config.get("refine", 1))
+    seed_order = config.get("seed_order", "hash")
+    if seed_order not in ("hash", "id"):
+        raise ValueError(f"semdedup seed_order must be hash|id, got {seed_order!r}")
+    keep = config.get("keep", "outlier")
+    if keep not in ("outlier", "min_id"):
+        raise ValueError(f"semdedup keep must be outlier|min_id, got {keep!r}")
+    scale = float(config.get("scale", 1e6))
+    max_cell = int(config.get("max_cell", 1_000_000))
+    action = config.get("action", "filter")
+    if action not in ("filter", "flag"):
+        raise ValueError(f"semdedup action must be filter|flag, got {action!r}")
+    maxq = _fixed_point_guard(dim, scale)
+
+    qdf = (df.filter(F.col(field).isNotNull())
+           .select(F.col(id_field).alias("__id"),
+                   F.transform(F.col(field), lambda x: F.floor(
+                       x.cast("double") * F.lit(scale))).alias("__q")))
+    cents = _int_centroids(qdf, "__id", n_cells, refine, seed_order,
+                           dim, maxq)
+    assigned = qdf.withColumn(
+        "__cell", _int_assign_udf(cents, maxq)(F.col("__q")))
+
+    id_type = df.schema[id_field].dataType
+    out_schema = T.StructType([
+        T.StructField("__id", id_type),
+        T.StructField("semdedup_cell", T.IntegerType()),
+        T.StructField("centroid_sim", T.DoubleType()),
+        T.StructField("is_dup", T.BooleanType())])
+    cmat = cents.astype(np.float64)
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell:
+            raise ValueError(
+                f"semdedup: cell of {n} rows exceeds max_cell="
+                f"{max_cell} — raise n_cells (the per-cell pairwise "
+                "work is quadratic) or max_cell if the memory is there")
+        cell = int(pdf["__cell"].iloc[0])
+        ids = pdf["__id"].to_numpy()
+        X = np.vstack(pdf["__q"].to_numpy()).astype(np.float64)
+        if np.abs(X).max(initial=0.0) > maxq:
+            raise ValueError(
+                f"semdedup: |quantized value| exceeds {maxq} — exact "
+                "fixed-point replay would lose bits past 2^53; lower "
+                "`scale` or pre-normalize the embeddings")
+        cent = cmat[cell]
+        cnorm = np.sqrt((cent * cent).sum()) or 1.0
+        xnorm = np.sqrt((X * X).sum(axis=1))
+        xnorm = np.where(xnorm == 0, 1.0, xnorm)
+        csim = (X @ cent) / (xnorm * cnorm)
+        if keep == "outlier":
+            order = np.lexsort((ids, csim))  # csim asc, id asc
+        else:
+            order = np.argsort(ids, kind="stable")
+        ids, X, xnorm, csim = ids[order], X[order], xnorm[order], csim[order]
+        dup = np.zeros(n, dtype=bool)
+        block = max(1, 8_000_000 // max(1, n))  # ~64 MB of doubles
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            cos = (X[s:e] @ X[:e].T) / (xnorm[s:e, None] * xnorm[None, :e])
+            # row s+j may only look at strictly earlier rows :s+j
+            mask = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = ((cos >= eps) & mask).any(axis=1)
+        return pd.DataFrame({"__id": ids, "semdedup_cell": cell,
+                             "centroid_sim": csim, "is_dup": dup})
+
+    flags = assigned.groupBy("__cell").applyInPandas(cell_kernel, out_schema)
+    if action == "filter":
+        losers = flags.filter(F.col("is_dup")).select("__id")
+        return df.join(losers, df[id_field] == losers["__id"],
+                       "left_anti")
+    out = df.join(flags, df[id_field] == flags["__id"], "left")
+    return (out.drop("__id")
+            .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False))))
+
+
+def _pq_guard(sub: int, scale: float) -> int:
+    """Largest |quantized value| for which every SQUARED-DIFF sum in
+    the PQ contract stays exact: |a-b| <= 2*MAXQ per component, so a
+    subspace L2 distance is <= sub * 4 * MAXQ^2 <= 2^53 — exact in
+    int64 AND in float64 regardless of summation order (see
+    _fixed_point_guard)."""
+    import math
+    return int(math.sqrt(2.0 ** 53 / (4 * sub)))
+
+
+def _pq_assign_udf(books: np.ndarray, maxq: int):
+    """PQ encoder: per-subspace argmin squared-L2 over quantized int64
+    vectors, one ||x||^2 - 2x.c + ||c||^2 expansion (exact float64
+    BLAS — every term's absolute sum is under 2^53) per subspace per
+    Arrow batch. Ties break to the lower code (np.argmin
+    first-occurrence == the oracle's ORDER BY dist, code).
+
+    books: (m, ks, sub) int64."""
+    m, ks, sub = books.shape
+    bf = books.astype(np.float64)
+    bnorm = (bf ** 2).sum(axis=2)  # (m, ks)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype=object)
+        mask = qs.notna().to_numpy()  # NULL vectors encode to NULL
+        vals = qs[mask]
+        out = np.full(len(qs), None, dtype=object)
+        if len(vals):
+            mat = np.vstack(vals.to_numpy()).astype(np.float64)
+            if np.abs(mat).max(initial=0.0) > maxq:
+                raise ValueError(
+                    f"pq: |quantized value| exceeds {maxq} — exact "
+                    "fixed-point replay would lose bits past 2^53; "
+                    "lower `scale` or pre-normalize the embeddings")
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                X = mat[:, j * sub:(j + 1) * sub]
+                d = ((X ** 2).sum(axis=1)[:, None]
+                     - 2.0 * (X @ bf[j].T) + bnorm[j][None, :])
+                codes[:, j] = np.argmin(d, axis=1)
+            for idx, row in zip(np.where(mask)[0], codes):
+                out[idx] = row
+        return pd.Series(out)
+
+    return assign
+
+
+def _pq_codebooks(qdf: DataFrame, id_col: str, dim: int, m: int, ks: int,
+                  refine: int, seed_order: str, maxq: int) -> np.ndarray:
+    """Deterministic PQ training, same pinned integer contract as
+    `_int_centroids`: the ks seed ROWS (by xxhash64(id), or by id for
+    the SQL-replayable policy) are sliced into all m sub-codebooks,
+    then each Lloyd round reassigns codes (argmin exact squared-L2)
+    and replaces non-empty codewords with the truncated integer mean
+    of their members. Each round is ONE assignment scan + ONE
+    (subspace, code, position) aggregation — m * ks * sub longs to
+    the driver, never vectors."""
+    sub = dim // m
+    order = ([F.xxhash64(F.col(id_col)), F.col(id_col)]
+             if seed_order == "hash" else [F.col(id_col)])
+    seed = qdf.orderBy(*order).limit(ks).select("__q").collect()
+    books = np.array([list(r["__q"]) for r in seed],
+                     dtype=np.int64).reshape(len(seed), m, sub)
+    books = np.ascontiguousarray(books.transpose(1, 0, 2))  # (m, ks, sub)
+    for _ in range(refine):
+        assigned = qdf.select(
+            _pq_assign_udf(books, maxq)(F.col("__q")).alias("__codes"),
+            F.posexplode("__q").alias("__pos", "__v"))
+        j = F.expr(f"__pos div {sub}").cast("int")
+        rows = (assigned
+                .select(j.alias("__j"),
+                        (F.col("__pos") % sub).alias("__p"),
+                        F.col("__v"),
+                        F.element_at(F.col("__codes"), j + 1).alias("__c"))
+                .groupBy("__j", "__c", "__p")
+                .agg(F.sum("__v").alias("__s"), F.count("*").alias("__n"))
+                .collect())
+        nxt = books.copy()
+        for r in rows:
+            s, n = int(r["__s"]), int(r["__n"])
+            nxt[r["__j"], r["__c"], r["__p"]] = \
+                (abs(s) // n) * (1 if s >= 0 else -1)
+        books = nxt
+    return books
+
+
+@register("pq_encode")
+def op_pq_encode(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Product quantization (Jegou et al. 2011 — the FAISS storage
+    path): split each dim-length vector into ``m`` subspaces, train a
+    ``ks``-codeword codebook per subspace, store each vector as m
+    small codes — 32x narrower than fp32 at the default 64-dim/8x256
+    geometry (8 bytes vs 256), the difference between shuffling 100 TB
+    of vectors and shuffling 3 TB of codes. Finer-grained than
+    quantize_embedding's per-dimension scalar codes (PQ quantizes
+    sub-VECTORS, so it preserves dot-product structure for ADC
+    search, op_ann_pq). No counterpart in the reference (zero vector
+    ops, SURVEY.md §2).
+
+    Training and encoding run under the same pinned fixed-point
+    contract as semdedup: embeddings quantize once to floor(x*scale)
+    int64, every squared-L2 stays under 2^53 (guarded), seeds by
+    xxhash64(id) (or by id, ``seed_order: "id"`` — the SQL-replayable
+    policy), Lloyd rounds use truncated-integer means — codes are
+    bit-replayable in the oracle, deterministic at any partitioning.
+
+    Plan shape: driver holds only m x ks x (dim/m) longs; each Lloyd
+    round is one scan + one narrow aggregation; the final encode is
+    one Arrow kernel pass attaching ``pq_code`` (array<int>, length
+    m). NULL embeddings encode to NULL.
+
+    config: ``field``/``id_field``, ``dim`` (required), ``m``
+    subspaces (default 8, must divide dim), ``ks`` codewords (default
+    256, <= 65536), ``refine`` (default 1), ``seed_order``,
+    ``scale`` (default 1e6), ``as`` (output column, default
+    "pq_code").
+    """
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    dim = int(config.get("dim") or 0)
+    if dim < 1:
+        raise ValueError("pq_encode requires dim (vector length)")
+    m = int(config.get("m", 8))
+    if dim % m:
+        raise ValueError(f"pq_encode: m={m} must divide dim={dim}")
+    ks = int(config.get("ks", 256))
+    if not 2 <= ks <= 65536:
+        raise ValueError(f"pq_encode: ks={ks} out of range (2..65536)")
+    refine = int(config.get("refine", 1))
+    seed_order = config.get("seed_order", "hash")
+    if seed_order not in ("hash", "id"):
+        raise ValueError(
+            f"pq_encode seed_order must be hash|id, got {seed_order!r}")
+    scale = float(config.get("scale", 1e6))
+    out_field = config.get("as", "pq_code")
+    maxq = _pq_guard(dim // m, scale)
+
+    qdf = (df.filter(F.col(field).isNotNull())
+           .select(F.col(id_field).alias("__id"),
+                   F.transform(F.col(field), lambda x: F.floor(
+                       x.cast("double") * F.lit(scale))).alias("__q")))
+    books = _pq_codebooks(qdf, "__id", dim, m, ks, refine, seed_order,
+                          maxq)
+    quant = F.transform(F.col(field), lambda x: F.floor(
+        x.cast("double") * F.lit(scale)))
+    return df.withColumn(out_field, _pq_assign_udf(books, maxq)(quant))
+
+
+@register("ann_pq")
+def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """PQ approximate nearest neighbors by Asymmetric Distance
+    Computation: the probe precomputes one ks-entry table of exact
+    integer squared-L2 distances per subspace (m x ks longs, driver
+    numpy), and every corpus vector's approximate distance is the SUM
+    of m table lookups on its pq_code — a whole-stage-codegen JVM
+    expression (element_at into literal arrays), NO Python in the
+    scan. The scan reads 8-byte codes, not 256-byte vectors: at 100 TB
+    that is the whole game. Codes/codebooks retrain deterministically
+    from the corpus (same seeds -> same books), mirroring ann_ivf's
+    internal-training seam.
+
+    ``adc_dist`` is an exact int64 (quantized squared-L2, scale^2
+    units) — the oracle replays it bit-for-bit, no float compare at
+    all. ``rerank: r`` re-scores the top-r ADC candidates with exact
+    float cosine on the raw vectors (the production recall knob;
+    pytest-pinned), emitting ``cos_sim`` instead.
+
+    config: ``probe_id`` (or ``probe`` vector), ``k`` (default 10),
+    plus pq_encode's training params; ``rerank`` (default 0 = pure
+    ADC).
+    """
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    dim = int(config.get("dim") or 0)
+    if dim < 1:
+        raise ValueError("ann_pq requires dim (vector length)")
+    m = int(config.get("m", 8))
+    ks = int(config.get("ks", 256))
+    k = int(config.get("k", 10))
+    rerank = int(config.get("rerank", 0))
+    scale = float(config.get("scale", 1e6))
+    sub = dim // m
+    maxq = _pq_guard(sub, scale)
+
+    if "probe" in config:
+        probe_raw = list(map(float, config["probe"]))
+    else:
+        row = df.filter(F.col(id_field) == config["probe_id"]) \
+                .select(field).head()
+        if row is None:  # unknown probe id -> empty, like ann_lsh
+            schema = df.select(id_field).schema.add(
+                "adc_dist" if not rerank else "cos_sim",
+                T.LongType() if not rerank else T.DoubleType())
+            return df.sparkSession.createDataFrame([], schema)
+        probe_raw = list(row[0])
+    qv = np.floor(np.array(probe_raw, dtype=np.float64) * scale
+                  ).astype(np.int64)
+    if np.abs(qv).max(initial=0) > maxq:
+        raise ValueError(f"ann_pq: |quantized probe| exceeds {maxq}")
+
+    # train ONCE, reuse the books for both the encode kernel and the
+    # probe's distance tables (encoding via op_pq_encode would run a
+    # second identical training pass)
+    qdf = (df.filter(F.col(field).isNotNull())
+           .select(F.col(id_field).alias("__id"),
+                   F.transform(F.col(field), lambda x: F.floor(
+                       x.cast("double") * F.lit(scale))).alias("__q")))
+    books = _pq_codebooks(qdf, "__id", dim, m, ks,
+                          int(config.get("refine", 1)),
+                          config.get("seed_order", "hash"), maxq)
+    encoded = qdf.withColumn(
+        "pq_code", _pq_assign_udf(books, maxq)(F.col("__q"))).select(
+        F.col("__id").alias(id_field), "pq_code")
+    # m x ks exact-integer distance tables: sub * (2*maxq)^2 <= 2^53
+    tables = ((qv.reshape(m, 1, sub) - books) ** 2).sum(axis=2)  # (m, ks)
+
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(int(t)) for t in tables[j]]),
+            F.element_at(F.col("pq_code"), j + 1) + 1)
+        adc = term if adc is None else adc + term
+    out = (encoded.withColumn("adc_dist", adc)
+           .select(id_field, "adc_dist")
+           .orderBy(F.col("adc_dist").asc(), F.col(id_field))
+           .limit(max(k, rerank)))
+    if not rerank:
+        return out.limit(k)
+    probe_df = df.sparkSession.createDataFrame(
+        [(probe_raw,)], "__probe array<float>")
+    return (out.join(df.select(id_field, field), id_field)
+            .join(F.broadcast(probe_df))
+            .withColumn("cos_sim", cosine_col(F.col(field),
+                                              F.col("__probe")))
+            .select(id_field, "cos_sim")
+            .orderBy(F.col("cos_sim").desc(), F.col(id_field))
+            .limit(k))

@@ -437,6 +437,132 @@ def test_knn_join_null_embeddings_excluded(spark):
     assert all(r["neighbor_id"] != 2 for r in out)
 
 
+# -- semdedup ------------------------------------------------------------------
+
+
+def _semdedup_model(rows, dim, eps, n_cells, refine=1, keep="outlier",
+                    scale=1e6):
+    """Driver-side replay of op_semdedup's pinned fixed-point contract
+    (seed_order='id'): quantize once, id-ordered seeds, truncated-
+    integer-mean Lloyd rounds, argmax-cosine cells, then drop any row
+    with an >= eps earlier row in keep order within its cell."""
+    import numpy as np
+
+    ids = np.array([i for i, _ in rows])
+    Q = np.floor(np.array([v for _, v in rows], dtype=np.float64) * scale)
+    k = min(n_cells, len(ids))
+    cents = Q[np.argsort(ids)[:k]].copy()
+
+    def norms(M):
+        n = np.sqrt((M * M).sum(axis=1))
+        return np.where(n == 0, 1.0, n)
+
+    def assign(cs):
+        cos = (Q @ cs.T) / (norms(Q)[:, None] * norms(cs)[None, :])
+        return np.argmax(cos, axis=1)
+
+    for _ in range(refine):
+        cell = assign(cents)
+        for c in range(k):
+            m = cell == c
+            if m.any():
+                s = Q[m].sum(axis=0)
+                cnt = m.sum()
+                cents[c] = np.sign(s) * (np.abs(s) // cnt)
+    cell = assign(cents)
+    csim = (np.einsum("ij,ij->i", Q, cents[cell])
+            / (norms(Q) * norms(cents)[cell]))
+    dup = {}
+    for c in range(k):
+        m = np.where(cell == c)[0]
+        order = (m[np.lexsort((ids[m], csim[m]))] if keep == "outlier"
+                 else m[np.argsort(ids[m])])
+        for j, r in enumerate(order):
+            earlier = order[:j]
+            cos = (Q[earlier] @ Q[r]) / (norms(Q)[earlier] * norms(Q)[r])
+            dup[ids[r]] = bool((cos >= eps).any()) if j else False
+    return {int(i): (int(cell[j]), bool(dup[ids[j]]))
+            for j, i in enumerate(ids)}
+
+
+def test_semdedup_matches_python_model(spark):
+    """Cells and drop decisions on the sf0.001 corpus must equal the
+    driver-side replay of the pinned fixed-point contract."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = [(r["vec_id"], list(r["embedding"])) for r in e.collect()]
+    want = _semdedup_model(rows, dim=64, eps=0.3, n_cells=3, refine=2)
+    got = {r["vec_id"]: (r["semdedup_cell"], r["is_dup"]) for r in
+           op("semdedup", e, {"dim": 64, "eps": 0.3, "n_cells": 3,
+                              "refine": 2, "seed_order": "id",
+                              "action": "flag"}).collect()}
+    assert got == want
+
+
+def test_semdedup_filter_equals_flag_survivors(vecs):
+    """action='filter' keeps exactly the rows flag mode marks
+    is_dup=false, with the original schema untouched."""
+    cfg = {"dim": 4, "eps": 0.9, "n_cells": 1, "seed_order": "id"}
+    flags = op("semdedup", vecs, {**cfg, "action": "flag"}).collect()
+    survivors = {r["vec_id"] for r in flags if not r["is_dup"]}
+    out = op("semdedup", vecs, cfg)
+    assert out.columns == vecs.columns
+    assert {r["vec_id"] for r in out.collect()} == survivors
+    # 0 and 1 are near-dups (cos ~0.99995): exactly one survives
+    assert len({0, 1} & survivors) == 1
+
+
+def test_semdedup_keep_policies(spark):
+    """keep='outlier' keeps the duplicate FARTHEST from the cell
+    centroid (the paper's rule); keep='min_id' keeps the smaller id.
+    2 sits near the centroid of its {0,1,2} cluster-mates, so outlier
+    keeps an edge vector while min_id keeps 0."""
+    rows = [(0, [1.0, 0.05, 0.0]), (1, [1.0, -0.05, 0.0]),
+            (2, [1.0, 0.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cfg = {"dim": 3, "eps": 0.99, "n_cells": 1, "seed_order": "id",
+           "refine": 1, "action": "flag"}
+    outlier = {r["vec_id"]: r for r in op("semdedup", df, cfg).collect()}
+    kept = [i for i in (0, 1, 2) if not outlier[i]["is_dup"]]
+    assert len(kept) == 1
+    assert outlier[kept[0]]["centroid_sim"] == min(
+        outlier[i]["centroid_sim"] for i in (0, 1, 2))
+    min_id = {r["vec_id"]: r["is_dup"] for r in
+              op("semdedup", df, {**cfg, "keep": "min_id"}).collect()}
+    assert not min_id[0] and min_id[1] and min_id[2]
+    assert not outlier[3]["is_dup"] and not min_id[3]
+
+
+def test_semdedup_null_embeddings_never_dups(spark):
+    """NULL-embedding rows are flagged false with NULL cell/sim and
+    survive filter mode."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, None)],
+        "vec_id long, embedding array<float>")
+    cfg = {"dim": 2, "eps": 0.99, "n_cells": 1, "seed_order": "id"}
+    flags = {r["vec_id"]: r for r in
+             op("semdedup", df, {**cfg, "action": "flag"}).collect()}
+    assert flags[2]["is_dup"] is False
+    assert flags[2]["semdedup_cell"] is None
+    assert 2 in {r["vec_id"] for r in op("semdedup", df, cfg).collect()}
+
+
+def test_semdedup_guards(spark, vecs):
+    """max_cell bounds the per-cell quadratic loudly; the fixed-point
+    guard rejects values whose dots would lose bits past 2^53."""
+    with pytest.raises(Exception, match="max_cell"):
+        op("semdedup", vecs, {"dim": 4, "eps": 0.9, "n_cells": 1,
+                              "seed_order": "id", "max_cell": 2,
+                              "action": "flag"}).collect()
+    big = spark.createDataFrame(
+        [(0, [100.0, 0.0]), (1, [0.0, 100.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="quantized value"):
+        # |q| = 1e8 > sqrt(2^53/2) ~ 6.7e7: exactness would be lost
+        op("semdedup", big, {"dim": 2, "eps": 0.9, "n_cells": 1,
+                             "seed_order": "id",
+                             "action": "flag"}).collect()
+
+
 # -- multimodal ---------------------------------------------------------------
 
 
@@ -1694,3 +1820,127 @@ def test_winnow_overlap_pairs_and_postings_cap(spark):
     assert capped == set()
     with pytest.raises(ValueError, match="min_shared"):
         op("winnow_overlap", df, {"min_shared": 0}, views={})
+
+
+# -- product quantization -------------------------------------------------------
+
+
+def _pq_model(rows, dim, m, ks, refine=1, scale=1e6):
+    """Driver-side replay of op_pq_encode's pinned contract
+    (seed_order='id'): quantize, id-ordered seed rows sliced into all
+    m sub-codebooks, argmin squared-L2 codes, truncated-integer-mean
+    Lloyd rounds."""
+    import numpy as np
+
+    ids = np.array([i for i, _ in rows])
+    Q = np.floor(np.array([v for _, v in rows], dtype=np.float64) * scale)
+    sub = dim // m
+    k = min(ks, len(ids))
+    books = Q[np.argsort(ids)[:k]].reshape(k, m, sub).transpose(1, 0, 2).copy()
+
+    def assign(bk):
+        codes = np.empty((len(Q), m), dtype=int)
+        for j in range(m):
+            X = Q[:, j * sub:(j + 1) * sub]
+            d = ((X[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d, axis=1)
+        return codes
+
+    for _ in range(refine):
+        codes = assign(books)
+        for j in range(m):
+            for c in range(k):
+                msk = codes[:, j] == c
+                if msk.any():
+                    s = Q[msk, j * sub:(j + 1) * sub].sum(axis=0)
+                    books[j, c] = np.sign(s) * (np.abs(s) // msk.sum())
+    return {int(i): list(map(int, c)) for i, c in zip(ids, assign(books))}
+
+
+def test_pq_encode_matches_python_model(spark):
+    """Codes on the sf0.001 corpus must equal the driver-side replay
+    of the pinned fixed-point contract (argmin L2, Lloyd means)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = [(r["vec_id"], list(r["embedding"])) for r in e.collect()]
+    want = _pq_model(rows, dim=64, m=8, ks=4, refine=2)
+    got = {r["vec_id"]: list(r["pq_code"]) for r in
+           op("pq_encode", e, {"dim": 64, "m": 8, "ks": 4, "refine": 2,
+                               "seed_order": "id"}).collect()}
+    assert got == want
+
+
+def test_pq_encode_null_and_validation(spark):
+    """NULL embeddings encode to NULL codes; m must divide dim."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0, 1.0]), (1, None), (2, [0.0, 1.0, 1.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["pq_code"] for r in
+           op("pq_encode", df, {"dim": 4, "m": 2, "ks": 2,
+                                "seed_order": "id"}).collect()}
+    assert out[1] is None and out[0] is not None and len(out[0]) == 2
+    with pytest.raises(ValueError, match="must divide"):
+        op("pq_encode", df, {"dim": 4, "m": 3})
+
+
+def test_ann_pq_adc_is_exact_table_sum(spark):
+    """adc_dist must equal the exact integer sum of per-subspace
+    squared-L2 distances between the probe's quantized slices and the
+    assigned codewords — recomputed independently in numpy."""
+    import numpy as np
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = [(r["vec_id"], list(r["embedding"])) for r in e.collect()]
+    dim, m, ks, sub = 64, 8, 4, 8
+    codes = _pq_model(rows, dim, m, ks, refine=1)
+    ids = np.array([i for i, _ in rows])
+    Q = np.floor(np.array([v for _, v in rows], dtype=np.float64) * 1e6)
+    books = Q[np.argsort(ids)[:ks]].reshape(ks, m, sub).transpose(1, 0, 2).copy()
+    codes0 = _pq_model(rows, dim, m, ks, refine=0)
+    for j in range(m):  # one Lloyd round, mirroring the model
+        for c in range(ks):
+            msk = np.array([codes0[int(i)][j] for i in ids]) == c
+            if msk.any():
+                s = Q[msk, j * sub:(j + 1) * sub].sum(axis=0)
+                books[j, c] = np.sign(s) * (np.abs(s) // msk.sum())
+    probe = Q[ids == 0][0]
+    want = {}
+    for i in ids:
+        d = 0
+        for j in range(m):
+            diff = probe[j * sub:(j + 1) * sub] - books[j, codes[int(i)][j]]
+            d += int((diff * diff).sum())
+        want[int(i)] = d
+    got = {r["vec_id"]: r["adc_dist"] for r in
+           op("ann_pq", e, {"dim": 64, "m": 8, "ks": 4, "refine": 1,
+                            "seed_order": "id", "probe_id": 0,
+                            "k": len(rows)}).collect()}
+    assert got == {i: want[i] for i in got}
+    assert len(got) == len(rows)
+
+
+def test_ann_pq_rerank_recall(spark):
+    """On clustered data (the regime ANN serves — iid-random vectors
+    are all near-orthogonal and ANY coarse index ranks them weakly),
+    reranking the top-20 ADC candidates with exact cosine must
+    recover the brute-force top-10: the production recall knob."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(6, 64) * 3
+    rows = [(int(c * 20 + i),
+             (centers[c] + rng.randn(64) * 0.3).tolist())
+            for c in range(6) for i in range(12)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cfg = {"dim": 64, "m": 8, "ks": 16, "refine": 2, "probe_id": 0,
+           "k": 10, "rerank": 20}
+    approx = {r["vec_id"] for r in op("ann_pq", e, cfg).collect()}
+    exact = {r["vec_id"] for r in
+             op("ann_bruteforce", e, {"probe_id": 0, "k": 10}).collect()}
+    assert len(approx) == 10
+    assert len(approx & exact) >= 9
+
+
+def test_ann_pq_unknown_probe_empty(spark, vecs):
+    out = op("ann_pq", vecs, {"dim": 4, "m": 2, "ks": 2,
+                              "probe_id": 999}).collect()
+    assert out == []

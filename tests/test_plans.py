@@ -689,3 +689,39 @@ def test_embedding_ingest_history_stays_int8(no_aqe):
     # a per-table regression would multiply the Arrow node count by L
     assert len(plans.arrow_python_nodes(df)) <= 5, plans.explain_text(df)
     assert plans.shuffle_exchange_count(df) <= 8, plans.explain_text(df)
+
+
+def test_semdedup_is_cell_scoped(no_aqe):
+    """semdedup plan gate (round 9): the pairwise work runs inside the
+    per-cell Arrow kernel — ONE cell shuffle feeds the applyInPandas
+    group, the flag joinback is the only other exchange, and there is
+    never a cartesian/nested-loop pair join or row-at-a-time Python."""
+    df = op("semdedup", _embs(no_aqe),
+            {"dim": 64, "eps": 0.95, "n_cells": 8, "refine": 1,
+             "action": "flag"})
+    plans.assert_no_cartesian(df)
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin"), \
+        plans.explain_text(df)
+    plans.assert_no_row_python(df)
+    # assign UDF + cell kernel: Python touches data via Arrow only
+    assert len(plans.arrow_python_nodes(df)) <= 3, plans.explain_text(df)
+    # cell shuffle for the kernel + joinback (+1 slack for the join
+    # strategy at real sizes)
+    assert plans.shuffle_exchange_count(df) <= 4, plans.explain_text(df)
+
+
+def test_ann_pq_scan_is_jvm_side(no_aqe):
+    """ann_pq plan gate (round 9): the ADC scan scores 8-byte codes
+    with a whole-stage-codegen element_at lookup-sum — the ONLY
+    Arrow/Python node in the plan is the pq_encode assignment kernel;
+    no cartesian, no nested-loop join, no row Python."""
+    df = op("ann_pq", _embs(no_aqe),
+            {"dim": 64, "m": 8, "ks": 16, "refine": 1, "probe_id": 0,
+             "k": 10})
+    plans.assert_no_cartesian(df)
+    assert not plans.has_node(df, "BroadcastNestedLoopJoin"), \
+        plans.explain_text(df)
+    plans.assert_no_row_python(df)
+    assert len(plans.arrow_python_nodes(df)) <= 1, plans.explain_text(df)
+    # encode scan + the global top-k sort: no other exchanges
+    assert plans.shuffle_exchange_count(df) <= 2, plans.explain_text(df)

@@ -140,6 +140,15 @@ PROBED = [
     # cells stay balanced; the per-query top-k window is one
     # query-id shuffle over the candidate stream
     "knn_join_scale",
+    # round 9: SemDeDup — per-cell pairwise work is n_cell^2, so
+    # alpha tracks how well the Lloyd cells stay balanced at a FIXED
+    # n_cells; production scales n_cells with the corpus (~0.1% of n)
+    # to hold the per-cell quadratic constant
+    "semdedup_scale",
+    # round 9: PQ ADC — train (2 scans) + encode (1 Arrow kernel) +
+    # JVM lookup-sum scan + top-k: alpha ~ 1 by construction, the
+    # probe guards the constant (codebook training cost)
+    "ann_pq_scale",
 ]
 
 
