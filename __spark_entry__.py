@@ -658,6 +658,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
+WHERE ts IS NOT NULL  -- NULL event-time: excluded (temporal contract)
 GROUP BY 1, 2, 3
 ORDER BY 1, 3
 """
@@ -718,7 +719,8 @@ def q_events_session_window(spark, sf_dir):
 _SQL_EVENTS_SESSION_WINDOW = """
 WITH e AS (
   SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts_us
-  FROM events),
+  -- NULL event-time: excluded (temporal contract)
+  FROM events WHERE ts IS NOT NULL),
 gaps AS (
   SELECT user_id, event_id, value, ts_us,
          epoch_us(ts_us) - LAG(epoch_us(ts_us))
@@ -754,7 +756,8 @@ WITH gaps AS (
          epoch_ns(ts) // 1000000000
            - LAG(epoch_ns(ts) // 1000000000)
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-  FROM events),
+  -- NULL event-time: excluded (temporal contract)
+  FROM events WHERE ts IS NOT NULL),
 seqs AS (
   SELECT event_id, user_id,
          SUM(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
@@ -1670,10 +1673,15 @@ d1 AS (
 """
 
 _SQL_PQ_ENCODE = f"""
-WITH {_SQL_PQ_BOOKS}
-SELECT vec_id,
-       array_to_string(list(code ORDER BY j), ',') AS pq_code_str
-FROM d1 GROUP BY vec_id ORDER BY vec_id
+WITH {_SQL_PQ_BOOKS},
+codes AS (
+  SELECT vec_id,
+         array_to_string(list(code ORDER BY j), ',') AS pq_code_str
+  FROM d1 GROUP BY vec_id)
+-- NULL embeddings encode to NULL codes (operator contract)
+SELECT e.vec_id, c.pq_code_str
+FROM embeddings e LEFT JOIN codes c USING (vec_id)
+ORDER BY e.vec_id
 """
 
 _SQL_ANN_PQ = f"""
@@ -2607,10 +2615,12 @@ def q_asof_nearest(spark, sf_dir):
 
 _SQL_ASOF_NEAREST = """
 WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
-           FROM events WHERE event_type = 'click'),
+           -- NULL event-time: excluded (temporal contract)
+           FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
      p AS (SELECT event_id AS pid, user_id, epoch_ns(ts)//1000 AS tus,
                   value
-           FROM events WHERE event_type = 'purchase'),
+           FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL),
 cand AS (
   SELECT c.event_id, c.user_id, p.value,
          CASE WHEN p.tus <= c.tus THEN c.tus - p.tus
@@ -3196,7 +3206,8 @@ _SQL_SCD2 = """
 WITH e AS (
   SELECT user_id, event_type,
          epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
-  FROM events),
+  -- NULL event-time: excluded (temporal contract)
+  FROM events WHERE ts IS NOT NULL),
 o AS (
   SELECT user_id, event_type, t,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
@@ -3819,7 +3830,8 @@ _SQL_SEQUENCE_ASSEMBLE = """
 SELECT user_id,
        COUNT(*) AS n_events,
        string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence
-FROM events GROUP BY user_id ORDER BY user_id
+-- NULL event-time: excluded (temporal contract)
+FROM events WHERE ts IS NOT NULL GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -4543,7 +4555,10 @@ SELECT event_id, user_id,
        LAG(value) OVER w AS prev_value,
        AVG(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+-- NULLS FIRST replays Spark's ascending-order default (DuckDB
+-- defaults to NULLS LAST): the generic window operator ORDERS
+-- NULL keys rather than excluding them (it is not a temporal op)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 """
 
 
@@ -5358,7 +5373,8 @@ WITH iv AS (
   SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS s,
          epoch_ns(ts) // 1000000000
            + greatest(CAST(ROUND(value * 10) AS BIGINT), 1) * 60 AS e
-  FROM events),
+  -- NULL event-time: excluded (temporal contract)
+  FROM events WHERE ts IS NOT NULL),
 m AS (
   SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -5647,7 +5663,8 @@ WITH obs AS (
            + 3600) % 3600 AS bucket,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
            AS cents
-  FROM events WHERE user_id < 50
+  -- NULL event-time: excluded (temporal contract)
+  FROM events WHERE user_id < 50 AND ts IS NOT NULL
   GROUP BY 1, 2),
 l AS (
   SELECT user_id, bucket, cents,
@@ -6082,7 +6099,8 @@ WITH nxt AS (
   SELECT event_type AS src,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_type) AS dst
-  FROM events),
+  -- NULL event-time: excluded (temporal contract)
+  FROM events WHERE ts IS NOT NULL),
 c AS (
   SELECT src, dst, COUNT(*) AS n FROM nxt
   WHERE dst IS NOT NULL GROUP BY src, dst)

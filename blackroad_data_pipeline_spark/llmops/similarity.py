@@ -54,9 +54,12 @@ def op_ann_bruteforce(df: DataFrame, config: Mapping, views) -> DataFrame:
             [(list(map(float, config["probe"])),)], f"__probe array<float>")
     else:
         probe_df = df.filter(F.col(id_field) == config["probe_id"]).select(
-            F.col(field).alias("__probe"))
+            F.col(field).alias("__probe")).filter(
+            F.col("__probe").isNotNull())
     out = (
-        df.join(F.broadcast(probe_df))
+        # NULL embeddings are neither probes nor neighbors (the whole
+        # vector family's contract — round-9 NULL-fixture sweep)
+        df.filter(F.col(field).isNotNull()).join(F.broadcast(probe_df))
         .withColumn("cos_sim", cosine_col(F.col(field), F.col("__probe")))
         .select(id_field, "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col(id_field))
@@ -82,9 +85,16 @@ def _bucket_udf(dim: int, n_planes: int, seed: int):
 
     @F.pandas_udf(T.LongType())
     def bucket(embs: pd.Series) -> pd.Series:
-        mat = np.vstack(embs.to_numpy())  # (batch, dim) — Arrow batch in, one matmul
-        bits = (mat @ planes.T) > 0
-        return pd.Series(bits.astype(np.int64) @ weights)
+        # NULL embeddings hash to NULL (they have no position in
+        # cosine space) — round-9 NULL-fixture sweep: vstack on a
+        # batch containing None crashed the whole job
+        mask = embs.notna().to_numpy()
+        out = np.full(len(embs), None, dtype=object)
+        if mask.any():
+            mat = np.vstack(embs[mask].to_numpy())  # one matmul per batch
+            bits = (mat @ planes.T) > 0
+            out[mask] = bits.astype(np.int64) @ weights
+        return pd.Series(out)
 
     return bucket
 
@@ -101,11 +111,16 @@ def _multi_bucket_udf(dim: int, n_planes: int, seed: int, n_tables: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(embs: pd.Series) -> pd.Series:
-        mat = np.vstack(embs.to_numpy())
-        bits = (mat @ planes.T) > 0                      # (batch, L*b)
-        packed = (bits.reshape(len(mat), n_tables, n_planes).astype(np.int64)
-                  @ weights)                             # (batch, L)
-        return pd.Series(list(packed))
+        mask = embs.notna().to_numpy()  # NULL embeddings hash to NULL
+        out = np.full(len(embs), None, dtype=object)
+        if mask.any():
+            mat = np.vstack(embs[mask].to_numpy())
+            bits = (mat @ planes.T) > 0                  # (batch, L*b)
+            packed = (bits.reshape(-1, n_tables, n_planes).astype(np.int64)
+                      @ weights)                         # (batch, L)
+            for idx, row in zip(np.where(mask)[0], packed):
+                out[idx] = row
+        return pd.Series(out)
 
     return buckets
 
@@ -181,10 +196,14 @@ def _assign_udf(centroids: np.ndarray):
 
     @F.pandas_udf(T.IntegerType())
     def assign(embs: pd.Series) -> pd.Series:
-        mat = np.vstack(embs.to_numpy()).astype(np.float64)
-        mn = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.where(mn == 0, 1.0, mn)
-        return pd.Series(np.argmax(mat @ cents, axis=1)).astype("int32")
+        mask = embs.notna().to_numpy()  # NULL embeddings -> NULL cell
+        out = np.full(len(embs), None, dtype=object)
+        if mask.any():
+            mat = np.vstack(embs[mask].to_numpy()).astype(np.float64)
+            mn = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(mn == 0, 1.0, mn)
+            out[mask] = np.argmax(mat @ cents, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return assign
 
@@ -198,6 +217,9 @@ def _ivf_centroids(df: DataFrame, config: Mapping) -> np.ndarray:
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
     k = int(config.get("n_cells", 16))
+    # NULL embeddings can neither seed nor pull a centroid (vstack on
+    # a None crashed the seed collect — round-9 NULL-fixture sweep)
+    df = df.filter(F.col(field).isNotNull())
     seed = (df.select(F.col(field).alias("__e"))
             .orderBy(F.xxhash64(F.col(id_field)), F.col(id_field))
             .limit(k).collect())
@@ -239,10 +261,13 @@ def op_ann_ivf(df: DataFrame, config: Mapping, views) -> DataFrame:
     k = int(config.get("k", 10))
     nprobe = int(config.get("nprobe", 2))
     cents = _ivf_centroids(df, config)
+    # NULL embeddings are neither probes nor neighbors (NULL cell
+    # would crash the scan — round-9 NULL-fixture sweep)
+    df = df.filter(F.col(field).isNotNull())
     assigned = df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
 
     probe_row = df.filter(F.col(id_field) == config["probe_id"]).select(field).head()
-    if probe_row is None:  # unknown probe id -> empty result, like ann_lsh
+    if probe_row is None:  # unknown/NULL probe id -> empty, like ann_lsh
         return df.sparkSession.createDataFrame(
             [], df.select(id_field).schema.add("cos_sim", T.DoubleType()))
     probe = np.array(list(probe_row[0]), dtype=np.float64)
@@ -546,6 +571,9 @@ def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     threshold = float(config.get("threshold", 0.9))
     n_tables = int(config.get("n_tables", 1))
     seed = int(config.get("seed", 42))
+    # NULL embeddings pair with nothing (round-9 NULL-fixture sweep:
+    # they crashed the bucket kernel and would NULL-poison norms)
+    df = df.filter(F.col(field).isNotNull())
     norm = F.sqrt(F.aggregate(
         F.transform(F.col(field), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
@@ -686,8 +714,14 @@ def op_dedup_embedding_against(df: DataFrame, config: Mapping, views) -> DataFra
     h_field = config.get("history_field", field)
     h_id = config.get("history_id_field", id_field)
 
+    # NULL embeddings are never near-duplicates: batch rows with NULL
+    # vectors survive (the anti-join can't hit them), NULL history
+    # rows match nothing (round-9 NULL-fixture sweep crash)
+    cand_src = df.filter(F.col(field).isNotNull())
+    history = history.filter(F.col(h_field).isNotNull())
+
     multi = _multi_bucket_udf(dim, n_planes, seed, n_tables)
-    bb = df.select(F.col(id_field).alias("__bid"),
+    bb = cand_src.select(F.col(id_field).alias("__bid"),
                    F.posexplode(multi(F.col(field))).alias("__tbl", "__bkt"))
     hb = history.select(F.col(h_id).alias("__hid"),
                         F.posexplode(multi(F.col(h_field)))
@@ -695,9 +729,9 @@ def op_dedup_embedding_against(df: DataFrame, config: Mapping, views) -> DataFra
     cands = (bb.join(hb, ["__tbl", "__bkt"])
              .select("__bid", "__hid")
              .dropDuplicates(["__bid", "__hid"]))
-    bside = df.select(F.col(id_field).alias("__bid"),
-                      F.col(field).alias("__bemb"),
-                      _norm_of(F.col(field)).alias("__bnorm"))
+    bside = cand_src.select(F.col(id_field).alias("__bid"),
+                            F.col(field).alias("__bemb"),
+                            _norm_of(F.col(field)).alias("__bnorm"))
     hside = history.select(F.col(h_id).alias("__hid"),
                            F.col(h_field).alias("__hemb"),
                            _norm_of(F.col(h_field)).alias("__hnorm"))

@@ -46,6 +46,20 @@ def native_instant(col: F.Column, dtype) -> F.Column:
     return F.unix_micros(col.cast("timestamp"))
 
 
+def _drop_null_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Rows with a NULL event-time have no position on the timeline:
+    every temporal operator EXCLUDES them (the rolling/time_weighted
+    precedent, made uniform by the round-9 NULL-fixture sweep). The
+    alternative is worse than undefined — Spark windows order NULLS
+    FIRST, so a NULL-ts right row in an as-of carry INVENTS a match
+    for every left row before the first real one, and NULL-ts events
+    silently seed sessions/sequences in engine-specific order. Every
+    oracle replays the exclusion with `ts IS NOT NULL`."""
+    for c in cols:
+        df = df.filter(F.col(c).isNotNull())
+    return df
+
+
 @register("asof_join")
 def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """As-of join: for each left row, attach the most recent right row
@@ -96,6 +110,9 @@ def op_asof_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     # nearest rides the backward tag layout: at-instant right rows
     # land in the running frame (distance-0 backward candidates)
     backward = direction != "forward"
+
+    df = _drop_null_ts(df, lts)
+    right_df = _drop_null_ts(right_df, rts)
 
     payload = F.struct(*[F.col(c) for c in values], F.col(rts).alias("__rts"))
     # left rows need a __tb of the SAME TYPE as the right tiebreak for
@@ -536,6 +553,7 @@ def op_event_transitions(df: DataFrame, config: Mapping, views) -> DataFrame:
     tiebreak = config.get("tiebreak", [type_field])
     w = Window.partitionBy(key).orderBy(F.col(ts_field), *[
         F.col(c) for c in tiebreak])
+    df = _drop_null_ts(df, ts_field)
     pairs = (df.withColumn("__next", F.lead(type_field).over(w))
              .filter(F.col("__next").isNotNull())
              .groupBy(F.col(type_field).alias("src"),
@@ -653,6 +671,7 @@ def op_time_resample(df: DataFrame, config: Mapping, views) -> DataFrame:
     # input is already in the bucket domain. (bucket_ts for such
     # buckets saturates at the max timestamp; the long `bucket` is
     # the exact column.)
+    df = _drop_null_ts(df, ts_field)
     e = _epoch_col(df, ts_field)
     bucket = (e - F.pmod(e, F.lit(step))).cast("long")
     agg_cols, out_names = _resample_aggs(df, specs, "resample")
@@ -1083,6 +1102,7 @@ def op_scd2(df: DataFrame, config: Mapping, views) -> DataFrame:
     """
     keys = list(config["keys"])
     ts_field = config.get("ts_field", "ts")
+    df = _drop_null_ts(df, ts_field)
     attrs = list(config.get("attrs") or
                  [c for c in df.columns
                   if c not in keys and c != ts_field])
@@ -1180,6 +1200,8 @@ def op_interval_merge(df: DataFrame, config: Mapping, views) -> DataFrame:
             "interval_merge with empty group_by moves ALL rows to one "
             "partition; pass allow_global: true if the input is known "
             "to be small, or add group_by keys")
+    # an interval with a NULL endpoint has no extent on the line
+    df = _drop_null_ts(df, start, end)
     order = [F.col(start).asc(), F.col(end).asc(),
              *(F.col(c).asc() for c in tiebreak)]
     base = (Window.partitionBy(*keys) if keys
@@ -1509,6 +1531,7 @@ def op_sequence_assemble(df: DataFrame, config: Mapping, views) -> DataFrame:
     max_len = config.get("max_len")
     if max_len is not None and int(max_len) < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
+    df = _drop_null_ts(df, ts_field)
     order_cols = [F.col(ts_field), *(F.col(c) for c in tiebreak)]
     packed = F.struct(*[c.alias(f"__o{i}") for i, c in enumerate(order_cols)],
                       F.col(token_field).cast("string").alias("__tok"))

@@ -104,6 +104,10 @@ def op_sessionize(df: DataFrame, config: Mapping, views) -> DataFrame:
     ts = config.get("ts_field", "ts")
     key = config["key"]
     gap_s = int(config.get("gap_seconds", 1800))
+    # NULL-ts events have no timeline position: excluded, like every
+    # temporal operator (operators/temporal.py _drop_null_ts — NULLS
+    # FIRST ordering would otherwise seed a phantom session)
+    df = df.filter(F.col(ts).isNotNull())
     # a total order (tiebreak after ts) keeps session assignment
     # deterministic when timestamps collide
     order_cols = [ts, *config.get("tiebreak", [])]

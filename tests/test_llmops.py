@@ -1944,3 +1944,39 @@ def test_ann_pq_unknown_probe_empty(spark, vecs):
     out = op("ann_pq", vecs, {"dim": 4, "m": 2, "ks": 2,
                               "probe_id": 999}).collect()
     assert out == []
+
+
+def test_null_embeddings_never_crash_vector_ops(spark):
+    """Round-9 NULL-fixture sweep: a single NULL embedding used to
+    crash every LSH/IVF kernel (np.vstack over a batch containing
+    None). NULL vectors hash/assign to NULL, are never probes,
+    neighbors or dup candidates, and dedup keeps them."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.95, 0.05]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    b = {r["vec_id"]: r["lsh_bucket"] for r in
+         op("lsh_bucket", df, {"dim": 2, "n_planes": 4}).collect()}
+    assert b[2] is None and b[0] is not None
+    iv = {r["vec_id"]: r["ivf_cell"] for r in
+          op("ivf_assign", df, {"dim": 2, "n_cells": 2}).collect()}
+    assert iv[2] is None and iv[0] is not None
+    for name, cfg in [
+            ("ann_bruteforce", {"probe_id": 0, "k": 10}),
+            ("ann_lsh", {"probe_id": 0, "k": 10, "dim": 2,
+                         "n_planes": 2, "probe_radius": 2}),
+            ("ann_ivf", {"probe_id": 0, "k": 10, "n_cells": 1,
+                         "nprobe": 1})]:
+        got = {r["vec_id"] for r in op(name, df, cfg).collect()}
+        assert 2 not in got and got, name
+        # a NULL-embedding probe id finds nothing rather than crashing
+        assert op(name, df, {**cfg, "probe_id": 2}).collect() == []
+    pairs = op("similarity_join", df, {
+        "threshold": 0.9, "dim": 2, "n_planes": 1}).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    kept = {r["vec_id"] for r in op("dedup_embedding", df, {
+        "threshold": 0.9, "dim": 2, "n_planes": 1}).collect()}
+    assert kept == {0, 2, 3}  # NULL row survives, near-dup 1 dropped
+    inc = {r["vec_id"] for r in op("dedup_embedding_against", df, {
+        "history": df, "threshold": 0.9, "dim": 2, "n_planes": 1,
+        "history_id_field": "vec_id"}, views={}).collect()}
+    assert 2 in inc  # NULL batch rows are never near-duplicates

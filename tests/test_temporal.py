@@ -1298,3 +1298,72 @@ def test_time_rollup_single_shuffle_plan(spark):
         "group_by": ["k"]}, views={})
     plans.assert_no_row_python(out)
     plans.assert_max_shuffles(out, 1)
+
+
+# -- NULL event-time contract (round-9 NULL-fixture sweep) ----------------------
+
+
+def test_null_ts_excluded_from_asof(spark):
+    """A NULL-ts right row must NOT become a carry candidate (Spark
+    windows order NULLS FIRST, so before this contract it INVENTED a
+    match for every left row preceding the first real right row), and
+    NULL-ts left rows emit nothing even with how='left'."""
+    trades = spark.createDataFrame(
+        [("A", 10), ("A", None)], "sym string, tts long")
+    quotes = spark.createDataFrame(
+        [("A", None, 666.0), ("A", 20, 2.0)],
+        "sym string, qts long, price double")
+    out = op("asof_join", trades, {
+        "right": quotes, "by": ["sym"], "left_ts": "tts",
+        "right_ts": "qts", "values": ["price"], "how": "left"}, views={})
+    rows = out.collect()
+    # the NULL-ts trade is gone; the t=10 trade has no backward match
+    # (the NULL-ts 666.0 quote must not carry into it)
+    assert len(rows) == 1
+    assert rows[0]["tts"] == 10 and rows[0]["r_price"] is None
+
+
+def test_null_ts_excluded_from_sessions_and_sequences(spark):
+    """sessionize / sequence_assemble / event_transitions drop NULL-ts
+    events instead of seeding phantom sessions in NULLS-FIRST order."""
+    e = spark.createDataFrame(
+        [(1, 100, "u", "a"), (2, None, "u", "zzz"), (3, 1000, "u", "b")],
+        "event_id long, ts long, user_id string, event_type string")
+    sess = op("sessionize", e, {"ts_field": "ts", "key": "user_id",
+                                "gap_seconds": 600,
+                                "tiebreak": ["event_id"]})
+    assert {r["event_id"] for r in sess.collect()} == {1, 3}
+    seq = op("sequence_assemble", e, {
+        "key": ["user_id"], "ts_field": "ts",
+        "token_field": "event_type", "tiebreak": ["event_id"]},
+        views={}).collect()
+    assert seq[0]["sequence"] == "a b" and seq[0]["n_events"] == 2
+    tr = op("event_transitions", e, {"key": "user_id"}).collect()
+    assert {(r["src"], r["dst"]) for r in tr} == {("a", "b")}
+
+
+def test_null_ts_excluded_from_resample_scd2_intervals(spark):
+    """time_resample / scd2 / interval_merge exclude NULL event-times
+    (and NULL interval endpoints) instead of emitting NULL buckets or
+    phantom versions."""
+    e = spark.createDataFrame(
+        [(1, 0, "u", "a"), (2, None, "u", "b"), (3, 7200, "u", "c")],
+        "event_id long, ts long, user_id string, event_type string")
+    rs = op("time_resample", e, {
+        "ts_field": "ts", "interval": 3600, "group_by": ["user_id"]},
+        views={})
+    assert {r["bucket"] for r in rs.collect()} == {0, 3600, 7200}
+    sc = op("scd2", e, {"keys": ["user_id"], "ts_field": "ts",
+                        "attrs": ["event_type"],
+                        "tiebreak": ["event_id"]}, views={})
+    assert [r["event_type"] for r in
+            sorted(sc.collect(), key=lambda r: r["valid_from"])] == ["a", "c"]
+    iv = spark.createDataFrame(
+        [("u", 0, 10, 1), ("u", None, 99, 2), ("u", 5, None, 3),
+         ("u", 8, 20, 4)],
+        "k string, s long, e long, i long")
+    m = op("interval_merge", iv, {
+        "start_field": "s", "end_field": "e", "group_by": ["k"],
+        "tiebreak": ["i"]}, views={}).collect()
+    assert len(m) == 1 and m[0]["n_intervals"] == 2
+    assert m[0]["island_start"] == 0 and m[0]["island_end"] == 20

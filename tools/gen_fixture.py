@@ -98,11 +98,13 @@ def _money(rng, n, lo, hi):
 
 
 def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
-        ts_jitter: bool = False) -> dict:
+        ts_jitter: bool = False, null_frac: float = 0.0) -> dict:
     if ts_unit not in ("us", "ns"):
         raise ValueError(f"ts_unit must be us|ns, got {ts_unit!r}")
     if ts_jitter and ts_unit != "ns":
         raise ValueError("--ts-jitter requires --ts-unit ns")
+    if not 0.0 <= null_frac < 1.0:
+        raise ValueError(f"null_frac must be in [0, 1), got {null_frac}")
     s = sf / 0.1
     n = {t: max(1, int(round(c * s))) for t, c in BASE.items()}
     os.makedirs(out, exist_ok=True)
@@ -207,6 +209,15 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         ts_arr = pa.array(ts_ns.astype("datetime64[ns]"))
     else:
         ts_arr = pa.array(ts.astype("datetime64[us]"))
+    if null_frac:
+        # NULL-robustness variant (round 9): the driver fixtures never
+        # carry NULL timestamps/embeddings, so every oracle's NULL
+        # semantics (rolling's ts filter, the vector family's
+        # exclusion contract) had been exercised only by unit tests —
+        # this plants real NULLs so a full sweep checks the op and
+        # its oracle agree row-for-row in the presence of NULLs
+        mask = pa.array(rng.random(ne) < null_frac)
+        ts_arr = pa.compute.if_else(mask, pa.nulls(ne, ts_arr.type), ts_arr)
     write("events", pa.table({
         "event_id": pa.array(np.arange(ne), pa.int64()),
         "ts": ts_arr,
@@ -249,9 +260,11 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
     vecs = rng.standard_normal((nv, 64)) + 0.56 * cents[label]
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     vecs = vecs.astype(np.float32)
+    emb_list = [None if null_frac and rng.random() < null_frac else v
+                for v in vecs]
     write("embeddings", pa.table({
         "vec_id": pa.array(np.arange(nv), pa.int64()),
-        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "embedding": pa.array(emb_list, pa.list_(pa.float32())),
         "label": pa.array(label, pa.int32()),
     }))
 
@@ -269,10 +282,14 @@ def main():
     ap.add_argument("--ts-unit", choices=("us", "ns"), default="us",
                     help="events.ts parquet encoding (the driver "
                          "fixtures vary by generation)")
+    ap.add_argument("--null-frac", type=float, default=0.0,
+                    help="plant this fraction of NULLs in events.ts "
+                         "and embeddings.embedding (NULL-robustness "
+                         "sweep variant; driver fixtures have none)")
     args = ap.parse_args()
     t0 = time.time()
     stats = gen(args.sf, args.out, args.seed, args.ts_unit,
-                args.ts_jitter)
+                args.ts_jitter, args.null_frac)
     print(json.dumps({"sf": args.sf, "out": args.out,
                       "seconds": round(time.time() - t0, 1),
                       "rows": stats}))
