@@ -5528,18 +5528,31 @@ def q_dedup_embedding_against(spark, sf_dir):
 
 
 _SQL_DEDUP_EMBEDDING_AGAINST = """
-SELECT b.vec_id FROM embeddings b
-WHERE b.vec_id % 4 = 1
-  AND NOT EXISTS (
-    SELECT 1 FROM embeddings h
-    WHERE h.vec_id % 4 = 0
-      AND list_inner_product(b.embedding::DOUBLE[], h.embedding::DOUBLE[])
+-- NULL embeddings leave the NOT-EXISTS path BEFORE list_inner_product:
+-- DuckDB's decorrelated mark-join evaluates the join condition even
+-- for NULL vectors and ERRORS (misleadingly, "argument can not
+-- contain NULL values" fires for a NULL list too), and plain CTEs
+-- get inlined past the filter — MATERIALIZED pins the evaluation
+-- order. NULL batch rows are never near-duplicates, so they survive.
+WITH bn AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 4 = 1 AND embedding IS NOT NULL),
+hn AS MATERIALIZED (
+  SELECT embedding FROM embeddings
+  WHERE vec_id % 4 = 0 AND embedding IS NOT NULL)
+SELECT vec_id FROM bn b
+WHERE NOT EXISTS (
+    SELECT 1 FROM hn h
+    WHERE list_inner_product(b.embedding::DOUBLE[], h.embedding::DOUBLE[])
           / (sqrt(list_inner_product(b.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]))
              * sqrt(list_inner_product(h.embedding::DOUBLE[],
                                        h.embedding::DOUBLE[])))
           >= 0.3)
-ORDER BY b.vec_id
+UNION ALL
+SELECT vec_id FROM embeddings
+WHERE vec_id % 4 = 1 AND embedding IS NULL
+ORDER BY vec_id
 """
 
 
