@@ -50,17 +50,20 @@ def test_most_queries_are_documented():
 
 def test_oracle_sql_references_only_registered_views():
     for name, sql in entry.oracle_sql().items():
-        # strip quoted strings and EXTRACT(x FROM col) forms, then
-        # look at FROM/JOIN targets
-        stripped = re.sub(r"'[^']*'", "", sql)
+        # strip -- comments, quoted strings and EXTRACT(x FROM col)
+        # forms, then look at FROM/JOIN targets
+        stripped = re.sub(r"--[^\n]*", "", sql)
+        stripped = re.sub(r"'[^']*'", "", stripped)
         stripped = re.sub(r"\w+\([^()]*\bFROM\b[^()]*\)", "", stripped)
         # `x IS [NOT] DISTINCT FROM y` is a comparison, not a relation
         stripped = re.sub(r"IS\s+(?:NOT\s+)?DISTINCT\s+FROM", "<>",
                           stripped, flags=re.IGNORECASE)
         refs = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", stripped,
                           re.IGNORECASE)
-        ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?([a-z_][a-z0-9_]*)\s*(?:\([a-z_,\s]*\))?\s+AS\s*\(",
-                              stripped, re.IGNORECASE))
+        ctes = set(re.findall(
+            r"(?:WITH|,)\s*(?:RECURSIVE\s+)?([a-z_][a-z0-9_]*)\s*"
+            r"(?:\([a-z_,\s]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
+            stripped, re.IGNORECASE))
         for r in refs:
             assert r.lower() in TABLES | ctes | {"unnest", "range"}, \
                 f"{name}: unknown relation {r!r}"
