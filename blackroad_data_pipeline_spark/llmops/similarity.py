@@ -223,6 +223,8 @@ def _ivf_centroids(df: DataFrame, config: Mapping) -> np.ndarray:
     seed = (df.select(F.col(field).alias("__e"))
             .orderBy(F.xxhash64(F.col(id_field)), F.col(id_field))
             .limit(k).collect())
+    if not seed:  # no non-NULL vectors: callers return empty results
+        return np.zeros((0, 0))
     cents = np.array([list(r["__e"]) for r in seed], dtype=np.float64)
     for _ in range(int(config.get("refine", 1))):
         assigned = df.select(
@@ -246,6 +248,8 @@ def op_ivf_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
     index's inverted lists."""
     field = config.get("field", "embedding")
     cents = _ivf_centroids(df, config)
+    if cents.size == 0:  # empty/all-NULL corpus: no cells to assign
+        return df.withColumn("ivf_cell", F.lit(None).cast("int"))
     return df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
 
 
@@ -264,6 +268,9 @@ def op_ann_ivf(df: DataFrame, config: Mapping, views) -> DataFrame:
     # NULL embeddings are neither probes nor neighbors (NULL cell
     # would crash the scan — round-9 NULL-fixture sweep)
     df = df.filter(F.col(field).isNotNull())
+    if cents.size == 0:  # empty/all-NULL corpus: nothing to search
+        return df.sparkSession.createDataFrame(
+            [], df.select(id_field).schema.add("cos_sim", T.DoubleType()))
     assigned = df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
 
     probe_row = df.filter(F.col(id_field) == config["probe_id"]).select(field).head()
@@ -455,6 +462,13 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
         cents = _ivf_centroids(
             idx_df, {**config, "field": i_field, "id_field": i_id,
                      "n_cells": n_cells})
+        if cents.size == 0:  # empty/all-NULL index: no neighbors
+            return df.sparkSession.createDataFrame([], T.StructType([
+                T.StructField(id_field, df.schema[id_field].dataType),
+                T.StructField("knn_rank", T.IntegerType()),
+                T.StructField("neighbor_id",
+                              idx_df.schema[i_id].dataType),
+                T.StructField("cos_sim", T.DoubleType())]))
         # index side: ONE cell each => (query, index) candidate pairs
         # arise at most once — no dedup needed in either impl
         iside = idx_df.select(
@@ -928,7 +942,10 @@ def _int_centroids(qdf: DataFrame, id_col: str, k: int, refine: int,
     order = ([F.xxhash64(F.col(id_col)), F.col(id_col)]
              if seed_order == "hash" else [F.col(id_col)])
     seed = qdf.orderBy(*order).limit(k).select("__q").collect()
-    cents = np.array([list(r["__q"]) for r in seed], dtype=np.int64)
+    # (0, dim) on an empty/all-NULL corpus — keeps every axis-1
+    # reduction well-formed; the cell kernel then simply never runs
+    cents = np.array([list(r["__q"]) for r in seed],
+                     dtype=np.int64).reshape(-1, dim)
     for _ in range(refine):
         assigned = qdf.select(
             _int_assign_udf(cents, maxq)(F.col("__q")).alias("__c"),
@@ -1301,7 +1318,8 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
     else:
         row = df.filter(F.col(id_field) == config["probe_id"]) \
                 .select(field).head()
-        if row is None:  # unknown probe id -> empty, like ann_lsh
+        if row is None or row[0] is None:
+            # unknown or NULL-embedding probe -> empty, like ann_lsh
             schema = df.select(id_field).schema.add(
                 "adc_dist" if not rerank else "cos_sim",
                 T.LongType() if not rerank else T.DoubleType())

@@ -1980,3 +1980,28 @@ def test_null_embeddings_never_crash_vector_ops(spark):
         "history": df, "threshold": 0.9, "dim": 2, "n_planes": 1,
         "history_id_field": "vec_id"}, views={}).collect()}
     assert 2 in inc  # NULL batch rows are never near-duplicates
+
+
+def test_vector_ops_degenerate_corpora(spark):
+    """Empty and all-NULL corpora (round-9 self-review): search ops
+    return empty frames, annotate ops keep rows with NULL cells/codes,
+    dedup keeps everything — never an AxisError from 0-length seeds."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    allnull = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<float>")
+    for df, n_all in ((empty, 0), (allnull, 2)):
+        assert op("knn_join", df,
+                  {"k": 2, "n_cells": 2, "nprobe": 1}).count() == 0
+        assert op("ann_ivf", df, {"probe_id": 0, "k": 2, "n_cells": 2,
+                                  "nprobe": 1}).count() == 0
+        assert op("ann_pq", df, {"dim": 2, "m": 1, "ks": 2,
+                                 "probe_id": 0}).count() == 0
+        assert op("ivf_assign", df, {"dim": 2, "n_cells": 2}).count() == n_all
+        assert op("pq_encode", df, {"dim": 2, "m": 1, "ks": 2}).count() == n_all
+        assert op("semdedup", df, {"dim": 2, "eps": 0.9,
+                                   "n_cells": 2}).count() == n_all
+        flags = op("semdedup", df, {"dim": 2, "eps": 0.9, "n_cells": 2,
+                                    "action": "flag"}).collect()
+        assert len(flags) == n_all
+        assert all(r["is_dup"] is False and r["semdedup_cell"] is None
+                   for r in flags)
