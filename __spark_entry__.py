@@ -5712,7 +5712,8 @@ WITH obs AS (
          COUNT(*) AS n_events,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
            AS value_cents
-  FROM events WHERE user_id < 50
+  -- NULL event-time: excluded (temporal contract)
+  FROM events WHERE user_id < 50 AND ts IS NOT NULL
   GROUP BY 1, 2),
 b AS (
   SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
@@ -6248,25 +6249,166 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates it): the first ~50 keys are the driver's per-round
         # sample, so the prefix is ALWAYS the 50 least-recently-
         # sampled queries (new ops count as never-sampled and lead).
-        # Remainder = cumulative driver-green, prior rotation order.
-        # -- due cohort for round 9 (least-recently-sampled 50) --
-        "semdedup": q_semdedup,
-        "pq_encode": q_pq_encode,
-        "ann_pq": q_ann_pq,
-        "knn_join": q_knn_join,
-        "corpus_prep": q_corpus_prep,
-        "embedding_stats": q_embedding_stats,
-        "running_total": q_running_total,
-        "unpivot": q_unpivot,
-        "frame_sample": q_frame_sample,
+        # Whole dict is sorted by (last-sampled round, name) so future
+        # rotations are a re-sort, not a hand shuffle.
+        # -- last driver-sampled r3 --
+        "topk_per_group": q_topk_per_group,
+        "window_rank": q_window_rank,
+        # -- last driver-sampled r4 --
+        "audio_meta": q_audio_meta,
+        "bigram_logprob": q_bigram_logprob,
+        "bm25": q_bm25,
+        "bpe_gate": q_bpe_gate,
+        "cap_per_group": q_cap_per_group,
+        "cdc_gate": q_cdc_gate,
+        "chunk_text": q_chunk_text,
+        "clean_lines": q_clean_lines,
+        "contamination": q_contamination,
+        "corpus_prep_stream": q_corpus_prep_stream,
+        "decode_meta": q_decode_meta,
+        "dedup_against": q_dedup_against,
+        "dedup_against_bloom": q_dedup_against_bloom,
+        "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
+        "dedup_embedding_parity": q_dedup_embedding_parity,
+        "dedup_near_best": q_dedup_near_best,
+        "distinct_sketch_gate": q_distinct_sketch_gate,
+        "events_window_stream": q_events_window_stream,
+        "funnel_timing": q_funnel_timing,
+        "hash_columns": q_hash_columns,
+        "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "histogram": q_histogram,
+        "ivf_assign_gate": q_ivf_assign_gate,
+        "k_anonymity": q_k_anonymity,
+        "merge_agg": q_merge_agg,
+        "mix_corpus_gate": q_mix_corpus_gate,
+        "mix_temperature": q_mix_temperature,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "resize_meta": q_resize_meta,
+        "sample_gate": q_sample_gate,
+        "scd2": q_scd2,
+        "split_assign_gate": q_split_assign_gate,
+        "stateful_dedup_stream": q_stateful_dedup_stream,
+        "stream_join": q_stream_join,
+        "stream_join_stream": q_stream_join_stream,
+        "strip_markup": q_strip_markup,
+        "tfidf_topk": q_tfidf_topk,
+        "triangles": q_triangles,
+        "triangles_per_node": q_triangles_per_node,
+        "unigram_logprob": q_unigram_logprob,
+        "url_parts": q_url_parts,
+        "vocab_topk": q_vocab_topk,
+        "zorder": q_zorder,
+        # -- last driver-sampled r5 --
+        "ann_ivf": q_ann_ivf,
+        "compression_gate": q_compression_gate,
+        "corpus_diff": q_corpus_diff,
+        "dedup_embedding_against": q_dedup_embedding_against,
+        "dedup_lines": q_dedup_lines,
+        "discounted_revenue": q_discounted_revenue,
+        "dup_spans_remove": q_dup_spans_remove,
+        "event_transitions": q_event_transitions,
+        "expect": q_expect,
+        "fillna_dropna": q_fillna_dropna,
+        "first_last": q_first_last,
+        "importance_weight": q_importance_weight,
+        "large_volume_orders": q_large_volume_orders,
+        "market_share": q_market_share,
+        "ntile": q_ntile,
+        "order_priority_check": q_order_priority_check,
+        "parts_supplier_count": q_parts_supplier_count,
+        "priority_lines": q_priority_lines,
+        "product_profit": q_product_profit,
+        "profile": q_profile,
+        "promo_revenue": q_promo_revenue,
+        "quality_classifier_gate": q_quality_classifier_gate,
+        "sales_opportunity": q_sales_opportunity,
+        "sample_pps_group": q_sample_pps_group,
+        "small_qty_revenue": q_small_qty_revenue,
+        "split_paragraphs": q_split_paragraphs,
+        "ts_features": q_ts_features,
+        "volume_shipping": q_volume_shipping,
+        "waiting_suppliers": q_waiting_suppliers,
+        # -- last driver-sampled r6 --
+        "dedup_near_against": q_dedup_near_against,
+        "fuzzy_join": q_fuzzy_join,
+        "retention": q_retention,
+        "shuffle_rows": q_shuffle_rows,
+        "top_p": q_top_p,
+        # -- last driver-sampled r7 --
+        "budget_select": q_budget_select,
+        "dup_spans": q_dup_spans,
+        "embedding_outlier": q_embedding_outlier,
+        "gopher_quality": q_gopher_quality,
+        "phash": q_phash,
+        "quantize_embedding": q_quantize_embedding,
+        "split_assign": q_split_assign,
+        "text_normalize": q_text_normalize,
+        # -- last driver-sampled r8 --
+        "aggregate_count": q_aggregate_count,
+        "ann_lsh": q_ann_lsh,
+        "asof_nearest": q_asof_nearest,
+        "attribution_first": q_attribution_first,
+        "attribution_last": q_attribution_last,
+        "attribution_linear": q_attribution_linear,
+        "attribution_linear_exact": q_attribution_linear_exact,
+        "bucketize": q_bucketize,
+        "category_drift": q_category_drift,
+        "category_drift_summary": q_category_drift_summary,
+        "collocations": q_collocations,
+        "components": q_components,
+        "customer_distribution": q_customer_distribution,
+        "dedup": q_dedup,
+        "dedup_exact": q_dedup_exact,
+        "events_session_window_stream": q_events_session_window_stream,
+        "excess_suppliers": q_excess_suppliers,
+        "expect_fk": q_expect_fk,
+        "filter_agg": q_filter_agg,
+        "funnel": q_funnel,
+        "heavy_hitters_stream": q_heavy_hitters_stream,
+        "important_parts": q_important_parts,
+        "interval_join": q_interval_join,
+        "interval_merge": q_interval_merge,
+        "join": q_join,
+        "key_skew": q_key_skew,
+        "ks_drift": q_ks_drift,
+        "l_diversity": q_l_diversity,
+        "mad_outlier": q_mad_outlier,
+        "min_cost_supplier": q_min_cost_supplier,
+        "mix_corpus": q_mix_corpus,
+        "pagerank": q_pagerank,
+        "pit_enrich": q_pit_enrich,
+        "quantile_sketch_gate": q_quantile_sketch_gate,
+        "quantiles": q_quantiles,
+        "quantiles_cont": q_quantiles_cont,
+        "resample": q_resample,
+        "resample_linear": q_resample_linear,
+        "rolling": q_rolling,
+        "sample_pps": q_sample_pps,
+        "sequence_assemble": q_sequence_assemble,
+        "similarity_join": q_similarity_join,
+        "sort_limit": q_sort_limit,
+        "time_rollup": q_time_rollup,
+        "time_weighted": q_time_weighted,
+        "time_weighted_daily": q_time_weighted_daily,
+        "top_supplier": q_top_supplier,
+        "winnow": q_winnow,
+        "winnow_overlap": q_winnow_overlap,
+        "winsorize": q_winsorize,
+        # -- last driver-sampled r9 --
         "aggregate_global": q_aggregate_global,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_pq": q_ann_pq,
         "asof_forward": q_asof_forward,
         "asof_join": q_asof_join,
+        "corpus_prep": q_corpus_prep,
         "cube": q_cube,
         "dedup_near_groups": q_dedup_near_groups,
         "dedup_near_minhash": q_dedup_near_minhash,
         "dispersion": q_dispersion,
+        "embedding_stats": q_embedding_stats,
         "events_session_window": q_events_session_window,
         "events_sliding_window": q_events_sliding_window,
         "events_window": q_events_window,
@@ -6275,9 +6417,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_eq": q_filter_eq,
         "filter_notnull": q_filter_notnull,
         "fingerprint": q_fingerprint,
+        "frame_sample": q_frame_sample,
         "grouping_sets": q_grouping_sets,
         "join_multi": q_join_multi,
         "json_extract": q_json_extract,
+        "knn_join": q_knn_join,
         "lang_id": q_lang_id,
         "map_ops": q_map,
         "monthly_revenue": q_monthly_revenue,
@@ -6287,6 +6431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "parse_props": q_parse_props,
         "pivot": q_pivot,
+        "pq_encode": q_pq_encode,
         "quality_score": q_quality_score,
         "range_join": q_range_join,
         "regional_volume": q_regional_volume,
@@ -6294,153 +6439,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "revenue_forecast": q_revenue_forecast,
         "rollup": q_rollup,
+        "running_total": q_running_total,
+        "semdedup": q_semdedup,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
         "set_intersect": q_set_intersect,
         "shipping_priority": q_shipping_priority,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
-        "topk_per_group": q_topk_per_group,
-        "window_rank": q_window_rank,
-        "audio_meta": q_audio_meta,
-        # -- cumulative driver-green (r4+ evidence) --
-        "winnow": q_winnow,
-        "winnow_overlap": q_winnow_overlap,
-        "interval_merge": q_interval_merge,
-        "l_diversity": q_l_diversity,
-        "ks_drift": q_ks_drift,
-        "bucketize": q_bucketize,
-        "attribution_last": q_attribution_last,
-        "attribution_linear": q_attribution_linear,
-        "category_drift": q_category_drift,
-        "category_drift_summary": q_category_drift_summary,
-        "collocations": q_collocations,
-        "sequence_assemble": q_sequence_assemble,
-        "mad_outlier": q_mad_outlier,
-        "winsorize": q_winsorize,
-        "resample": q_resample,
-        "quantile_sketch_gate": q_quantile_sketch_gate,
-        "heavy_hitters_stream": q_heavy_hitters_stream,
-        "events_session_window_stream": q_events_session_window_stream,
-        "top_supplier": q_top_supplier,
-        "min_cost_supplier": q_min_cost_supplier,
-        "important_parts": q_important_parts,
-        "excess_suppliers": q_excess_suppliers,
-        "customer_distribution": q_customer_distribution,
-        "attribution_first": q_attribution_first,
-        "interval_join": q_interval_join,
-        "time_rollup": q_time_rollup,
-        "attribution_linear_exact": q_attribution_linear_exact,
-        "asof_nearest": q_asof_nearest,
-        "time_weighted": q_time_weighted,
-        "time_weighted_daily": q_time_weighted_daily,
-        "pit_enrich": q_pit_enrich,
-        "rolling": q_rolling,
-        "resample_linear": q_resample_linear,
-        "quantiles_cont": q_quantiles_cont,
-        "quantiles": q_quantiles,
-        "key_skew": q_key_skew,
-        "filter_agg": q_filter_agg,
-        "join": q_join,
-        "dedup": q_dedup,
-        "sort_limit": q_sort_limit,
-        "aggregate_count": q_aggregate_count,
-        "dedup_exact": q_dedup_exact,
-        "mix_corpus": q_mix_corpus,
-        "pagerank": q_pagerank,
-        "funnel": q_funnel,
-        "components": q_components,
-        "sample_pps": q_sample_pps,
-        "expect_fk": q_expect_fk,
-        "ann_lsh": q_ann_lsh,
-        "similarity_join": q_similarity_join,
-        "gopher_quality": q_gopher_quality,
-        "phash": q_phash,
-        "quantize_embedding": q_quantize_embedding,
-        "split_assign": q_split_assign,
-        "budget_select": q_budget_select,
-        "text_normalize": q_text_normalize,
-        "dup_spans": q_dup_spans,
-        "embedding_outlier": q_embedding_outlier,
-        "shuffle_rows": q_shuffle_rows,
-        "fuzzy_join": q_fuzzy_join,
-        "retention": q_retention,
-        "top_p": q_top_p,
-        "dedup_near_against": q_dedup_near_against,
-        "sample_pps_group": q_sample_pps_group,
-        "ntile": q_ntile,
-        "first_last": q_first_last,
-        "ts_features": q_ts_features,
-        "fillna_dropna": q_fillna_dropna,
-        "corpus_diff": q_corpus_diff,
-        "dedup_lines": q_dedup_lines,
-        "expect": q_expect,
-        "importance_weight": q_importance_weight,
-        "quality_classifier_gate": q_quality_classifier_gate,
-        "split_paragraphs": q_split_paragraphs,
-        "dup_spans_remove": q_dup_spans_remove,
-        "small_qty_revenue": q_small_qty_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "event_transitions": q_event_transitions,
-        "compression_gate": q_compression_gate,
-        "ann_ivf": q_ann_ivf,
-        "profile": q_profile,
-        "order_priority_check": q_order_priority_check,
-        "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
-        "product_profit": q_product_profit,
-        "priority_lines": q_priority_lines,
-        "promo_revenue": q_promo_revenue,
-        "parts_supplier_count": q_parts_supplier_count,
-        "discounted_revenue": q_discounted_revenue,
-        "waiting_suppliers": q_waiting_suppliers,
-        "sales_opportunity": q_sales_opportunity,
-        "dedup_embedding_against": q_dedup_embedding_against,
-        "dedup_near_best": q_dedup_near_best,
-        "mix_temperature": q_mix_temperature,
-        "stream_join_stream": q_stream_join_stream,
-        "dedup_against_bloom": q_dedup_against_bloom,
-        "heavy_hitters": q_heavy_hitters,
-        "heavy_hitters_mg": q_heavy_hitters_mg,
-        "distinct_sketch_gate": q_distinct_sketch_gate,
-        "scd2": q_scd2,
-        "bm25": q_bm25,
-        "triangles": q_triangles,
-        "triangles_per_node": q_triangles_per_node,
-        "funnel_timing": q_funnel_timing,
-        "merge_agg": q_merge_agg,
-        "k_anonymity": q_k_anonymity,
-        "url_parts": q_url_parts,
-        "bpe_gate": q_bpe_gate,
-        "cdc_gate": q_cdc_gate,
-        "bigram_logprob": q_bigram_logprob,
-        "dedup_embedding_parity": q_dedup_embedding_parity,
-        "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
-        "decode_meta": q_decode_meta,
-        "resize_meta": q_resize_meta,
-        "ivf_assign_gate": q_ivf_assign_gate,
-        "split_assign_gate": q_split_assign_gate,
-        "mix_corpus_gate": q_mix_corpus_gate,
-        "events_window_stream": q_events_window_stream,
-        "stateful_dedup_stream": q_stateful_dedup_stream,
-        "corpus_prep_stream": q_corpus_prep_stream,
-        "chunk_text": q_chunk_text,
-        "vocab_topk": q_vocab_topk,
-        "contamination": q_contamination,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "tfidf_topk": q_tfidf_topk,
-        "pack_sequences": q_pack_sequences,
-        "sample_gate": q_sample_gate,
-        "dedup_against": q_dedup_against,
-        "strip_markup": q_strip_markup,
-        "cap_per_group": q_cap_per_group,
-        "histogram": q_histogram,
-        "clean_lines": q_clean_lines,
-        "unigram_logprob": q_unigram_logprob,
-        "stream_join": q_stream_join,
-        "zorder": q_zorder,
-        "hash_columns": q_hash_columns,
+        "unpivot": q_unpivot,
     }
 
 

@@ -1127,6 +1127,29 @@ def op_semdedup(df: DataFrame, config: Mapping, views) -> DataFrame:
             .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False))))
 
 
+def _pq_params(config: Mapping, op: str):
+    """Shared pq_encode/ann_pq training-param validation (ADVICE r9:
+    ann_pq previously skipped the m-divides-dim / ks-range /
+    seed_order guards, so dim=64 m=7 silently sliced a wrong
+    sub-geometry). Returns (dim, m, ks, refine, seed_order, scale)."""
+    dim = int(config.get("dim") or 0)
+    if dim < 1:
+        raise ValueError(f"{op} requires dim (vector length)")
+    m = int(config.get("m", 8))
+    if dim % m:
+        raise ValueError(f"{op}: m={m} must divide dim={dim}")
+    ks = int(config.get("ks", 256))
+    if not 2 <= ks <= 65536:
+        raise ValueError(f"{op}: ks={ks} out of range (2..65536)")
+    refine = int(config.get("refine", 1))
+    seed_order = config.get("seed_order", "hash")
+    if seed_order not in ("hash", "id"):
+        raise ValueError(
+            f"{op} seed_order must be hash|id, got {seed_order!r}")
+    scale = float(config.get("scale", 1e6))
+    return dim, m, ks, refine, seed_order, scale
+
+
 def _pq_guard(sub: int, scale: float) -> int:
     """Largest |quantized value| for which every SQUARED-DIFF sum in
     the PQ contract stays exact: |a-b| <= 2*MAXQ per component, so a
@@ -1248,21 +1271,7 @@ def op_pq_encode(df: DataFrame, config: Mapping, views) -> DataFrame:
     """
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
-    dim = int(config.get("dim") or 0)
-    if dim < 1:
-        raise ValueError("pq_encode requires dim (vector length)")
-    m = int(config.get("m", 8))
-    if dim % m:
-        raise ValueError(f"pq_encode: m={m} must divide dim={dim}")
-    ks = int(config.get("ks", 256))
-    if not 2 <= ks <= 65536:
-        raise ValueError(f"pq_encode: ks={ks} out of range (2..65536)")
-    refine = int(config.get("refine", 1))
-    seed_order = config.get("seed_order", "hash")
-    if seed_order not in ("hash", "id"):
-        raise ValueError(
-            f"pq_encode seed_order must be hash|id, got {seed_order!r}")
-    scale = float(config.get("scale", 1e6))
+    dim, m, ks, refine, seed_order, scale = _pq_params(config, "pq_encode")
     out_field = config.get("as", "pq_code")
     maxq = _pq_guard(dim // m, scale)
 
@@ -1302,14 +1311,9 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
     """
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
-    dim = int(config.get("dim") or 0)
-    if dim < 1:
-        raise ValueError("ann_pq requires dim (vector length)")
-    m = int(config.get("m", 8))
-    ks = int(config.get("ks", 256))
+    dim, m, ks, refine, seed_order, scale = _pq_params(config, "ann_pq")
     k = int(config.get("k", 10))
     rerank = int(config.get("rerank", 0))
-    scale = float(config.get("scale", 1e6))
     sub = dim // m
     maxq = _pq_guard(sub, scale)
 
@@ -1337,19 +1341,28 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
            .select(F.col(id_field).alias("__id"),
                    F.transform(F.col(field), lambda x: F.floor(
                        x.cast("double") * F.lit(scale))).alias("__q")))
-    books = _pq_codebooks(qdf, "__id", dim, m, ks,
-                          int(config.get("refine", 1)),
-                          config.get("seed_order", "hash"), maxq)
+    books = _pq_codebooks(qdf, "__id", dim, m, ks, refine, seed_order,
+                          maxq)
+    if books.size == 0:
+        # empty / all-NULL corpus with a config["probe"] (the probe_id
+        # path early-returns above before training) — ADVICE r9
+        schema = df.select(id_field).schema.add(
+            "adc_dist" if not rerank else "cos_sim",
+            T.LongType() if not rerank else T.DoubleType())
+        return df.sparkSession.createDataFrame([], schema)
     encoded = qdf.withColumn(
         "pq_code", _pq_assign_udf(books, maxq)(F.col("__q"))).select(
         F.col("__id").alias(id_field), "pq_code")
     # m x ks exact-integer distance tables: sub * (2*maxq)^2 <= 2^53
     tables = ((qv.reshape(m, 1, sub) - books) ** 2).sum(axis=2)  # (m, ks)
 
+    # .cast("long") on every literal: small-magnitude tables would
+    # otherwise resolve array<int> -> int32 adc_dist (silent wrap +
+    # dtype mismatch vs the oracle's BIGINT) — ADVICE r9
     adc = None
     for j in range(m):
         term = F.element_at(
-            F.array(*[F.lit(int(t)) for t in tables[j]]),
+            F.array(*[F.lit(int(t)).cast("long") for t in tables[j]]),
             F.element_at(F.col("pq_code"), j + 1) + 1)
         adc = term if adc is None else adc + term
     out = (encoded.withColumn("adc_dist", adc)

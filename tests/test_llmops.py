@@ -1946,6 +1946,45 @@ def test_ann_pq_unknown_probe_empty(spark, vecs):
     assert out == []
 
 
+def test_ann_pq_validates_params_like_pq_encode(spark, vecs):
+    """ADVICE r9: ann_pq used to skip pq_encode's guards — dim=64 m=7
+    would silently slice a wrong sub-geometry."""
+    for bad in ({"dim": 4, "m": 3, "probe_id": 0},
+                {"dim": 4, "m": 2, "ks": 1, "probe_id": 0},
+                {"dim": 4, "m": 2, "seed_order": "rand", "probe_id": 0}):
+        with pytest.raises(ValueError):
+            op("ann_pq", vecs, bad)
+
+
+def test_ann_pq_explicit_probe_empty_corpus(spark):
+    """ADVICE r9: config["probe"] bypasses the probe_id early-return,
+    so an empty/all-NULL corpus reached F.array() with zero elements
+    (analysis error). Now guarded to an empty typed frame."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    allnull = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<float>")
+    for df in (empty, allnull):
+        out = op("ann_pq", df, {"dim": 2, "m": 1, "ks": 2,
+                                "probe": [0.5, 0.5]})
+        assert out.count() == 0
+        assert dict(out.dtypes)["adc_dist"] == "bigint"
+        rr = op("ann_pq", df, {"dim": 2, "m": 1, "ks": 2, "rerank": 4,
+                               "probe": [0.5, 0.5]})
+        assert rr.count() == 0 and dict(rr.dtypes)["cos_sim"] == "double"
+
+
+def test_ann_pq_adc_dist_is_long_for_small_tables(spark):
+    """ADVICE r9: with table entries all under 2^31 (tiny scale), the
+    F.lit literals used to resolve array<int> -> int32 adc_dist (silent
+    wrap risk + dtype mismatch vs the oracle's BIGINT)."""
+    rows = [(i, [i / 100.0, (10 - i) / 100.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = op("ann_pq", df, {"dim": 2, "m": 1, "ks": 2, "scale": 10.0,
+                            "probe_id": 0, "k": 8})
+    assert dict(out.dtypes)["adc_dist"] == "bigint"
+    assert out.count() == 8
+
+
 def test_null_embeddings_never_crash_vector_ops(spark):
     """Round-9 NULL-fixture sweep: a single NULL embedding used to
     crash every LSH/IVF kernel (np.vstack over a batch containing
