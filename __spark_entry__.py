@@ -1621,6 +1621,54 @@ def q_ann_pq(spark, sf_dir):
     return op("sort", df, {"fields": ["adc_dist", "vec_id"]})
 
 
+def q_pq_books(spark, sf_dir):
+    """PQ codebook MODEL table (round 10 train/serve split,
+    op_pq_encode `emit: "books"`): the full m x ks grid of trained
+    codewords at the SQL-replayable geometry — the artifact a
+    production pipeline persists once per corpus and serves every
+    probe from. Value-checked cell by cell against DuckDB's replay of
+    the same fixed-point Lloyd round (codewords stringify because the
+    driver compare can't hash list cells)."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("pq_encode", e, {**_PQ_CFG, "emit": "books"})
+    df = op("expr", df, {"exprs": {
+        "codeword_str": "array_join(codeword, ',')"}})
+    df = op("select", df, {"fields": ["subspace", "code", "codeword_str"]})
+    return op("sort", df, {"fields": ["subspace", "code"]})
+
+
+def q_ann_pq_served(spark, sf_dir):
+    """The round-10 serving path end-to-end: train books once
+    (`emit: "books"`), encode the corpus against the FROZEN model
+    (`books` input — one Arrow pass, no training), then answer the
+    probe from stored codes + books alone (op_ann_pq
+    ``books``/``codes`` — one codegen scan, zero training jobs, zero
+    Python). Same fixed-point contract, so the result is
+    bit-identical to the self-training q_ann_pq and replays the same
+    exhaustive oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    books = op("pq_encode", e, {**_PQ_CFG, "emit": "books"})
+    codes = op("pq_encode", e, {**_PQ_CFG, "books": books})
+    codes = op("select", codes, {"fields": ["vec_id", "pq_code"]})
+    df = op("ann_pq", e, {**_PQ_CFG, "probe_id": 0, "k": 10,
+                          "books": books, "codes": codes})
+    return op("sort", df, {"fields": ["adc_dist", "vec_id"]})
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVFADC composition (round 10, op_ann_pq ``n_cells``): codes
+    carry an IVF cell, the probe scans only its ``nprobe`` nearest
+    cells' codes. Contract geometry is EXHAUSTIVE (nprobe == n_cells
+    — the knn_join oracle pattern): pruning keeps every cell, so the
+    result must equal the plain ADC top-10 bit for bit, proving the
+    cell filter loses nothing it shouldn't; recall at nprobe <
+    n_cells is pytest-pinned on clustered data instead."""
+    e = _t(spark, sf_dir, "embeddings")
+    df = op("ann_pq", e, {**_PQ_CFG, "probe_id": 0, "k": 10,
+                          "n_cells": 4, "nprobe": 4})
+    return op("sort", df, {"fields": ["adc_dist", "vec_id"]})
+
+
 # shared PQ training replay: quantize -> id-ordered seeds -> seed-round
 # argmin -> truncated-integer-mean Lloyd round -> final codes (d1)
 _SQL_PQ_BOOKS = """
@@ -1697,6 +1745,12 @@ adc AS (
   GROUP BY d1.vec_id)
 SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
 FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+_SQL_PQ_BOOKS_MODEL = f"""
+WITH {_SQL_PQ_BOOKS}
+SELECT j AS subspace, code, array_to_string(ce, ',') AS codeword_str
+FROM books ORDER BY subspace, code
 """
 
 
@@ -6251,6 +6305,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled queries (new ops count as never-sampled and lead).
         # Whole dict is sorted by (last-sampled round, name) so future
         # rotations are a re-sort, not a hand shuffle.
+        # -- never driver-sampled (round-10 additions) --
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_pq_served": q_ann_pq_served,
+        "pq_books": q_pq_books,
         # -- last driver-sampled r3 --
         "topk_per_group": q_topk_per_group,
         "window_rank": q_window_rank,
@@ -6636,6 +6694,11 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _SQL_SEMDEDUP,
         "pq_encode": _SQL_PQ_ENCODE,
         "ann_pq": _SQL_ANN_PQ,
+        "pq_books": _SQL_PQ_BOOKS_MODEL,
+        # serving path + exhaustive-pruning IVFADC both contractually
+        # reproduce the self-training exhaustive ADC result
+        "ann_pq_served": _SQL_ANN_PQ,
+        "ann_ivfpq": _SQL_ANN_PQ,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "corpus_prep": _SQL_CORPUS_PREP,

@@ -130,12 +130,41 @@ SCALE_PROBES = {
         "ann_pq", _embs(s, d), {"dim": 64, "m": 8, "ks": 256,
                                 "refine": 1, "probe_id": 0, "k": 10,
                                 "rerank": 64}),
+    # round 10: the SERVING leg of the PQ train/serve split — books,
+    # cells and IVF-celled codes are built once (first call, cached
+    # like a persisted model/parquet artifact; best-of-N takes the
+    # warm serves), so the probe itself is one pushed-filter codegen
+    # scan over stored 8-byte codes: zero training jobs, zero Python
+    # (plan-gated: test_ann_pq_served_plan_is_pure_jvm).
+    "ann_pq_serve_scale": lambda s, d: _ann_pq_serve(s, d),
     # (every click a 300s window, every purchase a 600s window, 600s
     # buckets) — candidate pairs are bucket-bounded, so the probe
     # measures the explode + equi-join + count-once chain growing
     # linearly with events, never user x user.
     "interval_join_scale": lambda s, d: _interval_join_probe(s, d),
 }
+
+
+_PQ_SERVE_CFG = {"dim": 64, "m": 8, "ks": 256, "refine": 1}
+_PQ_SERVE_CACHE: dict = {}
+
+
+def _ann_pq_serve(s, d):
+    if d not in _PQ_SERVE_CACHE:
+        e = _embs(s, d)
+        cells = op("ivf_assign", e, {"n_cells": 16, "emit": "cells"})
+        books = op("pq_encode", e, {**_PQ_SERVE_CFG, "emit": "books"})
+        codes = op("ivf_assign",
+                   op("pq_encode", e, {**_PQ_SERVE_CFG, "books": books}),
+                   {"n_cells": 16, "cells": cells}).select(
+            "vec_id", "pq_code", "ivf_cell").localCheckpoint()
+        _PQ_SERVE_CACHE[d] = (cells.localCheckpoint(),
+                              books.localCheckpoint(), codes)
+    cells, books, codes = _PQ_SERVE_CACHE[d]
+    return op("ann_pq", _embs(s, d),
+              {**_PQ_SERVE_CFG, "probe_id": 0, "k": 10, "rerank": 64,
+               "n_cells": 16, "nprobe": 2, "books": books,
+               "codes": codes, "cells": cells})
 
 
 def _interval_join_probe(s, d):

@@ -245,9 +245,25 @@ def op_ivf_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Attach the IVF cell id (nearest coarse centroid) to every
     embedding. At write time ``ivf_cell`` becomes a partition column,
     so probes prune whole files — the disk-level analogue of an IVF
-    index's inverted lists."""
+    index's inverted lists.
+
+    Train/serve split (round 10): ``emit: "cells"`` returns the
+    trained coarse quantizer as a persistable model table (``cell`` /
+    ``centroid array<double>`` — n_cells rows), and ``cells`` (view
+    name or DataFrame) feeds one back in so incremental ingest
+    assigns new vectors against the FROZEN quantizer instead of
+    retraining (cell ids stay stable across days, which is what makes
+    stored ``ivf_cell`` columns joinable/servable at all)."""
     field = config.get("field", "embedding")
-    cents = _ivf_centroids(df, config)
+    cells_src = config.get("cells")
+    if isinstance(cells_src, str):
+        cells_src = views[cells_src]
+    cents = (_cells_np(cells_src, "ivf_assign") if cells_src is not None
+             else _ivf_centroids(df, config))
+    if config.get("emit", "assign") == "cells":
+        rows = [(i, [float(v) for v in cents[i]])
+                for i in range(cents.shape[0])]
+        return df.sparkSession.createDataFrame(rows, _CELLS_SCHEMA)
     if cents.size == 0:  # empty/all-NULL corpus: no cells to assign
         return df.withColumn("ivf_cell", F.lit(None).cast("int"))
     return df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
@@ -1127,6 +1143,72 @@ def op_semdedup(df: DataFrame, config: Mapping, views) -> DataFrame:
             .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False))))
 
 
+_BOOKS_SCHEMA = "subspace int, code int, codeword array<bigint>"
+_CELLS_SCHEMA = "cell int, centroid array<double>"
+
+
+def _books_np(books_df: DataFrame, dim: int, m: int, op: str) -> np.ndarray:
+    """Collect a persisted PQ codebook model table (columns
+    ``subspace``/``code``/``codeword``, the `emit: "books"` output of
+    op_pq_encode) back to the (m, ks, sub) int64 ndarray the encode /
+    ADC kernels use. Bounded driver traffic by construction: m*ks
+    rows of sub longs (<= 8*65536 at the guard ceiling) — a MODEL
+    table, never vectors. Validates the geometry against dim/m so a
+    mismatched model fails loudly instead of slicing wrong."""
+    rows = books_df.select("subspace", "code", "codeword").collect()
+    sub = dim // m
+    if not rows:
+        return np.zeros((m, 0, sub), dtype=np.int64)
+    n_sub = 1 + max(r["subspace"] for r in rows)
+    ks = 1 + max(r["code"] for r in rows)
+    if n_sub != m:
+        raise ValueError(
+            f"{op}: books model has {n_sub} subspaces but config "
+            f"implies m={m} (dim={dim})")
+    arr = np.zeros((m, ks, sub), dtype=np.int64)
+    seen = np.zeros((m, ks), dtype=bool)
+    for r in rows:
+        cw = r["codeword"]
+        if cw is None or len(cw) != sub:
+            raise ValueError(
+                f"{op}: books codeword length "
+                f"{None if cw is None else len(cw)} != dim/m = {sub}")
+        arr[r["subspace"], r["code"]] = cw
+        seen[r["subspace"], r["code"]] = True
+    if not seen.all():
+        raise ValueError(f"{op}: books model is missing "
+                         f"(subspace, code) entries — not a full grid")
+    return arr
+
+
+def _books_df(spark, books: np.ndarray) -> DataFrame:
+    """(m, ks, sub) ndarray -> the persistable books model table."""
+    rows = [(j, c, [int(v) for v in books[j, c]])
+            for j in range(books.shape[0]) for c in range(books.shape[1])]
+    return spark.createDataFrame(rows, _BOOKS_SCHEMA)
+
+
+def _cells_np(cells_df: DataFrame, op: str) -> np.ndarray:
+    """Collect a persisted IVF centroid model table (``cell`` /
+    ``centroid``, the `emit: "cells"` output of op_ivf_assign) back to
+    the (k, dim) float64 ndarray the assignment kernels use."""
+    rows = cells_df.select("cell", "centroid").collect()
+    if not rows:
+        return np.zeros((0, 0))
+    k = 1 + max(r["cell"] for r in rows)
+    dims = {len(r["centroid"]) for r in rows}
+    if len(dims) != 1:
+        raise ValueError(f"{op}: cells model has ragged centroids")
+    arr = np.zeros((k, dims.pop()))
+    seen = np.zeros(k, dtype=bool)
+    for r in rows:
+        arr[r["cell"]] = r["centroid"]
+        seen[r["cell"]] = True
+    if not seen.all():
+        raise ValueError(f"{op}: cells model is missing cell ids")
+    return arr
+
+
 def _pq_params(config: Mapping, op: str):
     """Shared pq_encode/ann_pq training-param validation (ADVICE r9:
     ann_pq previously skipped the m-divides-dim / ks-range /
@@ -1263,24 +1345,58 @@ def op_pq_encode(df: DataFrame, config: Mapping, views) -> DataFrame:
     one Arrow kernel pass attaching ``pq_code`` (array<int>, length
     m). NULL embeddings encode to NULL.
 
+    Train/serve split (round 10): ``emit: "books"`` returns the
+    trained codebooks as a persistable MODEL table (``subspace`` /
+    ``code`` / ``codeword array<bigint>`` — m*ks rows, write it to
+    parquet once per corpus), and ``books`` (view name or DataFrame)
+    feeds a persisted model back in, skipping training entirely: the
+    encode is then ONE Arrow kernel pass. Production shape: train
+    books once, encode the corpus once, serve every probe from the
+    stored codes (op_ann_pq ``books``/``codes``) — at 100 TB the
+    difference between two training jobs per probe and none. The
+    bit-replayable fixed-point training makes the parity trivial:
+    same books in, same codes out.
+
     config: ``field``/``id_field``, ``dim`` (required), ``m``
     subspaces (default 8, must divide dim), ``ks`` codewords (default
     256, <= 65536), ``refine`` (default 1), ``seed_order``,
     ``scale`` (default 1e6), ``as`` (output column, default
-    "pq_code").
+    "pq_code"), ``emit`` ("codes" default | "books"), ``books``
+    (pre-trained model table — skip training).
     """
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
     dim, m, ks, refine, seed_order, scale = _pq_params(config, "pq_encode")
     out_field = config.get("as", "pq_code")
+    emit = config.get("emit", "codes")
+    if emit not in ("codes", "books"):
+        raise ValueError(f"pq_encode: emit must be codes|books, got "
+                         f"{emit!r}")
     maxq = _pq_guard(dim // m, scale)
 
-    qdf = (df.filter(F.col(field).isNotNull())
-           .select(F.col(id_field).alias("__id"),
-                   F.transform(F.col(field), lambda x: F.floor(
-                       x.cast("double") * F.lit(scale))).alias("__q")))
-    books = _pq_codebooks(qdf, "__id", dim, m, ks, refine, seed_order,
-                          maxq)
+    books_src = config.get("books")
+    if isinstance(books_src, str):
+        books_src = views[books_src]
+    if books_src is not None:
+        books = _books_np(books_src, dim, m, "pq_encode")
+        if books.size and np.abs(books).max() > maxq:
+            raise ValueError(
+                f"pq_encode: |books codeword| exceeds {maxq} — model "
+                "was trained at an incompatible scale")
+    else:
+        qdf = (df.filter(F.col(field).isNotNull())
+               .select(F.col(id_field).alias("__id"),
+                       F.transform(F.col(field), lambda x: F.floor(
+                           x.cast("double") * F.lit(scale))).alias("__q")))
+        books = _pq_codebooks(qdf, "__id", dim, m, ks, refine,
+                              seed_order, maxq)
+    if emit == "books":
+        return _books_df(df.sparkSession, books)
+    if books.size == 0:
+        # empty/all-NULL corpus (or an empty external model): every
+        # row's code is NULL, matching the NULL-embedding contract
+        return df.withColumn(out_field,
+                             F.lit(None).cast(T.ArrayType(T.IntegerType())))
     quant = F.transform(F.col(field), lambda x: F.floor(
         x.cast("double") * F.lit(scale)))
     return df.withColumn(out_field, _pq_assign_udf(books, maxq)(quant))
@@ -1305,9 +1421,23 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
     float cosine on the raw vectors (the production recall knob;
     pytest-pinned), emitting ``cos_sim`` instead.
 
+    Train/serve split (round 10): ``books`` (the op_pq_encode
+    `emit: "books"` model table) skips codebook training, and
+    ``codes`` (a pre-encoded ``id, pq_code`` view — op_pq_encode
+    output) skips the encode kernel too, so a probe costs ONE
+    whole-stage-codegen scan over stored 8-byte codes: zero training
+    jobs, zero Python. IVF composition (the FAISS IVFADC shape):
+    ``n_cells``/``nprobe`` prune that scan to the probe's nearest
+    cells — internally trained, or served from a ``cells`` centroid
+    model (op_ivf_assign `emit: "cells"`) when ``codes`` carries an
+    ``ivf_cell`` column (op_ivf_assign output). At 100 TB corpus
+    scale the pruning is the difference between scanning 3 TB of
+    codes and nprobe/n_cells of that per probe.
+
     config: ``probe_id`` (or ``probe`` vector), ``k`` (default 10),
     plus pq_encode's training params; ``rerank`` (default 0 = pure
-    ADC).
+    ADC); serve: ``books``/``codes`` (view names or DataFrames);
+    IVF pruning: ``n_cells``, ``nprobe`` (default 1), ``cells``.
     """
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
@@ -1316,6 +1446,21 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
     rerank = int(config.get("rerank", 0))
     sub = dim // m
     maxq = _pq_guard(sub, scale)
+
+    books_src = config.get("books")
+    if isinstance(books_src, str):
+        books_src = views[books_src]
+    codes_src = config.get("codes")
+    if isinstance(codes_src, str):
+        codes_src = views[codes_src]
+    if codes_src is not None and books_src is None:
+        raise ValueError("ann_pq: `codes` requires `books` — the ADC "
+                         "tables are built from the codewords")
+    cells_src = config.get("cells")
+    if isinstance(cells_src, str):
+        cells_src = views[cells_src]
+    n_cells = int(config.get("n_cells", 0))
+    nprobe = int(config.get("nprobe", 1))
 
     if "probe" in config:
         probe_raw = list(map(float, config["probe"]))
@@ -1334,15 +1479,22 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
     if np.abs(qv).max(initial=0) > maxq:
         raise ValueError(f"ann_pq: |quantized probe| exceeds {maxq}")
 
-    # train ONCE, reuse the books for both the encode kernel and the
-    # probe's distance tables (encoding via op_pq_encode would run a
-    # second identical training pass)
-    qdf = (df.filter(F.col(field).isNotNull())
-           .select(F.col(id_field).alias("__id"),
-                   F.transform(F.col(field), lambda x: F.floor(
-                       x.cast("double") * F.lit(scale))).alias("__q")))
-    books = _pq_codebooks(qdf, "__id", dim, m, ks, refine, seed_order,
-                          maxq)
+    if books_src is not None:
+        books = _books_np(books_src, dim, m, "ann_pq")
+        if books.size and np.abs(books).max() > maxq:
+            raise ValueError(
+                f"ann_pq: |books codeword| exceeds {maxq} — model was "
+                "trained at an incompatible scale")
+    else:
+        # train ONCE, reuse the books for both the encode kernel and
+        # the probe's distance tables (encoding via op_pq_encode would
+        # run a second identical training pass)
+        qdf = (df.filter(F.col(field).isNotNull())
+               .select(F.col(id_field).alias("__id"),
+                       F.transform(F.col(field), lambda x: F.floor(
+                           x.cast("double") * F.lit(scale))).alias("__q")))
+        books = _pq_codebooks(qdf, "__id", dim, m, ks, refine,
+                              seed_order, maxq)
     if books.size == 0:
         # empty / all-NULL corpus with a config["probe"] (the probe_id
         # path early-returns above before training) — ADVICE r9
@@ -1350,20 +1502,69 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
             "adc_dist" if not rerank else "cos_sim",
             T.LongType() if not rerank else T.DoubleType())
         return df.sparkSession.createDataFrame([], schema)
-    encoded = qdf.withColumn(
-        "pq_code", _pq_assign_udf(books, maxq)(F.col("__q"))).select(
-        F.col("__id").alias(id_field), "pq_code")
+
+    # IVFADC coarse quantizer (pruning mode): centroids from the
+    # served `cells` model, else trained here (float Lloyd — only the
+    # PRUNING is approximate; adc_dist values stay bit-exact, which
+    # is why nprobe == n_cells replays the exhaustive oracle).
+    cents = None
+    if n_cells:
+        if cells_src is not None:
+            cents = _cells_np(cells_src, "ann_pq")
+        else:
+            cents = _ivf_centroids(df, {**config, "refine": int(
+                config.get("cells_refine", 1))})
+        if cents.size == 0:
+            cents = None
+
+    if codes_src is not None:
+        # serving path: stored codes, no encode kernel in the plan.
+        # NULL codes are NULL-embedding rows (op_pq_encode contract)
+        # — excluded, same as the internal path's isNotNull filter.
+        if cents is not None and "ivf_cell" not in codes_src.columns:
+            raise ValueError(
+                "ann_pq: n_cells pruning over served `codes` needs an "
+                "ivf_cell column (op_ivf_assign at encode time)")
+        encoded = (codes_src.filter(F.col("pq_code").isNotNull())
+                   .select(id_field, "pq_code",
+                           *(["ivf_cell"] if cents is not None else [])))
+    else:
+        base = df.filter(F.col(field).isNotNull())
+        quant = F.transform(F.col(field), lambda x: F.floor(
+            x.cast("double") * F.lit(scale)))
+        encoded = base.select(
+            F.col(id_field),
+            _pq_assign_udf(books, maxq)(quant).alias("pq_code"),
+            *([_assign_udf(cents)(F.col(field)).alias("ivf_cell")]
+              if cents is not None else []))
+
+    if cents is not None:
+        # rank the probe against the coarse centroids (driver-side —
+        # k x dim floats) and keep only codes in the nprobe nearest
+        # cells: the scan reads nprobe/n_cells of the corpus.
+        pv = np.array(probe_raw, dtype=np.float64)
+        pv = pv / (np.linalg.norm(pv) or 1.0)
+        cn = np.linalg.norm(cents, axis=1)
+        sims = (cents / np.where(cn == 0, 1.0, cn)[:, None]) @ pv
+        near = [int(c) for c in np.argsort(-sims, kind="stable")[:nprobe]]
+        encoded = encoded.filter(F.col("ivf_cell").isin(near))
+
     # m x ks exact-integer distance tables: sub * (2*maxq)^2 <= 2^53
     tables = ((qv.reshape(m, 1, sub) - books) ** 2).sum(axis=2)  # (m, ks)
 
-    # .cast("long") on every literal: small-magnitude tables would
-    # otherwise resolve array<int> -> int32 adc_dist (silent wrap +
-    # dtype mismatch vs the oracle's BIGINT) — ADVICE r9
+    # ONE SQL-parsed array literal per subspace: a py4j call per
+    # element (F.lit each, or F.lit(list) which desugars the same)
+    # cost ~1s at m x ks = 2048 — the round-9 "m x ks literal
+    # codegen" overhead; one F.expr parse is ~10x cheaper. The `L`
+    # suffix pins every element to BIGINT: small-magnitude tables
+    # would otherwise resolve array<int> -> int32 adc_dist (silent
+    # wrap + dtype mismatch vs the oracle's BIGINT) — ADVICE r9
     adc = None
     for j in range(m):
+        arr = F.expr(
+            "array(" + ",".join(f"{int(t)}L" for t in tables[j]) + ")")
         term = F.element_at(
-            F.array(*[F.lit(int(t)).cast("long") for t in tables[j]]),
-            F.element_at(F.col("pq_code"), j + 1) + 1)
+            arr, F.element_at(F.col("pq_code"), j + 1) + 1)
         adc = term if adc is None else adc + term
     out = (encoded.withColumn("adc_dist", adc)
            .select(id_field, "adc_dist")

@@ -1946,6 +1946,141 @@ def test_ann_pq_unknown_probe_empty(spark, vecs):
     assert out == []
 
 
+def test_pq_train_serve_split_roundtrip(spark, tmp_path):
+    """Round 10: books persisted to parquet and fed back must encode
+    and serve bit-identically to the self-training path — the
+    fixed-point contract is 'same books in, same codes out'."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = {"dim": 64, "m": 8, "ks": 4, "refine": 1, "seed_order": "id"}
+    books = op("pq_encode", e, {**cfg, "emit": "books"})
+    p = str(tmp_path / "books.parquet")
+    books.write.parquet(p)
+    stored = spark.read.parquet(p)
+
+    direct = {r["vec_id"]: list(r["pq_code"]) for r in
+              op("pq_encode", e, cfg).collect()}
+    served = {r["vec_id"]: list(r["pq_code"]) for r in
+              op("pq_encode", e, {**cfg, "books": stored}).collect()}
+    assert served == direct
+
+    codes = op("pq_encode", e, {**cfg, "books": stored}).select(
+        "vec_id", "pq_code")
+    want = [(r["vec_id"], r["adc_dist"]) for r in
+            op("ann_pq", e, {**cfg, "probe_id": 0, "k": 10}).collect()]
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           op("ann_pq", e, {**cfg, "probe_id": 0, "k": 10,
+                            "books": stored, "codes": codes}).collect()]
+    assert got == want
+
+
+def test_ann_pq_codes_require_books(spark, vecs):
+    codes = op("pq_encode", vecs, {"dim": 4, "m": 2, "ks": 2}).select(
+        "vec_id", "pq_code")
+    with pytest.raises(ValueError, match="requires `books`"):
+        op("ann_pq", vecs, {"dim": 4, "m": 2, "ks": 2, "probe_id": 0,
+                            "codes": codes})
+
+
+def test_pq_books_geometry_mismatch_raises(spark, vecs):
+    books = op("pq_encode", vecs, {"dim": 4, "m": 2, "ks": 2,
+                                   "emit": "books"})
+    with pytest.raises(ValueError, match="subspaces"):
+        op("pq_encode", vecs, {"dim": 4, "m": 4, "ks": 2,
+                               "books": books})
+    with pytest.raises(ValueError, match="codeword length"):
+        op("pq_encode", vecs, {"dim": 2, "m": 2, "ks": 2,
+                               "books": books})
+
+
+def test_ann_ivfpq_exhaustive_equals_plain_adc(spark):
+    """nprobe == n_cells keeps every cell, so IVFADC must reproduce
+    the plain ADC top-k bit for bit (the contract-query geometry)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cfg = {"dim": 64, "m": 8, "ks": 4, "refine": 1, "seed_order": "id",
+           "probe_id": 0, "k": 10}
+    plain = [(r["vec_id"], r["adc_dist"]) for r in
+             op("ann_pq", e, cfg).collect()]
+    ivf = [(r["vec_id"], r["adc_dist"]) for r in
+           op("ann_pq", e, {**cfg, "n_cells": 4, "nprobe": 4}).collect()]
+    assert sorted(ivf) == sorted(plain)
+
+
+def test_ann_ivfpq_pruned_recall_on_clustered_data(spark):
+    """At nprobe < n_cells on clustered vectors, the pruned scan must
+    still recover (nearly) all of the exhaustive ADC top-k — the
+    FAISS IVFADC recall story, pytest-pinned."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 64) * 3
+    rows = [(int(c * 30 + i),
+             (centers[c] + rng.randn(64) * 0.2).tolist())
+            for c in range(4) for i in range(30)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cfg = {"dim": 64, "m": 8, "ks": 16, "refine": 2, "probe_id": 0,
+           "k": 10}
+    exact = {r["vec_id"] for r in op("ann_pq", e, cfg).collect()}
+    pruned = {r["vec_id"] for r in
+              op("ann_pq", e, {**cfg, "n_cells": 4, "nprobe": 1})
+              .collect()}
+    assert len(pruned & exact) >= 9
+
+
+def test_ann_ivfpq_served_with_frozen_models(spark):
+    """Full served IVFADC: frozen cells model + books + stored codes
+    carrying ivf_cell — the probe plan reads only stored artifacts and
+    must match the internally-trained pruned result."""
+    import numpy as np
+
+    rng = np.random.RandomState(12)
+    centers = rng.randn(4, 64) * 3
+    rows = [(int(c * 25 + i),
+             (centers[c] + rng.randn(64) * 0.2).tolist())
+            for c in range(4) for i in range(25)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cfg = {"dim": 64, "m": 8, "ks": 16, "refine": 1}
+    cells = op("ivf_assign", e, {"n_cells": 4, "emit": "cells"})
+    books = op("pq_encode", e, {**cfg, "emit": "books"})
+    codes = op("ivf_assign",
+               op("pq_encode", e, {**cfg, "books": books}),
+               {"n_cells": 4, "cells": cells}).select(
+        "vec_id", "pq_code", "ivf_cell")
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           op("ann_pq", e, {**cfg, "probe_id": 0, "k": 10, "n_cells": 4,
+                            "nprobe": 2, "books": books, "codes": codes,
+                            "cells": cells}).collect()]
+    # internal reference: same geometry, cells_refine matching the
+    # emitted model's default refine=1
+    want = [(r["vec_id"], r["adc_dist"]) for r in
+            op("ann_pq", e, {**cfg, "probe_id": 0, "k": 10,
+                             "n_cells": 4, "nprobe": 2}).collect()]
+    assert got == want
+    # pruning over served codes without a cell column fails loudly
+    flat = codes.select("vec_id", "pq_code")
+    with pytest.raises(ValueError, match="ivf_cell"):
+        op("ann_pq", e, {**cfg, "probe_id": 0, "k": 10, "n_cells": 4,
+                         "books": books, "codes": flat, "cells": cells})
+
+
+def test_ivf_assign_frozen_cells_stable_across_days(spark):
+    """ivf_assign with a frozen cells model must give day-2 vectors
+    the same cell ids the day-1 quantizer would — retraining per day
+    would shift every stored ivf_cell."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(8).tolist()) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    day1 = e.filter("vec_id < 20")
+    cells = op("ivf_assign", day1, {"n_cells": 3, "emit": "cells"})
+    whole = {r["vec_id"]: r["ivf_cell"] for r in
+             op("ivf_assign", e, {"n_cells": 3, "cells": cells})
+             .collect()}
+    day1_direct = {r["vec_id"]: r["ivf_cell"] for r in
+                   op("ivf_assign", day1, {"n_cells": 3}).collect()}
+    assert all(whole[i] == day1_direct[i] for i in day1_direct)
+
+
 def test_ann_pq_validates_params_like_pq_encode(spark, vecs):
     """ADVICE r9: ann_pq used to skip pq_encode's guards — dim=64 m=7
     would silently slice a wrong sub-geometry."""

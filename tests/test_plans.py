@@ -725,3 +725,68 @@ def test_ann_pq_scan_is_jvm_side(no_aqe):
     assert len(plans.arrow_python_nodes(df)) <= 1, plans.explain_text(df)
     # encode scan + the global top-k sort: no other exchanges
     assert plans.shuffle_exchange_count(df) <= 2, plans.explain_text(df)
+
+
+def test_ann_pq_served_plan_is_pure_jvm(no_aqe, tmp_path):
+    """Train/serve split plan gate (round 10): serving a probe from
+    PERSISTED books + codes (parquet, the production artifacts) must
+    put ZERO Python/Arrow nodes in the plan — the scan is a
+    whole-stage-codegen lookup-sum over stored 8-byte codes — and
+    with IVF cells in the codes table the cell prune reaches the
+    parquet scan as a pushed In(ivf_cell) filter: at 100 TB the probe
+    reads nprobe/n_cells of the code files and nothing else."""
+    e = _embs(no_aqe)
+    cfg = {"dim": 64, "m": 8, "ks": 16, "refine": 1}
+    cells = op("ivf_assign", e, {"n_cells": 4, "emit": "cells"})
+    books = op("pq_encode", e, {**cfg, "emit": "books"})
+    op("ivf_assign", op("pq_encode", e, {**cfg, "books": books}),
+       {"n_cells": 4, "cells": cells}).select(
+        "vec_id", "pq_code", "ivf_cell").write.parquet(
+        str(tmp_path / "codes"))
+    books.write.parquet(str(tmp_path / "books"))
+    cells.write.parquet(str(tmp_path / "cells"))
+    stored_codes = no_aqe.read.parquet(str(tmp_path / "codes"))
+    stored_books = no_aqe.read.parquet(str(tmp_path / "books"))
+    stored_cells = no_aqe.read.parquet(str(tmp_path / "cells"))
+
+    df = op("ann_pq", e, {**cfg, "probe_id": 0, "k": 10,
+                          "books": stored_books, "codes": stored_codes})
+    plans.assert_no_cartesian(df)
+    plans.assert_no_row_python(df)
+    assert len(plans.arrow_python_nodes(df)) == 0, plans.explain_text(df)
+    assert plans.shuffle_exchange_count(df) <= 1, plans.explain_text(df)
+
+    pruned = op("ann_pq", e, {**cfg, "probe_id": 0, "k": 10,
+                              "n_cells": 4, "nprobe": 1,
+                              "books": stored_books,
+                              "codes": stored_codes,
+                              "cells": stored_cells})
+    assert len(plans.arrow_python_nodes(pruned)) == 0, \
+        plans.explain_text(pruned)
+    assert any("ivf_cell" in f for f in plans.pushed_filters(pruned)), \
+        plans.explain_text(pruned)
+
+
+def test_ann_ivfpq_prune_precedes_encode(no_aqe):
+    """IVFADC plan gate (round 10), internal-training mode: the cell
+    filter must sit BELOW the PQ encode kernel (Catalyst reorders the
+    two Arrow projections), so only the probe's nprobe cells' vectors
+    are ever encoded — the scan never scores the full corpus."""
+    df = op("ann_pq", _embs(no_aqe),
+            {"dim": 64, "m": 8, "ks": 16, "refine": 1, "probe_id": 0,
+             "k": 10, "n_cells": 4, "nprobe": 1})
+    txt = plans.explain_text(df)
+    plans.assert_no_cartesian(df)
+    plans.assert_no_row_python(df)
+    # cell-assign + encode kernels, nothing else in Python
+    # (arrow_python_nodes dedups node TYPES, so count tree instances)
+    import re
+    assert len(re.findall(r"ArrowEvalPython \(\d+\)", txt)) == 2, txt
+    # the formatted plan prints the tree root-down, so the encode
+    # kernel comes first, then the cell Filter, then the cell-assign
+    # kernel: a Filter token must sit between the two Arrow nodes
+    toks = re.findall(r"ArrowEvalPython \(|Filter \(", txt)
+    a1 = toks.index("ArrowEvalPython (")
+    a2 = a1 + 1 + toks[a1 + 1:].index("ArrowEvalPython (")
+    assert "Filter (" in toks[a1 + 1:a2], txt
+    assert plans.shuffle_exchange_count(df) <= 2, txt

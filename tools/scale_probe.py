@@ -149,6 +149,12 @@ PROBED = [
     # JVM lookup-sum scan + top-k: alpha ~ 1 by construction, the
     # probe guards the constant (codebook training cost)
     "ann_pq_scale",
+    # round 10: the SERVING leg (books/cells/codes prebuilt + cached
+    # in bench._PQ_SERVE_CACHE — modeling persisted artifacts): one
+    # pushed-filter codegen scan over nprobe/n_cells of the codes +
+    # rerank join; alpha ~ 1 with a near-zero constant (the whole
+    # point of the train/serve split)
+    "ann_pq_serve_scale",
 ]
 
 
