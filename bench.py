@@ -113,6 +113,14 @@ SCALE_PROBES = {
     "knn_join_scale": lambda s, d: op(
         "knn_join", _embs(s, d), {"k": 10, "n_cells": 16, "nprobe": 2,
                                   "refine": 1}),
+    # round 10 (VERDICT r9 #7): the LSH-mode leg of batch kNN-join —
+    # one stacked-matmul bucket kernel per side, (table, bucket)
+    # candidate join with narrow id-pair dedup, pair-dot verify, one
+    # query-id window. Plan-gated (test_knn_join_lsh_mode_no_allpairs:
+    # no cartesian, <=6 shuffles, <=2 Arrow kernels).
+    "knn_join_lsh_scale": lambda s, d: op(
+        "knn_join", _embs(s, d), {"k": 10, "method": "lsh", "dim": 64,
+                                  "n_planes": 10, "n_tables": 4}),
     # round 9: SemDeDup at the production geometry — pairwise work
     # bounded per k-means cell (n_cells scales with the corpus; the
     # paper uses ~0.1% of n), exact fixed-point cosines inside the

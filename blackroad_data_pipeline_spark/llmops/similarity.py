@@ -22,6 +22,60 @@ from pyspark.sql import types as T
 from ..operators.registry import register
 
 
+def valid_vec(col: Column) -> Column:
+    """The vector-validity contract (round 10, extending round 9's
+    NULL contract): a vector participates in similarity/quantization
+    math iff it is non-NULL, non-empty, and every component is a
+    finite non-NULL float. NaN/Inf components, NULL components, and
+    zero-length arrays are excluded exactly like NULL embeddings —
+    they have no position in cosine/L2 space, and engines DISAGREE
+    about them (Spark orders NaN largest in min/max, floor(NaN)
+    long-casts to 0 while DuckDB propagates NaN; an empty array
+    crashes np.vstack). Filter-ops drop the row; annotate-ops emit
+    NULL (callers wrap the kernel input in ``F.when(valid_vec(c), c)``
+    so the existing NULL masks apply). Oracles replay the same
+    predicate as ``len(list_filter(emb, x -> isfinite(x))) = len(emb)``
+    — DuckDB's lambda-filter keeps only TRUE elements, so a NULL
+    component (NULL predicate) shortens the list exactly where the
+    compact-size check fails here, and isfinite(x) is false exactly
+    where the NaN/Inf checks fire (equivalence pytest-pinned on every
+    invalid shape).
+    Array-NATIVE, no lambdas: Spark evaluates higher-order functions
+    (filter/forall) interpreted per element, so this hot predicate —
+    it now guards every vector op — uses only collection expressions
+    (array_compact / array_max / array_contains), each one tight JVM
+    pass: NULL components via the compact-size check, NaN via
+    isnan(array_max) (Spark orders NaN greatest, so any NaN pins the
+    max), ±Inf via array_contains equality."""
+    return col.isNotNull() & (F.size(col) > 0) & _components_ok(col)
+
+
+def _components_ok(col: Column) -> Column:
+    """True iff every component is a finite non-NULL number; FALSE
+    (never NULL — coalesced) otherwise. Shared by valid_vec and
+    vector_health's n_nonfinite counter."""
+    inf = float("inf")
+    return F.coalesce(
+        (F.size(F.array_compact(col)) == F.size(col))
+        & ~F.isnan(F.array_max(col))
+        & ~F.array_contains(col, F.lit(inf))
+        & ~F.array_contains(col, F.lit(-inf)),
+        F.lit(False))
+
+
+def _check_probe_finite(probe, op: str) -> list[float]:
+    """Literal config probes are caller input, not data — a NaN/Inf
+    component is a config error and raises instead of silently
+    excluding (there is no row to exclude)."""
+    vals = list(map(float, probe))
+    arr = np.asarray(vals, dtype=np.float64)
+    if arr.size == 0 or not np.isfinite(arr).all():
+        raise ValueError(
+            f"{op}: probe vector must be non-empty and finite "
+            "(got NaN/Inf or zero length)")
+    return vals
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     """Exact cosine similarity between two array<float> columns,
     computed element-sequentially in double (deterministic — float
@@ -51,15 +105,18 @@ def op_ann_bruteforce(df: DataFrame, config: Mapping, views) -> DataFrame:
     k = int(config.get("k", 10))
     if "probe" in config:
         probe_df = df.sparkSession.createDataFrame(
-            [(list(map(float, config["probe"])),)], f"__probe array<float>")
+            [(_check_probe_finite(config["probe"], "ann_bruteforce"),)],
+            f"__probe array<float>")
     else:
         probe_df = df.filter(F.col(id_field) == config["probe_id"]).select(
             F.col(field).alias("__probe")).filter(
-            F.col("__probe").isNotNull())
+            valid_vec(F.col("__probe")))
     out = (
-        # NULL embeddings are neither probes nor neighbors (the whole
-        # vector family's contract — round-9 NULL-fixture sweep)
-        df.filter(F.col(field).isNotNull()).join(F.broadcast(probe_df))
+        # invalid (NULL/empty/non-finite) embeddings are neither
+        # probes nor neighbors — the vector family's validity
+        # contract (valid_vec; round-9 NULL sweep + round-10 NaN/Inf
+        # fixture lever)
+        df.filter(valid_vec(F.col(field))).join(F.broadcast(probe_df))
         .withColumn("cos_sim", cosine_col(F.col(field), F.col("__probe")))
         .select(id_field, "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col(id_field))
@@ -133,8 +190,12 @@ def op_lsh_bucket(df: DataFrame, config: Mapping, views) -> DataFrame:
     dim = int(config.get("dim", 64))
     n_planes = int(config.get("n_planes", 12))
     seed = int(config.get("seed", 42))
-    return df.withColumn("lsh_bucket",
-                         _bucket_udf(dim, n_planes, seed)(F.col(field)))
+    # invalid vectors hash to NULL: the when-wrap turns them into the
+    # NULL input the kernel's notna mask already handles (valid_vec)
+    return df.withColumn(
+        "lsh_bucket",
+        _bucket_udf(dim, n_planes, seed)(
+            F.when(valid_vec(F.col(field)), F.col(field))))
 
 
 @register("ann_lsh")
@@ -165,9 +226,13 @@ def op_ann_lsh(df: DataFrame, config: Mapping, views) -> DataFrame:
             f"probe_radius={radius} over {n_planes} planes expands to "
             f"{len(masks)} buckets (>512) — lower the radius or n_planes")
     bucketed = op_lsh_bucket(df, config, views)
+    # invalid corpus vectors carry a NULL lsh_bucket (op_lsh_bucket's
+    # valid_vec wrap), so the bucket equi-join drops them; an invalid
+    # probe_id row gets a NULL __pb and matches nothing -> empty
     if "probe" in config:  # literal probe vector, like ann_bruteforce
         probe_df = df.sparkSession.createDataFrame(
-            [(list(map(float, config["probe"])),)], "__probe array<float>")
+            [(_check_probe_finite(config["probe"], "ann_lsh"),)],
+            "__probe array<float>")
         probe = op_lsh_bucket(
             probe_df, {**config, "field": "__probe"}, views
         ).withColumnsRenamed({"lsh_bucket": "__pb"})
@@ -217,9 +282,10 @@ def _ivf_centroids(df: DataFrame, config: Mapping) -> np.ndarray:
     field = config.get("field", "embedding")
     id_field = config.get("id_field", "vec_id")
     k = int(config.get("n_cells", 16))
-    # NULL embeddings can neither seed nor pull a centroid (vstack on
-    # a None crashed the seed collect — round-9 NULL-fixture sweep)
-    df = df.filter(F.col(field).isNotNull())
+    # invalid embeddings can neither seed nor pull a centroid (vstack
+    # on a None crashed the seed collect — round-9 NULL sweep; a NaN
+    # seed would NaN-poison every refined mean — round-10 lever)
+    df = df.filter(valid_vec(F.col(field)))
     seed = (df.select(F.col(field).alias("__e"))
             .orderBy(F.xxhash64(F.col(id_field)), F.col(id_field))
             .limit(k).collect())
@@ -266,7 +332,10 @@ def op_ivf_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
         return df.sparkSession.createDataFrame(rows, _CELLS_SCHEMA)
     if cents.size == 0:  # empty/all-NULL corpus: no cells to assign
         return df.withColumn("ivf_cell", F.lit(None).cast("int"))
-    return df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
+    # invalid vectors get a NULL cell (valid_vec when-wrap -> the
+    # kernel's existing NULL mask)
+    return df.withColumn("ivf_cell", _assign_udf(cents)(
+        F.when(valid_vec(F.col(field)), F.col(field))))
 
 
 @register("ann_ivf")
@@ -281,9 +350,10 @@ def op_ann_ivf(df: DataFrame, config: Mapping, views) -> DataFrame:
     k = int(config.get("k", 10))
     nprobe = int(config.get("nprobe", 2))
     cents = _ivf_centroids(df, config)
-    # NULL embeddings are neither probes nor neighbors (NULL cell
-    # would crash the scan — round-9 NULL-fixture sweep)
-    df = df.filter(F.col(field).isNotNull())
+    # invalid embeddings are neither probes nor neighbors (valid_vec
+    # contract — a NULL cell would crash the scan, a NaN vector would
+    # poison the rerank cosine)
+    df = df.filter(valid_vec(F.col(field)))
     if cents.size == 0:  # empty/all-NULL corpus: nothing to search
         return df.sparkSession.createDataFrame(
             [], df.select(id_field).schema.add("cos_sim", T.DoubleType()))
@@ -465,11 +535,11 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     i_field = config.get("index_field", field)
     i_id = config.get("index_id_field", id_field)
     exclude_self = bool(config.get("exclude_self", self_join))
-    # NULL embeddings have no position in cosine space: they neither
-    # query nor serve as neighbors (documented contract — the oracle
-    # replays the same exclusion)
-    df = df.filter(F.col(field).isNotNull())
-    idx_df = idx_df.filter(F.col(i_field).isNotNull())
+    # invalid (NULL/empty/non-finite) embeddings have no position in
+    # cosine space: they neither query nor serve as neighbors
+    # (valid_vec contract — the oracle replays the same exclusion)
+    df = df.filter(valid_vec(F.col(field)))
+    idx_df = idx_df.filter(valid_vec(F.col(i_field)))
 
     if method == "ivf":
         n_cells = int(config.get("n_cells", 16))
@@ -601,9 +671,10 @@ def op_similarity_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     threshold = float(config.get("threshold", 0.9))
     n_tables = int(config.get("n_tables", 1))
     seed = int(config.get("seed", 42))
-    # NULL embeddings pair with nothing (round-9 NULL-fixture sweep:
-    # they crashed the bucket kernel and would NULL-poison norms)
-    df = df.filter(F.col(field).isNotNull())
+    # invalid embeddings pair with nothing (valid_vec contract —
+    # NULLs crashed the bucket kernel in the round-9 sweep; a NaN
+    # component would NaN-poison the norm and every cosine it meets)
+    df = df.filter(valid_vec(F.col(field)))
     norm = F.sqrt(F.aggregate(
         F.transform(F.col(field), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
@@ -744,11 +815,12 @@ def op_dedup_embedding_against(df: DataFrame, config: Mapping, views) -> DataFra
     h_field = config.get("history_field", field)
     h_id = config.get("history_id_field", id_field)
 
-    # NULL embeddings are never near-duplicates: batch rows with NULL
-    # vectors survive (the anti-join can't hit them), NULL history
-    # rows match nothing (round-9 NULL-fixture sweep crash)
-    cand_src = df.filter(F.col(field).isNotNull())
-    history = history.filter(F.col(h_field).isNotNull())
+    # invalid embeddings are never near-duplicates: batch rows with
+    # invalid vectors survive (the anti-join can't hit them), invalid
+    # history rows match nothing (valid_vec contract — round-9 NULL
+    # crash + round-10 NaN/Inf lever)
+    cand_src = df.filter(valid_vec(F.col(field)))
+    history = history.filter(valid_vec(F.col(h_field)))
 
     multi = _multi_bucket_udf(dim, n_planes, seed, n_tables)
     bb = cand_src.select(F.col(id_field).alias("__bid"),
@@ -820,7 +892,11 @@ def op_embedding_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
     # under any partition order, no decimal repr ties. |sum| stays
     # far under 2^53 for unit-ish embeddings, so the final
     # long->double centroid cast is exact.
-    sums = df.groupBy(*keys).agg(*[
+    # invalid vectors contribute nothing to the centroid: Spark's
+    # floor(NaN) long-casts to 0 while DuckDB propagates NaN, so a
+    # single NaN component would silently shift the centroid here and
+    # NaN it in the oracle (valid_vec contract, round-10 lever)
+    sums = df.filter(valid_vec(F.col(field))).groupBy(*keys).agg(*[
         F.sum(F.floor(F.col(field)[i].cast("double") * F.lit(scale)))
         .alias(f"__s{i}") for i in range(dim)])
     centroid = sums.select(
@@ -836,7 +912,12 @@ def op_embedding_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
     else:
         out = df.crossJoin(F.broadcast(centroid))
     out = out.withColumn(
-        "centroid_sim", cosine_col(F.col(field), F.col("__centroid"))
+        "centroid_sim",
+        # invalid vectors score NULL (and a fully-invalid group has no
+        # centroid row at all — the joinback leaves __centroid NULL,
+        # which cosine_col already NULLs through)
+        F.when(valid_vec(F.col(field)),
+               cosine_col(F.col(field), F.col("__centroid")))
     ).drop("__centroid")
     if mode == "filter":
         cond = F.lit(True)
@@ -884,7 +965,10 @@ def op_quantize_embedding(df: DataFrame, config: Mapping, views) -> DataFrame:
         hi_arr = F.array(*[F.lit(float(bounds[1]))] * dim)
         src = df
     else:
-        agg = df.agg(*(
+        # bounds over VALID vectors only: Spark's min/max order NaN
+        # largest (a single NaN would pin every hi_d to NaN) and an
+        # Inf bound would zero-width every code (valid_vec contract)
+        agg = df.filter(valid_vec(F.col(field))).agg(*(
             [F.min(F.col(field)[i].cast("double")).alias(f"__lo{i}")
              for i in range(dim)]
             + [F.max(F.col(field)[i].cast("double")).alias(f"__hi{i}")
@@ -903,7 +987,9 @@ def op_quantize_embedding(df: DataFrame, config: Mapping, views) -> DataFrame:
         F.greatest(F.floor(s / w * F.lit(float(levels))), F.lit(0)),
         F.lit(levels)).cast("int"))
     out = (src.withColumns({"q_lo": lo_arr, "q_hi": hi_arr})
-           .withColumn(out_field, q))
+           # invalid vectors quantize to NULL (valid_vec contract —
+           # floor(NaN/width) would otherwise clamp to a live code)
+           .withColumn(out_field, F.when(valid_vec(F.col(field)), q)))
     return out.drop("__lo", "__hi")
 
 
@@ -1080,7 +1166,10 @@ def op_semdedup(df: DataFrame, config: Mapping, views) -> DataFrame:
         raise ValueError(f"semdedup action must be filter|flag, got {action!r}")
     maxq = _fixed_point_guard(dim, scale)
 
-    qdf = (df.filter(F.col(field).isNotNull())
+    # valid_vec, not isNotNull: floor(NaN * scale) long-casts to 0 in
+    # Spark — a NaN component would silently land the vector at the
+    # origin of that dimension instead of excluding it (round-10)
+    qdf = (df.filter(valid_vec(F.col(field)))
            .select(F.col(id_field).alias("__id"),
                    F.transform(F.col(field), lambda x: F.floor(
                        x.cast("double") * F.lit(scale))).alias("__q")))
@@ -1384,7 +1473,10 @@ def op_pq_encode(df: DataFrame, config: Mapping, views) -> DataFrame:
                 f"pq_encode: |books codeword| exceeds {maxq} — model "
                 "was trained at an incompatible scale")
     else:
-        qdf = (df.filter(F.col(field).isNotNull())
+        # valid_vec: a NaN component floors to a garbage long in
+        # Spark (NULL in DuckDB) — invalid vectors neither train nor
+        # encode (round-10 contract)
+        qdf = (df.filter(valid_vec(F.col(field)))
                .select(F.col(id_field).alias("__id"),
                        F.transform(F.col(field), lambda x: F.floor(
                            x.cast("double") * F.lit(scale))).alias("__q")))
@@ -1393,12 +1485,13 @@ def op_pq_encode(df: DataFrame, config: Mapping, views) -> DataFrame:
     if emit == "books":
         return _books_df(df.sparkSession, books)
     if books.size == 0:
-        # empty/all-NULL corpus (or an empty external model): every
-        # row's code is NULL, matching the NULL-embedding contract
+        # empty/all-invalid corpus (or an empty external model): every
+        # row's code is NULL, matching the validity contract
         return df.withColumn(out_field,
                              F.lit(None).cast(T.ArrayType(T.IntegerType())))
-    quant = F.transform(F.col(field), lambda x: F.floor(
-        x.cast("double") * F.lit(scale)))
+    quant = F.transform(
+        F.when(valid_vec(F.col(field)), F.col(field)),  # invalid -> NULL code
+        lambda x: F.floor(x.cast("double") * F.lit(scale)))
     return df.withColumn(out_field, _pq_assign_udf(books, maxq)(quant))
 
 
@@ -1463,12 +1556,16 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
     nprobe = int(config.get("nprobe", 1))
 
     if "probe" in config:
-        probe_raw = list(map(float, config["probe"]))
+        probe_raw = _check_probe_finite(config["probe"], "ann_pq")
     else:
         row = df.filter(F.col(id_field) == config["probe_id"]) \
                 .select(field).head()
-        if row is None or row[0] is None:
-            # unknown or NULL-embedding probe -> empty, like ann_lsh
+        if (row is None or row[0] is None or len(row[0]) == 0
+                or not np.isfinite(np.asarray(row[0],
+                                              dtype=np.float64)).all()):
+            # unknown or invalid-embedding probe -> empty, like
+            # ann_lsh (valid_vec contract: data-side invalids
+            # exclude, they don't raise)
             schema = df.select(id_field).schema.add(
                 "adc_dist" if not rerank else "cos_sim",
                 T.LongType() if not rerank else T.DoubleType())
@@ -1488,8 +1585,9 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
     else:
         # train ONCE, reuse the books for both the encode kernel and
         # the probe's distance tables (encoding via op_pq_encode would
-        # run a second identical training pass)
-        qdf = (df.filter(F.col(field).isNotNull())
+        # run a second identical training pass). valid_vec, not
+        # isNotNull: NaN/Inf components floor to garbage longs.
+        qdf = (df.filter(valid_vec(F.col(field)))
                .select(F.col(id_field).alias("__id"),
                        F.transform(F.col(field), lambda x: F.floor(
                            x.cast("double") * F.lit(scale))).alias("__q")))
@@ -1529,7 +1627,7 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
                    .select(id_field, "pq_code",
                            *(["ivf_cell"] if cents is not None else [])))
     else:
-        base = df.filter(F.col(field).isNotNull())
+        base = df.filter(valid_vec(F.col(field)))
         quant = F.transform(F.col(field), lambda x: F.floor(
             x.cast("double") * F.lit(scale)))
         encoded = base.select(
@@ -1581,3 +1679,53 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
             .select(id_field, "cos_sim")
             .orderBy(F.col("cos_sim").desc(), F.col(id_field))
             .limit(k))
+
+
+@register("vector_health")
+def op_vector_health(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Corpus-level vector validity audit — the ingest-time companion
+    of the valid_vec contract: every vector op silently EXCLUDES
+    invalid embeddings (NULL, empty, NaN/Inf/NULL component), so a
+    100 TB pipeline needs one cheap scan that says HOW MANY rows that
+    contract is dropping before anyone wonders why a kNN index is
+    smaller than its corpus. One whole-stage-codegen aggregate over
+    <=64-element arrays; no Python, no shuffle beyond the final
+    single-row combine (map-side partials do the work).
+
+    Output (one row per ``by`` group, or one global row):
+    ``n_rows``, ``n_null`` (NULL column), ``n_empty`` (zero-length),
+    ``n_nonfinite`` (non-NULL, non-empty, but >=1 NaN/Inf/NULL
+    component), ``n_valid`` (participates in vector math), and
+    ``valid_pct`` (permyriad as exact BIGINT: 10000*n_valid/n_rows,
+    integer-truncated — no float in the contract output).
+
+    config: ``field`` (default "embedding"), ``by`` (optional group
+    columns). No counterpart in the reference (zero vector ops,
+    SURVEY.md §2).
+    """
+    field = config.get("field", "embedding")
+    by = config.get("by") or []
+    if isinstance(by, str):
+        by = [by]
+    c = F.col(field)
+    is_null = c.isNull()
+    is_empty = c.isNotNull() & (F.size(c) == 0)
+    nonfinite = (c.isNotNull() & (F.size(c) > 0) & ~_components_ok(c))
+
+    def cnt(cond):
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0).cast("long"))
+
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt(is_null).alias("n_null"),
+        cnt(is_empty).alias("n_empty"),
+        cnt(nonfinite).alias("n_nonfinite"),
+        cnt(valid_vec(c)).alias("n_valid"))
+    # SQL `div` (integral), never float `/` + cast: a double detour
+    # can round across an integer boundary (CLAUDE.md invariant)
+    return agg.withColumn(
+        "valid_pct",
+        # n_rows = 0 only on the global-agg-of-empty-corpus row; the
+        # guard keeps ANSI div from throwing there
+        F.expr("CASE WHEN n_rows > 0 "
+               "THEN (10000 * n_valid) div n_rows END"))

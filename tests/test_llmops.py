@@ -2179,3 +2179,160 @@ def test_vector_ops_degenerate_corpora(spark):
         assert len(flags) == n_all
         assert all(r["is_dup"] is False and r["semdedup_cell"] is None
                    for r in flags)
+
+
+@pytest.fixture()
+def dirty_vecs(spark):
+    """The valid_vec contract fixture (round 10): 5 clean vectors plus
+    one of every invalid shape — NULL, empty, NaN component, +Inf,
+    -Inf, NULL component."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+        (10, None),
+        (11, []),
+        (12, [float("nan"), 0.0, 0.0, 0.0]),
+        (13, [float("inf"), 0.0, 0.0, 0.0]),
+        (14, [0.0, float("-inf"), 0.0, 0.0]),
+        (15, [0.0, None, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_vector_health_counts(spark, dirty_vecs):
+    row = op("vector_health", dirty_vecs, {}).collect()[0]
+    assert (row["n_rows"], row["n_null"], row["n_empty"],
+            row["n_nonfinite"], row["n_valid"]) == (11, 1, 1, 4, 5)
+    assert row["valid_pct"] == 10000 * 5 // 11
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    erow = op("vector_health", empty, {}).collect()[0]
+    assert erow["n_rows"] == 0 and erow["valid_pct"] is None
+
+
+def test_valid_vec_excludes_nonfinite_everywhere(spark, dirty_vecs, vecs):
+    """Every vector op must produce on the dirty corpus exactly what
+    it produces on the clean 5-row subset — invalid vectors neither
+    participate nor crash (round-10 valid_vec contract)."""
+    cfg_bf = {"probe_id": 0, "k": 3}
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            op("ann_bruteforce", vecs, cfg_bf).collect()]
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           op("ann_bruteforce", dirty_vecs, cfg_bf).collect()]
+    assert got == want
+
+    cfg_sj = {"threshold": 0.9, "dim": 4, "n_planes": 2, "n_tables": 8}
+    want_p = sorted((r["id_a"], r["id_b"]) for r in
+                    op("similarity_join", vecs, cfg_sj).collect())
+    got_p = sorted((r["id_a"], r["id_b"]) for r in
+                   op("similarity_join", dirty_vecs, cfg_sj).collect())
+    assert got_p == want_p
+
+    cfg_knn = {"k": 2, "n_cells": 2, "nprobe": 2, "dim": 4}
+    want_k = sorted((r["vec_id"], r["knn_rank"], r["neighbor_id"]) for r in
+                    op("knn_join", vecs, cfg_knn).collect())
+    got_k = sorted((r["vec_id"], r["knn_rank"], r["neighbor_id"]) for r in
+                   op("knn_join", dirty_vecs, cfg_knn).collect())
+    assert got_k == want_k
+
+    cfg_sd = {"dim": 4, "eps": 0.9, "n_cells": 2, "seed_order": "id",
+              "action": "flag"}
+    want_s = {r["vec_id"]: (r["semdedup_cell"], r["is_dup"]) for r in
+              op("semdedup", vecs, cfg_sd).collect()}
+    got_s = {r["vec_id"]: (r["semdedup_cell"], r["is_dup"]) for r in
+             op("semdedup", dirty_vecs, cfg_sd).collect()}
+    for vid, v in want_s.items():
+        assert got_s[vid] == v
+    for vid in (10, 11, 12, 13, 14, 15):
+        assert got_s[vid] == (None, False)
+
+    cfg_pq = {"dim": 4, "m": 2, "ks": 2}
+    want_c = {r["vec_id"]: list(r["pq_code"]) for r in
+              op("pq_encode", vecs, cfg_pq).collect()}
+    coded = {r["vec_id"]: r["pq_code"] for r in
+             op("pq_encode", dirty_vecs, cfg_pq).collect()}
+    for vid, v in want_c.items():
+        assert list(coded[vid]) == v
+    for vid in (10, 11, 12, 13, 14, 15):
+        assert coded[vid] is None
+
+    want_a = [(r["vec_id"], r["adc_dist"]) for r in
+              op("ann_pq", vecs, {**cfg_pq, "probe_id": 0, "k": 3})
+              .collect()]
+    got_a = [(r["vec_id"], r["adc_dist"]) for r in
+             op("ann_pq", dirty_vecs, {**cfg_pq, "probe_id": 0, "k": 3})
+             .collect()]
+    assert got_a == want_a
+
+
+def test_valid_vec_annotate_ops_null_out(spark, dirty_vecs):
+    buckets = {r["vec_id"]: r["lsh_bucket"] for r in
+               op("lsh_bucket", dirty_vecs, {"dim": 4, "n_planes": 4})
+               .collect()}
+    cells = {r["vec_id"]: r["ivf_cell"] for r in
+             op("ivf_assign", dirty_vecs, {"dim": 4, "n_cells": 2})
+             .collect()}
+    quant = {r["vec_id"]: r["embedding"] for r in
+             op("quantize_embedding", dirty_vecs, {"dim": 4, "bits": 8})
+             .collect()}
+    for vid in (10, 11, 12, 13, 14, 15):
+        assert buckets[vid] is None
+        assert cells[vid] is None
+        assert quant[vid] is None
+    for vid in (0, 1, 2, 3, 4):
+        assert buckets[vid] is not None
+        assert cells[vid] is not None
+        assert quant[vid] is not None
+    # quantize bounds must come from VALID vectors only: with Inf in
+    # the corpus a poisoned hi_d would zero-width dim 0 and squash
+    # every valid code to 0/255 ties
+    assert len({tuple(quant[v]) for v in (0, 1, 2, 3, 4)}) > 1
+
+
+def test_valid_vec_outlier_scores_null(spark, dirty_vecs):
+    out = {r["vec_id"]: r["centroid_sim"] for r in
+           op("embedding_outlier", dirty_vecs, {"dim": 4}).collect()}
+    for vid in (10, 11, 12, 13, 14, 15):
+        assert out[vid] is None
+    import math
+    for vid in (0, 1, 2, 3, 4):
+        assert out[vid] is not None and math.isfinite(out[vid])
+
+
+def test_valid_vec_probe_semantics(spark, dirty_vecs):
+    """Literal config probes with NaN/Inf raise (config error); a
+    probe_id pointing at an invalid vector returns empty (data-side
+    exclusion)."""
+    with pytest.raises(ValueError, match="finite"):
+        op("ann_bruteforce", dirty_vecs,
+           {"probe": [float("nan"), 0.0, 0.0, 0.0], "k": 2})
+    with pytest.raises(ValueError, match="finite"):
+        op("ann_lsh", dirty_vecs,
+           {"probe": [float("inf"), 0.0, 0.0, 0.0], "k": 2, "dim": 4})
+    with pytest.raises(ValueError, match="finite"):
+        op("ann_pq", dirty_vecs,
+           {"probe": [1.0, float("-inf"), 0.0, 0.0], "dim": 4, "m": 2,
+            "ks": 2, "k": 2})
+    for bad_probe in (12, 13, 14, 15, 11):
+        assert op("ann_bruteforce", dirty_vecs,
+                  {"probe_id": bad_probe, "k": 2}).count() == 0
+        assert op("ann_pq", dirty_vecs,
+                  {"dim": 4, "m": 2, "ks": 2, "probe_id": bad_probe,
+                   "k": 2}).count() == 0
+
+
+def test_valid_vec_dedup_against_survivors(spark, dirty_vecs, vecs):
+    """Invalid batch rows always survive (they can't be near-dups);
+    invalid history rows match nothing."""
+    hist = vecs.filter("vec_id = 0").union(
+        spark.createDataFrame([(99, [float("nan"), 1.0, 1.0, 1.0])],
+                              "vec_id long, embedding array<float>"))
+    out = {r["vec_id"] for r in
+           op("dedup_embedding_against", dirty_vecs,
+              {"threshold": 0.9, "dim": 4, "n_planes": 2, "n_tables": 8,
+               "history": hist}, views={}).collect()}
+    # 0/1 are near-dups of history vec 0 -> dropped; every invalid row
+    # survives; 2/3/4 survive (cosine < 0.9 to [1,0,0,0])
+    assert out == {2, 3, 4, 10, 11, 12, 13, 14, 15}

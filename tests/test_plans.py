@@ -656,6 +656,10 @@ def test_knn_join_lsh_mode_no_allpairs(no_aqe):
         plans.explain_text(df)
     plans.assert_no_row_python(df)
     assert plans.shuffle_exchange_count(df) <= 6, plans.explain_text(df)
+    # Python touches data only through the stacked-matmul bucket
+    # kernel and the pair-dot kernel (VERDICT r9 #7: LSH mode now
+    # carries the same Arrow-count gate as the IVF cogroup mode)
+    assert len(plans.arrow_python_nodes(df)) <= 2, plans.explain_text(df)
 
 
 def test_embedding_ingest_history_stays_int8(no_aqe):

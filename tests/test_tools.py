@@ -69,3 +69,75 @@ def test_rotation_lint_passes_on_current_order():
     r = subprocess.run([sys.executable, "tools/check_rotation.py"],
                        capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_parity_scale_knob_consistent_and_default_stable():
+    """SPARK_GRAFT_PARITY_SCALE (round 10, VERDICT r9 #6) must scale
+    the parity moduli in the ORACLE SQL (the Spark closures read the
+    same module constants, so one source of truth), and the default
+    scale must leave every oracle byte-identical to the in-process
+    import — the driver never sets the knob."""
+    import importlib.util
+    import os
+    import re
+    import sys
+
+    def load(scale):
+        old = os.environ.get("SPARK_GRAFT_PARITY_SCALE")
+        os.environ["SPARK_GRAFT_PARITY_SCALE"] = str(scale)
+        try:
+            spec = importlib.util.spec_from_file_location(
+                f"entry_scale_{scale}", "/root/repo/__spark_entry__.py")
+            m = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(m)
+            return m
+        finally:
+            if old is None:
+                del os.environ["SPARK_GRAFT_PARITY_SCALE"]
+            else:
+                os.environ["SPARK_GRAFT_PARITY_SCALE"] = old
+
+    import __spark_entry__ as entry
+    base = entry.oracle_sql()
+    assert load(1).oracle_sql() == base
+
+    scaled = load(7).oracle_sql()
+    expect = {"dedup_embedding_parity": "% 28", "knn_join": "% 28",
+              "semdedup": "% 28", "dedup_embedding_against": "% 28",
+              "dedup_near_parity": "% 14", "minhash_parity_gate": None,
+              "ngram_jaccard": "% 7", "winnow": "% 7",
+              "winnow_overlap": "% 7", "quantize_embedding": "% 7",
+              "dedup_near_against": "% 7"}
+    for name, mod in expect.items():
+        if mod is None or name not in scaled:
+            continue
+        assert mod in scaled[name], (name, re.findall(r"% \d+", scaled[name]))
+        assert mod not in base[name]
+
+
+def test_gen_fixture_nan_planting(tmp_path):
+    """--nan-frac corrupts only non-NULL embeddings, hits every
+    corruption class at a plantable rate, and leaves the other tables
+    untouched (round-10 valid_vec sweep lever)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from tools.gen_fixture import gen
+
+    out = str(tmp_path / "nan")
+    gen(0.01, out, seed=7, null_frac=0.05, nan_frac=0.2)
+    emb = pq.read_table(f"{out}/embeddings.parquet")["embedding"].to_pylist()
+    n_null = sum(v is None for v in emb)
+    n_empty = sum(v is not None and len(v) == 0 for v in emb)
+    n_nan = sum(v is not None and any(x is not None and math.isnan(x)
+                                      for x in v) for v in emb)
+    n_inf = sum(v is not None and any(x is not None and math.isinf(x)
+                                      for x in v) for v in emb)
+    n_nullcomp = sum(v is not None and any(x is None for x in v)
+                     for v in emb)
+    assert n_null > 0 and n_empty > 0 and n_nan > 0
+    assert n_inf > 0 and n_nullcomp > 0
+    n_bad = n_empty + n_nan + n_inf + n_nullcomp
+    # ~20% of the non-NULL vectors corrupted
+    assert 0.1 * len(emb) < n_bad < 0.3 * len(emb)

@@ -98,13 +98,16 @@ def _money(rng, n, lo, hi):
 
 
 def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
-        ts_jitter: bool = False, null_frac: float = 0.0) -> dict:
+        ts_jitter: bool = False, null_frac: float = 0.0,
+        nan_frac: float = 0.0) -> dict:
     if ts_unit not in ("us", "ns"):
         raise ValueError(f"ts_unit must be us|ns, got {ts_unit!r}")
     if ts_jitter and ts_unit != "ns":
         raise ValueError("--ts-jitter requires --ts-unit ns")
     if not 0.0 <= null_frac < 1.0:
         raise ValueError(f"null_frac must be in [0, 1), got {null_frac}")
+    if not 0.0 <= nan_frac < 1.0:
+        raise ValueError(f"nan_frac must be in [0, 1), got {nan_frac}")
     s = sf / 0.1
     n = {t: max(1, int(round(c * s))) for t, c in BASE.items()}
     os.makedirs(out, exist_ok=True)
@@ -260,8 +263,34 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
     vecs = rng.standard_normal((nv, 64)) + 0.56 * cents[label]
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     vecs = vecs.astype(np.float32)
-    emb_list = [None if null_frac and rng.random() < null_frac else v
-                for v in vecs]
+    emb_list: list = [None if null_frac and rng.random() < null_frac else v
+                      for v in vecs]
+    if nan_frac:
+        # adversarial-value variant (round 10): corrupt this fraction
+        # of the NON-NULL vectors so a full sweep checks the valid_vec
+        # contract (NaN/Inf/NULL components, zero-length arrays are
+        # excluded like NULL embeddings) agrees row-for-row between
+        # every vector op and its oracle. Corruption mix: NaN
+        # component 40%, +Inf 20%, -Inf 20%, empty array 10%, NULL
+        # component 10% — each hits a different engine-divergence mode
+        # (Spark floor(NaN)->0 vs DuckDB NaN; min/max NaN ordering;
+        # np.vstack raggedness; lambda-filter NULL semantics).
+        for i in range(len(emb_list)):
+            v = emb_list[i]
+            if v is None or rng.random() >= nan_frac:
+                continue
+            r, pos = rng.random(), int(rng.integers(0, len(v)))
+            if r < 0.4:
+                bad: list = list(v); bad[pos] = float("nan")
+            elif r < 0.6:
+                bad = list(v); bad[pos] = float("inf")
+            elif r < 0.8:
+                bad = list(v); bad[pos] = float("-inf")
+            elif r < 0.9:
+                bad = []
+            else:
+                bad = list(v); bad[pos] = None
+            emb_list[i] = bad
     write("embeddings", pa.table({
         "vec_id": pa.array(np.arange(nv), pa.int64()),
         "embedding": pa.array(emb_list, pa.list_(pa.float32())),
@@ -286,10 +315,14 @@ def main():
                     help="plant this fraction of NULLs in events.ts "
                          "and embeddings.embedding (NULL-robustness "
                          "sweep variant; driver fixtures have none)")
+    ap.add_argument("--nan-frac", type=float, default=0.0,
+                    help="corrupt this fraction of non-NULL embeddings "
+                         "with NaN/Inf/NULL components or zero-length "
+                         "arrays (valid_vec-contract sweep variant)")
     args = ap.parse_args()
     t0 = time.time()
     stats = gen(args.sf, args.out, args.seed, args.ts_unit,
-                args.ts_jitter, args.null_frac)
+                args.ts_jitter, args.null_frac, args.nan_frac)
     print(json.dumps({"sf": args.sf, "out": args.out,
                       "seconds": round(time.time() - t0, 1),
                       "rows": stats}))

@@ -140,6 +140,11 @@ PROBED = [
     # cells stay balanced; the per-query top-k window is one
     # query-id shuffle over the candidate stream
     "knn_join_scale",
+    # round 10: LSH-mode kNN-join — candidates are per-(table,bucket)
+    # posting-list products; alpha tracks bucket balance at FIXED
+    # n_planes (production raises n_planes with the corpus to hold
+    # expected bucket size, like IVF raises n_cells)
+    "knn_join_lsh_scale",
     # round 9: SemDeDup — per-cell pairwise work is n_cell^2, so
     # alpha tracks how well the Lloyd cells stay balanced at a FIXED
     # n_cells; production scales n_cells with the corpus (~0.1% of n)
