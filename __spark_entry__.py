@@ -2278,6 +2278,97 @@ ORDER BY user_id, event_type
 """
 
 
+def q_vector_ingest_stream(spark, sf_dir):
+    """Streaming vector intake (round 10,
+    streaming/ops.run_stream_vector_ingest): two availableNow drains
+    over split halves of the embeddings corpus — drain 1 bootstraps
+    and FREEZES the PQ books + IVF cells, drain 2 near-dedups against
+    the int8 history and encodes with the frozen models. The gate
+    compares the streamed store against a BATCH composition of the
+    same oracle-anchored ops (dedup_embedding / dedup_embedding_against
+    / quantize / pq_encode(books) / ivf_assign(cells)) — survivor id
+    sets equal, stored codes bit-equal — and emits scale-independent
+    booleans (the simhash-gate pattern; every component op also has
+    its own value-checked oracle pair)."""
+    import shutil
+    import tempfile
+
+    from blackroad_data_pipeline_spark.llmops.similarity import valid_vec
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_vector_ingest)
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    day1 = e.filter("vec_id % 2 = 0")
+    day2 = e.filter("vec_id % 2 = 1")
+    kw = dict(threshold=0.9, dim=64, m=8, ks=4, n_cells=4,
+              n_planes=2, n_tables=15)
+
+    root = tempfile.mkdtemp(prefix="vec_ingest_gate_")
+    try:
+        src = f"{root}/src"
+        store_p, models, ckpt = f"{root}/store", f"{root}/models", f"{root}/ckpt"
+        day1.write.parquet(f"{src}/d1.parquet")
+        schema = "vec_id long, embedding array<float>"
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", True).parquet(src)
+        run_stream_vector_ingest(stream, store_p, ckpt, models, **kw)
+        day2.write.parquet(f"{src}/d2.parquet")
+        stream2 = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", True).parquet(src)
+        run_stream_vector_ingest(stream2, store_p, ckpt, models, **kw)
+
+        store = spark.read.parquet(store_p)
+        books = spark.read.parquet(f"{models}/books")
+        cells = spark.read.parquet(f"{models}/cells")
+
+        # batch twin over the same split, same frozen models
+        dd = {k: kw[k] for k in ("threshold", "dim", "n_planes", "n_tables")}
+        pq = {"dim": 64, "m": 8, "ks": 4, "seed_order": "id"}
+        k1 = op("dedup_embedding", day1.filter(valid_vec(F.col("embedding"))), dd)
+        h = op("dequantize_embedding",
+               store.filter("__ingest_batch = 0").select(
+                   "vec_id", F.col("q_emb").alias("embedding"),
+                   F.array(*[F.lit(-1.0)] * 64).alias("q_lo"),
+                   F.array(*[F.lit(1.0)] * 64).alias("q_hi")),
+               {"bits": 8})
+        k2 = op("dedup_embedding_against",
+                op("dedup_embedding",
+                   day2.filter(valid_vec(F.col("embedding"))), dd),
+                {**dd, "history": h}, views={})
+        batch_kept = k1.select("vec_id").unionByName(k2.select("vec_id"))
+        twin = op("ivf_assign",
+                  op("pq_encode",
+                     e.join(batch_kept, "vec_id", "left_semi"),
+                     {**pq, "books": books}),
+                  {"n_cells": 4, "cells": cells}).select(
+            "vec_id", F.col("pq_code").alias("t_code"),
+            F.col("ivf_cell").alias("t_cell"))
+
+        joined = store.join(twin, "vec_id", "full_outer")
+        agg = joined.agg(
+            F.coalesce(F.sum((F.col("pq_code").isNull()
+                              | F.col("t_code").isNull()).cast("long")),
+                       F.lit(0).cast("long")).alias("n_id_mismatch"),
+            F.coalesce(F.sum(((F.col("pq_code") != F.col("t_code"))
+                              | (F.col("ivf_cell") != F.col("t_cell")))
+                             .cast("long")),
+                       F.lit(0).cast("long")).alias("n_code_mismatch"),
+            (F.count(F.lit(1)) > 0).alias("store_nonempty")).collect()[0]
+        return spark.createDataFrame(
+            [(int(agg["n_id_mismatch"]), int(agg["n_code_mismatch"]),
+              bool(agg["store_nonempty"]))],
+            "n_id_mismatch long, n_code_mismatch long, store_nonempty boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_VECTOR_INGEST_STREAM = """
+SELECT CAST(0 AS BIGINT) AS n_id_mismatch,
+       CAST(0 AS BIGINT) AS n_code_mismatch,
+       TRUE AS store_nonempty
+"""
+
+
 def q_corpus_prep_stream(spark, sf_dir):
     """Corpus-prep operators composed on a STRUCTURED STREAM: stream
     the documents parquet, break/clean lines, count tokens, and
@@ -6424,6 +6515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_served": q_ann_pq_served,
         "pq_books": q_pq_books,
         "vector_health": q_vector_health,
+        "vector_ingest_stream": q_vector_ingest_stream,
         # -- last driver-sampled r3 --
         "topk_per_group": q_topk_per_group,
         "window_rank": q_window_rank,
@@ -6815,6 +6907,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_served": _SQL_ANN_PQ,
         "ann_ivfpq": _SQL_ANN_PQ,
         "vector_health": _SQL_VECTOR_HEALTH,
+        "vector_ingest_stream": _SQL_VECTOR_INGEST_STREAM,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "corpus_prep": _SQL_CORPUS_PREP,

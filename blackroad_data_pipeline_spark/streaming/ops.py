@@ -523,3 +523,119 @@ def run_stream_scd2(df: DataFrame, path: str, checkpoint: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
+                             model_path: str, field: str = "embedding",
+                             id_field: str = "vec_id",
+                             threshold: float = 0.9, dim: int = 64,
+                             m: int = 8, ks: int = 16, n_cells: int = 4,
+                             n_planes: int = 12, n_tables: int = 2,
+                             bits: int = 8, bounds=(-1.0, 1.0),
+                             seed: int = 42):
+    """Streaming vector-corpus ingestion — the production RAG/vector-
+    store intake shape, composing the round-10 train/serve split with
+    the incremental-dedup family. Each availableNow drain:
+
+    1. applies the valid_vec contract (NaN/Inf/empty/NULL-component
+       vectors never enter the store — `vector_health` is the audit
+       of what this drops),
+    2. near-dedups the micro-batch within itself (greedy
+       dedup_embedding) and then against the PERSISTED history —
+       consumed as int8 codes dequantized on the fly (4x narrower
+       I/O; the bucketed dedup_embedding_against join never re-reads
+       raw fp32 history),
+    3. bootstraps the PQ codebooks and IVF coarse quantizer from the
+       FIRST batch and persists them (`model_path`/books, /cells);
+       every later batch serves the FROZEN models, so pq codes and
+       ivf_cell ids stay joinable across days — the property that
+       makes the store servable at all (op_ann_pq ``books``/``codes``
+       answers probes from it with zero training jobs),
+    4. appends survivors as narrow serving rows — ``vec_id``, int8
+       ``q_emb``, 8-byte ``pq_code``, ``ivf_cell`` — into an
+       ``__ingest_batch`` partition with dynamic overwrite, so a
+       checkpoint-replayed batch rewrites its own partition instead
+       of duplicating rows (the run_stream_ingest_dedup replay
+       contract; the history anti-join excludes the current batch id
+       for the same reason).
+
+    Quantization bounds are CALLER-FIXED (default [-1, 1] for unit
+    vectors), never per-batch min/max — a drifting codebook would
+    make day-1 and day-2 codes incomparable.
+    """
+    from ..operators import apply_operator as op
+    from ..llmops.similarity import valid_vec
+
+    lo, hi = float(bounds[0]), float(bounds[1])
+    dd_cfg = {"threshold": threshold, "dim": dim, "n_planes": n_planes,
+              "n_tables": n_tables, "seed": seed,
+              "field": field, "id_field": id_field}
+    pq_cfg = {"dim": dim, "m": m, "ks": ks, "field": field,
+              "id_field": id_field, "seed_order": "id"}
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        from pyspark.errors import AnalysisException
+
+        batch = batch.filter(valid_vec(F.col(field)))
+        kept = op("dedup_embedding", batch, dd_cfg)
+
+        def _read(sub):
+            try:
+                return spark.read.parquet(f"{model_path}/{sub}")
+            except AnalysisException as e:
+                cond = getattr(e, "getCondition", lambda: None)()
+                if cond != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
+                    raise
+                return None
+
+        books = _read("books")
+        cells = _read("cells")
+        if books is None or cells is None:
+            # bootstrap: train on the first batch, persist, re-read
+            # (the parquet round-trip IS the serving contract — same
+            # books in, same codes out, pytest-pinned in batch mode)
+            op("pq_encode", kept, {**pq_cfg, "emit": "books"}) \
+                .write.mode("overwrite").parquet(f"{model_path}/books")
+            op("ivf_assign", kept,
+               {**pq_cfg, "n_cells": n_cells, "emit": "cells"}) \
+                .write.mode("overwrite").parquet(f"{model_path}/cells")
+            books, cells = _read("books"), _read("cells")
+
+        store = None
+        try:
+            store = (spark.read.parquet(path)
+                     .filter(F.col("__ingest_batch") != F.lit(batch_id)))
+        except AnalysisException as e:
+            cond = getattr(e, "getCondition", lambda: None)()
+            if cond != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
+                raise
+        if store is not None:
+            hist = store.select(
+                id_field,
+                F.col("q_emb").alias(field),
+                F.array(*[F.lit(lo)] * dim).alias("q_lo"),
+                F.array(*[F.lit(hi)] * dim).alias("q_hi"))
+            hist = op("dequantize_embedding", hist,
+                      {"bits": bits, "field": field})
+            kept = op("dedup_embedding_against", kept,
+                      {**dd_cfg, "history": hist}, views={})
+
+        kept = kept.localCheckpoint(eager=True)  # compute the dedup ONCE
+        q = op("quantize_embedding", kept,
+               {"dim": dim, "bits": bits, "bounds": [lo, hi],
+                "field": field, "as": "q_emb"})
+        coded = op("pq_encode", q, {**pq_cfg, "books": books})
+        celled = op("ivf_assign", coded,
+                    {**pq_cfg, "n_cells": n_cells, "cells": cells})
+        (celled.select(id_field, "q_emb", "pq_code", "ivf_cell")
+         .withColumn("__ingest_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__ingest_batch").parquet(path))
+
+    q = (df.writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

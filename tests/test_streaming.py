@@ -412,3 +412,83 @@ def test_stateful_dedup_event_time_ttl_data_path_eviction(spark, tmp_path):
     got = sorted(r["event_id"]
                  for r in spark.sql("SELECT * FROM ettl_dp").collect())
     assert got == [1, 2, 3]  # event 3 re-emits despite carrying data
+
+
+def test_stream_vector_ingest_frozen_models_and_history_dedup(spark, tmp_path):
+    """Streaming vector intake (round 10): drain 1 bootstraps + freezes
+    the PQ/IVF models and stores the batch; drain 2's near-dups of
+    drain-1 vectors are dropped via the int8 history, its invalid
+    vector never enters the store, and the stored codes are
+    bit-identical to a batch re-encode against the persisted models —
+    the joinability/servability contract."""
+    import numpy as np
+
+    from blackroad_data_pipeline_spark.operators import (
+        apply_operator as op,
+    )
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_vector_ingest,
+    )
+
+    rng = np.random.RandomState(5)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    base = [unit(rng.randn(8)) for _ in range(6)]
+    src = tmp_path / "vecs"
+    src.mkdir()
+    out = str(tmp_path / "store")
+    models = str(tmp_path / "models")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(threshold=0.98, dim=8, m=2, ks=2, n_cells=2,
+              n_planes=2, n_tables=8)
+
+    spark.createDataFrame(
+        list(enumerate(base)), schema
+    ).write.parquet(str(src / "day1.parquet"))
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", True).parquet(str(src))
+    run_stream_vector_ingest(stream, out, ckpt, models, **kw)
+    day1 = spark.read.parquet(out)
+    assert sorted(r["vec_id"] for r in day1.collect()) == [0, 1, 2, 3, 4, 5]
+    assert {"vec_id", "q_emb", "pq_code", "ivf_cell"} <= set(day1.columns)
+
+    day2_rows = [
+        (10, unit(np.asarray(base[0]) + rng.randn(8) * 1e-3)),  # ~dup of 0
+        (11, unit(rng.randn(8))),                               # new
+        (12, [float("nan")] + [0.0] * 7),                       # invalid
+        (13, unit(rng.randn(8))),                               # new
+    ]
+    spark.createDataFrame(day2_rows, schema).write.parquet(
+        str(src / "day2.parquet"))
+    stream2 = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", True).parquet(str(src))
+    run_stream_vector_ingest(stream2, out, ckpt, models, **kw)
+
+    store = spark.read.parquet(out)
+    got = sorted(r["vec_id"] for r in store.collect())
+    assert got == [0, 1, 2, 3, 4, 5, 11, 13]
+
+    # day-2 codes must equal a batch re-encode against the FROZEN
+    # persisted models (same books in, same codes out)
+    books = spark.read.parquet(f"{models}/books")
+    cells = spark.read.parquet(f"{models}/cells")
+    raw = spark.createDataFrame(
+        [r for r in day2_rows if r[0] in (11, 13)], schema)
+    cfg = {"dim": 8, "m": 2, "ks": 2, "seed_order": "id"}
+    want = {r["vec_id"]: (list(r["pq_code"]), r["ivf_cell"]) for r in
+            op("ivf_assign", op("pq_encode", raw, {**cfg, "books": books}),
+               {"n_cells": 2, "cells": cells}).collect()}
+    stored = {r["vec_id"]: (list(r["pq_code"]), r["ivf_cell"]) for r in
+              store.filter("vec_id in (11, 13)").collect()}
+    assert stored == want
+
+    # the store SERVES: ann_pq from frozen books + stored codes, no
+    # training jobs — top-1 for a probe equal to vector 3 is 3 itself
+    hit = op("ann_pq", spark.createDataFrame(list(enumerate(base)), schema),
+             {**cfg, "probe": base[3], "k": 1,
+              "books": books, "codes": store.select("vec_id", "pq_code")})
+    assert [r["vec_id"] for r in hit.collect()] == [3]
