@@ -45,6 +45,22 @@ _HDOCS = (f"(SELECT * FROM documents WHERE doc_id % {_HMOD} = 0)"
 _HEMBS = (f"(SELECT * FROM embeddings WHERE vec_id % {_HMOD} = 0)"
           if _PSCALE > 1 else "embeddings")
 _HDOC_AND = f"doc_id % {_HMOD} = 0 AND " if _PSCALE > 1 else ""
+# row-per-lineitem output pairs (zorder, expect_fk): 60M-row toPandas
+# breaches spark.driver.maxResultSize at sf10 — the COMPARATOR's
+# limit, not the operator's (both plans stream; only the driver-side
+# value compare collects)
+_HLINE = (f"(SELECT * FROM lineitem WHERE l_orderkey % {_HMOD} = 0)"
+          if _PSCALE > 1 else "lineitem")
+
+
+def _hmod_lineitem(spark, sf_dir):
+    """Spark twin of _HLINE."""
+    li = _t(spark, sf_dir, "lineitem")
+    if _PSCALE == 1:
+        return li
+    li = op("expr", li, {"exprs": {"hm": f"l_orderkey % {_HMOD}"}})
+    li = op("filter", li, {"field": "hm", "op": "eq", "value": 0})
+    return li.drop("hm")
 
 
 def _hmod_docs(spark, sf_dir):
@@ -2071,7 +2087,7 @@ def q_contamination(spark, sf_dir):
     """Benchmark decontamination: docs sharing >= 5 distinct 3-gram
     shingles with the pseudo-benchmark set (doc_id % 20 == 0). The
     benchmark side broadcasts; the corpus side never shuffles."""
-    d = _t(spark, sf_dir, "documents")
+    d = _hmod_docs(spark, sf_dir)
     train = op("sql", d, {"query": "SELECT * FROM self WHERE doc_id % 20 <> 0"},
                views={})
     bench = op("sql", d, {"query": "SELECT * FROM self WHERE doc_id % 20 = 0"},
@@ -2089,7 +2105,7 @@ WITH sh AS (
              range(1, len({_D_TOKS}) - 1),
              i -> array_to_string(({_D_TOKS})[i:i+2], ' ')))
          ELSE [array_to_string({_D_TOKS}, ' ')] END AS s
-  FROM documents),
+  FROM {_HDOCS}),
 flat AS (SELECT doc_id, unnest(s) AS s FROM sh),
 train AS (SELECT doc_id, s FROM flat WHERE doc_id % 20 <> 0),
 bench AS (SELECT doc_id AS bench_id, s FROM flat WHERE doc_id % 20 = 0)
@@ -2289,7 +2305,10 @@ def q_vector_ingest_stream(spark, sf_dir):
     / quantize / pq_encode(books) / ivf_assign(cells)) — survivor id
     sets equal, stored codes bit-equal — and emits scale-independent
     booleans (the simhash-gate pattern; every component op also has
-    its own value-checked oracle pair)."""
+    its own value-checked oracle pair). Rides the heavy-pair knob
+    (_hmod_embs): the recall~1 dedup geometry inside the gate is
+    by-design quadratic, so sf10 sweeps subset the corpus like the
+    other parity pairs (at the default scale the knob is a no-op)."""
     import shutil
     import tempfile
 
@@ -2297,9 +2316,13 @@ def q_vector_ingest_stream(spark, sf_dir):
     from blackroad_data_pipeline_spark.streaming.ops import (
         run_stream_vector_ingest)
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    day1 = e.filter("vec_id % 2 = 0")
-    day2 = e.filter("vec_id % 2 = 1")
+    e = _hmod_embs(spark, sf_dir).select("vec_id", "embedding")
+    # deterministic eighths, not halves: the gate's recall~1 dedup is
+    # quadratic per bucket, and bench times every contract query at
+    # sf0.1 — eighths keep the pair work at the dedup_parity scale
+    # while exercising the identical two-drain path
+    day1 = e.filter("vec_id % 8 = 0")
+    day2 = e.filter("vec_id % 8 = 1")
     kw = dict(threshold=0.9, dim=64, m=8, ks=4, n_cells=4,
               n_planes=2, n_tables=15)
 
@@ -4286,7 +4309,7 @@ def q_expect_fk(spark, sf_dir):
     set (o_orderkey < 10000), tag mode — DuckDB recomputes the exact
     violation arrays. The FK attach is a broadcast left join on the
     distinct ref keys."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _hmod_lineitem(spark, sf_dir)
     orders = _t(spark, sf_dir, "orders")
     refs = op("filter", orders, {"field": "o_orderkey", "op": "lt",
                                  "value": 10000})
@@ -4303,14 +4326,14 @@ def q_expect_fk(spark, sf_dir):
                                       "l_partkey"]})
 
 
-_SQL_EXPECT_FK = """
+_SQL_EXPECT_FK = f"""
 SELECT l_orderkey, l_linenumber, l_partkey,
        CASE WHEN l_orderkey IS NULL
                  OR l_orderkey IN (SELECT o_orderkey FROM orders
                                    WHERE o_orderkey < 10000)
             THEN ''
             ELSE 'foreign_key_l_orderkey' END AS violations
-FROM lineitem
+FROM {_HLINE}
 ORDER BY l_orderkey, l_linenumber, l_partkey
 """
 
@@ -4401,7 +4424,7 @@ def q_dedup_lines(spark, sf_dir):
     survives only at its smallest (doc_id, line_idx). DuckDB replays
     the same first-occurrence rule with a window over the exploded
     lines."""
-    d = _t(spark, sf_dir, "documents")
+    d = _hmod_docs(spark, sf_dir)
     lined = op("sql", d, {"query": r"""
         SELECT doc_id,
                regexp_replace(coalesce(text, ''),
@@ -4413,12 +4436,12 @@ def q_dedup_lines(spark, sf_dir):
     return op("sort", df, {"fields": ["doc_id"]})
 
 
-_SQL_DEDUP_LINES = r"""
+_SQL_DEDUP_LINES = rf"""
 WITH src AS (
   SELECT doc_id,
-         regexp_replace(coalesce(text, ''), '((?:\S+ ){7}\S+) ',
+         regexp_replace(coalesce(text, ''), '((?:\S+ ){{7}}\S+) ',
                         '\1' || chr(10), 'g') AS text
-  FROM documents),
+  FROM {_HDOCS}),
 ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM src),
 l AS (SELECT doc_id, unnest(list_zip(range(1, len(arr) + 1), arr)) AS r FROM ls),
 lines AS (
@@ -4645,7 +4668,7 @@ def q_zorder(spark, sf_dir):
     quantization + Morton interleave, pure integer bitwise ops
     (operators/relational.py op_zorder). The oracle reproduces the
     magic-number spread bit-for-bit."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _hmod_lineitem(spark, sf_dir)
     df = op("zorder", li, {"cols": ["l_partkey", "l_suppkey"], "bits": 16,
                            "bounds": {"l_partkey": [0.0, 20000.0],
                                       "l_suppkey": [0.0, 1000.0]}})
@@ -4653,14 +4676,14 @@ def q_zorder(spark, sf_dir):
                                         "zvalue"]})
 
 
-_SQL_ZORDER = """
+_SQL_ZORDER = f"""
 WITH q AS (
   SELECT l_orderkey, l_linenumber,
     LEAST(GREATEST(CAST(floor((CAST(l_partkey AS DOUBLE) - 0.0)
                               / 20000.0 * 65535.0) AS BIGINT), 0), 65535) AS a,
     LEAST(GREATEST(CAST(floor((CAST(l_suppkey AS DOUBLE) - 0.0)
                               / 1000.0 * 65535.0) AS BIGINT), 0), 65535) AS b
-  FROM lineitem),
+  FROM {_HLINE}),
 s1 AS (SELECT l_orderkey, l_linenumber,
         (a | (a << 16)) & 281470681808895 AS a, (b | (b << 16)) & 281470681808895 AS b FROM q),
 s2 AS (SELECT l_orderkey, l_linenumber,

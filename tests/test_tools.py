@@ -107,7 +107,8 @@ def test_parity_scale_knob_consistent_and_default_stable():
               "dedup_near_parity": "% 14", "minhash_parity_gate": None,
               "ngram_jaccard": "% 7", "winnow": "% 7",
               "winnow_overlap": "% 7", "quantize_embedding": "% 7",
-              "dedup_near_against": "% 7"}
+              "dedup_near_against": "% 7", "zorder": "% 7",
+              "expect_fk": "% 7", "dedup_lines": "% 7"}
     for name, mod in expect.items():
         if mod is None or name not in scaled:
             continue

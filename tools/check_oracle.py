@@ -235,6 +235,14 @@ def main():
     workers = int(os.environ.get("ORACLE_WORKERS", "6"))
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # ORACLE_DUCK_MEM caps DuckDB's memory (shared by all cursors of
+    # this connection). Unset = DuckDB's default (~80% of RAM), which
+    # at sf10 OOM-killed the whole sweep: 5 concurrent 60M-row oracle
+    # scans + the 32g Spark heap + toPandas buffers exceed the box.
+    duck_mem = os.environ.get("ORACLE_DUCK_MEM")
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
+        con.execute(f"SET temp_directory='/tmp/duckspill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
