@@ -4456,7 +4456,7 @@ marked AS (
   FROM lines)
 SELECT d.doc_id,
        coalesce(t.text_dedup, '') AS text_dedup
-FROM documents d
+FROM {_HDOCS} d
 LEFT JOIN (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text_dedup
   FROM marked WHERE rn = 1 GROUP BY doc_id) t USING (doc_id)
