@@ -6533,59 +6533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled queries (new ops count as never-sampled and lead).
         # Whole dict is sorted by (last-sampled round, name) so future
         # rotations are a re-sort, not a hand shuffle.
-        # -- never driver-sampled (round-10 additions) --
-        "ann_ivfpq": q_ann_ivfpq,
-        "ann_pq_served": q_ann_pq_served,
-        "pq_books": q_pq_books,
-        "vector_health": q_vector_health,
-        "vector_ingest_stream": q_vector_ingest_stream,
-        # -- last driver-sampled r3 --
-        "topk_per_group": q_topk_per_group,
-        "window_rank": q_window_rank,
         # -- last driver-sampled r4 --
-        "audio_meta": q_audio_meta,
-        "bigram_logprob": q_bigram_logprob,
-        "bm25": q_bm25,
-        "bpe_gate": q_bpe_gate,
-        "cap_per_group": q_cap_per_group,
-        "cdc_gate": q_cdc_gate,
-        "chunk_text": q_chunk_text,
-        "clean_lines": q_clean_lines,
-        "contamination": q_contamination,
-        "corpus_prep_stream": q_corpus_prep_stream,
-        "decode_meta": q_decode_meta,
-        "dedup_against": q_dedup_against,
-        "dedup_against_bloom": q_dedup_against_bloom,
-        "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
-        "dedup_embedding_parity": q_dedup_embedding_parity,
-        "dedup_near_best": q_dedup_near_best,
-        "distinct_sketch_gate": q_distinct_sketch_gate,
-        "events_window_stream": q_events_window_stream,
-        "funnel_timing": q_funnel_timing,
-        "hash_columns": q_hash_columns,
-        "heavy_hitters": q_heavy_hitters,
-        "heavy_hitters_mg": q_heavy_hitters_mg,
-        "histogram": q_histogram,
-        "ivf_assign_gate": q_ivf_assign_gate,
-        "k_anonymity": q_k_anonymity,
-        "merge_agg": q_merge_agg,
-        "mix_corpus_gate": q_mix_corpus_gate,
-        "mix_temperature": q_mix_temperature,
-        "pack_sequences": q_pack_sequences,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "resize_meta": q_resize_meta,
-        "sample_gate": q_sample_gate,
-        "scd2": q_scd2,
-        "split_assign_gate": q_split_assign_gate,
-        "stateful_dedup_stream": q_stateful_dedup_stream,
-        "stream_join": q_stream_join,
-        "stream_join_stream": q_stream_join_stream,
-        "strip_markup": q_strip_markup,
-        "tfidf_topk": q_tfidf_topk,
-        "triangles": q_triangles,
-        "triangles_per_node": q_triangles_per_node,
-        "unigram_logprob": q_unigram_logprob,
         "url_parts": q_url_parts,
         "vocab_topk": q_vocab_topk,
         "zorder": q_zorder,
@@ -6736,6 +6684,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_count": q_token_count,
         "unpivot": q_unpivot,
+        # -- last driver-sampled r10 --
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_pq_served": q_ann_pq_served,
+        "audio_meta": q_audio_meta,
+        "bigram_logprob": q_bigram_logprob,
+        "bm25": q_bm25,
+        "bpe_gate": q_bpe_gate,
+        "cap_per_group": q_cap_per_group,
+        "cdc_gate": q_cdc_gate,
+        "chunk_text": q_chunk_text,
+        "clean_lines": q_clean_lines,
+        "contamination": q_contamination,
+        "corpus_prep_stream": q_corpus_prep_stream,
+        "decode_meta": q_decode_meta,
+        "dedup_against": q_dedup_against,
+        "dedup_against_bloom": q_dedup_against_bloom,
+        "dedup_embedding_groups_parity": q_dedup_embedding_groups_parity,
+        "dedup_embedding_parity": q_dedup_embedding_parity,
+        "dedup_near_best": q_dedup_near_best,
+        "distinct_sketch_gate": q_distinct_sketch_gate,
+        "events_window_stream": q_events_window_stream,
+        "funnel_timing": q_funnel_timing,
+        "hash_columns": q_hash_columns,
+        "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "histogram": q_histogram,
+        "ivf_assign_gate": q_ivf_assign_gate,
+        "k_anonymity": q_k_anonymity,
+        "merge_agg": q_merge_agg,
+        "mix_corpus_gate": q_mix_corpus_gate,
+        "mix_temperature": q_mix_temperature,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "pq_books": q_pq_books,
+        "repetition_stats": q_repetition_stats,
+        "resize_meta": q_resize_meta,
+        "sample_gate": q_sample_gate,
+        "scd2": q_scd2,
+        "split_assign_gate": q_split_assign_gate,
+        "stateful_dedup_stream": q_stateful_dedup_stream,
+        "stream_join": q_stream_join,
+        "stream_join_stream": q_stream_join_stream,
+        "strip_markup": q_strip_markup,
+        "tfidf_topk": q_tfidf_topk,
+        "topk_per_group": q_topk_per_group,
+        "triangles": q_triangles,
+        "triangles_per_node": q_triangles_per_node,
+        "unigram_logprob": q_unigram_logprob,
+        "vector_health": q_vector_health,
+        "vector_ingest_stream": q_vector_ingest_stream,
+        "window_rank": q_window_rank,
     }
 
 
