@@ -731,7 +731,7 @@ WITH h AS (
   FROM embeddings GROUP BY label)
 SELECT label, n_rows, n_null, n_empty, n_nonfinite, n_valid,
        CAST((10000 * n_valid) // n_rows AS BIGINT) AS valid_pct
-FROM h ORDER BY label
+FROM h ORDER BY label NULLS FIRST
 """
 
 
@@ -2323,8 +2323,12 @@ def q_vector_ingest_stream(spark, sf_dir):
     # while exercising the identical two-drain path
     day1 = e.filter("vec_id % 8 = 0")
     day2 = e.filter("vec_id % 8 = 1")
+    # min_train=1: this gate checks stream/batch PARITY, not the
+    # bootstrap guard (its own pytest covers that) — at a knobbed
+    # parity scale on a small fixture day-1 can shrink to 1-2 vectors
+    # and must still bootstrap so both sides run identical ops
     kw = dict(threshold=0.9, dim=64, m=8, ks=4, n_cells=4,
-              n_planes=2, n_tables=15)
+              n_planes=2, n_tables=15, min_train=1)
 
     root = tempfile.mkdtemp(prefix="vec_ingest_gate_")
     try:
@@ -5036,7 +5040,7 @@ WITH s AS (
 c AS (
   SELECT label, list(CAST(sd AS DOUBLE) ORDER BY i) AS centroid
   FROM s GROUP BY label)
-SELECT vec_id, label,
+SELECT vec_id, embeddings.label AS label,
   CASE WHEN {_VALID_EMB} THEN
     list_sum(list_transform(list_zip(embedding, centroid),
                             x -> CAST(x[1] AS DOUBLE) * x[2]))
@@ -5044,7 +5048,9 @@ SELECT vec_id, label,
                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
      * sqrt(list_sum(list_transform(centroid, x -> x * x))))
   END AS centroid_sim
-FROM embeddings LEFT JOIN c USING (label)
+-- NULL-safe joinback (CLAUDE.md group-scalar invariant): a NULL
+-- label is a real group on both engines; USING (label) would drop it.
+FROM embeddings LEFT JOIN c ON embeddings.label IS NOT DISTINCT FROM c.label
 """
 
 

@@ -532,7 +532,8 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
                              m: int = 8, ks: int = 16, n_cells: int = 4,
                              n_planes: int = 12, n_tables: int = 2,
                              bits: int = 8, bounds=(-1.0, 1.0),
-                             seed: int = 42):
+                             seed: int = 42,
+                             min_train: int | None = None):
     """Streaming vector-corpus ingestion — the production RAG/vector-
     store intake shape, composing the round-10 train/serve split with
     the incremental-dedup family. Each availableNow drain:
@@ -562,11 +563,23 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
     Quantization bounds are CALLER-FIXED (default [-1, 1] for unit
     vectors), never per-batch min/max — a drifting codebook would
     make day-1 and day-2 codes incomparable.
+
+    Bootstrap is GUARDED: if the first drain has fewer than
+    ``min_train`` valid deduped vectors (default max(ks, n_cells)),
+    the drain raises instead of freezing degenerate models — an empty
+    books table would NULL-code every later batch forever. The failed
+    drain is uncommitted, so re-running after more data queues replays
+    it losslessly.
     """
     from ..operators import apply_operator as op
     from ..llmops.similarity import valid_vec
 
     lo, hi = float(bounds[0]), float(bounds[1])
+    if min_train is None:
+        # every sub-codebook draws its ks seeds from the SAME rows, so
+        # ks distinct vectors train all m subspaces; the coarse
+        # quantizer needs n_cells
+        min_train = max(ks, n_cells)
     dd_cfg = {"threshold": threshold, "dim": dim, "n_planes": n_planes,
               "n_tables": n_tables, "seed": seed,
               "field": field, "id_field": id_field}
@@ -592,6 +605,21 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
         books = _read("books")
         cells = _read("cells")
         if books is None or cells is None:
+            # Bootstrap GUARD: freezing books/cells from an empty or
+            # near-empty first drain persists degenerate models, after
+            # which pq_encode's empty-books path NULL-codes every later
+            # batch forever — a silently unservable store. Raise (the
+            # drain fails UNCOMMITTED, so nothing is lost; re-run the
+            # ingest once enough bootstrap data is queued, or lower
+            # ``min_train``).
+            n_valid = kept.count()
+            if n_valid < min_train:
+                raise ValueError(
+                    f"vector-ingest bootstrap: first batch has "
+                    f"{n_valid} valid deduped vectors, below the "
+                    f"training minimum {min_train} (default "
+                    f"max(ks, n_cells) seeds); refusing to freeze "
+                    f"PQ/IVF models on it")
             # bootstrap: train on the first batch, persist, re-read
             # (the parquet round-trip IS the serving contract — same
             # books in, same codes out, pytest-pinned in batch mode)

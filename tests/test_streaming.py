@@ -492,3 +492,61 @@ def test_stream_vector_ingest_frozen_models_and_history_dedup(spark, tmp_path):
              {**cfg, "probe": base[3], "k": 1,
               "books": books, "codes": store.select("vec_id", "pq_code")})
     assert [r["vec_id"] for r in hit.collect()] == [3]
+
+
+def test_stream_vector_ingest_bootstrap_guard_refuses_tiny_batch(
+        spark, tmp_path):
+    """ADVICE r10: freezing PQ books / IVF cells from a near-empty
+    first drain persists degenerate models that NULL-code every later
+    batch. The bootstrap must raise (uncommitted — replayable) when the
+    first batch's valid deduped vector count is below min_train, and
+    must leave NO model artifacts behind."""
+    import os
+
+    import numpy as np
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_vector_ingest,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    out = str(tmp_path / "store")
+    models = str(tmp_path / "models")
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(threshold=0.98, dim=8, m=2, ks=2, n_cells=2,
+              n_planes=2, n_tables=8)
+
+    # one valid vector + one invalid — below min_train = max(ks, n_cells) = 2
+    spark.createDataFrame(
+        [(0, unit(rng.randn(8))), (1, [float("nan")] + [0.0] * 7)], schema
+    ).write.parquet(str(src / "day1.parquet"))
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", True).parquet(str(src))
+    with pytest.raises(StreamingQueryException, match="training minimum"):
+        run_stream_vector_ingest(
+            stream, out, str(tmp_path / "ckpt1"), models, **kw)
+    assert not os.path.exists(f"{models}/books")
+    assert not os.path.exists(f"{models}/cells")
+    assert not os.path.exists(out)
+
+    # with enough valid vectors queued, a FRESH checkpoint replays the
+    # data losslessly and bootstraps fine
+    spark.createDataFrame(
+        [(i, unit(rng.randn(8))) for i in range(2, 6)], schema
+    ).write.parquet(str(src / "day1b.parquet"))
+    stream2 = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", True).parquet(str(src))
+    run_stream_vector_ingest(
+        stream2, out, str(tmp_path / "ckpt2"), models, **kw)
+    assert spark.read.parquet(f"{models}/books").count() > 0
+    got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 2, 3, 4, 5]

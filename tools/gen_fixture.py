@@ -265,6 +265,13 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
     vecs = vecs.astype(np.float32)
     emb_list: list = [None if null_frac and rng.random() < null_frac else v
                       for v in vecs]
+    # NULL group keys too (round 11): groupBy/Window treat NULL as a
+    # real group, so every by-label vector op and its oracle must be
+    # NULL-safe on the key (nullsafe joinbacks, NULLS FIRST sorts) —
+    # the embedding_outlier USING(label) joinback was latent until
+    # this was planted.
+    label_list: list = [None if null_frac and rng.random() < null_frac
+                        else int(x) for x in label]
     if nan_frac:
         # adversarial-value variant (round 10): corrupt this fraction
         # of the NON-NULL vectors so a full sweep checks the valid_vec
@@ -294,7 +301,7 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
     write("embeddings", pa.table({
         "vec_id": pa.array(np.arange(nv), pa.int64()),
         "embedding": pa.array(emb_list, pa.list_(pa.float32())),
-        "label": pa.array(label, pa.int32()),
+        "label": pa.array(label_list, pa.int32()),
     }))
 
     return stats

@@ -25,11 +25,29 @@ documented skips below. Exit 0 iff ALL OK and coverage >= 170/|surface|.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+# Inner parity splits that gates layer ON TOP of the knob subsets
+# (ADVICE r10): dedup_near_against splits the _HMOD subset by
+# doc_id % 2, contamination by doc_id % 20, vector_ingest_stream by
+# vec_id % 8. A --scale sharing a factor with any of these makes the
+# knobbed subset of one side EMPTY (e.g. scale 100: doc_id % 100 = 0
+# implies doc_id % 2 = 0, so the %2=1 batch is empty) — both engines
+# agree on empty, so the pair reports a VACUOUS green. The default
+# scale must be coprime with every inner modulus; main() enforces it
+# for any explicit --scale too.
+INNER_MODULI = {
+    "dedup_near_against": 2,   # history/batch split on doc_id % 2
+    "contamination": 20,       # benchmark split on doc_id % 20
+    "vector_ingest_stream": 8, # day-1/day-2 split on vec_id % 8
+}
+
+DEFAULT_SCALE = 101  # prime, odd, not divisible by 5 — coprime with all
 
 # Documented, justified residual skips — each must name a reason the
 # PAIR (not just the oracle) cannot run, and where its evidence lives
@@ -50,12 +68,25 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=10.0)
     ap.add_argument("--dir", default="/tmp/sf10")
-    ap.add_argument("--scale", type=int, default=100,
+    ap.add_argument("--scale", type=int, default=DEFAULT_SCALE,
                     help="SPARK_GRAFT_PARITY_SCALE for the sweep "
-                         "(parity modulus multiplier)")
+                         "(parity modulus multiplier; must be coprime "
+                         "with every INNER_MODULI split — 101 is prime "
+                         "and odd, so the knobbed subsets stay "
+                         "non-empty)")
     ap.add_argument("queries", nargs="*",
                     help="subset of query names (default: all minus skips)")
     args = ap.parse_args()
+
+    bad = {q: m for q, m in INNER_MODULI.items()
+           if args.scale > 1 and math.gcd(args.scale, m) != 1}
+    if bad:
+        print(f"--scale {args.scale} shares a factor with the inner "
+              f"parity split of {sorted(bad)} (moduli {bad}) — those "
+              f"pairs would pass VACUOUSLY on empty subsets. Pick a "
+              f"scale coprime with {sorted(set(INNER_MODULI.values()))} "
+              f"(e.g. the default 101).", flush=True)
+        return 2
 
     if not os.path.exists(os.path.join(args.dir, "lineitem.parquet")):
         print(f"generating sf{args.sf} fixture at {args.dir} ...",
