@@ -4392,27 +4392,28 @@ ORDER BY event_id
 
 def q_fuzzy_join(spark, sf_dir):
     """Edit-distance record-linkage join over 30-char document
-    prefixes (q-gram count filtering + exact levenshtein verify;
+    prefixes (PassJoin segment filtering + exact levenshtein verify;
     recall is a theorem so DuckDB's brute-force levenshtein join must
-    match value-for-value). Bounded to the deterministic corpus
-    quarter: the fixture's word-salad prefixes share most bigrams
-    (the low-gram-diversity regime the operator docstring warns
-    about), so posting lists approach all-pairs BY FIXTURE SHAPE —
-    the subset keeps the gate meaningful without quadratic bench
-    cost on real name-like data this bound would not bind."""
+    match value-for-value). The subset modulus is knob-derived
+    (4 * _PSCALE, quarter at the default scale): the OPERATOR is
+    collision-bounded since the round-11 PassJoin rewrite, but the
+    ORACLE is all-pairs levenshtein by design, so sf10 sweeps must
+    shrink the compared subset like every other quadratic-oracle
+    pair."""
     d = _t(spark, sf_dir, "documents")
     pref = op("sql", d, {"query":
                          "SELECT doc_id, substring(text, 1, 30) AS name "
-                         "FROM self WHERE doc_id % 4 = 0"}, views={})
+                         f"FROM self WHERE doc_id % {4 * _PSCALE} = 0"},
+              views={})
     df = op("fuzzy_join", pref, {"field": "name", "id_field": "doc_id",
-                                 "max_distance": 2, "q": 2})
+                                 "max_distance": 2})
     return op("sort", df, {"fields": ["id_a", "id_b"]})
 
 
-_SQL_FUZZY_JOIN = """
+_SQL_FUZZY_JOIN = f"""
 WITH p AS (
   SELECT doc_id, substring(coalesce(text, ''), 1, 30) AS name
-  FROM documents WHERE doc_id % 4 = 0)
+  FROM documents WHERE doc_id % {4 * _PSCALE} = 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
 FROM p a JOIN p b ON a.doc_id < b.doc_id

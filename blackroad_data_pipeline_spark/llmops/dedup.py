@@ -574,6 +574,97 @@ def op_near_dup_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _passjoin_segments(slen: Column, n: int, i: Column
+                       ) -> tuple[Column, Column]:
+    """Even-partition scheme shared by both join sides: a string of
+    length ``slen`` splits into ``n`` segments where the FIRST
+    ``n - slen % n`` have length ``slen div n`` and the rest one more.
+    Returns (start, length) of 1-based segment ``i`` — both sides must
+    compute the identical geometry or the equi-join misses."""
+    # floor(double /) is exact here: string lengths are int-ranged,
+    # far below the 2^53 misround regime the CLAUDE.md div rule guards
+    base_len = F.floor(slen / n).cast("int")
+    rem = (slen % n).cast("int")
+    seg_len = base_len + F.when(i > n - rem, F.lit(1)).otherwise(F.lit(0))
+    start = (F.lit(1) + (i - 1) * base_len
+             + F.greatest(F.lit(0), i - 1 - (n - rem)))
+    return start, seg_len
+
+
+def _fuzzy_candidates(base: DataFrame, k: int) -> DataFrame:
+    """PassJoin candidate generation (Li, Deng & Feng, ICDE 2011 —
+    public literature): partition the (len, id)-larger string of each
+    pair into k+1 segments; if ed(a, b) <= k then at least one segment
+    is untouched by any edit (pigeonhole over k edits) and appears in
+    the other string EXACTLY, shifted by at most k positions. So
+    candidates are an equi-join on exact segment content + geometry
+    (partner length, segment index), never on shared grams — posting
+    lists stay collision-bounded even when every string shares most
+    q-grams (the low-gram-diversity regime that degenerates count
+    filtering). Emission is linear: each string emits k+1 segments and
+    at most (k+1)^2 * (2k+1) probe substrings.
+
+    Returns (id_a, id_b, sa, sb) with id_a < id_b, deduplicated;
+    recall is exact (the pigeonhole is a theorem), so the caller's
+    levenshtein verify makes the output value-exact."""
+    n = k + 1
+    # segment side: every string of length >= n (shorter strings can
+    # only be the (len,id)-larger side of a pair whose partner is also
+    # tiny — the crossJoin fallback owns those)
+    i = F.col("__i")
+    st, sl = _passjoin_segments(F.col("__len"), n, i)
+    segs = (base.filter(F.col("__len") >= n)
+            .select("__id", "__len", "__s",
+                    F.explode(F.sequence(F.lit(1), F.lit(n))).alias("__i"))
+            .select(F.col("__id").alias("id_g"),
+                    F.col("__len").alias("len_g"),
+                    F.col("__s").alias("sg"), "__i",
+                    F.col("__s").substr(st, sl).alias("__key")))
+
+    # probe side: every string emits, for each candidate PARTNER
+    # length lp in [len, len+k] (the partner is the (len,id)-larger
+    # side, so lp >= len) and each of the partner's k+1 segments, the
+    # substrings at start positions within +-k of the partner
+    # segment's start (an untouched segment shifts by at most the
+    # number of net insertions/deletions before it, <= k).
+    lp = F.col("__lp")
+    pst, psl = _passjoin_segments(lp, n, i)
+    p_lo = F.greatest(F.lit(1), pst - k)
+    p_hi = F.least(F.col("__len") - psl + 1, pst + k)
+    probes = (base
+              .select("__id", "__len", "__s",
+                      F.explode(F.sequence(
+                          F.col("__len"), F.col("__len") + k)).alias("__lp"))
+              .filter(lp >= n)
+              .select("__id", "__len", "__s", "__lp",
+                      F.explode(F.sequence(F.lit(1), F.lit(n))).alias("__i"))
+              .select("__id", "__len", "__s", "__lp", "__i",
+                      F.explode(F.when(
+                          p_lo <= p_hi, F.sequence(p_lo, p_hi)
+                      ).otherwise(F.array().cast("array<int>"))).alias("__p"))
+              .select(F.col("__id").alias("id_p"),
+                      F.col("__len").alias("len_p"),
+                      F.col("__s").alias("sp"), "__lp", "__i",
+                      F.col("__s").substr(F.col("__p"), psl).alias("__key")))
+
+    cand = (segs.join(probes,
+                      (segs["__key"] == probes["__key"])
+                      & (segs["len_g"] == probes["__lp"])
+                      & (segs["__i"] == probes["__i"]))
+            # the segment side is the (len, id)-larger of the pair
+            .filter((F.col("len_g") > F.col("len_p"))
+                    | ((F.col("len_g") == F.col("len_p"))
+                       & (F.col("id_g") > F.col("id_p"))))
+            .select(F.least("id_g", "id_p").alias("id_a"),
+                    F.greatest("id_g", "id_p").alias("id_b"),
+                    F.when(F.col("id_g") < F.col("id_p"), F.col("sg"))
+                     .otherwise(F.col("sp")).alias("sa"),
+                    F.when(F.col("id_g") < F.col("id_p"), F.col("sp"))
+                     .otherwise(F.col("sg")).alias("sb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return cand
+
+
 @register("fuzzy_join")
 def op_fuzzy_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Edit-distance self-join for record linkage: pairs (id_a <
@@ -581,82 +672,44 @@ def op_fuzzy_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     string field (names, titles, codes — NOT documents; use the
     jaccard/minhash family for long text).
 
-    Scale path is classic q-gram COUNT FILTERING (Gravano et al.,
-    VLDB'01 — public literature): pad each string with q-1 sentinel
-    chars, explode its positional q-gram bag, and join on the gram;
-    two strings within edit distance k must share at least
-    max(|Qa|, |Qb|) - k*q bag q-grams, and their lengths differ by at
-    most k. Candidates therefore come from gram posting lists (never
-    an all-pairs cross join), the count filter runs on narrow
-    (id, id) pairs, and only survivors pay the exact JVM
-    ``levenshtein`` verification — so false candidates cost one
-    hash-join row, not an O(len^2) DP. Recall is exact (the bound is
-    a theorem, the verify removes every false positive), which is
-    what lets DuckDB recompute the output value-for-value.
+    Scale path is PassJoin partition filtering (Li, Deng & Feng,
+    ICDE 2011 — public literature; see ``_fuzzy_candidates``): the
+    (len, id)-larger string of a pair splits into k+1 segments, and
+    edit distance <= k guarantees one segment appears EXACTLY in the
+    partner within a +-k position window (pigeonhole), so candidates
+    come from an equi-join on exact ~len/(k+1)-char substring content
+    — bounded by genuine content collisions, not by shared q-grams.
+    This replaced q-gram count filtering (round 11): count filtering
+    needs gram DIVERSITY and approached all-pairs on formulaic or
+    low-vocabulary corpora, while exact segment collisions stay rare
+    there. Only candidates pay the exact JVM ``levenshtein`` verify;
+    recall is a theorem, which is what lets DuckDB recompute the
+    output value-for-value.
 
-    Caveat stated plainly: on corpora whose strings share most grams
-    (formulaic ids like 'Customer#00000NNN') the posting lists
-    approach all-pairs — q-gram filtering needs gram DIVERSITY, and
-    the operator inherits that from the literature.
+    Caveat stated plainly: groups of IDENTICAL strings still produce
+    quadratic candidates — but those pairs are all true output rows
+    (distance 0), so that is the contract of a pair join, not a plan
+    defect. ``q`` is accepted for config compatibility (the q-gram
+    era tuning knob); output semantics never depended on it.
     """
     field = config.get("field", "name")
     id_field = config.get("id_field", "doc_id")
     k = int(config.get("max_distance", 1))
-    q = int(config.get("q", 2))
-    pad = "\x00" * (q - 1)
     s = F.coalesce(F.col(field).cast("string"), F.lit(""))
     base = df.select(F.col(id_field).alias("__id"), s.alias("__s"),
                      F.length(s).alias("__len"))
 
-    padded = F.concat(F.lit(pad), F.col("__s"), F.lit(pad))
-    # gram BAG with per-gram multiplicities: |Q| = len(s) + q - 1
-    gram_rows = (base.select(
-        "__id", "__len",
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.length(padded) - (q - 1)),
-            lambda i: padded.substr(i, F.lit(q)))).alias("__g"))
-        .groupBy("__id", "__len", "__g")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        # one exchange on the gram key shared by both self-join
-        # branches (ReuseExchange — same pattern as the LSH buckets)
-        .repartition("__g"))
-
-    a = gram_rows.select(F.col("__id").alias("id_a"),
-                         F.col("__len").alias("len_a"),
-                         "__g", F.col("__c").alias("ca"))
-    b = gram_rows.select(F.col("__id").alias("id_b"),
-                         F.col("__len").alias("len_b"),
-                         "__g", F.col("__c").alias("cb"))
-    shared = (
-        a.join(b, ["__g"])
-        .filter((F.col("id_a") < F.col("id_b"))
-                # length filter: edit distance >= |len_a - len_b|
-                & (F.abs(F.col("len_a") - F.col("len_b")) <= k))
-        .groupBy("id_a", "id_b", "len_a", "len_b")
-        .agg(F.sum(F.least("ca", "cb")).alias("__shared")))
-    # count filter: distance <= k  =>  shared bag grams >=
-    # max(|Qa|, |Qb|) - k*q  with |Q| = len + q - 1
-    cands = shared.filter(
-        F.col("__shared")
-        >= F.greatest(F.col("len_a"), F.col("len_b")) + (q - 1) - k * q)
-    # exact verify on the pruned candidates only
-    out = (cands
-           .join(base.select(F.col("__id").alias("id_a"),
-                             F.col("__s").alias("sa")), "id_a")
-           .join(base.select(F.col("__id").alias("id_b"),
-                             F.col("__s").alias("sb")), "id_b")
+    out = (_fuzzy_candidates(base, k)
            .withColumn("distance", F.levenshtein("sa", "sb"))
            .filter(F.col("distance") <= k)
            .select("id_a", "id_b", "distance"))
-    # TINY-string fallback: when max(|Qa|,|Qb|) - k*q <= 0 the count
-    # bound degenerates (a within-distance pair may share ZERO grams
-    # and never meet in the gram join). That happens only when both
-    # strings are at most k*q - (q-1) chars — compare those few
-    # all-pairs directly. Identical-tiny-string groups make the
-    # OUTPUT quadratic in the group size; that is the contract of a
-    # pair join, not a plan defect.
-    tiny_max = k * q - (q - 1)
-    tiny = base.filter(F.col("__len") <= tiny_max)
+
+    # TINY-string fallback: both strings shorter than k+1 chars means
+    # the (len,id)-larger side has no k+1 non-empty segments — compare
+    # those few all-pairs directly. Identical-tiny-string groups make
+    # the OUTPUT quadratic in the group size; that is the contract of
+    # a pair join, not a plan defect.
+    tiny = base.filter(F.col("__len") <= k)
     tiny_pairs = (
         tiny.select(F.col("__id").alias("id_a"), F.col("__s").alias("sa"),
                     F.col("__len").alias("len_a"))

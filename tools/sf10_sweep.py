@@ -52,16 +52,13 @@ DEFAULT_SCALE = 101  # prime, odd, not divisible by 5 — coprime with all
 # Documented, justified residual skips — each must name a reason the
 # PAIR (not just the oracle) cannot run, and where its evidence lives
 # instead.
-SKIPS = {
-    "fuzzy_join": (
-        "the q-gram posting-list candidate generation approaches "
-        "all-pairs on the synthetic 31-word vocabulary (documented "
-        "low-gram-diversity caveat in op_fuzzy_join's docstring) — "
-        "the OPERATOR degenerates, not just the oracle, so a subset "
-        "knob would only shrink an unrepresentative blowup. Evidence: "
-        "full pair green through sf1 (round 8) and the caveat's "
-        "gram-diversity precondition is checked in pytest."),
-}
+# Round 11: EMPTY — the last skip (fuzzy_join) ended when PassJoin
+# segment filtering replaced q-gram count filtering: candidates come
+# from exact-substring collisions, which stay bounded even on the
+# low-gram-diversity word-salad vocabulary, and the pair's all-pairs
+# ORACLE rides the knob-derived subset modulus like every other
+# quadratic-oracle pair.
+SKIPS: dict[str, str] = {}
 
 
 def main() -> int:
