@@ -898,8 +898,11 @@ FROM seqs
 
 def q_unpivot(spark, sf_dir):
     """Wide->long melt of the lineitem metric columns (inverse of
-    pivot; projection + generate, no shuffle)."""
-    li = _t(spark, sf_dir, "lineitem")
+    pivot; projection + generate, no shuffle). Rides the heavy-pair
+    knob (round 11): the melt OUTPUT is 3x lineitem, and at sf10 the
+    180M-row pandas value-compare is what breaks, not the operator —
+    the r10 campaign's compare-path class."""
+    li = _hmod_lineitem(spark, sf_dir)
     df = op("select", li, {"fields": ["l_orderkey", "l_linenumber",
                                       "l_quantity", "l_discount", "l_tax"]})
     return op("unpivot", df, {
@@ -908,12 +911,12 @@ def q_unpivot(spark, sf_dir):
         "variable_name": "metric", "value_name": "val"})
 
 
-_SQL_UNPIVOT = """
-SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+_SQL_UNPIVOT = f"""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM {_HLINE}
 UNION ALL
-SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM {_HLINE}
 UNION ALL
-SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM {_HLINE}
 """
 
 
@@ -1867,6 +1870,146 @@ _SQL_PQ_BOOKS_MODEL = f"""
 WITH {_SQL_PQ_BOOKS}
 SELECT j AS subspace, code, array_to_string(ce, ',') AS codeword_str
 FROM books ORDER BY subspace, code
+"""
+
+
+def q_vector_store_maintain(spark, sf_dir):
+    """Vector-store compaction + retention (round 11,
+    streaming/ops.vector_store_maintain — VERDICT r10 #5): build a
+    4-batch store of PQ codes (batch = vec_id % 4, the ingest layout),
+    then maintain with drop_below=1 (retention drops batch 0) and
+    hot_batches=1 (batches 1-2 FOLD into one partition, batch 3 stays
+    hot/replayable). The pair is value-anchored: every surviving
+    row's code must be BIT-EQUAL to DuckDB's independent replay of
+    the PQ pipeline, and every batch id must land exactly where the
+    fold/retention contract says — content preservation checked cell
+    by cell, not as a boolean. The post-maintenance read is
+    localCheckpointed so the temp store can be removed eagerly."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    codes = op("pq_encode", e, _PQ_CFG)
+    staged = op("expr", codes, {"exprs": {
+        "pq_code_str": "coalesce(array_join(pq_code, ','), '')",
+        "__ingest_batch": "vec_id % 4"}})
+    staged = op("select", staged, {
+        "fields": ["vec_id", "pq_code_str", "__ingest_batch"]})
+
+    root = tempfile.mkdtemp(prefix="vec_store_maintain_")
+    try:
+        from blackroad_data_pipeline_spark.streaming.ops import (
+            vector_store_maintain)
+        src, dst = f"{root}/store", f"{root}/store2"
+        staged.write.partitionBy("__ingest_batch").parquet(src)
+        vector_store_maintain(spark, src, dst,
+                              hot_batches=1, drop_below=1)
+        out = (spark.read.parquet(dst)
+               .select("vec_id", "pq_code_str",
+                       F.col("__ingest_batch").cast("long").alias("batch"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return op("sort", out, {"fields": ["vec_id"]})
+
+
+_SQL_VECTOR_STORE_MAINTAIN = f"""
+WITH {_SQL_PQ_BOOKS},
+codes AS (
+  SELECT vec_id,
+         array_to_string(list(code ORDER BY j), ',') AS pq_code_str
+  FROM d1 GROUP BY vec_id)
+-- retention drops batch 0 (vec_id % 4 = 0); cold batches 1-2 fold
+-- into partition 1; batch 3 is the hot survivor. Codes replay the
+-- same fixed-point PQ pipeline (invalid embeddings -> '' codes).
+SELECT e.vec_id, COALESCE(c.pq_code_str, '') AS pq_code_str,
+       CAST(CASE WHEN e.vec_id % 4 = 3 THEN 3 ELSE 1 END AS BIGINT)
+         AS batch
+FROM embeddings e LEFT JOIN codes c USING (vec_id)
+WHERE e.vec_id % 4 >= 1
+ORDER BY e.vec_id
+"""
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Frozen-model drift gate (round 11, llmops/similarity.py
+    op_centroid_drift — VERDICT r10 #6): even-id embeddings are the
+    bootstrap baseline, odd-id the serving batch, and the frozen
+    quantizer is the 4 smallest-id valid vectors (SQL-replayable by
+    construction — no float Lloyd means in the oracle). All math is
+    the semdedup integer discipline: floor(x*1e6) quantization, exact
+    int64 squared-L2 argmin (tie to lower cell), DECIMAL(38,0) sums
+    and STRING-pinned double means, so the per-cell means and the
+    drifted booleans replay bit-for-bit."""
+    from blackroad_data_pipeline_spark.llmops.similarity import valid_vec
+
+    e = _t(spark, sf_dir, "embeddings")
+    seed_rows = (e.filter(valid_vec(F.col("embedding")))
+                 .orderBy("vec_id").limit(4).select("embedding").collect())
+    cells = spark.createDataFrame(
+        [(i, [float(x) for x in r["embedding"]])
+         for i, r in enumerate(seed_rows)],
+        "cell int, centroid array<double>")
+    base = op("sql", e, {"query":
+                         "SELECT * FROM self WHERE vec_id % 2 = 0"},
+              views={})
+    batch = op("sql", e, {"query":
+                          "SELECT * FROM self WHERE vec_id % 2 = 1"},
+               views={})
+    df = op("centroid_drift", batch,
+            {"dim": 64, "cells": cells, "baseline": base,
+             "threshold": 0.1}, views={})
+    return op("sort", df, {"fields": ["cell"]})
+
+
+_SQL_CENTROID_DRIFT = f"""
+WITH val AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {_VALID_EMB}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS cell,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6)
+                                  AS BIGINT)) AS qc
+  FROM (SELECT vec_id, embedding FROM val ORDER BY vec_id LIMIT 4)),
+q AS (
+  SELECT vec_id, vec_id % 2 = 0 AS is_base,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6)
+                                  AS BIGINT)) AS qv
+  FROM val),
+d AS (
+  SELECT q.vec_id, q.is_base, c.cell,
+         list_sum(list_transform(list_zip(q.qv, c.qc),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_sum(list_transform(list_zip(q.qv, c.qc),
+                                   x -> (x[1]-x[2])*(x[1]-x[2]))),
+           c.cell) AS rk
+  FROM q CROSS JOIN cents c),
+m AS (
+  SELECT cell,
+    CAST(COALESCE(SUM(CASE WHEN is_base THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_base,
+    CAST(COALESCE(SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_batch,
+    CASE WHEN SUM(CASE WHEN is_base THEN 1 ELSE 0 END) > 0 THEN
+      CAST(CAST(SUM(CASE WHEN is_base THEN d2 ELSE 0 END) AS VARCHAR)
+           AS DOUBLE) / SUM(CASE WHEN is_base THEN 1 ELSE 0 END)
+    END AS mean_d2_base,
+    CASE WHEN SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) > 0 THEN
+      CAST(CAST(SUM(CASE WHEN NOT is_base THEN d2 ELSE 0 END) AS VARCHAR)
+           AS DOUBLE) / SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END)
+    END AS mean_d2_batch
+  FROM d WHERE rk = 1 GROUP BY cell)
+SELECT c.cell,
+       COALESCE(m.n_base, 0) AS n_base,
+       COALESCE(m.n_batch, 0) AS n_batch,
+       m.mean_d2_base, m.mean_d2_batch,
+       COALESCE(m.mean_d2_batch
+                > m.mean_d2_base * CAST(1.1 AS DOUBLE), FALSE) AS drifted
+FROM cents c LEFT JOIN m USING (cell)
+ORDER BY c.cell
 """
 
 
@@ -4196,7 +4339,7 @@ def q_triangles(spark, sf_dir):
     Degree-ordered orientation bounds the wedge join at m^1.5 —
     skew-proof on power-law graphs. The oracle replays the count with
     an id-ordered 3-way join (orientation-independent result)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _hmod_lineitem(spark, sf_dir)
     # edge generation WITHOUT a fact-fact self-join: one groupBy
     # shuffle collects each order's part set, pairs explode from the
     # sorted array (slice from i+2 keeps src < dst exactly once).
@@ -4213,10 +4356,10 @@ def q_triangles(spark, sf_dir):
     return op("triangle_count", edges, {})
 
 
-_SQL_TRIANGLES = """
+_SQL_TRIANGLES = f"""
 WITH e AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-  FROM lineitem a JOIN lineitem b
+  FROM {_HLINE} a JOIN {_HLINE} b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
 SELECT COUNT(*) AS n_triangles
 FROM e e1
@@ -6419,8 +6562,12 @@ def q_pagerank(spark, sf_dir):
     ids offset into their own namespace), 3 iterations. Ranks are
     scaled-long EXACT integer arithmetic — every division is integral
     — so the DuckDB oracle's unrolled-CTE replay must match
-    bit-for-bit."""
-    li = _t(spark, sf_dir, "lineitem")
+    bit-for-bit. Rides the heavy-pair knob (round 11): the operator's
+    label-propagation streams fine at sf10, but the ORACLE's unrolled
+    3-iteration CTE over the 60M-edge graph spills >78 GB in DuckDB
+    even solo at ORACLE_DUCK_MEM=20GB (r11 measured) — oracle-compute
+    class, same trade as the compare-path knob pairs."""
+    li = _hmod_lineitem(spark, sf_dir)
     o = _t(spark, sf_dir, "orders")
     edges = op("join", li, {"right": o, "left_key": "l_orderkey",
                             "right_key": "o_orderkey"}, views={})
@@ -6436,7 +6583,7 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10 ** 12) -> str:
     parts = [f"""
 WITH edges AS (
   SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  FROM {_HLINE} li JOIN orders ON l_orderkey = o_orderkey),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
 meta AS (SELECT COUNT(*) AS n FROM nodes),
@@ -6540,6 +6687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampled queries (new ops count as never-sampled and lead).
         # Whole dict is sorted by (last-sampled round, name) so future
         # rotations are a re-sort, not a hand shuffle.
+        # -- never driver-sampled --
+        "centroid_drift": q_centroid_drift,
+        "vector_store_maintain": q_vector_store_maintain,
         # -- last driver-sampled r4 --
         "url_parts": q_url_parts,
         "vocab_topk": q_vocab_topk,
@@ -6931,6 +7081,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": _SQL_PQ_ENCODE,
         "ann_pq": _SQL_ANN_PQ,
         "pq_books": _SQL_PQ_BOOKS_MODEL,
+        "vector_store_maintain": _SQL_VECTOR_STORE_MAINTAIN,
+        "centroid_drift": _SQL_CENTROID_DRIFT,
         # serving path + exhaustive-pruning IVFADC both contractually
         # reproduce the self-training exhaustive ADC result
         "ann_pq_served": _SQL_ANN_PQ,

@@ -1681,6 +1681,131 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
             .limit(k))
 
 
+@register("centroid_drift")
+def op_centroid_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Embedding-drift gate for FROZEN coarse-quantizer models
+    (round 11, VERDICT r10 #6): the train/serve split freezes PQ
+    books + IVF cells at bootstrap, and nothing else answers "when
+    must we retrain?". This op compares the distribution of
+    point-to-assigned-centroid distance between a BASELINE corpus
+    (the bootstrap training data) and the current batch, against the
+    same frozen ``cells`` model — per cell, if the batch's mean
+    quantized squared-L2 distance inflates past
+    ``(1 + threshold) * baseline mean``, the cell is flagged
+    ``drifted`` and the model no longer fits the data it serves.
+
+    Exactness contract (the semdedup discipline, integer-only):
+    vectors and centroids quantize ONCE to floor(x * scale) int64;
+    assignment is argmin of the exact int64 squared-L2 sum (tie to
+    the lower cell), computed as a codegen least-of-structs over the
+    k baked literal centroid arrays (the ann_pq ADC idiom — zero
+    Python, zero shuffle before the final per-cell aggregate); the
+    per-cell distance sums accumulate in DECIMAL(38,0) and the means
+    divide through a STRING-pinned double cast, so Spark and DuckDB
+    produce bit-identical means and therefore identical ``drifted``
+    booleans — no 1-ulp threshold risk. Domain: |x| * scale must
+    stay under sqrt(2^63 / dim) / 2 (~1.9e8 at dim 64, |x| <= ~190
+    at the default scale) for the int64 d2 to be exact; unit-norm
+    embeddings sit 8 orders of magnitude inside it. Invalid vectors
+    (valid_vec) are excluded on BOTH sides, like every vector op.
+
+    The element-wise distance runs through collection higher-order
+    functions (interpreted per element) — fine for a periodic audit
+    scan, not a per-query serving path.
+
+    config: ``field``/``dim`` (required), ``cells`` (required —
+    view name or DataFrame, the frozen `emit: "cells"` model),
+    ``baseline`` (required — view name or DataFrame of the bootstrap
+    corpus), ``scale`` (default 1e6), ``threshold`` (default 0.10).
+    Output: one row per model cell — ``cell``, ``n_base``,
+    ``n_batch``, ``mean_d2_base``, ``mean_d2_batch``, ``drifted``
+    (false when either side of a cell is empty).
+    """
+    field = config.get("field", "embedding")
+    dim = int(config.get("dim") or 0)
+    if dim < 1:
+        raise ValueError("centroid_drift requires dim (vector length)")
+    scale = float(config.get("scale", 1e6))
+    threshold = float(config.get("threshold", 0.10))
+    cells_src = config.get("cells")
+    base_src = config.get("baseline")
+    if cells_src is None or base_src is None:
+        raise ValueError("centroid_drift requires `cells` (frozen "
+                         "model) and `baseline` (bootstrap corpus)")
+    if isinstance(cells_src, str):
+        cells_src = views[cells_src]
+    if isinstance(base_src, str):
+        base_src = views[base_src]
+    cents = _cells_np(cells_src, "centroid_drift")
+    if cents.size == 0:
+        raise ValueError("centroid_drift: cells model is empty")
+    qc = np.floor(cents * scale).astype(np.int64)  # == SQL floor(c*scale)
+    maxq = int((2.0 ** 63 / qc.shape[1]) ** 0.5) // 2
+    if np.abs(qc).max() > maxq:
+        raise ValueError(
+            f"centroid_drift: |quantized centroid| exceeds {maxq} — "
+            "the int64 squared-L2 sum would overflow; lower `scale`")
+
+    def prep(d: DataFrame, is_base: bool) -> DataFrame:
+        d = d.filter(valid_vec(F.col(field)))
+        qv = F.transform(
+            F.col(field),
+            lambda x: F.floor(x.cast("double") * scale).cast("long"))
+        return d.select(F.lit(is_base).alias("__is_base"),
+                        qv.alias("__q"))
+
+    both = prep(base_src, True).unionByName(prep(df, False))
+
+    best = None
+    for c in range(qc.shape[0]):
+        arr = F.expr(
+            "array(" + ",".join(f"{int(v)}L" for v in qc[c]) + ")")
+        d2 = F.aggregate(
+            F.zip_with(F.col("__q"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cand = F.struct(d2.alias("d2"), F.lit(c).alias("cell"))
+        best = cand if best is None else F.least(best, cand)
+
+    assigned = both.select(
+        "__is_base",
+        best.getField("cell").alias("cell"),
+        best.getField("d2").alias("d2"))
+
+    def side(flag: bool, name: str):
+        cond = F.col("__is_base") if flag else ~F.col("__is_base")
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("long") \
+            .alias(f"n_{name}")
+        # exact integral sum; STRING-pinned decimal->double, then /n
+        s = F.sum(F.when(cond, F.col("d2")).otherwise(F.lit(0))
+                  .cast("decimal(38,0)"))
+        mean = F.when(
+            F.sum(F.when(cond, 1).otherwise(0)) > 0,
+            s.cast("string").cast("double")
+            / F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        ).alias(f"mean_d2_{name}")
+        return n, mean
+
+    nb, mb = side(True, "base")
+    nt, mt = side(False, "batch")
+    agg = assigned.groupBy("cell").agg(nb, mb, nt, mt)
+
+    all_cells = df.sparkSession.createDataFrame(
+        [(int(c),) for c in range(qc.shape[0])], "cell int")
+    # both sides are k rows post-agg; no broadcast hint (a left-side
+    # build hint on a LEFT join is unsupported and only warns)
+    out = (all_cells.join(agg, "cell", "left")
+           .select(
+               "cell",
+               F.coalesce("n_base", F.lit(0).cast("long")).alias("n_base"),
+               F.coalesce("n_batch", F.lit(0).cast("long")).alias("n_batch"),
+               "mean_d2_base", "mean_d2_batch",
+               F.coalesce(
+                   F.col("mean_d2_batch")
+                   > F.col("mean_d2_base") * F.lit(1.0 + threshold),
+                   F.lit(False)).alias("drifted")))
+    return out
+
+
 @register("vector_health")
 def op_vector_health(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Corpus-level vector validity audit — the ingest-time companion

@@ -330,6 +330,25 @@ def sink_xml(df: DataFrame, config: Mapping) -> int:
                           exists=lambda: _target_exists(df, config["path"]))
 
 
+def data_file_stats(spark, path: str) -> tuple[int, int]:
+    """(count, bytes) of DATA files under ``path`` — skips _SUCCESS /
+    hidden markers, recurses into partition directories. Hadoop FS
+    listing, no Spark job."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    it = fs.listFiles(p, True)
+    n = b = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+            b += st.getLen()
+    return n, b
+
+
 def compact_parquet(spark, src_path: str, dst_path: str,
                     target_file_mb: int = 512,
                     sort_by: list | None = None) -> tuple[int, int]:
@@ -351,23 +370,8 @@ def compact_parquet(spark, src_path: str, dst_path: str,
 
     Returns (n_files_before, n_files_after).
     """
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-
     def data_files(path: str) -> tuple[int, int]:
-        """(count, bytes) of DATA files under path — skips _SUCCESS /
-        hidden markers, recurses into partition directories."""
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(hconf)
-        it = fs.listFiles(p, True)
-        n = b = 0
-        while it.hasNext():
-            st = it.next()
-            name = st.getPath().getName()
-            if not name.startswith(("_", ".")):
-                n += 1
-                b += st.getLen()
-        return n, b
+        return data_file_stats(spark, path)
 
     n_before, n_bytes = data_files(src_path)
     n_files = max(1, -(-n_bytes // (target_file_mb * 1024 * 1024)))

@@ -667,3 +667,99 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def vector_store_maintain(spark: SparkSession, src_path: str,
+                          dst_path: str, *, hot_batches: int = 1,
+                          drop_below: int | None = None,
+                          fold: bool = True,
+                          target_file_mb: int = 512,
+                          batch_col: str = "__ingest_batch") -> dict:
+    """Vector-store lifecycle maintenance — compaction + retention for
+    the ``run_stream_vector_ingest`` store layout (one ``batch_col``
+    partition per availableNow drain; at production drain cadence that
+    is the classic small-files death at 100 TB: listing + scan
+    planning choke on file COUNT long before the bytes matter).
+
+    Three content-preserving moves, composed:
+
+    - **retention**: partitions with ``batch_col < drop_below`` are
+      dropped entirely (aged batches past the serving horizon).
+    - **fold**: surviving COLD partitions (all but the newest
+      ``hot_batches``) are rewritten into ONE partition keyed by the
+      smallest cold batch id, sized from actual on-disk bytes
+      (``target_file_mb`` per output file — the compact_parquet
+      sizing rule). Row content other than ``batch_col`` is copied
+      bit-for-bit; ``batch_col`` is maintenance metadata (serving
+      reads never consult it).
+    - **hot stays replayable**: the newest ``hot_batches`` partitions
+      are copied unchanged. Only the LATEST drain can ever be
+      replayed from the streaming checkpoint (committed epochs never
+      re-fire), so folding strictly-older batches cannot collide with
+      a dynamic-overwrite replay — the replay-safety pytest drives
+      this against a real checkpoint.
+
+    Writes to a NEW path (``dst_path``) like compact_parquet: the
+    dataset swap is the caller's atomic step; an in-place rewrite
+    cannot be made atomic on a plain filesystem.
+
+    Returns stats: files/bytes/batches before and after, rows_dropped.
+    """
+    from ..sinks import data_file_stats
+
+    df = spark.read.parquet(src_path)
+    if batch_col not in df.columns:
+        raise ValueError(f"store at {src_path} has no {batch_col!r} "
+                         f"partition column")
+
+    ids = sorted(r[0] for r in df.select(batch_col).distinct().collect())
+    if not ids:
+        raise ValueError(f"store at {src_path} is empty")
+    dropped = [i for i in ids if drop_below is not None and i < drop_below]
+    kept = [i for i in ids if i not in dropped]
+    hot = kept[len(kept) - hot_batches:] if hot_batches > 0 else []
+    cold = [i for i in kept if i not in hot]
+
+    files_before, bytes_before = data_file_stats(spark, src_path)
+    rows_dropped = (df.filter(F.col(batch_col).isin(dropped)).count()
+                    if dropped else 0)
+
+    wrote = False
+    if cold:
+        cold_bytes = 0
+        for i in cold:
+            try:
+                _, b = data_file_stats(spark,
+                                       f"{src_path}/{batch_col}={i}")
+                cold_bytes += b
+            except Exception:
+                pass  # non-hive layout: fall back to one file
+        n_files = max(1, -(-cold_bytes // (target_file_mb * 1024 * 1024)))
+        cold_df = df.filter(F.col(batch_col).isin(cold))
+        if fold:
+            cold_df = cold_df.withColumn(batch_col,
+                                         F.lit(min(cold)).cast("long"))
+        (cold_df.repartition(int(n_files))
+         .write.mode("error").partitionBy(batch_col).parquet(dst_path))
+        wrote = True
+    if hot:
+        (df.filter(F.col(batch_col).isin(hot))
+         .write.mode("append" if wrote else "error")
+         .partitionBy(batch_col).parquet(dst_path))
+        wrote = True
+    if not wrote:
+        # retention dropped everything: an empty store is still a
+        # valid store (schema-preserving empty write)
+        df.limit(0).write.mode("error").partitionBy(batch_col) \
+            .parquet(dst_path)
+
+    files_after, bytes_after = data_file_stats(spark, dst_path)
+    return {
+        "files_before": int(files_before), "files_after": int(files_after),
+        "bytes_before": int(bytes_before), "bytes_after": int(bytes_after),
+        "batches_before": len(ids),
+        "batches_after": (1 if cold and fold else len(cold)) + len(hot),
+        "rows_dropped": int(rows_dropped),
+        "dropped_batches": dropped,
+        "fold_batch": (min(cold) if cold and fold else None),
+    }

@@ -2336,3 +2336,98 @@ def test_valid_vec_dedup_against_survivors(spark, dirty_vecs, vecs):
     # 0/1 are near-dups of history vec 0 -> dropped; every invalid row
     # survives; 2/3/4 survive (cosine < 0.9 to [1,0,0,0])
     assert out == {2, 3, 4, 10, 11, 12, 13, 14, 15}
+
+
+def test_centroid_drift_trips_on_shift_not_in_distribution(spark):
+    """centroid_drift (round 11): against a frozen 2-cell quantizer,
+    an in-distribution batch keeps every cell un-drifted while a
+    synthetically shifted batch trips exactly the shifted cell."""
+    dim = 8
+
+    def vec(center, bump, eps):
+        v = [0.0] * dim
+        v[center] = 1.0
+        v[(center + 3) % dim] += eps
+        v[4] += bump
+        return v
+
+    cells = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+        "cell int, centroid array<double>")
+    # 20 baseline points per cell, deterministic +-0.01-ish jitter
+    base = spark.createDataFrame(
+        [(i, vec(i % 2, 0.0, 0.01 * ((i % 5) - 2))) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    batch_in = spark.createDataFrame(
+        [(100 + i, vec(i % 2, 0.0, 0.01 * ((i % 5) - 2)))
+         for i in range(40)],
+        "vec_id long, embedding array<float>")
+    # shift ONLY the cell-1 population
+    batch_shift = spark.createDataFrame(
+        [(200 + i, vec(i % 2, 0.5 if i % 2 == 1 else 0.0,
+                       0.01 * ((i % 5) - 2))) for i in range(40)],
+        "vec_id long, embedding array<float>")
+
+    cfg = {"dim": dim, "cells": cells, "baseline": base,
+           "threshold": 0.10}
+    ok = {r["cell"]: r for r in
+          op("centroid_drift", batch_in, cfg, views={}).collect()}
+    assert [ok[c]["drifted"] for c in (0, 1)] == [False, False]
+    assert ok[0]["n_base"] == 20 and ok[0]["n_batch"] == 20
+
+    tripped = {r["cell"]: r for r in
+               op("centroid_drift", batch_shift, cfg, views={}).collect()}
+    assert tripped[0]["drifted"] is False
+    assert tripped[1]["drifted"] is True
+    assert tripped[1]["mean_d2_batch"] > tripped[1]["mean_d2_base"] * 1.1
+
+    # invalid vectors are excluded, not poisonous (valid_vec contract)
+    poisoned = batch_in.union(spark.createDataFrame(
+        [(300, None), (301, []),
+         (302, [float("nan")] * dim)],
+        "vec_id long, embedding array<float>"))
+    again = {r["cell"]: r for r in
+             op("centroid_drift", poisoned, cfg, views={}).collect()}
+    assert again[0]["n_batch"] + again[1]["n_batch"] == 40
+
+
+def test_ann_ivfpq_recall_floor_at_default_nprobe(spark):
+    """VERDICT r10 #7: the IVFADC plan gate proves the cell filter
+    prunes; this pins what pruning COSTS in recall. Clustered
+    synthetic data (the knn_join recall pattern): recall@10 at the
+    default pruned nprobe must clear a floor, and probing every cell
+    must recover the exact top-10."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dim = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    cents = [unit(rng.randn(dim)) for _ in range(8)]
+    rows = []
+    for ci, c in enumerate(cents):
+        for j in range(30):
+            rows.append((ci * 100 + j,
+                         unit(c + 0.05 * rng.randn(dim)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    probe = mat[0]
+    ids = np.array([i for i, _ in rows])
+    truth = set(ids[np.argsort(-(mat @ probe), kind="stable")[:10]])
+
+    cfg = {"dim": dim, "m": 4, "ks": 16, "refine": 1,
+           "probe_id": 0, "k": 10, "rerank": 32}
+    pruned = {r["vec_id"] for r in
+              op("ann_pq", df, {**cfg, "n_cells": 8, "nprobe": 2})
+              .collect()}
+    assert len(pruned & truth) / 10 >= 0.9, sorted(pruned)
+
+    exhaustive = {r["vec_id"] for r in
+                  op("ann_pq", df, {**cfg, "n_cells": 8, "nprobe": 8})
+                  .collect()}
+    assert exhaustive == truth

@@ -550,3 +550,81 @@ def test_stream_vector_ingest_bootstrap_guard_refuses_tiny_batch(
     assert spark.read.parquet(f"{models}/books").count() > 0
     got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
     assert got == [0, 2, 3, 4, 5]
+
+
+def test_vector_store_maintain_compacts_folds_and_stays_replay_safe(
+        spark, tmp_path):
+    """Round 11 (VERDICT r10 #5): store maintenance must (a) preserve
+    content bit-for-bit while folding cold batches and shrinking file
+    counts, (b) keep the history-dedup working against folded rows,
+    and (c) not collide with checkpoint replay — after a swap, the
+    next drain with the SAME checkpoint appends only new data."""
+    import shutil
+
+    import numpy as np
+
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_vector_ingest,
+        vector_store_maintain,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    models = str(tmp_path / "models")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(threshold=0.98, dim=8, m=2, ks=2, n_cells=2,
+              n_planes=2, n_tables=8)
+    base = [unit(rng.randn(8)) for _ in range(6)]
+
+    def drain(rows, name):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(src / f"{name}.parquet"))
+        s = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", True).parquet(str(src))
+        run_stream_vector_ingest(s, store, ckpt, models, **kw)
+
+    drain(list(enumerate(base)), "d1")                     # batch 0
+    drain([(10, unit(rng.randn(8))), (11, unit(rng.randn(8)))], "d2")
+    drain([(20, unit(rng.randn(8))), (21, unit(rng.randn(8)))], "d3")
+
+    def snapshot(path):
+        return {(r["vec_id"], tuple(r["q_emb"]), tuple(r["pq_code"]),
+                 r["ivf_cell"])
+                for r in spark.read.parquet(path).collect()}
+
+    before = snapshot(store)
+    store2 = str(tmp_path / "store2")
+    stats = vector_store_maintain(spark, store, store2, hot_batches=1)
+    assert snapshot(store2) == before                      # bit-equal
+    assert stats["batches_after"] == 2                     # fold(0,1) + hot 2
+    assert stats["fold_batch"] == 0
+    assert stats["files_after"] <= stats["files_before"]
+    got_batches = sorted(r[0] for r in spark.read.parquet(store2)
+                         .select("__ingest_batch").distinct().collect())
+    assert got_batches == [0, 2]
+
+    # swap the maintained store in, then drain with the SAME checkpoint:
+    # only the new file fires (committed epochs never replay); the
+    # near-dup of vector 0 must be dropped against the FOLDED history
+    shutil.rmtree(store)
+    shutil.move(store2, store)
+    drain([(30, unit(rng.randn(8))),
+           (31, unit(np.asarray(base[0]) + rng.randn(8) * 1e-3))], "d4")
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    assert ids == [0, 1, 2, 3, 4, 5, 10, 11, 20, 21, 30]
+
+    # retention: drop everything below the fold-survivor horizon
+    store3 = str(tmp_path / "store3")
+    stats2 = vector_store_maintain(spark, store, store3,
+                                   hot_batches=1, drop_below=2)
+    assert stats2["rows_dropped"] == 8                     # batch-0 fold
+    left = sorted(r["vec_id"] for r in spark.read.parquet(store3).collect())
+    assert left == [20, 21, 30]
