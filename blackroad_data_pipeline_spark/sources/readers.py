@@ -194,6 +194,15 @@ def src_api(spark: SparkSession, config: Mapping) -> DataFrame:
     return src_inline(spark, {"data": rows, "schema": config.get("schema")})
 
 
+@register("postgres")
+def src_postgres(spark: SparkSession, config: Mapping) -> DataFrame:
+    """Alias for ``jdbc`` — the reference DECLARES a ``postgres``
+    source type (main.py:92) without ever implementing it; a config
+    written against that name runs here unchanged (reference-parity
+    naming; supply a postgresql JDBC ``url``)."""
+    return src_jdbc(spark, config)
+
+
 @register("jdbc")
 def src_jdbc(spark: SparkSession, config: Mapping) -> DataFrame:
     """Partitioned JDBC scan — the scale path for relational sources.

@@ -486,6 +486,16 @@ def test_jdbc_source_real_driver(spark):
     assert sorted(r["id"] for r in rows) == list(range(100))
     assert df.rdd.getNumPartitions() == 4
 
+    # `postgres` is a reference-parity ALIAS of jdbc (the reference
+    # declares the type at main.py:92 but never implemented it) —
+    # same config, same reader
+    alias = read_source(spark, "postgres", {
+        "url": "jdbc:duckdb:",
+        "driver": "org.duckdb.DuckDBDriver",
+        "query": "SELECT range AS id FROM range(5)",
+    })
+    assert sorted(r["id"] for r in alias.collect()) == list(range(5))
+
 
 def test_round3_curation_pipeline_e2e(svc, tmp_path):
     """The round-3 curation operators composed THROUGH the control
