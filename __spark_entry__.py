@@ -5305,19 +5305,26 @@ def q_dup_spans_remove(spark, sf_dir):
     mode=remove): tokens covered by a cross-doc duplicated 5-token
     window are cut everywhere except the minimum-id canonical copy;
     text reassembles space-joined. Fully value-checked — the oracle
-    reproduces the canonical-owner policy and the positional rebuild."""
-    d = _t(spark, sf_dir, "documents")
+    reproduces the canonical-owner policy and the positional rebuild.
+    Heavy-pair knob: see the note on _SQL_DUP_SPANS_REMOVE."""
+    d = _hmod_docs(spark, sf_dir)
     df = op("dup_span_stats", d, {
         "field": "text", "id_field": "doc_id", "span": 5, "min_docs": 2,
         "mode": "remove"})
     return op("select", df, {"fields": ["doc_id", "text"]})
 
 
+# dup_spans_remove rides the heavy-pair knob (round 11): the REMOVE
+# oracle's positional rebuild (rem explode + NOT EXISTS anti-join over
+# every covered token position) needs ~90 GB of DuckDB memory SOLO at
+# 500k docs (r11 measured: green at ORACLE_DUCK_MEM=90GB, ENOSPC on
+# >78 GB spill at 20-40GB) — oracle-compute class; the stats-mode
+# sibling (dup_spans) fits the budget and stays full-corpus.
 _SQL_DUP_SPANS_REMOVE = f"""
 WITH d AS (
   SELECT doc_id, {_D_TOKS.replace("trim(text)", "trim(COALESCE(text, ''))")}
            AS toks, text AS orig
-  FROM documents),
+  FROM {_HDOCS}),
 w AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
          md5(array_to_string(toks[i:i+4], ' ')) AS h
