@@ -763,3 +763,40 @@ def vector_store_maintain(spark: SparkSession, src_path: str,
         "dropped_batches": dropped,
         "fold_batch": (min(cold) if cold and fold else None),
     }
+
+
+@register("vector_store_maintain")
+def op_vector_store_maintain(df: DataFrame, config: Mapping,
+                             views) -> DataFrame:
+    """Pipeline-operator wrapper for ``vector_store_maintain`` so a
+    config-driven pipeline can schedule store maintenance as a DAG
+    step (the input frame is only the SparkSession carrier — the
+    store lives at ``path``). Returns the stats as a one-row
+    DataFrame, so a pipeline can sink/alert on files_before/after,
+    rows_dropped, and the fold/retention outcome.
+
+    config: ``path`` (required, the live store), ``dst`` (required,
+    the compacted copy — the swap stays the caller's atomic step),
+    ``hot_batches`` (default 1), ``drop_below`` (optional),
+    ``fold`` (default true), ``target_file_mb`` (default 512),
+    ``batch_col`` (default __ingest_batch)."""
+    if not config.get("path") or not config.get("dst"):
+        raise ValueError("vector_store_maintain requires `path` (live "
+                         "store) and `dst` (compacted copy)")
+    stats = vector_store_maintain(
+        df.sparkSession, config["path"], config["dst"],
+        hot_batches=int(config.get("hot_batches", 1)),
+        drop_below=config.get("drop_below"),
+        fold=bool(config.get("fold", True)),
+        target_file_mb=int(config.get("target_file_mb", 512)),
+        batch_col=config.get("batch_col", "__ingest_batch"))
+    row = (stats["files_before"], stats["files_after"],
+           stats["bytes_before"], stats["bytes_after"],
+           stats["batches_before"], stats["batches_after"],
+           stats["rows_dropped"],
+           stats["fold_batch"])
+    return df.sparkSession.createDataFrame(
+        [row],
+        "files_before long, files_after long, bytes_before long, "
+        "bytes_after long, batches_before long, batches_after long, "
+        "rows_dropped long, fold_batch long")

@@ -628,3 +628,91 @@ def test_vector_store_maintain_compacts_folds_and_stays_replay_safe(
     assert stats2["rows_dropped"] == 8                     # batch-0 fold
     left = sorted(r["vec_id"] for r in spark.read.parquet(store3).collect())
     assert left == [20, 21, 30]
+
+
+def test_vector_store_lifecycle_ingest_drift_maintain_compose(
+        spark, tmp_path):
+    """Round 11 end-to-end lifecycle: stream-ingest two days against
+    frozen PQ/IVF models, audit day-2 for drift against the day-1
+    bootstrap baseline with the FROZEN cells (centroid_drift), run
+    store maintenance through the OPERATOR wrapper, swap, and keep
+    serving — the production loop the round's pieces compose into."""
+    import numpy as np
+
+    from blackroad_data_pipeline_spark.operators import (
+        apply_operator as op,
+    )
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_vector_ingest,
+    )
+
+    rng = np.random.RandomState(23)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    models = str(tmp_path / "models")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(threshold=0.98, dim=8, m=2, ks=2, n_cells=2,
+              n_planes=2, n_tables=8)
+
+    # two clusters with wide-but-identical jitter laws: pairwise
+    # cosines stay far below the 0.98 dedup threshold, while day-2's
+    # distance-to-centroid distribution matches day-1's (drift quiet)
+    cents = [unit([1.0] + [0.0] * 7), unit([0.0, 1.0] + [0.0] * 6)]
+    def day(ids):
+        return [(i, unit(np.asarray(cents[i % 2]) + 0.25 * rng.randn(8)))
+                for i in ids]
+    day1 = day(range(40))
+    day2 = day(range(100, 140))
+
+    def drain(rows, name):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(src / f"{name}.parquet"))
+        s = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", True).parquet(str(src))
+        run_stream_vector_ingest(s, store, ckpt, models, **kw)
+
+    drain(day1, "d1")
+    drain(day2, "d2")
+
+    # drift gate: day-2 vs the day-1 bootstrap baseline, against the
+    # FROZEN cells persisted by the ingest (in-distribution -> quiet)
+    cells = spark.read.parquet(f"{models}/cells")
+    drift = op("centroid_drift",
+               spark.createDataFrame(day2, schema),
+               {"dim": 8, "cells": cells,
+                "baseline": spark.createDataFrame(day1, schema),
+                "threshold": 0.5}, views={}).collect()
+    assert drift and all(not r["drifted"] for r in drift)
+    assert sum(r["n_batch"] for r in drift) == 40
+
+    # maintenance through the OPERATOR wrapper (pipeline-facing)
+    store2 = str(tmp_path / "store2")
+    stats = op("vector_store_maintain",
+               spark.range(1),
+               {"path": store, "dst": store2}, views={}).collect()[0]
+    assert stats["batches_after"] == 2
+    assert stats["rows_dropped"] == 0
+
+    # swap + third drain: the store keeps serving with the same models
+    import shutil
+    shutil.rmtree(store)
+    shutil.move(store2, store)
+    drain([(300, unit(rng.randn(8)))], "d3")
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(store).collect())
+    # day-1 survivors persist through maintenance+swap, the post-swap
+    # drain appends, nothing duplicates; a couple of day-2 clustered
+    # points may legitimately near-dup away (cos >= 0.98 pairs)
+    assert len(ids) == len(set(ids))
+    assert 300 in ids
+    day1_kept = [i for i in ids if i < 40]
+    day2_kept = [i for i in ids if 100 <= i < 140]
+    assert day1_kept and day2_kept
+    assert set(day1_kept) | set(day2_kept) | {300} == set(ids)
+    assert len(day2_kept) >= 35
