@@ -491,11 +491,13 @@ def q_lang_id(spark, sf_dir):
 
 _SQL_LANG_ID = f"""
 WITH scored AS (
+  -- COALESCE: NULL text must score 0 -> 'und' like empty text, not
+  -- fall through NULL comparisons to 'de' (round-11 NULL-text sweep)
   SELECT doc_id, lang,
-         len(list_intersect({_D_TOKS_LOWER}, {_EN})) AS s_en,
-         len(list_intersect({_D_TOKS_LOWER}, {_ES})) AS s_es,
-         len(list_intersect({_D_TOKS_LOWER}, {_FR})) AS s_fr,
-         len(list_intersect({_D_TOKS_LOWER}, {_DE})) AS s_de
+         COALESCE(len(list_intersect({_D_TOKS_LOWER}, {_EN})), 0) AS s_en,
+         COALESCE(len(list_intersect({_D_TOKS_LOWER}, {_ES})), 0) AS s_es,
+         COALESCE(len(list_intersect({_D_TOKS_LOWER}, {_FR})), 0) AS s_fr,
+         COALESCE(len(list_intersect({_D_TOKS_LOWER}, {_DE})), 0) AS s_de
   FROM documents)
 SELECT doc_id, lang,
        CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
@@ -1141,9 +1143,10 @@ def q_frame_sample(spark, sf_dir):
 
 _SQL_FRAME_SAMPLE = """
 WITH p AS (
+  -- NULL payload -> zero frames (round-11 media NULL contract)
   SELECT doc_id, hex(encode(text)) AS payload_hex,
          octet_length(encode(text)) AS len
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 f AS (SELECT unnest(range(4)) AS i)
 SELECT doc_id,
        CAST(i AS INTEGER) AS frame_idx,
@@ -1370,7 +1373,8 @@ SELECT doc_id,
          AS img_width,
        16 + CAST('0x' || substring(sha256(text), 3, 2) AS INTEGER) % 240
          AS img_height,
-       'STUB' AS img_mode
+       -- NULL payload -> NULL metadata (round-11 media NULL contract)
+       CASE WHEN text IS NULL THEN NULL ELSE 'STUB' END AS img_mode
 FROM documents
 ORDER BY doc_id
 """
@@ -1413,8 +1417,11 @@ def q_resize_meta(spark, sf_dir):
 
 _SQL_RESIZE_META = """
 SELECT doc_id,
-       CAST(64 AS INTEGER) AS resized_w,
-       CAST(64 AS INTEGER) AS resized_h,
+       -- NULL payload -> NULL metadata (round-11 media NULL contract)
+       CAST(CASE WHEN text IS NULL THEN NULL ELSE 64 END
+            AS INTEGER) AS resized_w,
+       CAST(CASE WHEN text IS NULL THEN NULL ELSE 64 END
+            AS INTEGER) AS resized_h,
        substring(hex(encode(text)), 1, 128) AS resized_hex
 FROM documents
 ORDER BY doc_id
@@ -2103,7 +2110,10 @@ def q_mix_temperature(spark, sf_dir):
 
 _SQL_MIX_TEMPERATURE = """
 WITH n AS (
-  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+  -- NULL strata are excluded from the proportion stats and ALWAYS
+  -- kept (op_mix_corpus's documented ADVICE-r4 contract)
+  SELECT lang, COUNT(*) AS cnt FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang),
 t AS (
   SELECT lang,
          CAST(floor(pow(CAST((SELECT MIN(cnt) FROM n) AS DOUBLE) / cnt, 0.5)
@@ -2114,8 +2124,8 @@ b AS (
          CAST(concat('0x', substring(md5(concat_ws(chr(31), 'mixT',
               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bucket,
          thresh
-  FROM documents d JOIN t ON d.lang = t.lang)
-SELECT doc_id, lang FROM b WHERE bucket < thresh
+  FROM documents d LEFT JOIN t ON d.lang = t.lang)
+SELECT doc_id, lang FROM b WHERE lang IS NULL OR bucket < thresh
 ORDER BY doc_id
 """
 
@@ -2140,10 +2150,13 @@ def q_mix_corpus_gate(spark, sf_dir):
                    F.lit(0).cast("long")).alias("n_mismatch"))
     target = (F.when(F.col("lang") == "en", 0.5)
               .when(F.col("lang") == "zh", 1.0).otherwise(0.8))
+    # NULL-safe joinback (CLAUDE.md group-scalar invariant): a NULL
+    # lang is a real stratum on both sides of the join
+    kept_g = a.groupBy(F.col("lang").alias("lang_k")).agg(
+        F.count(F.lit(1)).alias("n_kept"))
     per_stratum = (
         d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
-        .join(a.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
-              "lang", "left")
+        .join(kept_g, F.col("lang").eqNullSafe(F.col("lang_k")), "left")
         .select("lang", "n_total",
                 F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
                 target.alias("target")))
@@ -2162,7 +2175,10 @@ def q_mix_corpus_gate(spark, sf_dir):
 
 _SQL_MIX_CORPUS_GATE = """
 SELECT CAST(0 AS BIGINT) AS n_mismatch,
-       (SELECT COUNT(DISTINCT lang) FROM documents) AS n_strata,
+       -- groupBy counts a NULL lang as a real stratum
+       (SELECT COUNT(DISTINCT lang)
+               + CASE WHEN bool_or(lang IS NULL) THEN 1 ELSE 0 END
+        FROM documents) AS n_strata,
        TRUE AS rates_ok,
        TRUE AS zh_full,
        (SELECT COUNT(*) FROM documents WHERE lang = 'zh') AS n_zh_kept
@@ -2271,7 +2287,8 @@ def q_pii_scrub(spark, sf_dir):
                       '@example.com or https://ex.io/p?id=',
                       CAST(doc_id AS STRING), ' ip 10.0.0.',
                       CAST(doc_id % 256 AS STRING), ' tel +1 (555) 010-',
-                      CAST(1000 + doc_id % 9000 AS STRING), ' ', text) AS text
+                      CAST(1000 + doc_id % 9000 AS STRING), ' ',
+                      coalesce(text, '')) AS text
         FROM self"""}, views={})
     df = op("pii_scrub", df, {"field": "text", "as": "scrubbed"})
     df = op("select", df, {"fields": ["doc_id", "scrubbed"]})
@@ -2285,7 +2302,8 @@ WITH seeded AS (
                 '@example.com or https://ex.io/p?id=',
                 CAST(doc_id AS VARCHAR), ' ip 10.0.0.',
                 CAST(doc_id % 256 AS VARCHAR), ' tel +1 (555) 010-',
-                CAST(1000 + doc_id % 9000 AS VARCHAR), ' ', text) AS text
+                CAST(1000 + doc_id % 9000 AS VARCHAR), ' ',
+                COALESCE(text, '')) AS text
   FROM documents)
 SELECT doc_id,
        regexp_replace(
@@ -3907,9 +3925,12 @@ def q_corpus_diff(spark, sf_dir):
 
 _SQL_CORPUS_DIFF = """
 SELECT doc_id,
+       -- NULL text: the || ' v1' drift is NULL || ' v1' = NULL in
+       -- Spark SQL, so old == new null-safely -> unchanged (the
+       -- group-scalar null-safe compare invariant)
        CASE WHEN doc_id % 2 <> 0 THEN 'added'
             WHEN doc_id % 3 = 0 THEN 'removed'
-            WHEN doc_id % 8 = 0 THEN 'changed'
+            WHEN doc_id % 8 = 0 AND text IS NOT NULL THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM documents
 WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0
@@ -3981,6 +4002,10 @@ def q_sample_pps(spark, sf_dir):
     the reproducible md5 order — pure integer systematic PPS that
     DuckDB replays bit-for-bit (multiplicities included)."""
     d = _t(spark, sf_dir, "documents")
+    # NULL weights are a config/data ERROR by the op's guard (silent
+    # drops would bias sampling) — the contract pre-filters them, the
+    # `ts IS NOT NULL` pin pattern (round-11 NULL-text sweep)
+    d = op("filter", d, {"field": "n_chars", "op": "notnull"})
     df = op("sample_pps", d, {"weight_field": "n_chars", "n": 100,
                               "id_field": "doc_id"})
     df = op("select", df, {"fields": ["doc_id", "n_copies"]})
@@ -3991,7 +4016,7 @@ _SQL_SAMPLE_PPS = """
 WITH w AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
          md5(CAST(doc_id AS VARCHAR)) AS h
-  FROM documents),
+  FROM documents WHERE n_chars IS NOT NULL),
 c AS (
   SELECT doc_id, w,
          SUM(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -4011,6 +4036,7 @@ def q_sample_pps_group(spark, sf_dir):
     language, proportional to n_chars — plain windows over one group
     shuffle (no driver pass), integer-exact like the global variant."""
     d = _t(spark, sf_dir, "documents")
+    d = op("filter", d, {"field": "n_chars", "op": "notnull"})
     df = op("sample_pps", d, {"weight_field": "n_chars", "n": 20,
                               "id_field": "doc_id", "group_by": ["lang"]})
     df = op("select", df, {"fields": ["doc_id", "lang", "n_copies"]})
@@ -4021,7 +4047,7 @@ _SQL_SAMPLE_PPS_GROUP = """
 WITH w AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
          md5(CAST(doc_id AS VARCHAR)) AS h
-  FROM documents),
+  FROM documents WHERE n_chars IS NOT NULL),
 c AS (
   SELECT doc_id, lang, w,
          SUM(w) OVER (PARTITION BY lang ORDER BY h, doc_id
@@ -4045,13 +4071,16 @@ def q_url_parts(spark, sf_dir):
     extraction must match DuckDB's regexp replay character-for-
     character. Pure codegen, zero shuffle before the contract sort."""
     d = _t(spark, sf_dir, "documents")
+    # the query param synthesizes from SOURCE (never NULL): a NULL
+    # lang would NULL Spark's whole concat while DuckDB's || only
+    # NULLs the parts it touches (round-11 NULL-text sweep)
     d = op("expr", d, {"exprs": {
         "url": "concat('https://www.', source, '.example.com/docs/',"
-               " doc_id, '?lang=', lang)"}})
-    df = op("url_parts", d, {"params": ["lang"]})
+               " doc_id, '?src=', source)"}})
+    df = op("url_parts", d, {"params": ["src"]})
     df = op("select", df, {"fields": [
         "doc_id", "url_protocol", "url_host", "url_path", "url_query",
-        "url_registered_domain", "param_lang"]})
+        "url_registered_domain", "param_src"]})
     return op("sort", df, {"fields": ["doc_id"]})
 
 
@@ -4060,9 +4089,9 @@ SELECT doc_id,
        'https' AS url_protocol,
        'www.' || source || '.example.com' AS url_host,
        '/docs/' || doc_id AS url_path,
-       'lang=' || lang AS url_query,
+       'src=' || source AS url_query,
        'example.com' AS url_registered_domain,
-       lang AS param_lang
+       source AS param_src
 FROM documents
 ORDER BY doc_id
 """
@@ -4619,7 +4648,7 @@ def q_strip_markup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     wrapped = op("sql", d, {"query": """
         SELECT doc_id,
-               concat('<p class="x">', text, '</p> &amp; <br/> tail &lt;ok&gt;')
+               concat('<p class="x">', coalesce(text, ''), '</p> &amp; <br/> tail &lt;ok&gt;')
                  AS text
         FROM self"""}, views={})
     df = op("strip_markup", wrapped, {"field": "text", "as": "clean"})
@@ -4631,7 +4660,7 @@ _SQL_STRIP_MARKUP = r"""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
          replace(replace(replace(replace(replace(replace(
-           regexp_replace(concat('<p class="x">', text,
+           regexp_replace(concat('<p class="x">', COALESCE(text, ''),
                                  '</p> &amp; <br/> tail &lt;ok&gt;'),
                           '<[^>]*>', ' ', 'g'),
            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
@@ -5251,6 +5280,9 @@ def q_quality_classifier_gate(spark, sf_dir):
     accuracy >= 0.98 (measured 1.0 at sf0.001/0.01/0.1; the margin
     absorbs float-reduction noise)."""
     d = _t(spark, sf_dir, "documents")
+    # a NULL text makes a NULL label, which the trainer refuses by
+    # contract — pre-filter (round-11 NULL-text sweep)
+    d = op("filter", d, {"field": "text", "op": "notnull"})
     d = d.withColumn("lab", F.col("text").contains("customer"))
     out = op("quality_classifier", d,
              {"field": "text", "label_field": "lab"})
@@ -5262,7 +5294,8 @@ def q_quality_classifier_gate(spark, sf_dir):
 
 
 _SQL_QUALITY_CLASSIFIER_GATE = """
-SELECT COUNT(*) AS n_eval, TRUE AS accuracy_floor_met FROM documents
+SELECT COUNT(*) AS n_eval, TRUE AS accuracy_floor_met
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -6241,12 +6274,17 @@ def q_quantile_sketch_gate(spark, sf_dir):
     merged = op("quantile_sketch_merge", a, {**cfg, "others": [b]},
                 views={})
     est_m = op("quantile_estimate", merged, est_cfg)
-    j = op("join", est, {"right": est_m, "left_key": "lang",
-                         "right_key": "lang"}, views={})
-    j = op("expr", j, {"exprs": {
-        "merge_consistent": "q50 = r_q50 AND q90 = r_q90"}})
-    j = op("select", j, {"fields": ["lang", "q50", "q90",
-                                    "merge_consistent"]})
+    # NULL-safe group joinback (CLAUDE.md invariant): a NULL lang is a
+    # real sketch group; a plain equi-join would drop its gate row
+    est_m2 = est_m.select(F.col("lang").alias("lang_m"),
+                          F.col("q50").alias("r_q50"),
+                          F.col("q90").alias("r_q90"))
+    j = est.join(est_m2, F.col("lang").eqNullSafe(F.col("lang_m")))
+    j = j.select(
+        "lang", "q50", "q90",
+        (F.col("q50").eqNullSafe(F.col("r_q50"))
+         & F.col("q90").eqNullSafe(F.col("r_q90")))
+        .alias("merge_consistent"))
     return op("sort", j, {"fields": ["lang"]})
 
 
@@ -6268,7 +6306,7 @@ SELECT lang,
        MIN(CASE WHEN rn = GREATEST((900000000 * n + 999999999)
                                    // 1000000000, 1) THEN v END) AS q90,
        TRUE AS merge_consistent
-FROM r GROUP BY lang ORDER BY lang
+FROM r GROUP BY lang ORDER BY lang NULLS FIRST
 """
 
 
@@ -6354,7 +6392,11 @@ def q_phash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     df = op("attach_binary", d, {"field": "text"})
     df = op("phash_image", df, {"fake_decode": True})
-    df = op("select", df, {"fields": ["doc_id", "phash"]})
+    # stringified: a NULL-able 64-bit hash would canonicalize through
+    # pandas float64 and lose bits past 2^53 (CLAUDE.md dtype trap)
+    df = op("expr", df, {"exprs": {
+        "phash_str": "cast(phash as string)"}})
+    df = op("select", df, {"fields": ["doc_id", "phash_str"]})
     return op("sort", df, {"fields": ["doc_id"]})
 
 
@@ -6381,7 +6423,11 @@ g AS (
                      AS INTEGER)) AS gv
   FROM h2)
 SELECT doc_id,
-       CAST({' + '.join(terms)} AS BIGINT) + {sign} AS phash
+       -- NULL payload -> NULL hash (NULL > NULL comparisons would
+       -- otherwise sum to 0, not NULL)
+       CASE WHEN gv[1] IS NULL THEN NULL ELSE
+         CAST(CAST({' + '.join(terms)} AS BIGINT) + {sign} AS VARCHAR)
+       END AS phash_str
 FROM g ORDER BY doc_id
 """
 
@@ -6624,8 +6670,8 @@ def q_text_normalize(spark, sf_dir):
     engines normalize the identical input."""
     d = _t(spark, sf_dir, "documents")
     d = op("expr", d, {"exprs": {
-        "dirty": "concat('\u201cQ\u201d \u2014 ', text, ' \u2026',"
-                 " chr(9), '\u00a0end\u2019s', chr(7))"}})
+        "dirty": "concat('\u201cQ\u201d \u2014 ', coalesce(text, ''),"
+                 " ' \u2026', chr(9), '\u00a0end\u2019s', chr(7))"}})
     df = op("text_normalize", d, {"field": "dirty", "as": "clean"})
     return op("select", df, {"fields": ["doc_id", "clean"]})
 
@@ -6633,8 +6679,8 @@ def q_text_normalize(spark, sf_dir):
 _SQL_TEXT_NORMALIZE = """
 WITH d AS (
   SELECT doc_id,
-         concat('\u201cQ\u201d \u2014 ', text, ' \u2026', chr(9),
-                '\u00a0end\u2019s', chr(7)) AS dirty
+         concat('\u201cQ\u201d \u2014 ', COALESCE(text, ''), ' \u2026',
+                chr(9), '\u00a0end\u2019s', chr(7)) AS dirty
   FROM documents)
 SELECT doc_id,
   regexp_replace(
@@ -6663,7 +6709,9 @@ def q_compression_gate(spark, sf_dir):
     return df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("raw_bytes").alias("sum_raw_bytes"),
-        ((F.min("compression_ratio") > 0.0)
+        # >= 0: a NULL/empty doc is a 0-byte row at ratio 0.0 by the
+        # op's documented contract (round-11 NULL-text sweep)
+        ((F.min("compression_ratio") >= 0.0)
          & (F.max("compression_ratio") <= 2.0)).alias("ratios_bounded"))
 
 

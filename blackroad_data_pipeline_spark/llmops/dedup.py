@@ -52,14 +52,21 @@ def op_dedup_exact(df: DataFrame, config: Mapping, views) -> DataFrame:
 
 
 def shingles_col(col: Column, k: int) -> Column:
-    """Distinct k-token shingles of a text column. NULL text shingles
-    like the empty string (one empty shingle) — identical to the Arrow
-    kernels' _shingle_set, so candidate generation and exact
-    verification agree on null docs."""
+    """Distinct k-token shingles of a text column. NULL text produces
+    NO shingles (empty array): an absent document can never be a
+    near-dup candidate and dedup always keeps it — the text twin of
+    the `_drop_null_ts`/valid_vec NULL contract (round 11; before
+    this, every NULL doc shared one '' shingle and the similarity
+    joins paired all of them quadratically). An EMPTY-STRING document
+    keeps the one-empty-shingle behavior (present-but-empty docs ARE
+    exact duplicates of each other). Identical to the Arrow kernels'
+    _shingle_set, so candidate generation and exact verification
+    agree on null docs."""
     kg = kgrams_col(col, k)
     toks = tokens_col(F.coalesce(col, F.lit("")))
-    return F.when(F.size(kg) > 0, F.array_distinct(kg)).otherwise(
-        F.array(F.array_join(toks, " ")))
+    return (F.when(col.isNull(), F.array().cast("array<string>"))
+            .when(F.size(kg) > 0, F.array_distinct(kg))
+            .otherwise(F.array(F.array_join(toks, " "))))
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
@@ -105,8 +112,12 @@ def _shingle_set(text: str | None, k: int) -> dict:
     """Distinct k-token shingles of one document (insertion-ordered
     dict-as-set) — the single Python-side shingling definition, kept
     identical to shingles_col (including ASCII-only whitespace
-    splitting). None-safe (NULL text shingles as empty)."""
-    toks = [t for t in _JVM_WS.split(text or "") if t]
+    splitting). NULL text -> NO shingles (never a candidate, always
+    kept — the round-11 NULL-text contract); empty string keeps its
+    one empty shingle."""
+    if text is None:
+        return {}
+    toks = [t for t in _JVM_WS.split(text) if t]
     if len(toks) >= k:
         return dict.fromkeys(" ".join(toks[i:i + k])
                              for i in range(len(toks) - k + 1))
@@ -137,13 +148,17 @@ def _signatures(idx_lists, vocab: dict, a, b, num_hashes: int):
     gathers per doc."""
     import numpy as np
 
-    empty_sig = np.full(num_hashes, 2 ** 63 - 1, dtype=np.int64)
+    # zero-shingle docs (NULL text) get a NULL signature: band
+    # explodes skip them, so an absent document never bands, never
+    # pairs, and dedup always keeps it (round-11 NULL-text contract —
+    # a shared SENTINEL signature here banded every NULL doc with
+    # every other and the jaccard verify divided 0/0)
     if not vocab:
-        return [empty_sig] * len(idx_lists)
+        return [None] * len(idx_lists)
     digests = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in vocab)
     x = np.frombuffer(digests, dtype="<u8")                # (V,)
     hashes = x[:, None] * a[None, :] + b[None, :]          # (V, H) wraps
-    return [empty_sig if len(ix) == 0
+    return [None if len(ix) == 0
             else np.ascontiguousarray(hashes[ix].min(axis=0)).view(np.int64)
             for ix in idx_lists]
 
@@ -218,7 +233,10 @@ def _sig_col(config: Mapping, shingles: Column, num_hashes: int) -> Column:
     all-JVM xxhash expression path (``sig_impl: "jvm"``). Both are
     min-wise independent families; banding math is identical."""
     if config.get("sig_impl", "arrow") == "jvm":
-        return minhash_signature(shingles, num_hashes)
+        # NULL signature for zero-shingle (NULL-text) docs, matching
+        # the Arrow kernel (round-11 NULL-text contract)
+        return F.when(F.size(shingles) > 0,
+                      minhash_signature(shingles, num_hashes))
     return minhash_kernel(num_hashes)(shingles)
 
 
@@ -1204,8 +1222,11 @@ def _band_entries_col(bands: int, rows: int) -> Column:
     """(band_idx, band_hash) structs from the ``__sig`` signature
     column — the banding shared by near_dup_minhash, minhash_bands
     and dedup_near_against (identical hashing, so a stored band table
-    is joinable against any freshly-signed batch)."""
-    return F.array(*[
+    is joinable against any freshly-signed batch). NULL signatures
+    (zero-shingle / NULL-text docs) yield a NULL array so the band
+    explode SKIPS them — xxhash64(NULL) would otherwise hash the bare
+    seed and band every NULL doc with every other (round 11)."""
+    return F.when(F.col("__sig").isNotNull(), F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
             F.xxhash64(F.array_join(
@@ -1213,7 +1234,7 @@ def _band_entries_col(bands: int, rows: int) -> Column:
                             lambda x: x.cast("string")), ",")).alias("band_hash"),
         )
         for b in range(bands)
-    ])
+    ]))
 
 
 @register("minhash_bands")

@@ -98,6 +98,8 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
         image_mod = None if fake is True else _pil()
 
         def one(b):
+            if b is None:  # NULL payload -> NULL metadata (the
+                return (None, None, None)  # valid_vec policy for media)
             data = bytes(b)
             if image_mod is not None:
                 try:
@@ -120,8 +122,8 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
         for pdf in batches:
             trip = pdf[payload_field].map(one)
             pdf = pdf.assign(
-                img_width=trip.map(lambda t: t[0]).astype("int32"),
-                img_height=trip.map(lambda t: t[1]).astype("int32"),
+                img_width=trip.map(lambda t: t[0]).astype("Int32"),
+                img_height=trip.map(lambda t: t[1]).astype("Int32"),
                 img_mode=trip.map(lambda t: t[2]),
             )
             yield pdf
@@ -159,6 +161,8 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
         image_mod = None if fake is True else _pil()
 
         def one(b):
+            if b is None:  # NULL payload -> NULL resize
+                return None
             data = bytes(b)
             if image_mod is not None:
                 try:
@@ -181,13 +185,15 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
             return data[: tw * th // 64 or 1]
 
         for pdf in batches:
+            resized = pdf[payload_field].map(one)
+            notnull = pdf[payload_field].notna()
             pdf = pdf.assign(
-                resized_payload=pdf[payload_field].map(one),
-                resized_w=tw,
-                resized_h=th,
+                resized_payload=resized,
+                resized_w=pd.Series(tw, index=pdf.index
+                                    ).where(notnull).astype("Int32"),
+                resized_h=pd.Series(th, index=pdf.index
+                                    ).where(notnull).astype("Int32"),
             )
-            pdf["resized_w"] = pdf["resized_w"].astype("int32")
-            pdf["resized_h"] = pdf["resized_h"].astype("int32")
             yield pdf
 
     return df.mapInPandas(resize, schema)
@@ -248,6 +254,8 @@ def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
             return n / sr, n, rms
 
         def one(b):
+            if b is None:  # NULL payload -> NULL features
+                return (None, None, None)
             data = bytes(b)
             if sf_mod is not None:
                 try:
@@ -271,9 +279,9 @@ def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
         for pdf in batches:
             trip = pdf[payload_field].map(one)
             pdf = pdf.assign(
-                audio_seconds=trip.map(lambda t: t[0]),
-                audio_samples=trip.map(lambda t: t[1]).astype("int64"),
-                audio_rms=trip.map(lambda t: t[2]),
+                audio_seconds=trip.map(lambda t: t[0]).astype("float64"),
+                audio_samples=trip.map(lambda t: t[1]).astype("Int64"),
+                audio_rms=trip.map(lambda t: t[2]).astype("float64"),
             )
             yield pdf
 
@@ -299,6 +307,8 @@ def op_frame_sample(df: DataFrame, config: Mapping, views) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
+                if row[payload_field] is None:
+                    continue  # NULL payload -> zero frames
                 payload = bytes(row[payload_field])
                 step = max(1, len(payload) // max(n_frames, 1))
                 for i in range(n_frames):
@@ -378,7 +388,9 @@ def op_phash_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                         g.append(px[s])
             return g
 
-        def one(b) -> int:
+        def one(b):
+            if b is None:  # NULL payload -> NULL hash
+                return None
             data = bytes(b)
             if image_mod is not None:
                 try:
@@ -398,7 +410,11 @@ def op_phash_image(df: DataFrame, config: Mapping, views) -> DataFrame:
             return _dhash_from_grid(_stub_gray_grid(data))
 
         for pdf in batches:
-            yield pdf.assign(
-                phash=pdf[payload_field].map(one).astype("int64"))
+            # object-dtype construction: a list of >2^53 ints + None
+            # would INFER float64 and silently round 64-bit hashes
+            # before the Int64 cast (round-11 NULL-text sweep find)
+            vals = pd.Series([one(b) for b in pdf[payload_field]],
+                             index=pdf.index, dtype="object")
+            yield pdf.assign(phash=vals.astype("Int64"))
 
     return df.mapInPandas(kernel, schema)

@@ -943,19 +943,31 @@ def test_pack_sequences_shards_are_independent(spark):
 
 
 def test_minhash_kernels_null_safe(spark):
-    """NULL text must hash like the empty string on every signature
-    path (the JVM path tolerated nulls; the Arrow kernels must too)."""
-    from pyspark.sql import functions as F
-    df = spark.createDataFrame([(1, None), (2, ""), (3, "a b c d")],
-                               "doc_id long, text string")
+    """Round-11 NULL-text contract on every signature path: NULL text
+    gets a NULL signature (never bands, never pairs, survives dedup —
+    the text twin of _drop_null_ts/valid_vec), while an EMPTY STRING
+    is a present-but-empty doc that keeps its one-empty-shingle
+    signature and CAN pair with other empty docs. Before this, every
+    NULL doc shared one '' shingle and the similarity joins paired
+    all of them quadratically (NULL-text fixture sweep find)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d"), (4, "")],
+        "doc_id long, text string")
     rows = op("minhash", df, {"num_hashes": 8, "shingle_size": 2}).collect()
-    sigs = {r["doc_id"]: tuple(r["minhash_sig"]) for r in rows}
-    assert sigs[1] == sigs[2]              # null == empty
-    assert sigs[3] != sigs[1]
+    sigs = {r["doc_id"]: r["minhash_sig"] and tuple(r["minhash_sig"])
+            for r in rows}
+    assert sigs[1] is None                 # NULL -> NULL signature
+    assert sigs[2] == sigs[4]              # empty == empty (present)
+    assert sigs[3] not in (None, sigs[2])
     pairs = op("near_dup_minhash", df,
                {"threshold": 0.5, "shingle_size": 2,
                 "bands": 8, "rows_per_band": 1}).collect()
-    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 4)}
+    kept = sorted(r["doc_id"] for r in op(
+        "dedup_near_minhash", df,
+        {"threshold": 0.5, "shingle_size": 2,
+         "bands": 8, "rows_per_band": 1}).collect())
+    assert kept == [1, 2, 3]               # NULL doc 1 always survives
 
 
 def test_shingle_kernels_match_jvm_on_unicode_whitespace(spark):

@@ -247,13 +247,23 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         else:
             k = int(rng.integers(10, 101))
             texts.append(" ".join(vocab[rng.integers(0, len(vocab), k)]))
+    # NULL text / lang (round 11): the text-operator family had never
+    # been NULL-TEXT swept — tokenizers, cleaners, dedup shinglers and
+    # their oracles must agree on whether a NULL document is an empty
+    # document or an absent one.
+    text_list: list = [None if null_frac and rng.random() < null_frac
+                       else t for t in texts]
+    lang_arr = np.array(LANGS)[rng.choice(5, nd, p=LANG_P)].astype(object)
+    if null_frac:
+        lang_arr[rng.random(nd) < null_frac] = None
     write("documents", pa.table({
         "doc_id": pa.array(np.arange(nd), pa.int64()),
-        "text": texts,
-        "lang": pa.array(np.array(LANGS)[
-            rng.choice(5, nd, p=LANG_P)]),
+        "text": text_list,
+        "lang": pa.array(list(lang_arr), pa.string()),
         "source": [f"src{i % 20}" for i in range(nd)],
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pa.array(
+            [len(t) if t is not None else None for t in text_list],
+            pa.int64()),
     }))
 
     nv = n["embeddings"]
