@@ -10,6 +10,7 @@ result is bit-deterministic regardless of partitioning/order.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -6734,14 +6735,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_filter_agg(spark, SF001)
 
 
+def _rotation_order(keys: "list[str]") -> "list[str]":
+    """Driver-evidence rotation, computed from disk (round 12).
+
+    The round driver samples the FIRST ~50 ``queries()`` keys, so the
+    prefix must always be the 50 least-recently-driver-sampled
+    queries (tools/check_rotation.py gates this; never-sampled/new
+    ops count as round 0 and lead).  Rounds 9-11 re-sorted the dict
+    literal by hand every round — a guaranteed red the moment the
+    driver committed a new CORRECTNESS file.  Now the order is
+    DERIVED at call time from the CORRECTNESS_r*.json files next to
+    this file: sort by (last-sampled round, name).  The dict literal
+    below is an unordered registry; its comment grouping is historic.
+    """
+    import glob as _glob
+    import re as _re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for f in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k in data:
+            last[k] = max(last.get(k, 0), rnd)
+    return sorted(keys, key=lambda k: (last.get(k, 0), k))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_registry()
+    return {k: base[k] for k in _rotation_order(list(base))}
+
+
+def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Order = driver-evidence rotation (tools/check_rotation.py
-        # gates it): the first ~50 keys are the driver's per-round
-        # sample, so the prefix is ALWAYS the 50 least-recently-
-        # sampled queries (new ops count as never-sampled and lead).
-        # Whole dict is sorted by (last-sampled round, name) so future
-        # rotations are a re-sort, not a hand shuffle.
+        # Unordered registry — queries() sorts it through
+        # _rotation_order() so the driver's ~50-key sample prefix is
+        # always the least-recently-sampled cohort. The round markers
+        # below are historic grouping only.
         # -- never driver-sampled --
         "centroid_drift": q_centroid_drift,
         "vector_store_maintain": q_vector_store_maintain,
