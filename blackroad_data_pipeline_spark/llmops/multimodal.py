@@ -278,9 +278,15 @@ def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
 
         for pdf in batches:
             trip = pdf[payload_field].map(one)
+            # object-dtype BEFORE astype("Int64"): with NULL payloads
+            # the map output infers float64 first, the phash
+            # inference trap — harmless only while sample counts stay
+            # below 2^53; keep the invariant uniform (ADVICE r11)
+            samples = pd.Series([t[1] for t in trip],
+                                index=pdf.index, dtype="object")
             pdf = pdf.assign(
                 audio_seconds=trip.map(lambda t: t[0]).astype("float64"),
-                audio_samples=trip.map(lambda t: t[1]).astype("Int64"),
+                audio_samples=samples.astype("Int64"),
                 audio_rms=trip.map(lambda t: t[2]).astype("float64"),
             )
             yield pdf

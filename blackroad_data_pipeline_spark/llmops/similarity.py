@@ -1748,9 +1748,24 @@ def op_centroid_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
 
     def prep(d: DataFrame, is_base: bool) -> DataFrame:
         d = d.filter(valid_vec(F.col(field)))
-        qv = F.transform(
-            F.col(field),
-            lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+        # Executor-side guard on the DATA side too (ADVICE r11): an
+        # out-of-domain component would silently wrap the non-ANSI
+        # int64 (a-b)*(a-b) and yield wrong cells/means where DuckDB
+        # errors. Written as the VALUE expression (when/otherwise,
+        # sample_pps precedent) so Catalyst can't prune it and NULLs
+        # can't short-circuit around it.
+        def _q(x):
+            q = F.floor(x.cast("double") * scale).cast("long")
+            return F.when(F.abs(q) <= maxq, q).otherwise(
+                F.assert_true(F.lit(False), F.concat(
+                    F.lit(f"centroid_drift: |quantized component| "
+                          f"exceeds {maxq} — the int64 squared-L2 sum "
+                          f"would overflow; lower `scale`; value="),
+                    F.coalesce(x.cast("string"), F.lit("NULL"))))
+                .cast("long"))
+
+        qv = F.transform(F.col(field), lambda x: _q(x))
         return d.select(F.lit(is_base).alias("__is_base"),
                         qv.alias("__q"))
 

@@ -9,6 +9,7 @@ aggregations use the built-in incremental state store.
 
 from __future__ import annotations
 
+import os
 import threading
 from collections.abc import Mapping
 
@@ -590,6 +591,17 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
         spark = batch.sparkSession
         from pyspark.errors import AnalysisException
 
+        from ..store import is_managed, store_resolve
+
+        # Managed-root indirection (store.py): if ``path`` is a store
+        # root with a manifest, resolve the CURRENT version dir at
+        # EVERY drain — after vector_store_maintain_managed swaps the
+        # pointer, the next drain (and any checkpoint replay of it)
+        # reads history from and appends into the NEW version, so the
+        # compacted copy is what replay collides against, never the
+        # retired one.
+        path_ = store_resolve(path) if is_managed(path) else path
+
         batch = batch.filter(valid_vec(F.col(field)))
         kept = op("dedup_embedding", batch, dd_cfg)
 
@@ -632,7 +644,7 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
 
         store = None
         try:
-            store = (spark.read.parquet(path)
+            store = (spark.read.parquet(path_)
                      .filter(F.col("__ingest_batch") != F.lit(batch_id)))
         except AnalysisException as e:
             cond = getattr(e, "getCondition", lambda: None)()
@@ -660,7 +672,7 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
          .withColumn("__ingest_batch", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("__ingest_batch").parquet(path))
+         .partitionBy("__ingest_batch").parquet(path_))
 
     q = (df.writeStream.foreachBatch(_ingest)
          .option("checkpointLocation", checkpoint)
@@ -765,6 +777,48 @@ def vector_store_maintain(spark: SparkSession, src_path: str,
     }
 
 
+def vector_store_maintain_managed(spark: SparkSession, root: str,
+                                  **kw) -> dict:
+    """Maintenance with an OWNED atomic swap (VERDICT r11 #3) over a
+    managed store root (store.py manifest layout).
+
+    Resolves the current version from the manifest, compacts it into
+    a FRESH version directory, VALIDATES the copy (surviving row
+    count must equal source minus retention drops — a truncated or
+    doubled rewrite must never become current), then atomically
+    repoints the manifest with a compare-and-set on the version it
+    maintained from. A reader that resolved the root before the swap
+    keeps scanning the old immutable version dir; the next
+    ``run_stream_vector_ingest`` drain resolves the NEW version, so
+    checkpoint replay lands on the compacted copy. Old versions stay
+    on disk until ``store_gc`` (readers may still be in flight).
+    """
+    from ..store import (
+        store_current_version,
+        store_next_version,
+        store_swap,
+    )
+
+    src_version = store_current_version(root)
+    src = os.path.join(root, src_version)
+    dst_version = store_next_version(root)
+    dst = os.path.join(root, dst_version)
+    stats = vector_store_maintain(spark, src, dst, **kw)
+
+    n_src = spark.read.parquet(src).count()
+    n_dst = spark.read.parquet(dst).count()
+    if n_dst != n_src - stats["rows_dropped"]:
+        raise RuntimeError(
+            f"vector_store_maintain_managed: compacted copy has "
+            f"{n_dst} rows, expected {n_src} - "
+            f"{stats['rows_dropped']} dropped — leaving manifest on "
+            f"{src_version}")
+    swap = store_swap(root, dst_version, expect=src_version)
+    stats.update({"version_before": swap["previous"],
+                  "version_after": swap["current"], "path": dst})
+    return stats
+
+
 @register("vector_store_maintain")
 def op_vector_store_maintain(df: DataFrame, config: Mapping,
                              views) -> DataFrame:
@@ -775,28 +829,43 @@ def op_vector_store_maintain(df: DataFrame, config: Mapping,
     DataFrame, so a pipeline can sink/alert on files_before/after,
     rows_dropped, and the fold/retention outcome.
 
-    config: ``path`` (required, the live store), ``dst`` (required,
-    the compacted copy — the swap stays the caller's atomic step),
-    ``hot_batches`` (default 1), ``drop_below`` (optional),
-    ``fold`` (default true), ``target_file_mb`` (default 512),
-    ``batch_col`` (default __ingest_batch)."""
-    if not config.get("path") or not config.get("dst"):
-        raise ValueError("vector_store_maintain requires `path` (live "
-                         "store) and `dst` (compacted copy)")
-    stats = vector_store_maintain(
-        df.sparkSession, config["path"], config["dst"],
+    config: EITHER ``root`` (a managed store root — resolve, compact
+    into a fresh version, validate, and atomically swap the manifest;
+    vector_store_maintain_managed) OR ``path`` (required, the live
+    store) + ``dst`` (required, the compacted copy — the swap stays
+    the caller's atomic step); plus ``hot_batches`` (default 1),
+    ``drop_below`` (optional), ``fold`` (default true),
+    ``target_file_mb`` (default 512), ``batch_col`` (default
+    __ingest_batch)."""
+    kw = dict(
         hot_batches=int(config.get("hot_batches", 1)),
-        drop_below=config.get("drop_below"),
+        # int-coerce here too: a string drop_below from a JSON/YAML
+        # config must fail (or work) at the boundary, not as a
+        # '<' between int and str deep inside the maintain loop
+        drop_below=(int(config["drop_below"])
+                    if config.get("drop_below") is not None else None),
         fold=bool(config.get("fold", True)),
         target_file_mb=int(config.get("target_file_mb", 512)),
         batch_col=config.get("batch_col", "__ingest_batch"))
+    if config.get("root"):
+        stats = vector_store_maintain_managed(
+            df.sparkSession, config["root"], **kw)
+    else:
+        if not config.get("path") or not config.get("dst"):
+            raise ValueError(
+                "vector_store_maintain requires `root` (managed store) "
+                "or `path` (live store) + `dst` (compacted copy)")
+        stats = vector_store_maintain(
+            df.sparkSession, config["path"], config["dst"], **kw)
     row = (stats["files_before"], stats["files_after"],
            stats["bytes_before"], stats["bytes_after"],
            stats["batches_before"], stats["batches_after"],
            stats["rows_dropped"],
-           stats["fold_batch"])
+           stats["fold_batch"],
+           stats.get("version_before"), stats.get("version_after"))
     return df.sparkSession.createDataFrame(
         [row],
         "files_before long, files_after long, bytes_before long, "
         "bytes_after long, batches_before long, batches_after long, "
-        "rows_dropped long, fold_batch long")
+        "rows_dropped long, fold_batch long, version_before string, "
+        "version_after string")

@@ -4,6 +4,8 @@ with its batch execution."""
 
 from __future__ import annotations
 
+import pytest
+
 import blackroad_data_pipeline_spark.streaming as streaming_pkg  # noqa: F401
 from blackroad_data_pipeline_spark.operators import apply_operator as op
 from blackroad_data_pipeline_spark.sources.readers import nanos_to_timestamp
@@ -716,3 +718,101 @@ def test_vector_store_lifecycle_ingest_drift_maintain_compose(
     assert day1_kept and day2_kept
     assert set(day1_kept) | set(day2_kept) | {300} == set(ids)
     assert len(day2_kept) >= 35
+
+
+def test_vector_store_managed_root_atomic_swap(spark, tmp_path):
+    """Round 12 (VERDICT r11 #3): the swap is OWNED. A managed store
+    root resolves reads through a one-file manifest; maintenance
+    compacts into a fresh immutable version dir, validates, and
+    atomically repoints the manifest — a reader in flight keeps its
+    full pre-swap snapshot, the post-swap resolve serves the
+    compacted copy bit-for-bit, and the next ingest drain (same
+    checkpoint) replays against the NEW path."""
+    import numpy as np
+
+    from blackroad_data_pipeline_spark.operators import (
+        apply_operator as op,
+    )
+    from blackroad_data_pipeline_spark.store import (
+        store_gc,
+        store_init,
+        store_read,
+        store_resolve,
+        store_swap,
+    )
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_vector_ingest,
+    )
+
+    rng = np.random.RandomState(12)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    root = str(tmp_path / "store_root")
+    models = str(tmp_path / "models")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(threshold=0.98, dim=8, m=2, ks=2, n_cells=2,
+              n_planes=2, n_tables=8)
+    base = [unit(rng.randn(8)) for _ in range(6)]
+
+    store_init(root)
+    assert store_resolve(root).endswith("v000000")
+
+    def drain(rows, name):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(src / f"{name}.parquet"))
+        s = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", True).parquet(str(src))
+        # path == the managed ROOT: each drain resolves the manifest
+        run_stream_vector_ingest(s, root, ckpt, models, **kw)
+
+    drain(list(enumerate(base)), "d1")                     # batch 0
+    drain([(10, unit(rng.randn(8))), (11, unit(rng.randn(8)))], "d2")
+    drain([(20, unit(rng.randn(8))), (21, unit(rng.randn(8)))], "d3")
+
+    def snap(df):
+        return {(r["vec_id"], tuple(r["q_emb"]), tuple(r["pq_code"]),
+                 r["ivf_cell"]) for r in df.collect()}
+
+    # reader in flight: resolved BEFORE the swap, pinned to v000000
+    inflight = spark.read.parquet(store_resolve(root))
+    before = snap(inflight)
+
+    stats = op("vector_store_maintain", spark.range(1),
+               {"root": root, "hot_batches": 1}, views={}).collect()[0]
+    assert stats["version_before"] == "v000000"
+    assert stats["version_after"] == "v000001"
+    assert stats["batches_after"] == 2                     # fold(0,1) + hot 2
+
+    # post-swap: manifest points at the compacted copy, bit-equal
+    assert store_resolve(root).endswith("v000001")
+    assert snap(store_read(spark, root)) == before
+    # the in-flight reader still sees its complete pre-swap snapshot
+    assert snap(inflight) == before
+
+    # CAS: a stale maintainer (expects the retired version) fails loudly
+    with pytest.raises(RuntimeError, match="concurrent maintenance"):
+        store_swap(root, "v000000", expect="v000000")
+    with pytest.raises(ValueError, match="does not exist"):
+        store_swap(root, "v999999")
+
+    # next drain, SAME checkpoint: lands in v000001; the near-dup of
+    # vector 0 is dropped against the FOLDED history in the new path
+    drain([(30, unit(rng.randn(8))),
+           (31, unit(np.asarray(base[0]) + rng.randn(8) * 1e-3))], "d4")
+    ids = sorted(r["vec_id"]
+                 for r in store_read(spark, root).collect())
+    assert ids == [0, 1, 2, 3, 4, 5, 10, 11, 20, 21, 30]
+    got = sorted(r[0] for r in store_read(spark, root)
+                 .select("__ingest_batch").distinct().collect())
+    assert got == [0, 2, 3]                                # fold + hot + new
+
+    # retired version stays on disk until gc (readers may be live)
+    assert (tmp_path / "store_root" / "v000000").is_dir()
+    assert store_gc(root, keep=0) == ["v000000"]
+    assert not (tmp_path / "store_root" / "v000000").exists()
