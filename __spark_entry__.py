@@ -1797,14 +1797,18 @@ def q_ann_ivfpq(spark, sf_dir):
 
 
 # shared PQ training replay: quantize -> id-ordered seeds -> seed-round
-# argmin -> truncated-integer-mean Lloyd round -> final codes (d1)
-_SQL_PQ_BOOKS = f"""
+# argmin -> truncated-integer-mean Lloyd round -> final codes (d1).
+# Parameterized over the source table (round 12: model_refresh
+# retrains the same pipeline on a subset window) — at src="embeddings"
+# the rendered string is byte-identical to the pre-refactor literal.
+def _sql_pq_books_src(src: str) -> str:
+    return f"""
 q AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
            AS qe
-  FROM embeddings WHERE {_VALID_EMB}),
+  FROM {src} WHERE {_VALID_EMB}),
 subs AS (
   SELECT vec_id, CAST(j AS INTEGER) AS j,
          list_slice(qe, j*8 + 1, j*8 + 8) AS sq
@@ -1846,6 +1850,9 @@ d1 AS (
              b.code) AS rk
     FROM subs s JOIN books b ON s.j = b.j) WHERE rk = 1)
 """
+
+
+_SQL_PQ_BOOKS = _sql_pq_books_src("embeddings")
 
 _SQL_PQ_ENCODE = f"""
 WITH {_SQL_PQ_BOOKS},
@@ -2018,6 +2025,252 @@ SELECT c.cell,
                 > m.mean_d2_base * CAST(1.1 AS DOUBLE), FALSE) AS drifted
 FROM cents c LEFT JOIN m USING (cell)
 ORDER BY c.cell
+"""
+
+
+# shared by q_model_refresh / q_ann_pq_versioned: old model = full
+# corpus books + 4 smallest-id centroids; drift gate at threshold 0
+# (even=baseline vs odd=batch — naturally MIXED drifted booleans, so
+# both the keep and the re-encode branch carry rows at any sf);
+# retrain window = the odd rows; only rows in drifted cells re-encode.
+def _sql_model_refresh_ctes() -> str:
+    return f"""{_sql_pq_books_src(_HEMBS)},
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS cell, qe AS qc
+  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 4)),
+dassign AS (
+  SELECT q.vec_id, q.vec_id % 2 = 0 AS is_base, c.cell,
+         list_sum(list_transform(list_zip(q.qe, c.qc),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_sum(list_transform(list_zip(q.qe, c.qc),
+                                   x -> (x[1]-x[2])*(x[1]-x[2]))),
+           c.cell) AS rk
+  FROM q CROSS JOIN cents c),
+oldcell AS (SELECT vec_id, is_base, cell FROM dassign WHERE rk = 1),
+drift AS (
+  SELECT cell,
+    CASE WHEN SUM(CASE WHEN is_base THEN 1 ELSE 0 END) > 0 AND
+              SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) > 0 THEN
+      CAST(CAST(SUM(CASE WHEN NOT is_base THEN d2 ELSE 0 END)
+                AS VARCHAR) AS DOUBLE)
+        / SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END)
+      > CAST(CAST(SUM(CASE WHEN is_base THEN d2 ELSE 0 END)
+                  AS VARCHAR) AS DOUBLE)
+        / SUM(CASE WHEN is_base THEN 1 ELSE 0 END)
+        * CAST(1.0 AS DOUBLE)
+    ELSE FALSE END AS drifted
+  FROM dassign WHERE rk = 1 GROUP BY cell),
+affected AS (
+  SELECT o.vec_id FROM oldcell o
+  JOIN drift dr ON dr.cell = o.cell AND dr.drifted),
+nseeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS code, qe
+  FROM (SELECT vec_id, qe FROM q WHERE vec_id % 2 = 1
+        ORDER BY vec_id LIMIT 4)),
+nseedsub AS (
+  SELECT code, CAST(j AS INTEGER) AS j,
+         list_slice(qe, j*8 + 1, j*8 + 8) AS ce
+  FROM nseeds, UNNEST(range(0, 8)) u(j)),
+nd0 AS (  -- seed-round assignment of the WINDOW (odd) rows only
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+             list_sum(list_transform(list_zip(s.sq, b.ce),
+                      x -> CAST((x[1]-x[2]) AS DOUBLE)*(x[1]-x[2]))),
+             b.code) AS rk
+    FROM subs s JOIN nseedsub b ON s.j = b.j
+    WHERE s.vec_id % 2 = 1) WHERE rk = 1),
+nsums AS (
+  SELECT nd0.j, nd0.code, p, SUM(sq[p]) AS sd, COUNT(*) AS cnt
+  FROM nd0 JOIN subs USING (vec_id, j), UNNEST(range(1, 9)) u(p)
+  GROUP BY nd0.j, nd0.code, p),
+nrefined AS (
+  SELECT j, code, list(CAST(CASE WHEN sd >= 0 THEN sd // cnt
+                                 ELSE -((-sd) // cnt) END AS BIGINT)
+                       ORDER BY p) AS ce
+  FROM nsums GROUP BY j, code),
+nbooks AS (
+  SELECT s.j, s.code, COALESCE(r.ce, s.ce) AS ce
+  FROM nseedsub s LEFT JOIN nrefined r ON s.j = r.j AND s.code = r.code),
+nd1 AS (  -- re-encode: AFFECTED rows only, against the new books
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+             list_sum(list_transform(list_zip(s.sq, b.ce),
+                      x -> CAST((x[1]-x[2]) AS DOUBLE)*(x[1]-x[2]))),
+             b.code) AS rk
+    FROM subs s JOIN nbooks b ON s.j = b.j
+    WHERE s.vec_id IN (SELECT vec_id FROM affected)) WHERE rk = 1),
+cseeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS cell, qe AS ce
+  FROM (SELECT vec_id, qe FROM q WHERE vec_id % 2 = 1
+        ORDER BY vec_id LIMIT 4)),
+cd0 AS (  -- coarse retrain: window rows against the coarse seeds
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, b.cell,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             list_sum(list_transform(list_zip(s.qe, b.ce),
+                      x -> CAST((x[1]-x[2]) AS DOUBLE)*(x[1]-x[2]))),
+             b.cell) AS rk
+    FROM (SELECT vec_id, qe FROM q WHERE vec_id % 2 = 1) s
+    CROSS JOIN cseeds b) WHERE rk = 1),
+csums AS (
+  SELECT cd0.cell, p, SUM(q.qe[p]) AS sd, COUNT(*) AS cnt
+  FROM cd0 JOIN q USING (vec_id), UNNEST(range(1, 65)) u(p)
+  GROUP BY cd0.cell, p),
+crefined AS (
+  SELECT cell, list(CAST(CASE WHEN sd >= 0 THEN sd // cnt
+                              ELSE -((-sd) // cnt) END AS BIGINT)
+                    ORDER BY p) AS ce
+  FROM csums GROUP BY cell),
+ccells AS (
+  SELECT s.cell, COALESCE(r.ce, s.ce) AS ce
+  FROM cseeds s LEFT JOIN crefined r ON s.cell = r.cell),
+newcell AS (  -- AFFECTED rows against the refreshed coarse centroids
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, b.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(list_zip(q.qe, b.ce),
+                      x -> (x[1]-x[2])*(x[1]-x[2]))),
+             b.cell) AS rk
+    FROM q CROSS JOIN ccells b
+    WHERE q.vec_id IN (SELECT vec_id FROM affected)) WHERE rk = 1),
+oldcodes AS (
+  SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS cs
+  FROM d1 GROUP BY vec_id),
+newcodes AS (
+  SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS cs
+  FROM nd1 GROUP BY vec_id)"""
+
+
+def q_model_refresh(spark, sf_dir):
+    """Drift→retrain loop closure (round 12, llmops/similarity.py
+    op_model_refresh — VERDICT r11 #4): the frozen old model is the
+    full-corpus PQ books + the 4 smallest-id centroids
+    (centroid_drift geometry); even ids are the bootstrap baseline,
+    odd ids the serving window, threshold 0 so the drifted booleans
+    come out MIXED at any sf. Drifted cells retrain (books AND coarse
+    quantizer, pinned integer discipline — the refreshed coarse
+    centroids are truncated-integer means, so the whole refresh
+    replays bit-for-bit), and ONLY store rows living in drifted
+    cells re-encode: the oracle value-checks every row's version
+    tag, cell id and code string — new codes must equal DuckDB's
+    from-scratch replay of the retrain on the same frozen window,
+    old codes must pass through bit-untouched."""
+    from blackroad_data_pipeline_spark.llmops.similarity import valid_vec
+
+    e = _hmod_embs(spark, sf_dir)
+    seed_rows = (e.filter(valid_vec(F.col("embedding")))
+                 .orderBy("vec_id").limit(4).select("embedding").collect())
+    cells = spark.createDataFrame(
+        [(i, [float(x) for x in r["embedding"]])
+         for i, r in enumerate(seed_rows)],
+        "cell int, centroid array<double>")
+    base = op("sql", e, {"query":
+                         "SELECT * FROM self WHERE vec_id % 2 = 0"},
+              views={})
+    batch = op("sql", e, {"query":
+                          "SELECT * FROM self WHERE vec_id % 2 = 1"},
+               views={})
+    books = op("pq_encode", e, {**_PQ_CFG, "emit": "books"})
+    out = op("model_refresh", batch,
+             {**_PQ_CFG, "threshold": 0.0, "n_cells": 4,
+              "cells": cells, "books": books, "baseline": base,
+              "store": e}, views={})
+    out = op("expr", out, {"exprs": {
+        "pq_code_str": "array_join(pq_code, ',')"}})
+    out = op("select", out, {"fields": ["vec_id", "model_version",
+                                        "ivf_cell", "pq_code_str"]})
+    return op("sort", out, {"fields": ["vec_id"]})
+
+
+_SQL_MODEL_REFRESH = f"""
+WITH {_sql_model_refresh_ctes()}
+SELECT o.vec_id,
+       CAST(CASE WHEN dr.drifted THEN 1 ELSE 0 END AS INTEGER)
+         AS model_version,
+       CAST(CASE WHEN dr.drifted THEN nc.cell ELSE o.cell END
+            AS INTEGER) AS ivf_cell,
+       CASE WHEN dr.drifted THEN nw.cs ELSE oc.cs END AS pq_code_str
+FROM oldcell o
+JOIN drift dr ON dr.cell = o.cell
+JOIN oldcodes oc ON oc.vec_id = o.vec_id
+LEFT JOIN newcell nc ON nc.vec_id = o.vec_id
+LEFT JOIN newcodes nw ON nw.vec_id = o.vec_id
+ORDER BY o.vec_id
+"""
+
+
+def q_ann_pq_versioned(spark, sf_dir):
+    """Mixed-version ADC serving (round 12, op_ann_pq_versioned —
+    the day-3 story: after model_refresh, probes answer from a store
+    whose rows carry codes from TWO model versions until maintenance
+    retires one). The versioned books table is v0 = the full-corpus
+    model and v1 = the window retrain (bit-identical to the books
+    model_refresh froze — deterministic training IS the parity);
+    the probe's merged top-10 must equal DuckDB's replay of both ADC
+    scans stitched by each row's version tag. adc_dist is exact
+    int64 — no float compare."""
+    from blackroad_data_pipeline_spark.llmops.similarity import valid_vec
+
+    e = _hmod_embs(spark, sf_dir)
+    seed_rows = (e.filter(valid_vec(F.col("embedding")))
+                 .orderBy("vec_id").limit(4).select("embedding").collect())
+    cells = spark.createDataFrame(
+        [(i, [float(x) for x in r["embedding"]])
+         for i, r in enumerate(seed_rows)],
+        "cell int, centroid array<double>")
+    base = op("sql", e, {"query":
+                         "SELECT * FROM self WHERE vec_id % 2 = 0"},
+              views={})
+    batch = op("sql", e, {"query":
+                          "SELECT * FROM self WHERE vec_id % 2 = 1"},
+               views={})
+    books0 = op("pq_encode", e, {**_PQ_CFG, "emit": "books"})
+    mixed = op("model_refresh", batch,
+               {**_PQ_CFG, "threshold": 0.0, "n_cells": 4,
+                "cells": cells, "books": books0, "baseline": base,
+                "store": e}, views={})
+    books1 = op("pq_encode", batch, {**_PQ_CFG, "emit": "books"})
+    vbooks = (books0.withColumn("model_version", F.lit(0))
+              .unionByName(books1.withColumn("model_version", F.lit(1))))
+    out = op("ann_pq_versioned", e,
+             {**_PQ_CFG, "probe_id": 0, "k": 10,
+              "books": vbooks, "codes": mixed}, views={})
+    return op("sort", out, {"fields": ["adc_dist", "vec_id"]})
+
+
+_SQL_ANN_PQ_VERSIONED = f"""
+WITH {_sql_model_refresh_ctes()},
+probesub AS (SELECT j, sq AS pq FROM subs WHERE vec_id = 0),
+adc0 AS (
+  SELECT d1.vec_id,
+         SUM(CAST(list_sum(list_transform(list_zip(p.pq, b.ce),
+             x -> CAST((x[1]-x[2]) AS DOUBLE)*(x[1]-x[2]))) AS BIGINT))
+           AS adc_dist
+  FROM d1 JOIN books b ON d1.j = b.j AND d1.code = b.code
+          JOIN probesub p ON p.j = d1.j
+  GROUP BY d1.vec_id),
+adc1 AS (
+  SELECT nd1.vec_id,
+         SUM(CAST(list_sum(list_transform(list_zip(p.pq, b.ce),
+             x -> CAST((x[1]-x[2]) AS DOUBLE)*(x[1]-x[2]))) AS BIGINT))
+           AS adc_dist
+  FROM nd1 JOIN nbooks b ON nd1.j = b.j AND nd1.code = b.code
+           JOIN probesub p ON p.j = nd1.j
+  GROUP BY nd1.vec_id)
+SELECT o.vec_id,
+       CAST(CASE WHEN dr.drifted THEN a1.adc_dist ELSE a0.adc_dist END
+            AS BIGINT) AS adc_dist
+FROM oldcell o
+JOIN drift dr ON dr.cell = o.cell
+LEFT JOIN adc0 a0 ON a0.vec_id = o.vec_id
+LEFT JOIN adc1 a1 ON a1.vec_id = o.vec_id
+ORDER BY adc_dist, o.vec_id LIMIT 10
 """
 
 
@@ -6780,6 +7033,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # always the least-recently-sampled cohort. The round markers
         # below are historic grouping only.
         # -- never driver-sampled --
+        "model_refresh": q_model_refresh,
+        "ann_pq_versioned": q_ann_pq_versioned,
         "centroid_drift": q_centroid_drift,
         "vector_store_maintain": q_vector_store_maintain,
         # -- last driver-sampled r4 --
@@ -7175,6 +7430,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_books": _SQL_PQ_BOOKS_MODEL,
         "vector_store_maintain": _SQL_VECTOR_STORE_MAINTAIN,
         "centroid_drift": _SQL_CENTROID_DRIFT,
+        "model_refresh": _SQL_MODEL_REFRESH,
+        "ann_pq_versioned": _SQL_ANN_PQ_VERSIONED,
         # serving path + exhaustive-pruning IVFADC both contractually
         # reproduce the self-training exhaustive ADC result
         "ann_pq_served": _SQL_ANN_PQ,

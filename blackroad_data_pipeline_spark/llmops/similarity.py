@@ -1821,6 +1821,334 @@ def op_centroid_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
     return out
 
 
+def _lit_argmin_cell(qcol, qcents: np.ndarray):
+    """Codegen least-of-structs argmin over baked literal integer
+    centroids (the centroid_drift/ADC idiom): exact int64 squared-L2,
+    tie to the lower cell — zero Python, zero shuffle."""
+    best = None
+    for c in range(qcents.shape[0]):
+        arr = F.expr(
+            "array(" + ",".join(f"{int(v)}L" for v in qcents[c]) + ")")
+        d2 = F.aggregate(
+            F.zip_with(qcol, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cand = F.struct(d2.alias("d2"), F.lit(c).alias("cell"))
+        best = cand if best is None else F.least(best, cand)
+    return best.getField("cell")
+
+
+def _qcells_np(cells_df: DataFrame, scale: float, op: str) -> np.ndarray:
+    """Coarse-model centroids in QUANTIZED integer space. Accepts
+    both model schemas: ``centroid array<double>`` (op_ivf_assign
+    emit, raw units — quantized here via floor(c*scale)) and
+    ``q_centroid array<bigint>`` (op_model_refresh emit — refreshed
+    models train in quantized space and persist integers so
+    re-quantization can never round)."""
+    if "q_centroid" in cells_df.columns:
+        rows = cells_df.select("cell", "q_centroid").collect()
+        if not rows:
+            return np.zeros((0, 0), dtype=np.int64)
+        k = 1 + max(r["cell"] for r in rows)
+        arr = np.zeros((k, len(rows[0]["q_centroid"])), dtype=np.int64)
+        seen = np.zeros(k, dtype=bool)
+        for r in rows:
+            arr[r["cell"]] = r["q_centroid"]
+            seen[r["cell"]] = True
+        if not seen.all():
+            raise ValueError(f"{op}: cells model is missing cell ids")
+        return arr
+    return np.floor(_cells_np(cells_df, op) * scale).astype(np.int64)
+
+
+@register("model_refresh")
+def op_model_refresh(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """Drift→retrain loop closure (round 12, VERDICT r11 #4): when
+    the centroid_drift gate trips, produce a VERSIONED model —
+    retrain PQ books and the coarse quantizer on the drifted window —
+    and re-encode ONLY the store rows living in drifted cells,
+    keeping old-version codes servable untouched (op_ann_pq_versioned
+    answers probes over the mixed store until the next maintenance
+    swap retires a version).
+
+    ``df`` is the current batch (the drifted window — it is both the
+    drift evidence and the retrain corpus). Flow, one decision end to
+    end:
+
+    1. drift gate — op_centroid_drift(batch vs ``baseline`` under the
+       frozen old ``cells``); the k drifted booleans are the ONLY
+       thing collected (bounded).
+    2. if nothing drifted: every store row passes through with
+       ``model_version = version_old``; no training jobs run.
+    3. else retrain on the window in the pinned integer discipline:
+       new books via the PQ trainer, new coarse centroids via the
+       SAME trainer at m=1 (seeds by id, truncated-integer-mean Lloyd
+       — so the refreshed coarse model is INTEGER-valued and the
+       whole refresh replays bit-for-bit in the oracle, the pq_books
+       precedent). A refreshed cells model persists ``q_centroid``
+       (quantized ints): re-quantizing a float round-trip could
+       round, integers cannot.
+    4. selective re-encode: store rows whose OLD cell (exact int64
+       argmin against the old centroids, the centroid_drift
+       assignment) is drifted get new codes + new cell +
+       ``version_old + 1``; everything else passes through
+       BIT-UNTOUCHED with the old version tag. The two branches are
+       two filters of one scan — rows outside drifted cells never
+       enter a Python kernel, which is the point at 100 TB: re-encode
+       cost scales with the drifted fraction, not the store.
+
+    ``model_root`` (optional): persist the new books/cells as a new
+    version directory under a managed store.py root and atomically
+    swap its manifest (serving resolves the root; old model files
+    stay on disk for in-flight readers — the vector_store_maintain
+    manifest discipline applied to MODELS).
+
+    Output: ``id_field``, ``ivf_cell`` (int), ``pq_code``
+    (array<int>), ``model_version`` (int) — one row per valid store
+    row.
+
+    config: ``field``/``id_field``, ``dim`` (required), ``m``/``ks``/
+    ``refine``/``seed_order``/``scale`` (the pq_encode family),
+    ``n_cells`` (default = old model's cell count), ``threshold``
+    (default 0.10), ``cells``/``books``/``baseline``/``store``
+    (required; view names or DataFrames), ``version_old`` (default
+    0), ``model_root`` (optional path).
+    """
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    dim, m, ks, refine, seed_order, scale = _pq_params(config,
+                                                       "model_refresh")
+    threshold = float(config.get("threshold", 0.10))
+    version_old = int(config.get("version_old", 0))
+
+    def _src(key):
+        v = config.get(key)
+        if v is None:
+            raise ValueError(f"model_refresh requires `{key}`")
+        return views[v] if isinstance(v, str) else v
+
+    cells_src, books_src = _src("cells"), _src("books")
+    base_src, store_src = _src("baseline"), _src("store")
+
+    maxq_pq = _pq_guard(dim // m, scale)
+    books_old = _books_np(books_src, dim, m, "model_refresh")
+    if books_old.size == 0:
+        raise ValueError("model_refresh: old books model is empty")
+    qc_old = _qcells_np(cells_src, scale, "model_refresh")
+    if qc_old.size == 0:
+        raise ValueError("model_refresh: old cells model is empty")
+    n_cells = int(config.get("n_cells", qc_old.shape[0]))
+    maxq_cd = int((2.0 ** 63 / qc_old.shape[1]) ** 0.5) // 2
+    if np.abs(qc_old).max() > maxq_cd:
+        raise ValueError(
+            f"model_refresh: |quantized centroid| exceeds {maxq_cd}")
+
+    # 1. drift gate (k rows collected — bounded by the model size)
+    drift_cells = (cells_src if "q_centroid" not in cells_src.columns
+                   else cells_src.select(
+                       "cell",
+                       F.transform("q_centroid", lambda x:
+                                   x.cast("double") / F.lit(scale))
+                       .alias("centroid")))
+    drift = op_centroid_drift(
+        df, {"field": field, "dim": dim, "scale": scale,
+             "threshold": threshold, "cells": drift_cells,
+             "baseline": base_src}, views)
+    drifted = sorted(int(r["cell"]) for r in drift.collect()
+                     if r["drifted"])
+
+    # store-side quantization, guarded like centroid_drift's data side
+    def _q(x):
+        q = F.floor(x.cast("double") * scale).cast("long")
+        return F.when(F.abs(q) <= maxq_cd, q).otherwise(
+            F.assert_true(F.lit(False), F.concat(
+                F.lit(f"model_refresh: |quantized component| exceeds "
+                      f"{maxq_cd}; lower `scale`; value="),
+                F.coalesce(x.cast("string"), F.lit("NULL"))))
+            .cast("long"))
+
+    s = store_src.filter(valid_vec(F.col(field)))
+    qcol = F.transform(F.col(field), lambda x: _q(x))
+    old_code_of = _pq_assign_udf(books_old, maxq_pq)
+
+    if not drifted:
+        return s.select(F.col(id_field),
+                        _lit_argmin_cell(qcol, qc_old).alias("ivf_cell"),
+                        old_code_of(qcol).alias("pq_code"),
+                        F.lit(version_old).alias("model_version"))
+
+    # 3. retrain on the window (pinned integer discipline — the
+    # refresh is bit-replayable end to end)
+    qbatch = (df.filter(valid_vec(F.col(field)))
+              .select(F.col(id_field).alias("__id"),
+                      F.transform(F.col(field), lambda x: F.floor(
+                          x.cast("double") * F.lit(scale))).alias("__q")))
+    books_new = _pq_codebooks(qbatch, "__id", dim, m, ks, refine,
+                              seed_order, maxq_pq)
+    if books_new.size == 0:
+        raise ValueError("model_refresh: the drifted window has no "
+                         "valid vectors to retrain on")
+    maxq_coarse = _pq_guard(dim, scale)
+    qc_new = _pq_codebooks(qbatch, "__id", dim, 1, n_cells, refine,
+                           seed_order, maxq_coarse)[0]
+
+    if config.get("model_root"):
+        _persist_model_version(df.sparkSession, config["model_root"],
+                               books_new, qc_new)
+
+    # 4. selective re-encode: one quantize+argmin scan, checkpointed
+    # so the two version branches share it; the old-books kernel runs
+    # only over KEEP rows, the new-books kernel only over DRIFTED
+    # rows — re-encode cost scales with the drifted fraction
+    in_drift = F.col("__old_cell").isin([int(c) for c in drifted])
+    staged = (s.select(F.col(id_field),
+                       _lit_argmin_cell(qcol, qc_old).alias("__old_cell"),
+                       qcol.alias("__quant"))
+              .localCheckpoint(eager=False))
+    keep = (staged.filter(~in_drift)
+            .select(F.col(id_field),
+                    F.col("__old_cell").alias("ivf_cell"),
+                    old_code_of(F.col("__quant")).alias("pq_code"),
+                    F.lit(version_old).alias("model_version")))
+    redo = (staged.filter(in_drift)
+            .select(F.col(id_field),
+                    _lit_argmin_cell(F.col("__quant"), qc_new)
+                    .alias("ivf_cell"),
+                    _pq_assign_udf(books_new, maxq_pq)(F.col("__quant"))
+                    .alias("pq_code"),
+                    F.lit(version_old + 1).alias("model_version")))
+    return keep.unionByName(redo)
+
+
+@register("ann_pq_versioned")
+def op_ann_pq_versioned(df: DataFrame, config: Mapping, views) -> DataFrame:
+    """ADC search over a MIXED-VERSION store (round 12, the serving
+    twin of op_model_refresh): after a drift refresh, store rows
+    carry codes from different model versions until maintenance
+    retires the old one; a probe must still get one exact merged
+    top-k. Each version's ADC tables are built from ITS books — the
+    distances are exact int64 quantized squared-L2 approximations in
+    the same scale^2 units, so they rank against each other directly.
+
+    Plan shape: the per-version table lookups fuse into ONE
+    whole-stage-codegen scan (a model_version CASE over baked literal
+    arrays — no per-version union, no second pass over the codes),
+    followed by the top-k. Zero Python, zero training jobs; cost is
+    one scan of 8-byte codes regardless of how many versions are
+    live.
+
+    config: ``books`` (versioned model table — op_pq_encode books
+    schema plus ``model_version``), ``codes`` (``id``, ``pq_code``,
+    ``model_version`` — op_model_refresh output), ``probe`` or
+    ``probe_id``, ``k`` (default 10), plus the pq geometry params.
+    Exhaustive by design (the IVFADC pruning path stays on the
+    single-version op_ann_pq).
+    """
+    field = config.get("field", "embedding")
+    id_field = config.get("id_field", "vec_id")
+    dim, m, ks, refine, seed_order, scale = _pq_params(config,
+                                                       "ann_pq_versioned")
+    k = int(config.get("k", 10))
+    sub = dim // m
+    maxq = _pq_guard(sub, scale)
+
+    def _src(key):
+        v = config.get(key)
+        if v is None:
+            raise ValueError(f"ann_pq_versioned requires `{key}`")
+        return views[v] if isinstance(v, str) else v
+
+    books_src, codes_src = _src("books"), _src("codes")
+    if "model_version" not in books_src.columns \
+            or "model_version" not in codes_src.columns:
+        raise ValueError("ann_pq_versioned: books and codes must both "
+                         "carry a model_version column")
+
+    if "probe" in config:
+        probe_raw = _check_probe_finite(config["probe"],
+                                        "ann_pq_versioned")
+    else:
+        row = df.filter(F.col(id_field) == config["probe_id"]) \
+                .select(field).head()
+        if (row is None or row[0] is None or len(row[0]) == 0
+                or not np.isfinite(np.asarray(
+                    row[0], dtype=np.float64)).all()):
+            schema = df.select(id_field).schema.add("adc_dist",
+                                                    T.LongType())
+            return df.sparkSession.createDataFrame([], schema)
+        probe_raw = list(row[0])
+    qv = np.floor(np.array(probe_raw, dtype=np.float64) * scale
+                  ).astype(np.int64)
+    if np.abs(qv).max(initial=0) > maxq:
+        raise ValueError(f"ann_pq_versioned: |quantized probe| exceeds "
+                         f"{maxq}")
+
+    versions = sorted(r[0] for r in
+                      books_src.select("model_version")
+                      .distinct().collect())
+    if not versions:
+        raise ValueError("ann_pq_versioned: books model is empty")
+
+    # one CASE over per-version literal ADC tables — a single codegen
+    # scan serves every live version
+    adc = None
+    for v in versions:
+        bv = _books_np(
+            books_src.filter(F.col("model_version") == v)
+            .drop("model_version"), dim, m, "ann_pq_versioned")
+        if bv.size and np.abs(bv).max() > maxq:
+            raise ValueError(
+                f"ann_pq_versioned: |books codeword| exceeds {maxq} "
+                f"(version {v})")
+        tables = ((qv.reshape(m, 1, sub) - bv) ** 2).sum(axis=2)
+        term = None
+        for j in range(m):
+            arr = F.expr(
+                "array(" + ",".join(f"{int(t)}L" for t in tables[j])
+                + ")")
+            t_j = F.element_at(arr,
+                               F.element_at(F.col("pq_code"), j + 1) + 1)
+            term = t_j if term is None else term + t_j
+        cond = F.col("model_version") == F.lit(v)
+        adc = F.when(cond, term) if adc is None else adc.when(cond, term)
+
+    return (codes_src.filter(F.col("pq_code").isNotNull())
+            .withColumn("adc_dist", adc)
+            .filter(F.col("adc_dist").isNotNull())  # unknown versions
+            .select(id_field, "adc_dist")
+            .orderBy(F.col("adc_dist").asc(), F.col(id_field))
+            .limit(k))
+
+
+def _persist_model_version(spark, model_root: str,
+                           books: np.ndarray, qcells: np.ndarray) -> dict:
+    """Write a retrained model as a new version under a managed
+    store.py root and atomically swap the manifest. Old model files
+    stay on disk for in-flight readers (store_gc retires them)."""
+    import os
+
+    from ..store import (
+        is_managed,
+        store_current_version,
+        store_init,
+        store_next_version,
+        store_swap,
+    )
+
+    if not is_managed(model_root):
+        store_init(model_root)
+    cur = store_current_version(model_root)
+    ver = store_next_version(model_root)
+    vdir = os.path.join(model_root, ver)
+    _books_df(spark, books).write.mode("error").parquet(
+        os.path.join(vdir, "books"))
+    cells_rows = [(int(c), [int(v) for v in qcells[c]])
+                  for c in range(qcells.shape[0])]
+    spark.createDataFrame(
+        cells_rows, "cell int, q_centroid array<bigint>"
+    ).write.mode("error").parquet(os.path.join(vdir, "cells"))
+    return store_swap(model_root, ver, expect=cur)
+
+
 @register("vector_health")
 def op_vector_health(df: DataFrame, config: Mapping, views) -> DataFrame:
     """Corpus-level vector validity audit — the ingest-time companion

@@ -2443,3 +2443,125 @@ def test_ann_ivfpq_recall_floor_at_default_nprobe(spark):
                   op("ann_pq", df, {**cfg, "n_cells": 8, "nprobe": 8})
                   .collect()}
     assert exhaustive == truth
+
+
+def test_model_refresh_selective_reencode_versions_and_model_root(
+        spark, tmp_path):
+    """model_refresh (round 12, VERDICT r11 #4): a drifted cell
+    retrains and re-encodes ONLY its rows (version_old+1); quiet
+    cells pass through bit-untouched; the no-drift path runs zero
+    training; model_root persists the retrained books/cells as an
+    atomically-swapped managed version; and mixed-version serving
+    (ann_pq_versioned) returns the exact numpy-merged top-k."""
+    import numpy as np
+
+    from blackroad_data_pipeline_spark.store import (
+        store_current_version,
+        store_resolve,
+    )
+
+    dim = 8
+
+    def vec(center, bump, eps):
+        v = [0.0] * dim
+        v[center] = 1.0
+        v[(center + 3) % dim] += eps
+        v[4] += bump
+        return v
+
+    cells = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+        "cell int, centroid array<double>")
+    base = spark.createDataFrame(
+        [(i, vec(i % 2, 0.0, 0.01 * ((i % 5) - 2))) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    batch_shift = spark.createDataFrame(
+        [(200 + i, vec(i % 2, 0.5 if i % 2 == 1 else 0.0,
+                       0.01 * ((i % 5) - 2))) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    batch_in = spark.createDataFrame(
+        [(100 + i, vec(i % 2, 0.0, 0.01 * ((i % 5) - 2)))
+         for i in range(40)],
+        "vec_id long, embedding array<float>")
+
+    pq = {"dim": dim, "m": 2, "ks": 2, "refine": 1, "seed_order": "id"}
+    books0 = op("pq_encode", base, {**pq, "emit": "books"})
+    root = str(tmp_path / "models")
+    cfg = {**pq, "threshold": 0.10, "n_cells": 2, "cells": cells,
+           "books": books0, "baseline": base, "store": base,
+           "model_root": root}
+
+    out = {r["vec_id"]: r for r in
+           op("model_refresh", batch_shift, cfg, views={}).collect()}
+    assert len(out) == 40
+    # cell 1 drifted (shifted population), cell 0 quiet
+    vers = {r["ivf_cell"] for r in out.values()
+            if r["model_version"] == 0}
+    assert vers == {0}
+    redo = [r for r in out.values() if r["model_version"] == 1]
+    assert redo and all(r["vec_id"] % 2 == 1 for r in redo)
+
+    # quiet rows pass through with the OLD model's codes, bit-equal
+    old_codes = {r["vec_id"]: list(r["pq_code"]) for r in
+                 op("pq_encode", base, {**pq, "books": books0},
+                    views={}).collect()}
+    for r in out.values():
+        if r["model_version"] == 0:
+            assert list(r["pq_code"]) == old_codes[r["vec_id"]]
+
+    # drifted rows carry codes from books retrained on the window
+    # (deterministic training: an independent pq_encode reproduces
+    # the frozen retrain bit-for-bit)
+    books1 = op("pq_encode", batch_shift, {**pq, "emit": "books"})
+    new_codes = {r["vec_id"]: list(r["pq_code"]) for r in
+                 op("pq_encode", base, {**pq, "books": books1},
+                    views={}).collect()}
+    for r in redo:
+        assert list(r["pq_code"]) == new_codes[r["vec_id"]]
+
+    # model_root: managed version swapped in, q_centroid schema
+    assert store_current_version(root) == "v000001"
+    vdir = store_resolve(root)
+    nb = spark.read.parquet(f"{vdir}/books")
+    assert nb.count() == 4  # m*ks
+    nc = spark.read.parquet(f"{vdir}/cells")
+    assert set(nc.columns) == {"cell", "q_centroid"}
+    # the refreshed cells model feeds the NEXT refresh (q_centroid path)
+    out2 = op("model_refresh", batch_in,
+              {**cfg, "cells": nc, "baseline": batch_shift,
+               "model_root": None, "version_old": 1},
+              views={}).collect()
+    assert {r["model_version"] for r in out2} <= {1, 2}
+
+    # no-drift path: in-distribution batch -> everything version_old,
+    # and no new model version appears under the root
+    quiet = op("model_refresh", batch_in, cfg, views={}).collect()
+    assert {r["model_version"] for r in quiet} == {0}
+    assert store_current_version(root) == "v000001"
+
+    # mixed-version serving: exact merged top-k vs a numpy replay
+    mixed = op("model_refresh", batch_shift, {**cfg, "model_root": None},
+               views={})
+    vbooks = (books0.withColumn("model_version", F.lit(0))
+              .unionByName(books1.withColumn("model_version", F.lit(1))))
+    probe = vec(0, 0.0, 0.0)
+    got = op("ann_pq_versioned", base,
+             {**pq, "probe": probe, "k": 5, "books": vbooks,
+              "codes": mixed}, views={}).collect()
+
+    def books_np(bdf):
+        arr = np.zeros((2, 2, 4), dtype=np.int64)
+        for r in bdf.collect():
+            arr[r["subspace"], r["code"]] = r["codeword"]
+        return arr
+    b_np = {0: books_np(books0), 1: books_np(books1)}
+    qv = np.floor(np.array(probe) * 1e6).astype(np.int64)
+    exp = []
+    for r in mixed.collect():
+        bb = b_np[r["model_version"]]
+        d = sum(int(((qv[j * 4:(j + 1) * 4]
+                      - bb[j, r["pq_code"][j]]) ** 2).sum())
+                for j in range(2))
+        exp.append((d, r["vec_id"]))
+    exp = sorted(exp)[:5]
+    assert [(r["adc_dist"], r["vec_id"]) for r in got] == exp
