@@ -338,16 +338,26 @@ ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
 
 
 def q_dedup(spark, sf_dir):
+    """keep-first dedup. The pinned tiebreak must make the OUTPUT
+    deterministic: (l_linenumber, l_partkey, l_suppkey) is a total
+    order on the driver fixtures, but the round-12 zipf-skew clone
+    concentrates 38% of lineitem in one hot order with zipf FKs, so
+    rows collide on the whole triple and keep-first becomes
+    data-order-dependent — l_quantity joins the tiebreak so every
+    compared column is ordered (residual full-tie rows then agree on
+    all output values by construction)."""
     li = _t(spark, sf_dir, "lineitem")
     df = op("deduplicate", li, {"keys": ["l_orderkey"], "keep": "first",
-                                "order_by": ["l_linenumber", "l_partkey", "l_suppkey"]})
+                                "order_by": ["l_linenumber", "l_partkey",
+                                             "l_suppkey", "l_quantity"]})
     return op("select", df, {"fields": ["l_orderkey", "l_linenumber", "l_partkey",
                                         "l_quantity"]})
 
 
 _SQL_DEDUP = """
 SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
-QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) = 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) = 1
 """
 
 
@@ -646,7 +656,14 @@ WITH docs AS (
            list_distinct(list_transform(
              range(1, len({_D_TOKS}) - 3),
              i -> array_to_string(({_D_TOKS})[i:i+4], ' ')))
-         ELSE [array_to_string({_D_TOKS}, ' ')] END AS sh
+         -- one-empty-shingle branch: DuckDB array_to_string([]) is
+         -- NULL where Spark array_join([]) is '' — COALESCE so
+         -- empty/whitespace-only docs keep their '' shingle and pair
+         -- like the op does (round-12 text-garble lever); NULL text
+         -- stays NULL (no shingles, never a candidate — r11 contract)
+         ELSE [CASE WHEN text IS NOT NULL THEN
+                 COALESCE(array_to_string({_D_TOKS}, ' '), '') END]
+         END AS sh
   FROM {{SRC}}),
 sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
 inverted AS (SELECT doc_id, unnest(sh) AS s FROM docs),
@@ -2468,7 +2485,10 @@ x AS (
          unnest(list_transform(range(n_chunks), i -> {{
            'chunk_idx': CAST(i AS INTEGER),
            'start_token': CAST(i * 24 AS BIGINT),
-           'chunk_text': array_to_string(toks[CAST(i*24+1 AS BIGINT):CAST(i*24+32 AS BIGINT)], ' '),
+           'chunk_text': CASE WHEN toks IS NULL THEN NULL
+             ELSE COALESCE(array_to_string(
+               toks[CAST(i*24+1 AS BIGINT):CAST(i*24+32 AS BIGINT)],
+               ' '), '') END,
            'chunk_tokens': CAST(least(n - i * 24, 32) AS BIGINT)}})) AS ch
   FROM c)
 SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.start_token AS start_token,
@@ -2517,7 +2537,10 @@ WITH sh AS (
            list_distinct(list_transform(
              range(1, len({_D_TOKS}) - 1),
              i -> array_to_string(({_D_TOKS})[i:i+2], ' ')))
-         ELSE [array_to_string({_D_TOKS}, ' ')] END AS s
+         -- same empty-vs-NULL split as the jaccard template (r12)
+         ELSE [CASE WHEN text IS NOT NULL THEN
+                 COALESCE(array_to_string({_D_TOKS}, ' '), '') END]
+         END AS s
   FROM {_HDOCS}),
 flat AS (SELECT doc_id, unnest(s) AS s FROM sh),
 train AS (SELECT doc_id, s FROM flat WHERE doc_id % 20 <> 0),
@@ -5548,8 +5571,11 @@ def q_quality_classifier_gate(spark, sf_dir):
 
 
 _SQL_QUALITY_CLASSIFIER_GATE = """
+-- the pipeline `filter notnull` op treats '' as NULL too (reference
+-- parity, main.py:201) — the oracle must replay BOTH exclusions
+-- (round-12 text-garble lever: planted empty strings caught the gap)
 SELECT COUNT(*) AS n_eval, TRUE AS accuracy_floor_met
-FROM documents WHERE text IS NOT NULL
+FROM documents WHERE text IS NOT NULL AND text <> ''
 """
 
 
@@ -6960,13 +6986,24 @@ def q_compression_gate(spark, sf_dir):
     direct zlib calls in pytest."""
     d = _t(spark, sf_dir, "documents")
     df = op("compression_ratio", d, {"field": "text"})
+    # bounds invariant restated exactly (round-12 text-garble lever:
+    # a 1-byte doc compresses to ~9 bytes — ratio 9.0 — so the old
+    # "max ratio <= 2.0" gate was simply false for tiny docs): zlib
+    # never exceeds raw + 12 + raw/1000 bytes (2 header + 4 adler +
+    # stored-block overhead), checked per row in exact integers
+    viol = F.sum(F.when(
+        (F.col("raw_bytes") > 0)
+        & (F.col("compressed_bytes")
+           > F.col("raw_bytes") + 12
+           + F.floor(F.col("raw_bytes") / F.lit(1000)).cast("long")),
+        1).otherwise(0))
     return df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("raw_bytes").alias("sum_raw_bytes"),
         # >= 0: a NULL/empty doc is a 0-byte row at ratio 0.0 by the
         # op's documented contract (round-11 NULL-text sweep)
         ((F.min("compression_ratio") >= 0.0)
-         & (F.max("compression_ratio") <= 2.0)).alias("ratios_bounded"))
+         & (viol == 0)).alias("ratios_bounded"))
 
 
 _SQL_COMPRESSION_GATE = """

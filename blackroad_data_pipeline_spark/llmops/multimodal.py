@@ -60,6 +60,22 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
+def _on_error(config: Mapping, op: str) -> str:
+    """Corrupt-payload policy for the AUTO decode path (round 12,
+    VERDICT r11 #7): "stub" (default, pinned since round 10) falls
+    back to the deterministic stub when non-NULL bytes fail to
+    decode; "null" treats an undecodable payload like an ABSENT one
+    (NULL metadata — the round-11 NULL-payload contract), which is
+    the production posture when garbage blobs are data errors to be
+    audited, not silently stubbed. Ignored when fake_decode=True
+    (stub never decodes) and when fake_decode=False (strict raises
+    first)."""
+    v = config.get("on_error", "stub")
+    if v not in ("stub", "null"):
+        raise ValueError(f"{op}: on_error must be stub|null, got {v!r}")
+    return v
+
+
 def _pil():
     """PIL probe, resolved lazily on the EXECUTOR at call time — the
     codec seam. Returns the Image module or None."""
@@ -82,6 +98,7 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     decode raises.
     """
     fake = config.get("fake_decode")
+    on_error = _on_error(config, "decode_image")
     payload_field = config.get("field", "payload")
     out_fields = [f for f in df.schema.fields]
     schema = T.StructType(out_fields + [
@@ -108,6 +125,8 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                 except Exception:
                     if fake is False:
                         raise
+                    if on_error == "null":  # corrupt == absent
+                        return (None, None, None)
             elif fake is not True:
                 # stdlib fallback codec: REAL decode of genuine PNGs
                 # (IHDR parse) even without PIL — see _png.py
@@ -116,6 +135,8 @@ def op_decode_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                 except Exception:
                     if fake is False:
                         raise
+                    if on_error == "null":
+                        return (None, None, None)
             w, h = _fake_dims(data)
             return w, h, "STUB"
 
@@ -144,6 +165,7 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     fixed up front.
     """
     fake = config.get("fake_decode")
+    on_error = _on_error(config, "resize_image")
     payload_field = config.get("field", "payload")
     tw = int(config.get("target_w", 224))
     th = int(config.get("target_h", 224))
@@ -173,6 +195,8 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                 except Exception:
                     if fake is False:
                         raise
+                    if on_error == "null":  # corrupt == absent
+                        return None
             elif fake is not True:
                 # stdlib fallback: real PNG decode + nearest-neighbor
                 # resample + filter-0 re-encode, no third-party codec
@@ -181,12 +205,14 @@ def op_resize_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                 except Exception:
                     if fake is False:
                         raise
+                    if on_error == "null":
+                        return None
             # stub: deterministic truncation stands in for re-encoding
             return data[: tw * th // 64 or 1]
 
         for pdf in batches:
             resized = pdf[payload_field].map(one)
-            notnull = pdf[payload_field].notna()
+            notnull = resized.notna()
             pdf = pdf.assign(
                 resized_payload=resized,
                 resized_w=pd.Series(tw, index=pdf.index
@@ -208,6 +234,7 @@ def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
     is strict. The Spark plumbing (Arrow batches, fixed schema, no
     shuffle) is identical on every path."""
     fake = config.get("fake_decode")
+    on_error = _on_error(config, "audio_features")
     payload_field = config.get("field", "payload")
     sample_rate = int(config.get("sample_rate", 16000))
     schema = T.StructType(list(df.schema.fields) + [
@@ -266,12 +293,16 @@ def op_audio_features(df: DataFrame, config: Mapping, views) -> DataFrame:
                 except Exception:
                     if fake is False:
                         raise
+                    if on_error == "null":  # corrupt == absent
+                        return (None, None, None)
             elif fake is not True:
                 try:
                     return _wav_stdlib(data)
                 except Exception:
                     if fake is False:
                         raise
+                    if on_error == "null":
+                        return (None, None, None)
             h = hashlib.sha256(data).digest()
             n = len(data) * 4  # stub: pretend 4 samples per byte
             return n / sample_rate, n, (h[2] / 255.0)
@@ -369,6 +400,7 @@ def op_phash_image(df: DataFrame, config: Mapping, views) -> DataFrame:
     Arrow-batched mapInPandas, fixed schema, no shuffle.
     """
     fake = config.get("fake_decode")
+    on_error = _on_error(config, "phash_image")
     payload_field = config.get("field", "payload")
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("phash", T.LongType())])
@@ -407,12 +439,16 @@ def op_phash_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                 except Exception:
                     if fake is False:
                         raise
+                    if on_error == "null":  # corrupt == absent
+                        return None
             elif fake is not True:
                 try:
                     return _dhash_from_grid(grid_real_png(data))
                 except Exception:
                     if fake is False:
                         raise
+                    if on_error == "null":
+                        return None
             return _dhash_from_grid(_stub_gray_grid(data))
 
         for pdf in batches:

@@ -2565,3 +2565,83 @@ def test_model_refresh_selective_reencode_versions_and_model_root(
         exp.append((d, r["vec_id"]))
     exp = sorted(exp)[:5]
     assert [(r["adc_dist"], r["vec_id"]) for r in got] == exp
+
+
+def test_corrupt_media_payloads_never_crash_and_null_mode(spark):
+    """Round 12 (VERDICT r11 #7): NON-NULL garbage — zero-byte blobs,
+    wrong magic, a TRUNCATED genuine PNG (valid signature, torn
+    chunks) — through every media kernel. Auto mode: deterministic
+    stub, tagged, never a kernel crash. on_error='null': corrupt
+    payloads become ABSENT ones (NULL metadata, the round-11
+    NULL-payload contract), while a VALID payload in the same Arrow
+    batch still decodes for real."""
+    import io
+    import struct
+    import wave
+
+    png, _ = _tiny_png(24, 16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(struct.pack("<4h", 1, -1, 2, -2))
+    wav = buf.getvalue()
+
+    rows = [(0, bytearray(png)),            # valid PNG
+            (1, bytearray(b"")),            # zero-byte blob
+            (2, bytearray(b"GIF89a trust me")),   # wrong magic
+            (3, bytearray(png[:20])),       # truncated mid-IHDR
+            (4, bytearray(png[:-30])),      # torn IDAT/IEND
+            (5, bytearray(wav))]            # audio bytes in an image op
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    # auto mode: stub fallback, tagged, no crash (pinned since r10).
+    # doc 4 (torn IDAT) keeps REAL metadata: decode_image reads the
+    # intact IHDR only — width/height/mode don't need pixel data.
+    auto = {r["doc_id"]: r for r in
+            op("decode_image", df, {}).collect()}
+    assert (auto[0]["img_width"], auto[0]["img_mode"]) == (24, "RGB")
+    assert (auto[4]["img_width"], auto[4]["img_mode"]) == (24, "RGB")
+    assert all(auto[i]["img_mode"] == "STUB" for i in (1, 2, 3, 5))
+
+    # on_error=null: corrupt == absent, valid still decodes for real
+    nul = {r["doc_id"]: r for r in
+           op("decode_image", df, {"on_error": "null"}).collect()}
+    assert (nul[0]["img_width"], nul[0]["img_height"],
+            nul[0]["img_mode"]) == (24, 16, "RGB")
+    assert nul[4]["img_mode"] == "RGB"  # header intact -> still meta
+    for i in (1, 2, 3, 5):
+        assert (nul[i]["img_width"], nul[i]["img_height"],
+                nul[i]["img_mode"]) == (None, None, None)
+
+    rz = {r["doc_id"]: r for r in
+          op("resize_image", df, {"target_w": 8, "target_h": 6,
+                                  "on_error": "null"}).collect()}
+    assert rz[0]["resized_payload"] is not None
+    assert (rz[0]["resized_w"], rz[0]["resized_h"]) == (8, 6)
+    for i in (1, 2, 3, 4):
+        assert rz[i]["resized_payload"] is None
+        assert rz[i]["resized_w"] is None and rz[i]["resized_h"] is None
+
+    ph = {r["doc_id"]: r for r in
+          op("phash_image", df, {"on_error": "null"}).collect()}
+    assert ph[0]["phash"] is not None
+    assert all(ph[i]["phash"] is None for i in (1, 2, 3, 4, 5))
+
+    au = {r["doc_id"]: r for r in
+          op("audio_features", df, {"on_error": "null"}).collect()}
+    assert au[5]["audio_samples"] == 4          # the WAV decodes
+    for i in (0, 1, 2, 3, 4):                   # images are not audio
+        assert au[i]["audio_samples"] is None
+        assert au[i]["audio_seconds"] is None
+        assert au[i]["audio_rms"] is None
+
+    # frame_sample is pure byte plumbing: a zero-byte payload yields
+    # empty frame slices, never a crash
+    fr = op("frame_sample", df, {"n_frames": 2}).collect()
+    assert len(fr) == 12
+    assert all(r["frame_payload"] is not None for r in fr)
+
+    with pytest.raises(Exception, match="on_error must be"):
+        op("decode_image", df, {"on_error": "explode"}).collect()

@@ -97,9 +97,25 @@ def _money(rng, n, lo, hi):
     return np.round(rng.uniform(lo, hi, n), 2)
 
 
+def _zipf_keys(rng, n_keys, size, s):
+    """``size`` draws over ``n_keys`` ids with zipf(s) rank weights
+    (p(rank k) ∝ 1/k^s), via inverse-CDF searchsorted — O(size log
+    n_keys), no giant choice() probability allocation at sf10. Ranks
+    map to ids through a PERMUTATION so the hot keys are random ids:
+    heat must not correlate with the parity-subset moduli (key % m)
+    or with id-ordered seed selection, or the sweep would quietly
+    test a special case."""
+    ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+    cdf = np.cumsum(ranks ** -float(s))
+    cdf /= cdf[-1]
+    idx = np.searchsorted(cdf, rng.random(size), side="right")
+    return rng.permutation(n_keys)[np.minimum(idx, n_keys - 1)]
+
+
 def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         ts_jitter: bool = False, null_frac: float = 0.0,
-        nan_frac: float = 0.0) -> dict:
+        nan_frac: float = 0.0, skew_zipf: float = 0.0,
+        text_garble: float = 0.0) -> dict:
     if ts_unit not in ("us", "ns"):
         raise ValueError(f"ts_unit must be us|ns, got {ts_unit!r}")
     if ts_jitter and ts_unit != "ns":
@@ -108,6 +124,10 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         raise ValueError(f"null_frac must be in [0, 1), got {null_frac}")
     if not 0.0 <= nan_frac < 1.0:
         raise ValueError(f"nan_frac must be in [0, 1), got {nan_frac}")
+    if skew_zipf and not 0.5 <= skew_zipf <= 4.0:
+        raise ValueError(f"skew_zipf must be in [0.5, 4], got {skew_zipf}")
+    if not 0.0 <= text_garble < 1.0:
+        raise ValueError(f"text_garble must be in [0, 1), got {text_garble}")
     s = sf / 0.1
     n = {t: max(1, int(round(c * s))) for t, c in BASE.items()}
     os.makedirs(out, exist_ok=True)
@@ -161,7 +181,9 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
     no = n["orders"]
     write("orders", pa.table({
         "o_orderkey": pa.array(np.arange(no), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, nc, no), pa.int64()),
+        "o_custkey": pa.array(_zipf_keys(rng, nc, no, skew_zipf)
+                              if skew_zipf else rng.integers(0, nc, no),
+                              pa.int64()),
         "o_orderstatus": pa.array(np.array(STATUSES)[rng.integers(0, 3, no)]),
         "o_totalprice": _money(rng, no, 1000, 500000),
         "o_orderdate": pa.array(
@@ -172,9 +194,15 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
 
     nl = n["lineitem"]
     write("lineitem", pa.table({
-        "l_orderkey": pa.array(rng.integers(0, no, nl), pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, npart, nl), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, ns, nl), pa.int64()),
+        "l_orderkey": pa.array(_zipf_keys(rng, no, nl, skew_zipf)
+                               if skew_zipf else rng.integers(0, no, nl),
+                               pa.int64()),
+        "l_partkey": pa.array(_zipf_keys(rng, npart, nl, skew_zipf)
+                              if skew_zipf else rng.integers(0, npart, nl),
+                              pa.int64()),
+        "l_suppkey": pa.array(_zipf_keys(rng, ns, nl, skew_zipf)
+                              if skew_zipf else rng.integers(0, ns, nl),
+                              pa.int64()),
         "l_linenumber": pa.array(rng.integers(1, 8, nl), pa.int32()),
         "l_quantity": rng.integers(1, 51, nl).astype(np.float64),
         "l_extendedprice": _money(rng, nl, 900, 105000),
@@ -224,7 +252,10 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
     write("events", pa.table({
         "event_id": pa.array(np.arange(ne), pa.int64()),
         "ts": ts_arr,
-        "user_id": pa.array(rng.integers(0, max(1, nc // 10), ne), pa.int64()),
+        "user_id": pa.array(
+            _zipf_keys(rng, max(1, nc // 10), ne, skew_zipf)
+            if skew_zipf else rng.integers(0, max(1, nc // 10), ne),
+            pa.int64()),
         "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, ne)]),
         "value": np.round(rng.exponential(50.0, ne), 2),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 101, ne)]),
@@ -253,6 +284,29 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
     # document or an absent one.
     text_list: list = [None if null_frac and rng.random() < null_frac
                        else t for t in texts]
+    if text_garble:
+        # adversarial text shapes (round 12): empty strings, the
+        # chr(31) oracle concat separator, PNG-magic codepoints,
+        # whitespace-only, quotes/backslashes/newlines, CJK + emoji,
+        # one enormous unbroken token — every tokenizer, cleaner,
+        # shingler, JSON extractor and md5-separator oracle must
+        # agree on these byte-for-byte (the media stubs hash them;
+        # the text family PARSES them)
+        shapes = [
+            "",
+            "\x1f",
+            "a\x1fb\x1fc",
+            "\x89PNG\r\n\x1a\n garbage",
+            "   \t  \n ",
+            "\"quoted\" and \\backslash\\ and 'single'",
+            "line one\nline two\r\nline three",
+            "漢字とカタカナ \U0001f600",
+            "x" * 4000,
+            "NULL",
+        ]
+        for i in range(len(text_list)):
+            if text_list[i] is not None and rng.random() < text_garble:
+                text_list[i] = shapes[int(rng.integers(0, len(shapes)))]
     lang_arr = np.array(LANGS)[rng.choice(5, nd, p=LANG_P)].astype(object)
     if null_frac:
         lang_arr[rng.random(nd) < null_frac] = None
@@ -260,14 +314,21 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         "doc_id": pa.array(np.arange(nd), pa.int64()),
         "text": text_list,
         "lang": pa.array(list(lang_arr), pa.string()),
-        "source": [f"src{i % 20}" for i in range(nd)],
+        "source": ([f"src{z}" for z in _zipf_keys(rng, 20, nd, skew_zipf)]
+                   if skew_zipf else [f"src{i % 20}" for i in range(nd)]),
         "n_chars": pa.array(
             [len(t) if t is not None else None for t in text_list],
             pa.int64()),
     }))
 
     nv = n["embeddings"]
-    label = rng.integers(0, 10, nv).astype(np.int32)
+    # key-skew lever (round 12): a zipf label makes one embedding
+    # CLUSTER hot (labels drive the cluster centers below), which is
+    # what stresses per-cell quadratics (semdedup/knn_join max_cell
+    # geometry) and by-label group scalars — the relational skew
+    # rides the zipf foreign keys above
+    label = (_zipf_keys(rng, 10, nv, skew_zipf).astype(np.int32)
+             if skew_zipf else rng.integers(0, 10, nv).astype(np.int32))
     cents = rng.standard_normal((10, 64))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     vecs = rng.standard_normal((nv, 64)) + 0.56 * cents[label]
@@ -336,10 +397,22 @@ def main():
                     help="corrupt this fraction of non-NULL embeddings "
                          "with NaN/Inf/NULL components or zero-length "
                          "arrays (valid_vec-contract sweep variant)")
+    ap.add_argument("--text-garble", type=float, default=0.0,
+                    help="replace this fraction of non-NULL texts with "
+                         "adversarial shapes (empty, chr(31), PNG "
+                         "magic, whitespace-only, quotes, CJK/emoji, "
+                         "4k-char token)")
+    ap.add_argument("--skew-zipf", type=float, default=0.0,
+                    help="zipf exponent for key skew: o_custkey, "
+                         "lineitem FKs, events.user_id, documents."
+                         "source, embeddings.label draw zipf(s) ranks "
+                         "over permuted ids (hot keys, hot clusters; "
+                         "0 = uniform like the driver fixtures)")
     args = ap.parse_args()
     t0 = time.time()
     stats = gen(args.sf, args.out, args.seed, args.ts_unit,
-                args.ts_jitter, args.null_frac, args.nan_frac)
+                args.ts_jitter, args.null_frac, args.nan_frac,
+                args.skew_zipf, args.text_garble)
     print(json.dumps({"sf": args.sf, "out": args.out,
                       "seconds": round(time.time() - t0, 1),
                       "rows": stats}))
