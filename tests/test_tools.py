@@ -165,3 +165,42 @@ def test_sf10_sweep_scale_must_be_coprime_with_inner_splits():
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 2
     assert "VACUOUSLY" in r.stdout
+
+
+def test_gen_fixture_skew_and_garble_levers(tmp_path):
+    """Round-12 levers: --skew-zipf produces a genuinely hot key
+    whose identity is DECORRELATED from the parity moduli (permuted
+    ranks), keeps every FK in domain, and leaves the schema exact;
+    --text-garble plants the adversarial shapes while preserving
+    n_chars consistency and NULL-text handling."""
+    import numpy as np
+
+    from tools.gen_fixture import _zipf_keys, gen
+
+    rng = np.random.default_rng(0)
+    keys = _zipf_keys(rng, 1000, 20000, 1.5)
+    assert keys.min() >= 0 and keys.max() < 1000
+    _, counts = np.unique(keys, return_counts=True)
+    # zipf(1.5): the hottest key dominates
+    assert counts.max() > 0.25 * len(keys)
+    # permutation decorrelation: the hot key is not id 0 with
+    # overwhelming probability over seeds (deterministic here)
+    hot = np.bincount(keys, minlength=1000).argmax()
+    rng2 = np.random.default_rng(1)
+    hot2 = np.bincount(_zipf_keys(rng2, 1000, 20000, 1.5),
+                       minlength=1000).argmax()
+    assert hot != hot2  # seed-dependent identity, not rank 0
+
+    out = tmp_path / "skewed"
+    gen(0.001, str(out), seed=5, skew_zipf=1.5, text_garble=0.2)
+    import pyarrow.parquet as pq2
+    li = pq2.read_table(f"{out}/lineitem.parquet")
+    no = pq2.read_table(f"{out}/orders.parquet").num_rows
+    ok = li.column("l_orderkey").to_numpy()
+    assert ok.min() >= 0 and ok.max() < no
+    docs = pq2.read_table(f"{out}/documents.parquet").to_pydict()
+    garbled = [t for t in docs["text"] if t is not None and
+               (t == "" or "\x1f" in t or t.startswith("\x89PNG"))]
+    assert garbled  # shapes actually planted
+    for t, n in zip(docs["text"], docs["n_chars"]):
+        assert (t is None and n is None) or (t is not None and n == len(t))

@@ -160,6 +160,15 @@ PROBED = [
     # rerank join; alpha ~ 1 with a near-zero constant (the whole
     # point of the train/serve split)
     "ann_pq_serve_scale",
+    # round 12: the drift→retrain loop — three deterministic
+    # trainings (old books, window books, window coarse) + the
+    # selective re-encode; every training is seed-collect + one
+    # assignment scan + one narrow agg, re-encode is two filtered
+    # Arrow passes, so alpha ~ 1 with a training-dominated constant.
+    # ann_pq_versioned adds the mixed-store build (the same chain)
+    # before its one-scan CASE-table ADC probe.
+    "model_refresh",
+    "ann_pq_versioned",
 ]
 
 
