@@ -4651,22 +4651,36 @@ def q_triangles(spark, sf_dir):
     # sorted array (slice from i+2 keeps src < dst exactly once).
     # The (x, i) two-parameter lambda is the legitimate
     # element+index form here (see CLAUDE.md for the capture trap).
+    # basket cap (round-12 zipf-skew lever): co-purchase edge
+    # generation is QUADRATIC in an order's distinct-part count — a
+    # zipf-hot order holding 38% of lineitem carries a ~15k-part
+    # basket (~10^8 edges, ~10^12 wedges; the sweep ran unbounded for
+    # 40 minutes before this cap). Orders past 256 distinct parts are
+    # data artifacts, not purchase behavior — exclude them, exactly
+    # like max_postings drops boilerplate fingerprints. Byte-identical
+    # on the driver fixtures (max basket there is ~7).
     edges = op("sql", li, {"query": """
         SELECT DISTINCT p.src, p.dst FROM (
           SELECT explode(flatten(transform(ps, (x, i) ->
                    transform(slice(ps, i + 2, size(ps)),
                              y -> struct(x AS src, y AS dst))))) AS p
-          FROM (SELECT array_sort(collect_set(l_partkey)) AS ps
-                FROM self GROUP BY l_orderkey))
+          FROM (SELECT ps FROM (
+                  SELECT array_sort(collect_set(l_partkey)) AS ps
+                  FROM self GROUP BY l_orderkey)
+                WHERE size(ps) <= 256))
     """}, views={})
     return op("triangle_count", edges, {})
 
 
 _SQL_TRIANGLES = f"""
-WITH e AS (
+WITH ok AS (
+  SELECT l_orderkey FROM {_HLINE}
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 256),
+e AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
   FROM {_HLINE} a JOIN {_HLINE} b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN ok ON ok.l_orderkey = a.l_orderkey)
 SELECT COUNT(*) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
@@ -4689,7 +4703,12 @@ def q_funnel_timing(spark, sf_dir):
 _SQL_FUNNEL_TIMING = """
 WITH u1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id),
+  -- ts IS NOT NULL: a user whose ONLY view events carry NULL ts
+  -- still forms a group here (MIN = NULL) and was counted as
+  -- reaching step 1, where the op's _drop_null_ts contract never
+  -- admits the rows. Latent until the round-12 skew+NULL clone:
+  -- only the zipf tail makes one-view-and-it-is-NULL users likely.
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
 u2 AS (
   SELECT e.user_id, MIN(e.ts) AS t2
   FROM events e JOIN u1 USING (user_id)
@@ -4724,23 +4743,31 @@ def q_triangles_per_node(spark, sf_dir):
     op_triangle_count, oracle-replayed by crediting all three corners
     of the id-ordered 3-way join."""
     li = _t(spark, sf_dir, "lineitem")
+    # same 256-part basket cap as q_triangles (applied to the thinned
+    # part set — the quadratic is in the post-thin basket)
     edges = op("sql", li, {"query": """
         SELECT DISTINCT p.src, p.dst FROM (
           SELECT explode(flatten(transform(ps, (x, i) ->
                    transform(slice(ps, i + 2, size(ps)),
                              y -> struct(x AS src, y AS dst))))) AS p
-          FROM (SELECT array_sort(collect_set(l_partkey)) AS ps
-                FROM self WHERE l_partkey % 5 = 0 GROUP BY l_orderkey))
+          FROM (SELECT ps FROM (
+                  SELECT array_sort(collect_set(l_partkey)) AS ps
+                  FROM self WHERE l_partkey % 5 = 0 GROUP BY l_orderkey)
+                WHERE size(ps) <= 256))
     """}, views={})
     df = op("triangle_count", edges, {"per_node": True})
     return op("sort", df, {"fields": ["node"]})
 
 
 _SQL_TRIANGLES_PER_NODE = """
-WITH e AS (
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem WHERE l_partkey % 5 = 0
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 256),
+e AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN ok ON ok.l_orderkey = a.l_orderkey
   WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0),
 t AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -6807,7 +6834,12 @@ def q_funnel(spark, sf_dir):
 _SQL_FUNNEL = """
 WITH u1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id),
+  -- ts IS NOT NULL: a user whose ONLY view events carry NULL ts
+  -- still forms a group here (MIN = NULL) and was counted as
+  -- reaching step 1, where the op's _drop_null_ts contract never
+  -- admits the rows. Latent until the round-12 skew+NULL clone:
+  -- only the zipf tail makes one-view-and-it-is-NULL users likely.
+  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
 u2 AS (
   SELECT e.user_id, MIN(e.ts) AS t2
   FROM events e JOIN u1 USING (user_id)
