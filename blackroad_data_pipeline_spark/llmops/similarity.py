@@ -1280,7 +1280,18 @@ def _books_df(spark, books: np.ndarray) -> DataFrame:
 def _cells_np(cells_df: DataFrame, op: str) -> np.ndarray:
     """Collect a persisted IVF centroid model table (``cell`` /
     ``centroid``, the `emit: "cells"` output of op_ivf_assign) back to
-    the (k, dim) float64 ndarray the assignment kernels use."""
+    the (k, dim) float64 ndarray the assignment kernels use.
+
+    Also accepts the REFRESHED model schema (``q_centroid``
+    array<bigint>, op_model_refresh): the quantized integers feed the
+    cosine kernels directly WITHOUT rescaling — cosine is
+    scale-invariant, and ints under the fixed-point guard are exactly
+    representable in float64, so skipping the /scale division avoids
+    reintroducing the very float round-trip the integer schema
+    exists to prevent."""
+    if "q_centroid" in cells_df.columns:
+        cells_df = cells_df.select(
+            "cell", F.col("q_centroid").alias("centroid"))
     rows = cells_df.select("cell", "centroid").collect()
     if not rows:
         return np.zeros((0, 0))
@@ -2017,6 +2028,31 @@ def op_model_refresh(df: DataFrame, config: Mapping, views) -> DataFrame:
                     .alias("pq_code"),
                     F.lit(version_old + 1).alias("model_version")))
     return keep.unionByName(redo)
+
+
+def read_versioned_books(spark, model_root: str) -> DataFrame:
+    """Union every model version's books under a managed model root
+    (store.py layout) into the versioned books table
+    op_ann_pq_versioned consumes: ``subspace``/``code``/``codeword``
+    + ``model_version``. Includes retired versions still present on
+    disk — store rows tagged with them stay servable until store_gc
+    retires the files."""
+    import os
+
+    from ..store import store_versions, version_number
+
+    out = None
+    for v in store_versions(model_root):
+        bdir = os.path.join(model_root, v, "books")
+        if not os.path.isdir(bdir):
+            continue
+        b = spark.read.parquet(bdir).withColumn(
+            "model_version", F.lit(version_number(v)).cast("int"))
+        out = b if out is None else out.unionByName(b)
+    if out is None:
+        raise ValueError(f"read_versioned_books: no books under "
+                         f"{model_root}")
+    return out
 
 
 @register("ann_pq_versioned")

@@ -156,3 +156,19 @@ def store_gc(root: str, keep: int = 1) -> list[str]:
     doc["history"] = [v for v in hist if v not in set(removed)]
     _write_manifest(root, doc)
     return removed
+
+
+def store_versions(root: str) -> list[str]:
+    """All version dirs on disk, sorted (zero-padded names make
+    lexicographic == numeric). Includes retired versions still
+    serving in-flight readers — the union a mixed-version consumer
+    (ann_pq_versioned books) needs."""
+    return sorted(d for d in os.listdir(root)
+                  if d.startswith("v") and d[1:].isdigit()
+                  and os.path.isdir(os.path.join(root, d)))
+
+
+def version_number(version: str) -> int:
+    """``v000003`` -> 3 — the integer tag mixed-version store rows
+    carry in ``model_version``."""
+    return int(version.lstrip("v"))

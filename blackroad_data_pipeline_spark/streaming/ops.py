@@ -591,7 +591,12 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
         spark = batch.sparkSession
         from pyspark.errors import AnalysisException
 
-        from ..store import is_managed, store_resolve
+        from ..store import (
+            is_managed,
+            store_current_version,
+            store_resolve,
+            version_number,
+        )
 
         # Managed-root indirection (store.py): if ``path`` is a store
         # root with a manifest, resolve the CURRENT version dir at
@@ -602,12 +607,27 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
         # retired one.
         path_ = store_resolve(path) if is_managed(path) else path
 
+        # Managed MODEL root: when ``model_path`` carries a manifest
+        # (caller ran store_init on it), each drain resolves the
+        # CURRENT model version — a model_refresh swap between drains
+        # is picked up atomically — and every appended row is tagged
+        # ``model_version``, so codes from different model versions
+        # stay distinguishable and the store serves directly through
+        # op_ann_pq_versioned. Unmanaged model_path keeps the
+        # round-10 frozen-model layout and schema unchanged.
+        managed_model = is_managed(model_path)
+        if managed_model:
+            model_ver = version_number(store_current_version(model_path))
+            model_dir = store_resolve(model_path)
+        else:
+            model_ver, model_dir = None, model_path
+
         batch = batch.filter(valid_vec(F.col(field)))
         kept = op("dedup_embedding", batch, dd_cfg)
 
         def _read(sub):
             try:
-                return spark.read.parquet(f"{model_path}/{sub}")
+                return spark.read.parquet(f"{model_dir}/{sub}")
             except AnalysisException as e:
                 cond = getattr(e, "getCondition", lambda: None)()
                 if cond != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
@@ -636,10 +656,10 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
             # (the parquet round-trip IS the serving contract — same
             # books in, same codes out, pytest-pinned in batch mode)
             op("pq_encode", kept, {**pq_cfg, "emit": "books"}) \
-                .write.mode("overwrite").parquet(f"{model_path}/books")
+                .write.mode("overwrite").parquet(f"{model_dir}/books")
             op("ivf_assign", kept,
                {**pq_cfg, "n_cells": n_cells, "emit": "cells"}) \
-                .write.mode("overwrite").parquet(f"{model_path}/cells")
+                .write.mode("overwrite").parquet(f"{model_dir}/cells")
             books, cells = _read("books"), _read("cells")
 
         store = None
@@ -668,8 +688,14 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
         coded = op("pq_encode", q, {**pq_cfg, "books": books})
         celled = op("ivf_assign", coded,
                     {**pq_cfg, "n_cells": n_cells, "cells": cells})
-        (celled.select(id_field, "q_emb", "pq_code", "ivf_cell")
-         .withColumn("__ingest_batch", F.lit(batch_id))
+        out = celled.select(id_field, "q_emb", "pq_code", "ivf_cell")
+        if managed_model:
+            # codes from different model versions are not joinable;
+            # the tag is what lets op_ann_pq_versioned serve the
+            # mixed store after a model_refresh swap
+            out = out.withColumn("model_version",
+                                 F.lit(int(model_ver)).cast("int"))
+        (out.withColumn("__ingest_batch", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("__ingest_batch").parquet(path_))

@@ -816,3 +816,130 @@ def test_vector_store_managed_root_atomic_swap(spark, tmp_path):
     assert (tmp_path / "store_root" / "v000000").is_dir()
     assert store_gc(root, keep=0) == ["v000000"]
     assert not (tmp_path / "store_root" / "v000000").exists()
+
+
+def test_ingest_picks_up_refreshed_model_through_manifest(spark, tmp_path):
+    """Round 12, the full production loop owned end to end: ingest
+    bootstraps models under a MANAGED model root (v0), model_refresh
+    retrains on a drifted window and atomically swaps the manifest to
+    v1, and the NEXT drain — same checkpoint, no restart — encodes
+    with v1 (including the refreshed q_centroid coarse model) and
+    tags its rows, so the mixed-version store serves one exact merged
+    top-k through ann_pq_versioned + read_versioned_books."""
+    import numpy as np
+
+    from blackroad_data_pipeline_spark.llmops.similarity import (
+        read_versioned_books,
+    )
+    from blackroad_data_pipeline_spark.operators import (
+        apply_operator as op,
+    )
+    from blackroad_data_pipeline_spark.store import (
+        store_current_version,
+        store_init,
+    )
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_vector_ingest,
+    )
+
+    rng = np.random.RandomState(33)
+    dim = 8
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    def vec(center, bump, eps):
+        v = [0.0] * dim
+        v[center] = 1.0
+        v[(center + 3) % dim] += eps
+        v[4] += bump
+        return unit(np.asarray(v))
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    models = str(tmp_path / "models")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(threshold=0.999, dim=dim, m=2, ks=2, n_cells=2,
+              n_planes=2, n_tables=8)
+    store_init(models)
+
+    day1 = [(i, vec(i % 2, 0.0, 0.01 * ((i % 5) - 2)))
+            for i in range(40)]
+    shifted = [(200 + i, vec(i % 2, 0.5 if i % 2 == 1 else 0.0,
+                             0.01 * ((i % 5) - 2))) for i in range(40)]
+    day3 = [(400 + i, vec(i % 2, 0.5 if i % 2 == 1 else 0.0,
+                          0.013 * ((i % 7) - 3))) for i in range(20)]
+
+    def drain(rows, name):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(src / f"{name}.parquet"))
+        s = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", True).parquet(str(src))
+        run_stream_vector_ingest(s, store, ckpt, models, **kw)
+
+    drain(day1, "d1")                       # bootstrap under v000000
+    assert store_current_version(models) == "v000000"
+    v0 = {r["vec_id"]: r for r in spark.read.parquet(store).collect()}
+    assert {r["model_version"] for r in v0.values()} == {0}
+
+    # drift trips on the shifted population -> retrain + swap to v1
+    pq = {"dim": dim, "m": 2, "ks": 2, "refine": 1, "seed_order": "id"}
+    books0 = spark.read.parquet(f"{models}/v000000/books")
+    cells0 = spark.read.parquet(f"{models}/v000000/cells")
+    base_df = spark.createDataFrame(day1, schema)
+    shift_df = spark.createDataFrame(shifted, schema)
+    op("model_refresh", shift_df,
+       {**pq, "threshold": 0.10, "n_cells": 2, "cells": cells0,
+        "books": books0, "baseline": base_df, "store": base_df,
+        "model_root": models}, views={})
+    assert store_current_version(models) == "v000001"
+
+    # next drain, SAME checkpoint: v1 books AND the refreshed
+    # q_centroid coarse model serve the encode; rows tagged 1
+    drain(day3, "d3")
+    rows = spark.read.parquet(store).collect()
+    tags = {r["vec_id"]: r["model_version"] for r in rows}
+    # (the within-batch near-dedup keeps only distinct day-1 vectors;
+    # assert over the survivors, which must all stay v0)
+    old_ids = [i for i, _ in day1 if i in tags]
+    assert old_ids and {tags[i] for i in old_ids} == {0}
+    new_ids = [i for i, _ in day3 if i in tags]
+    assert new_ids and {tags[i] for i in new_ids} == {1}
+
+    # v1 codes replay the frozen v1 books bit-for-bit
+    books1 = spark.read.parquet(f"{models}/v000001/books")
+    expect = {r["vec_id"]: list(r["pq_code"]) for r in
+              op("pq_encode", spark.createDataFrame(day3, schema),
+                 {**pq, "books": books1}, views={}).collect()}
+    got = {r["vec_id"]: list(r["pq_code"]) for r in rows
+           if r["model_version"] == 1}
+    assert got == {i: expect[i] for i in got}
+
+    # mixed-version serving: exact merged top-5 vs a numpy replay
+    vbooks = read_versioned_books(spark, models)
+    assert {r["model_version"] for r in
+            vbooks.select("model_version").distinct().collect()} == {0, 1}
+    codes = spark.read.parquet(store).select(
+        "vec_id", "pq_code", "model_version")
+    probe = vec(0, 0.0, 0.0)
+    got5 = op("ann_pq_versioned",
+              spark.createDataFrame(day1 + day3, schema),
+              {**pq, "probe": probe, "k": 5, "books": vbooks,
+               "codes": codes}, views={}).collect()
+
+    def books_np(bdf):
+        arr = np.zeros((2, 2, 4), dtype=np.int64)
+        for r in bdf.collect():
+            arr[r["subspace"], r["code"]] = r["codeword"]
+        return arr
+    b_np = {0: books_np(books0), 1: books_np(books1)}
+    qv = np.floor(np.array(probe) * 1e6).astype(np.int64)
+    exp = sorted(
+        (sum(int(((qv[j * 4:(j + 1) * 4]
+                   - b_np[r["model_version"]][j, r["pq_code"][j]]) ** 2)
+                 .sum()) for j in range(2)), r["vec_id"])
+        for r in codes.collect())[:5]
+    assert [(r["adc_dist"], r["vec_id"]) for r in got5] == exp
