@@ -52,6 +52,14 @@ _HDOC_AND = f"doc_id % {_HMOD} = 0 AND " if _PSCALE > 1 else ""
 # value compare collects)
 _HLINE = (f"(SELECT * FROM lineitem WHERE l_orderkey % {_HMOD} = 0)"
           if _PSCALE > 1 else "lineitem")
+# per-user conv x touch JOIN oracles (attribution/asof/range/pit):
+# the OPERATORS are as-of carries / bucketed joins (linear), but the
+# DuckDB replays hash-join on user_id and filter time afterwards —
+# quadratic in a zipf-hot user's event count (round-12 sf1-skew
+# sweep: the four attribution oracles ground unbounded while every
+# op side finished). Same heavy-pair trade as _HLINE.
+_HEVENTS = (f"(SELECT * FROM events WHERE event_id % {_HMOD} = 0)"
+            if _PSCALE > 1 else "events")
 
 
 def _hmod_lineitem(spark, sf_dir):
@@ -83,6 +91,16 @@ def _hmod_embs(spark, sf_dir):
     e = op("expr", e, {"exprs": {"hm": f"vec_id % {_HMOD}"}})
     e = op("filter", e, {"field": "hm", "op": "eq", "value": 0})
     return op("select", e, {"fields": ["vec_id", "embedding", "label"]})
+
+
+def _hmod_events(spark, sf_dir):
+    """Spark twin of _HEVENTS."""
+    e = _t(spark, sf_dir, "events")
+    if _PSCALE == 1:
+        return e
+    e = op("expr", e, {"exprs": {"hm": f"event_id % {_HMOD}"}})
+    e = op("filter", e, {"field": "hm", "op": "eq", "value": 0})
+    return e.drop("hm")
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -3005,7 +3023,7 @@ def q_events_session_window_stream(spark, sf_dir):
 def q_asof_join(spark, sf_dir):
     """For each click, the most recent purchase at/before it per user
     (backward as-of; one shuffle, no interval cross product)."""
-    e = _t(spark, sf_dir, "events")
+    e = _hmod_events(spark, sf_dir)
     clicks = op("filter", e, {"field": "event_type", "op": "eq", "value": "click"})
     purchases = op("filter", e, {"field": "event_type", "op": "eq", "value": "purchase"})
     df = op("asof_join", clicks, {
@@ -3016,7 +3034,7 @@ def q_asof_join(spark, sf_dir):
 
 
 def _touches_convs(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    e = _hmod_events(spark, sf_dir)
     touches = op("filter", e, {"field": "event_type", "op": "eq",
                                "value": "click"})
     convs = op("filter", e, {"field": "event_type", "op": "eq",
@@ -3044,15 +3062,15 @@ def q_attribution_last(spark, sf_dir):
     return op("sort", df, {"fields": ["conv_id"]})
 
 
-_SQL_ATTRIBUTION_LAST = """
+_SQL_ATTRIBUTION_LAST = f"""
 WITH t AS (SELECT user_id, event_id AS touch_id,
                   epoch_ns(ts) // 1000 AS tus,
                   epoch_ns(ts) // 1000000000 AS tsec
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
 c AS (SELECT user_id, event_id AS conv_id,
              epoch_ns(ts) // 1000 AS cus,
              epoch_ns(ts) // 1000000000 AS csec
-      FROM events WHERE event_type = 'purchase'),
+      FROM {_HEVENTS} WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.conv_id, c.user_id, t.touch_id,
          ROW_NUMBER() OVER (PARTITION BY c.conv_id
@@ -3087,15 +3105,15 @@ def q_attribution_first(spark, sf_dir):
     return op("sort", df, {"fields": ["conv_id"]})
 
 
-_SQL_ATTRIBUTION_FIRST = """
+_SQL_ATTRIBUTION_FIRST = f"""
 WITH t AS (SELECT user_id, event_id AS touch_id,
                   epoch_ns(ts) // 1000 AS tus,
                   epoch_ns(ts) // 1000000000 AS tsec
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
 c AS (SELECT user_id, event_id AS conv_id,
              epoch_ns(ts) // 1000 AS cus,
              epoch_ns(ts) // 1000000000 AS csec
-      FROM events WHERE event_type = 'purchase'),
+      FROM {_HEVENTS} WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.conv_id, c.user_id, t.touch_id,
          ROW_NUMBER() OVER (PARTITION BY c.conv_id
@@ -3123,13 +3141,13 @@ def q_attribution_linear(spark, sf_dir):
     return op("sort", df, {"fields": ["conv_id", "touch_id"]})
 
 
-_SQL_ATTRIBUTION_LINEAR = """
+_SQL_ATTRIBUTION_LINEAR = f"""
 WITH t AS (SELECT user_id, event_id AS touch_id,
                   epoch_ns(ts) // 1000000000 AS tsec
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
 c AS (SELECT user_id, event_id AS conv_id,
              epoch_ns(ts) // 1000000000 AS csec
-      FROM events WHERE event_type = 'purchase'),
+      FROM {_HEVENTS} WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.conv_id, c.user_id, t.touch_id,
          COUNT(*) OVER (PARTITION BY c.conv_id) AS n
@@ -3162,13 +3180,13 @@ def q_attribution_linear_exact(spark, sf_dir):
     return op("sort", df, {"fields": ["conv_id", "touch_id"]})
 
 
-_SQL_ATTRIBUTION_LINEAR_EXACT = """
+_SQL_ATTRIBUTION_LINEAR_EXACT = f"""
 WITH t AS (SELECT user_id, event_id AS touch_id,
                   epoch_ns(ts) // 1000 AS tus
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
 c AS (SELECT user_id, event_id AS conv_id,
              epoch_ns(ts) // 1000 AS cus
-      FROM events WHERE event_type = 'purchase'),
+      FROM {_HEVENTS} WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.conv_id, c.user_id, t.touch_id,
          COUNT(*) OVER (PARTITION BY c.conv_id) AS n
@@ -3182,11 +3200,11 @@ ORDER BY conv_id, touch_id
 
 # oracle compares at epoch-microseconds (Spark timestamps are µs; the
 # parquet source is ns — both sides truncate identically)
-_SQL_ASOF_JOIN = """
+_SQL_ASOF_JOIN = f"""
 WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
      p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus, value
-           FROM events WHERE event_type = 'purchase'),
+           FROM {_HEVENTS} WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.event_id, c.user_id, p.value,
          ROW_NUMBER() OVER (PARTITION BY c.event_id
@@ -3310,7 +3328,7 @@ def q_asof_nearest(spark, sf_dir):
     the directional tiebreak rules (backward max event_id, forward
     min). DuckDB replays the choice as a ROW_NUMBER over
     (distance, side, signed tiebreak)."""
-    e = _t(spark, sf_dir, "events")
+    e = _hmod_events(spark, sf_dir)
     clicks = op("filter", e, {"field": "event_type", "op": "eq",
                               "value": "click"})
     purchases = op("filter", e, {"field": "event_type", "op": "eq",
@@ -3323,13 +3341,13 @@ def q_asof_nearest(spark, sf_dir):
     return op("select", df, {"fields": ["event_id", "user_id", "r_value"]})
 
 
-_SQL_ASOF_NEAREST = """
+_SQL_ASOF_NEAREST = f"""
 WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
            -- NULL event-time: excluded (temporal contract)
-           FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+           FROM {_HEVENTS} WHERE event_type = 'click' AND ts IS NOT NULL),
      p AS (SELECT event_id AS pid, user_id, epoch_ns(ts)//1000 AS tus,
                   value
-           FROM events
+           FROM {_HEVENTS}
            WHERE event_type = 'purchase' AND ts IS NOT NULL),
 cand AS (
   SELECT c.event_id, c.user_id, p.value,
@@ -3349,7 +3367,7 @@ SELECT event_id, user_id, value AS r_value FROM r WHERE rn = 1
 def q_asof_forward(spark, sf_dir):
     """For each click, the NEXT purchase at/after it per user
     (forward as-of — e.g. time-to-conversion analysis)."""
-    e = _t(spark, sf_dir, "events")
+    e = _hmod_events(spark, sf_dir)
     clicks = op("filter", e, {"field": "event_type", "op": "eq", "value": "click"})
     purchases = op("filter", e, {"field": "event_type", "op": "eq", "value": "purchase"})
     df = op("asof_join", clicks, {
@@ -3360,11 +3378,11 @@ def q_asof_forward(spark, sf_dir):
     return op("select", df, {"fields": ["event_id", "user_id", "r_value"]})
 
 
-_SQL_ASOF_FORWARD = """
+_SQL_ASOF_FORWARD = f"""
 WITH c AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
      p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus, value
-           FROM events WHERE event_type = 'purchase'),
+           FROM {_HEVENTS} WHERE event_type = 'purchase'),
 pairs AS (
   SELECT c.event_id, c.user_id, p.value,
          ROW_NUMBER() OVER (PARTITION BY c.event_id
@@ -3385,7 +3403,7 @@ def q_range_join(spark, sf_dir):
     click and a window bound share a second (one such boundary pair
     appeared in the round-8 sf1 sweep: spark=21917 vs duck=21916 —
     fixture-scale luck had hidden it at sf0.01/sf0.1)."""
-    e = _t(spark, sf_dir, "events")
+    e = _hmod_events(spark, sf_dir)
     clicks = op("filter", e, {"field": "event_type", "op": "eq", "value": "click"})
     purchases = op("filter", e, {"field": "event_type", "op": "eq", "value": "purchase"})
     windows = op("expr", purchases, {"replace": True, "exprs": {
@@ -3402,11 +3420,11 @@ def q_range_join(spark, sf_dir):
     return op("select", df, {"fields": ["event_id", "user_id", "r_win_id"]})
 
 
-_SQL_RANGE_JOIN = """
+_SQL_RANGE_JOIN = f"""
 WITH c AS (SELECT event_id, user_id, epoch_ms(ts)//1000 AS tsec
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
      p AS (SELECT event_id AS win_id, user_id, epoch_ms(ts)//1000 AS s
-           FROM events WHERE event_type = 'purchase')
+           FROM {_HEVENTS} WHERE event_type = 'purchase')
 SELECT c.event_id, c.user_id, p.win_id AS r_win_id
 FROM c JOIN p
   ON c.user_id = p.user_id AND c.tsec >= p.s AND c.tsec < p.s + 21600
@@ -3996,7 +4014,7 @@ def q_pit_enrich(spark, sf_dir):
     is exact microseconds by construction — the operator's
     second-granular timestamp path is deliberately bypassed (the
     range_join granularity lesson, q_range_join docstring)."""
-    e = _t(spark, sf_dir, "events")
+    e = _hmod_events(spark, sf_dir)
     clicks = op("filter", e, {"field": "event_type", "op": "eq",
                               "value": "click"})
     clicks = op("expr", clicks, {"exprs": {
@@ -4030,12 +4048,12 @@ def q_pit_enrich(spark, sf_dir):
     return op("sort", df, {"fields": ["event_id"]})
 
 
-_SQL_PIT_ENRICH = """
+_SQL_PIT_ENRICH = f"""
 WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
                   event_id,
                   CAST(json_extract_string(props, '$.k') AS INT) % 4
                     AS tier
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
 o AS (SELECT user_id, tier, t,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY t, event_id) AS rn,
@@ -4049,7 +4067,7 @@ v AS (SELECT user_id, tier, t AS vf, rn,
                       1719792000000000) AS vt
       FROM p2),
 b AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt
-      FROM events WHERE event_type = 'purchase')
+      FROM {_HEVENTS} WHERE event_type = 'purchase')
 SELECT b.event_id, b.user_id, v.tier AS v_tier
 FROM b JOIN v ON b.user_id = v.user_id
              AND b.pt >= v.vf AND b.pt < v.vt
@@ -5087,7 +5105,7 @@ def q_stream_join(spark, sf_dir):
     driver runs the batch execution; tests/test_streaming.py proves
     the identical config produces the same rows as a real
     watermarked stream-stream join."""
-    e = _t(spark, sf_dir, "events")
+    e = _hmod_events(spark, sf_dir)
     clicks = op("filter", e, {"field": "event_type", "op": "eq",
                               "value": "click"})
     clicks = op("select", clicks, {"fields": ["event_id", "user_id", "ts"]})
@@ -5101,12 +5119,12 @@ def q_stream_join(spark, sf_dir):
     return op("select", df, {"fields": ["event_id", "r_event_id", "user_id"]})
 
 
-_SQL_STREAM_JOIN = """
+_SQL_STREAM_JOIN = f"""
 WITH c AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
-           FROM events WHERE event_type = 'click'),
+           FROM {_HEVENTS} WHERE event_type = 'click'),
      p AS (SELECT event_id AS r_event_id, user_id,
                   epoch_us(CAST(ts AS TIMESTAMP)) AS t
-           FROM events WHERE event_type = 'purchase')
+           FROM {_HEVENTS} WHERE event_type = 'purchase')
 SELECT c.event_id, p.r_event_id, c.user_id
 FROM c JOIN p ON c.user_id = p.user_id
              AND p.t >= c.t AND p.t <= c.t + CAST(1800 AS BIGINT) * 1000000
@@ -5129,9 +5147,10 @@ def q_stream_join_stream(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = nanos_to_timestamp(
         read_events_stream(spark, f"{sf_dir}/events.parquet"), "ts")
-    clicks = stream.filter("event_type = 'click'").select(
+    hm = f" AND event_id % {_HMOD} = 0" if _PSCALE > 1 else ""
+    clicks = stream.filter("event_type = 'click'" + hm).select(
         "event_id", "user_id", "ts")
-    purchases = stream.filter("event_type = 'purchase'").select(
+    purchases = stream.filter("event_type = 'purchase'" + hm).select(
         "event_id", "user_id", "ts")
     joined = op("stream_join", clicks,
                 {"right": purchases, "by": ["user_id"], "before": 0,

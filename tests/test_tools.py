@@ -108,7 +108,12 @@ def test_parity_scale_knob_consistent_and_default_stable():
               "ngram_jaccard": "% 7", "winnow": "% 7",
               "winnow_overlap": "% 7", "quantize_embedding": "% 7",
               "dedup_near_against": "% 7", "zorder": "% 7",
-              "expect_fk": "% 7", "dedup_lines": "% 7"}
+              "expect_fk": "% 7", "dedup_lines": "% 7",
+              # round 12: the _HEVENTS heavy-pair fragment (per-user
+              # join oracles quadratic on zipf-hot users)
+              "attribution_first": "% 7", "asof_join": "% 7",
+              "range_join": "% 7", "pit_enrich": "% 7",
+              "stream_join": "% 7", "stream_join_stream": "% 7"}
     for name, mod in expect.items():
         if mod is None or name not in scaled:
             continue
