@@ -2305,6 +2305,11 @@ FROM oldcell o
 JOIN drift dr ON dr.cell = o.cell
 LEFT JOIN adc0 a0 ON a0.vec_id = o.vec_id
 LEFT JOIN adc1 a1 ON a1.vec_id = o.vec_id
+-- empty-probe parity (ADVICE r12): if vec_id 0's embedding is
+-- invalid on a sweep clone (--nan-frac hits arbitrary rows) the
+-- Spark op returns an EMPTY frame; without this gate the LEFT
+-- JOINs would still emit 10 NULL-adc_dist rows — a spurious FAIL.
+WHERE EXISTS (SELECT 1 FROM probesub)
 ORDER BY adc_dist, o.vec_id LIMIT 10
 """
 

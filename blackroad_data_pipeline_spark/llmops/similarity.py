@@ -1747,10 +1747,16 @@ def op_centroid_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
         cells_src = views[cells_src]
     if isinstance(base_src, str):
         base_src = views[base_src]
-    cents = _cells_np(cells_src, "centroid_drift")
-    if cents.size == 0:
+    # _qcells_np handles BOTH model schemas: float ``centroid``
+    # quantizes via floor(c*scale) (== the SQL oracle), and a
+    # refreshed ``q_centroid`` model's integers pass through
+    # UNTOUCHED — the old q/scale float detour here was lossy
+    # (floor((498/1e6)*1e6) == 497), so the gate's cells could
+    # differ by 1/component from the exact integers the re-encode
+    # split uses (ADVICE r12).
+    qc = _qcells_np(cells_src, scale, "centroid_drift")
+    if qc.size == 0:
         raise ValueError("centroid_drift: cells model is empty")
-    qc = np.floor(cents * scale).astype(np.int64)  # == SQL floor(c*scale)
     maxq = int((2.0 ** 63 / qc.shape[1]) ** 0.5) // 2
     if np.abs(qc).max() > maxq:
         raise ValueError(
@@ -1953,16 +1959,15 @@ def op_model_refresh(df: DataFrame, config: Mapping, views) -> DataFrame:
         raise ValueError(
             f"model_refresh: |quantized centroid| exceeds {maxq_cd}")
 
-    # 1. drift gate (k rows collected — bounded by the model size)
-    drift_cells = (cells_src if "q_centroid" not in cells_src.columns
-                   else cells_src.select(
-                       "cell",
-                       F.transform("q_centroid", lambda x:
-                                   x.cast("double") / F.lit(scale))
-                       .alias("centroid")))
+    # 1. drift gate (k rows collected — bounded by the model size).
+    # cells_src passes through UNCONVERTED: op_centroid_drift reads a
+    # q_centroid model's integers exactly (a q/scale float detour
+    # here rounded — floor((498/1e6)*1e6)==497 — so the gate, the
+    # re-encode split, and the oracle could disagree on boundary
+    # cells in the SECOND refresh cycle; ADVICE r12).
     drift = op_centroid_drift(
         df, {"field": field, "dim": dim, "scale": scale,
-             "threshold": threshold, "cells": drift_cells,
+             "threshold": threshold, "cells": cells_src,
              "baseline": base_src}, views)
     drifted = sorted(int(r["cell"]) for r in drift.collect()
                      if r["drifted"])
@@ -2123,6 +2128,23 @@ def op_ann_pq_versioned(df: DataFrame, config: Mapping, views) -> DataFrame:
                       .distinct().collect())
     if not versions:
         raise ValueError("ann_pq_versioned: books model is empty")
+    # Loud live-version bound (VERDICT r12 #4, max_groups precedent):
+    # the serving expression bakes m element_at terms + m*ks literal
+    # longs PER live version, so an unbounded version list grows the
+    # codegen body without limit — past ~64 KB of bytecode Janino
+    # falls back to interpreted evaluation, a silent serving-latency
+    # cliff. A store accumulating versions means maintenance is not
+    # retiring them; fail loudly instead of degrading quietly.
+    max_versions = int(config.get("max_versions", 8))
+    if len(versions) > max_versions:
+        raise ValueError(
+            f"ann_pq_versioned: {len(versions)} live model versions "
+            f"exceed max_versions={max_versions} — run store_gc to "
+            f"retire drained versions (each live version adds m "
+            f"lookup terms and m*ks literals to the serving "
+            f"expression; unbounded growth trips the codegen 64 KB "
+            f"interpreted fallback). Raise `max_versions` only if "
+            f"you accept that cost.")
 
     # one CASE over per-version literal ADC tables — a single codegen
     # scan serves every live version

@@ -39,9 +39,30 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 MANIFEST = "MANIFEST.json"
+
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _check_local(root: str, op: str) -> None:
+    """Loud non-local guard (ADVICE r12): this module uses local-fs
+    os APIs (os.path.isfile / os.replace / os.listdir), so an
+    ``hdfs://`` or ``s3://`` root would make ``is_managed`` silently
+    return False and the managed ingest/maintain flow would degrade
+    to the unmanaged layout with no error. ``file://`` is not
+    accepted either — Python os APIs do not resolve URIs; strip the
+    scheme and pass the plain path."""
+    if _URI_RE.match(root):
+        raise ValueError(
+            f"{op}: store root {root!r} carries a URI scheme — the "
+            f"manifest layer is local-filesystem only (os.replace "
+            f"atomicity). On HDFS/S3 the pointer commit needs the "
+            f"filesystem's own atomic primitive (rename / "
+            f"conditional PUT); for a locally-mounted path, pass "
+            f"the plain path without the scheme.")
 
 
 def _manifest_path(root: str) -> str:
@@ -49,7 +70,10 @@ def _manifest_path(root: str) -> str:
 
 
 def is_managed(root: str) -> bool:
-    """True if ``root`` is a managed store root (has a manifest)."""
+    """True if ``root`` is a managed store root (has a manifest).
+    Raises on a URI-schemed root rather than silently answering
+    False (the degradation would be invisible)."""
+    _check_local(root, "is_managed")
     return os.path.isfile(_manifest_path(root))
 
 
@@ -63,6 +87,7 @@ def store_init(root: str, version: str = "v000000") -> str:
 
     Returns the data path of the initial version (it does not exist
     yet — the first ingest drain creates it)."""
+    _check_local(root, "store_init")  # before the mkdir side effect
     os.makedirs(root, exist_ok=True)
     if is_managed(root):
         raise ValueError(f"store root {root} already has a manifest")

@@ -2526,12 +2526,32 @@ def test_model_refresh_selective_reencode_versions_and_model_root(
     assert nb.count() == 4  # m*ks
     nc = spark.read.parquet(f"{vdir}/cells")
     assert set(nc.columns) == {"cell", "q_centroid"}
-    # the refreshed cells model feeds the NEXT refresh (q_centroid path)
+    # the refreshed cells model feeds the NEXT refresh (q_centroid
+    # path). ADVICE r12 strengthening: gate, keep/redo split, and an
+    # independent integer replay must AGREE cell-for-cell — the old
+    # q/scale float detour in the gate could disagree with the exact
+    # integers the split uses on boundary components.
     out2 = op("model_refresh", batch_in,
               {**cfg, "cells": nc, "baseline": batch_shift,
                "model_root": None, "version_old": 1},
               views={}).collect()
     assert {r["model_version"] for r in out2} <= {1, 2}
+    drifted2 = {r["cell"] for r in
+                op("centroid_drift", batch_in,
+                   {"field": "embedding", "dim": dim, "cells": nc,
+                    "baseline": batch_shift, "threshold": 0.10},
+                   views={}).collect() if r["drifted"]}
+    qc2 = np.zeros((2, dim), dtype=np.int64)
+    for r in nc.collect():
+        qc2[r["cell"]] = r["q_centroid"]
+    base_emb = {b["vec_id"]: b["embedding"] for b in base.collect()}
+    for r in sorted(out2, key=lambda r: r["vec_id"]):
+        q = np.floor(np.array(base_emb[r["vec_id"]],
+                              dtype=np.float64) * 1e6).astype(np.int64)
+        old_cell = int(np.argmin(((qc2 - q) ** 2).sum(axis=1)))
+        assert r["model_version"] == (2 if old_cell in drifted2 else 1)
+        if r["model_version"] == 1:
+            assert r["ivf_cell"] == old_cell
 
     # no-drift path: in-distribution batch -> everything version_old,
     # and no new model version appears under the root
@@ -2672,3 +2692,59 @@ def test_semdedup_max_cell_trips_loud_on_hot_cluster(spark):
         op("semdedup", df, cfg, views={}).collect()
     out = op("semdedup", df, {**cfg, "max_cell": 500}, views={})
     assert out.count() > 100  # hot cell processed once the cap allows
+
+
+def test_centroid_drift_q_centroid_path_is_integer_exact(spark):
+    """ADVICE r12: a refreshed ``q_centroid`` model must feed the
+    drift gate's assignment as EXACT integers — the old q/scale float
+    detour rounded (floor((249/1e6)*1e6) == 248), shifting boundary
+    cell assignments by 1/component. Constructed boundary: with the
+    lossy centroid the batch point TIES and falls to cell 0; with the
+    exact integer it strictly belongs to cell 1."""
+    import math
+
+    scale = 1e6
+    qa = next(q for q in range(2, 100000)
+              if math.floor(q / scale * scale) == q - 1)
+    # data point quantizes (pinned floor(x*scale) semantics) to q_v
+    x = (qa - 2) / scale
+    q_v = math.floor(x * scale)
+    qb = 2 * q_v - qa + 1  # exact: |q_v-qa| > |q_v-qb|; lossy: tie
+    assert (q_v - qa) ** 2 > (q_v - qb) ** 2
+    assert (q_v - (qa - 1)) ** 2 == (q_v - qb) ** 2  # lossy tie -> cell 0
+
+    cells = spark.createDataFrame(
+        [(0, [qa]), (1, [qb])], "cell int, q_centroid array<bigint>")
+    baseline = spark.createDataFrame(
+        [(0, [qa / scale]), (1, [qb / scale])],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(10, [x])], "vec_id long, embedding array<double>")
+    out = {r["cell"]: r for r in
+           op("centroid_drift", batch,
+              {"field": "embedding", "dim": 1, "scale": scale,
+               "cells": cells, "baseline": baseline}, views={}).collect()}
+    assert out[1]["n_batch"] == 1 and out[0]["n_batch"] == 0
+
+
+def test_ann_pq_versioned_max_versions_guard(spark, vecs):
+    """VERDICT r12 #3: the serving CASE bakes m*ks literals per live
+    version; a store that accumulates versions (forgotten store_gc)
+    must trip a LOUD bound instead of quietly growing the codegen
+    expression past the interpreted-fallback cliff."""
+    pq = {"dim": 4, "m": 2, "ks": 2, "seed_order": "id"}
+    books0 = op("pq_encode", vecs, {**pq, "emit": "books"})
+    vbooks = None
+    for v in range(9):
+        b = books0.withColumn("model_version", F.lit(v))
+        vbooks = b if vbooks is None else vbooks.unionByName(b)
+    codes = (op("pq_encode", vecs, {**pq, "books": books0})
+             .withColumn("model_version", F.lit(0))
+             .select("vec_id", "pq_code", "model_version"))
+    cfg = {**pq, "probe": [1.0, 0.0, 0.0, 0.0], "k": 3,
+           "books": vbooks, "codes": codes}
+    with pytest.raises(Exception, match="max_versions"):
+        op("ann_pq_versioned", vecs, cfg, views={}).collect()
+    got = op("ann_pq_versioned", vecs, {**cfg, "max_versions": 9},
+             views={}).collect()
+    assert len(got) == 3

@@ -943,3 +943,22 @@ def test_ingest_picks_up_refreshed_model_through_manifest(spark, tmp_path):
                  .sum()) for j in range(2)), r["vec_id"])
         for r in codes.collect())[:5]
     assert [(r["adc_dist"], r["vec_id"]) for r in got5] == exp
+
+
+def test_store_uri_scheme_roots_fail_loudly():
+    """ADVICE r12: store.py is local-fs only (os.replace atomicity);
+    an hdfs://-style root previously made is_managed silently answer
+    False and the managed flow degraded to the unmanaged layout with
+    no error. Now the degradation is loud."""
+    import pytest as _pytest
+
+    from blackroad_data_pipeline_spark.store import is_managed, store_init
+
+    for root in ("hdfs://nn/warehouse/store", "s3://bucket/store",
+                 "file:///tmp/store"):
+        with _pytest.raises(ValueError, match="URI scheme"):
+            is_managed(root)
+        with _pytest.raises(ValueError, match="URI scheme"):
+            store_init(root)
+    # windows-style drive letters and plain paths are NOT schemes
+    assert is_managed("/tmp/definitely-not-a-store-root-xyz") is False

@@ -39,7 +39,18 @@ def main() -> int:
 
     last: dict[str, int] = {}
     max_round = 0
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    if not files:
+        # ADVICE r12: with zero evidence files _rotation_order falls
+        # back to plain alphabetical order — the driver's ~50-key
+        # sample prefix would be an arbitrary cohort, silently. The
+        # CORRECTNESS_r*.json files are committed; zero on disk means
+        # a broken checkout, and the lint must say so loudly.
+        print("FAIL: no CORRECTNESS_r*.json files found — the derived "
+              "rotation order would silently degrade to alphabetical. "
+              "The evidence files are committed; restore them.")
+        return 1
+    for f in files:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         max_round = max(max_round, rnd)
         for k in json.load(open(f)):
