@@ -13,9 +13,18 @@ standard manifest trick:
   ``v000001/``, ...);
 - readers resolve the root through the manifest
   (:func:`store_resolve` / :func:`store_read`) and then scan ONLY
-  the resolved version directory — a version dir is never mutated
-  after it becomes current (ingest appends new partitions inside it,
-  maintenance always writes a NEW version);
+  the resolved version directory. The mutation contract is
+  APPEND-ONLY while current: ingest drains commit new
+  ``__ingest_batch`` partitions into the current version (batch ids
+  are monotonic streaming epochs), but an existing partition is
+  never rewritten in place, and maintenance always compacts into a
+  NEW version. A drain racing a maintainer can therefore append
+  into the source version after the maintainer's snapshot — the
+  maintainer recovers exactly those batches by copy-forward
+  reconciliation before and after the swap
+  (``vector_store_maintain_managed``, streaming/ops.py), so the
+  worst interleaving delays a batch's visibility until the next
+  maintenance pass, never loses it;
 - the swap (:func:`store_swap`) rewrites the pointer via
   write-temp-then-``os.replace`` — atomic on POSIX/NFS/HDFS-mounted
   filesystems, so a concurrent reader sees either the old manifest or

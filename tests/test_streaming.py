@@ -962,3 +962,106 @@ def test_store_uri_scheme_roots_fail_loudly():
             store_init(root)
     # windows-style drive letters and plain paths are NOT schemes
     assert is_managed("/tmp/definitely-not-a-store-root-xyz") is False
+
+
+def test_maintain_recovers_concurrent_drain_commits_zero_lost(
+        spark, tmp_path, monkeypatch):
+    """Round 13 (VERDICT r12 #2 / ADVICE r12): the drain-vs-maintain
+    lost-write race. An ingest drain that resolved the root BEFORE
+    the swap commits its batch partition into the SOURCE version —
+    (a) after the maintainer's compaction snapshot, or (b) after the
+    pre-swap reconcile, just before the pointer flip. Committed
+    epochs never replay, so those rows must be COPY-FORWARDED by the
+    maintainer, not lost. Also drives the straggler path: a commit
+    landing after the post-swap listing is recovered by the NEXT
+    maintenance pass's prior-version reconcile."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import blackroad_data_pipeline_spark.store as store_mod
+    import blackroad_data_pipeline_spark.streaming.ops as ops_mod
+    from blackroad_data_pipeline_spark.operators import (
+        apply_operator as op,
+    )
+    from blackroad_data_pipeline_spark.store import store_init, store_read
+    from blackroad_data_pipeline_spark.streaming.ops import (
+        run_stream_vector_ingest,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    root = str(tmp_path / "store_root")
+    models = str(tmp_path / "models")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(threshold=0.98, dim=8, m=2, ks=2, n_cells=2,
+              n_planes=2, n_tables=8)
+
+    store_init(root)
+
+    def drain(rows, name):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(src / f"{name}.parquet"))
+        s = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", True).parquet(str(src))
+        run_stream_vector_ingest(s, root, ckpt, models, **kw)
+
+    drain([(i, unit(rng.randn(8))) for i in range(6)], "d1")   # batch 0
+    drain([(10, unit(rng.randn(8)))], "d2")                    # batch 1
+
+    def ids_now():
+        return sorted(r["vec_id"] for r in store_read(spark, root)
+                      .select("vec_id").collect())
+
+    # (a) drain commits AFTER the compaction snapshot, BEFORE swap
+    real_maintain = ops_mod.vector_store_maintain
+
+    def maintain_then_drain(*a, **k):
+        stats = real_maintain(*a, **k)
+        drain([(20, unit(rng.randn(8)))], "d3")               # batch 2
+        return stats
+
+    monkeypatch.setattr(ops_mod, "vector_store_maintain",
+                        maintain_then_drain)
+    stats = op("vector_store_maintain", spark.range(1),
+               {"root": root, "hot_batches": 1}, views={}).collect()[0]
+    monkeypatch.setattr(ops_mod, "vector_store_maintain", real_maintain)
+    assert stats["version_after"] == "v000001"
+    assert ids_now() == [0, 1, 2, 3, 4, 5, 10, 20]            # zero lost
+
+    # (b) drain commits between the pre-swap reconcile and the flip
+    real_swap = store_mod.store_swap
+
+    def drain_then_swap(root_, version, expect=None):
+        monkeypatch.setattr(store_mod, "store_swap", real_swap)
+        drain([(30, unit(rng.randn(8)))], "d4")               # batch 3
+        return real_swap(root_, version, expect=expect)
+
+    monkeypatch.setattr(store_mod, "store_swap", drain_then_swap)
+    stats = op("vector_store_maintain", spark.range(1),
+               {"root": root, "hot_batches": 1}, views={}).collect()[0]
+    assert stats["version_after"] == "v000002"
+    assert "3" in stats["recovered_batches"].split(",")
+    assert ids_now() == [0, 1, 2, 3, 4, 5, 10, 20, 30]        # zero lost
+
+    # straggler: a commit landing after the post-swap listing lives
+    # only in the RETIRED source version dir (v000001 — the version
+    # maintain (b) compacted FROM); the NEXT maintain's prior-version
+    # reconcile copies it forward (batch id 9 > current max 3)
+    late = (spark.read.parquet(
+                os.path.join(root, "v000002", "__ingest_batch=3"))
+            .withColumn("vec_id", F.lit(40).cast("long")).limit(1))
+    late.write.parquet(os.path.join(root, "v000001",
+                                    "__ingest_batch=9"))
+    stats = op("vector_store_maintain", spark.range(1),
+               {"root": root, "hot_batches": 1}, views={}).collect()[0]
+    assert "9" in stats["recovered_batches"].split(",")
+    assert 40 in ids_now()                                    # recovered
