@@ -209,3 +209,62 @@ def test_gen_fixture_skew_and_garble_levers(tmp_path):
     assert garbled  # shapes actually planted
     for t, n in zip(docs["text"], docs["n_chars"]):
         assert (t is None and n is None) or (t is not None and n == len(t))
+
+
+def test_stream_compare_detects_mismatches_and_orphan_lever(
+        spark, tmp_path):
+    """check_oracle --stream (round 13, VERDICT r12 #7): the multiset
+    digest must agree on equal frames regardless of row order and
+    dtype width, and must FAIL on a value flip, a row-count drift,
+    and a column drift — a vacuously-green scale path would be worse
+    than none. Plus: the --orphan-frac fixture lever plants real
+    orphans and duplicate PKs."""
+    import duckdb
+    import pyarrow.parquet as pq_mod
+
+    from tools.check_oracle import check_one_stream
+    from tools.gen_fixture import gen
+
+    con = duckdb.connect()
+    d = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, 1.5, "a"), (2, float("nan"), None), (3, -0.0, "c")],
+        "k long, v double, s string").write.parquet(d)
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/*.parquet')")
+
+    def q(spark_, sf_dir):
+        # reversed order + int32 key: order/width must not matter
+        from pyspark.sql import functions as F
+        return (spark_.read.parquet(d)
+                .select(F.col("k").cast("int").alias("k"), "v", "s")
+                .orderBy(F.col("k").desc()))
+
+    name, ok, lines = check_one_stream(
+        "eq", q, "SELECT k, v, s FROM t", spark, "", con)
+    assert ok, lines
+    # value flip
+    _, ok, lines = check_one_stream(
+        "flip", q, "SELECT k, CASE WHEN k=3 THEN 0.25 ELSE v END AS v, "
+        "s FROM t", spark, "", con)
+    assert not ok and "digest mismatch" in lines[0]
+    # row-count drift
+    _, ok, lines = check_one_stream(
+        "rows", q, "SELECT k, v, s FROM t WHERE k < 3", spark, "", con)
+    assert not ok and "row count" in lines[0]
+    # column drift
+    _, ok, lines = check_one_stream(
+        "cols", q, "SELECT k, v, s AS s2 FROM t", spark, "", con)
+    assert not ok and "columns differ" in lines[0]
+
+    out = tmp_path / "orphan"
+    gen(0.001, str(out), seed=7, orphan_frac=0.2)
+    li = pq_mod.read_table(str(out / "lineitem.parquet")).to_pandas()
+    orders = pq_mod.read_table(str(out / "orders.parquet")).to_pandas()
+    ok_keys = set(orders["o_orderkey"])
+    assert (~li["l_orderkey"].isin(ok_keys)).sum() > 0          # orphans
+    assert orders["o_orderkey"].duplicated().sum() > 0          # dup PKs
+    emb = pq_mod.read_table(str(out / "embeddings.parquet")).to_pandas()
+    docs = pq_mod.read_table(str(out / "documents.parquet")).to_pandas()
+    assert (~emb["vec_id"].isin(set(docs["doc_id"]))).sum() > 0
+    assert emb["vec_id"].is_unique                              # injective

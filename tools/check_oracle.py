@@ -34,7 +34,15 @@ worker compares via its own DuckDB cursor. Safe because the only
 session-conf mutations on the query path are idempotent (UTC timezone,
 nanosAsLong).
 
-Usage: python tools/check_oracle.py [--lint] [sf_dir] [query ...]
+``--stream`` (round 13, VERDICT r12 #7) swaps the driver-mimic
+compare for a STREAMED multiset-digest compare: the oracle COPYs to
+parquet (bounded DuckDB memory), Spark reads it back, and both
+frames reduce to (count, sum(xxhash64), sum(murmur3)) over
+Spark-normalized row strings — nothing materializes on the driver,
+so heavy pairs run UNKNOBBED at sf10. Weaker than the cell-by-cell
+gate; the strict path at sf<=0.1 remains the correctness gate.
+
+Usage: python tools/check_oracle.py [--lint] [--stream] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -164,6 +172,119 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _stream_norm(df):
+    """Canonicalize a DataFrame for the STREAMED multiset compare:
+    lowercase + name-sorted columns, integral→long, bool→long,
+    float→double with NaN→NULL and -0.0→0.0, temporal→string — then
+    every column to string with a NULL sentinel. Both sides are
+    normalized by SPARK (the oracle result round-trips through a
+    DuckDB parquet COPY), so engine rendering differences cannot
+    leak in: the only degrees of freedom left are the VALUES."""
+    from pyspark.sql import functions as F
+
+    df = df.select([F.col(c).alias(c.lower()) for c in df.columns])
+    df = df.select(*sorted(df.columns))
+    out = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        t = f.dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            c = c.cast("long")
+        elif t == "boolean":
+            c = c.cast("long")
+        elif t in ("float", "double"):
+            d = F.col(f.name).cast("double")
+            c = F.when(F.isnan(d), F.lit(None)).otherwise(d + F.lit(0.0))
+        elif t in ("timestamp", "timestamp_ntz", "date"):
+            # duck parquet yields timestamp_ntz where the Spark side
+            # holds session-UTC timestamps: ntz-cast both first (wall
+            # time, same digits), then render
+            c = (c.cast("timestamp_ntz") if t == "timestamp" else c) \
+                .cast("string")
+        elif t.startswith("decimal"):
+            c = c.cast("string")
+        out.append(c.alias(f.name))
+    return df.select(out)
+
+
+def _stream_digest(df):
+    """(row_count, sum(xxhash64), sum(murmur3)) of the normalized
+    frame — an order-insensitive multiset digest computed entirely
+    inside Spark (no driver materialization). DECIMAL(38,0) sums so
+    overflow semantics cannot differ between runs."""
+    from pyspark.sql import functions as F
+
+    row = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00N"))
+                  for c in df.columns])
+    agg = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(row).cast("decimal(38,0)")).alias("h1"),
+        F.sum(F.hash(row).cast("decimal(38,0)")).alias("h2")).head()
+    return agg["n"], agg["h1"], agg["h2"]
+
+
+def check_one_stream(name, fn, oracle, spark, sf_dir, con):
+    """Scale-path variant of check_one (round 13, VERDICT r12 #7):
+    the strict driver-mimic compare canonicalizes through pandas on
+    the DRIVER — at sf10 a 1e8-row result blows the comparator, not
+    the operator, which is why eleven heavy pairs ride subset knobs.
+    Stream mode keeps both results out of driver memory: the oracle
+    COPYs to parquet (DuckDB streams with bounded memory), Spark
+    loads it back, and BOTH frames reduce to an order-insensitive
+    multiset digest (count + two summed row hashes) inside Spark.
+    Weaker than the cell-by-cell gate (hash equality, coarsened
+    dtypes) — the strict path at sf<=0.1 remains the correctness
+    gate; this is the no-modulus scale evidence."""
+    import shutil
+    import tempfile
+
+    t0 = time.time()
+    if oracle is None:
+        return name, False, [f"FAIL {name}: stream compare needs an oracle"]
+    tmp = tempfile.mkdtemp(prefix=f"oracle_stream_{name}_")
+    try:
+        path = os.path.join(tmp, "oracle.parquet")
+        try:
+            cur = con.cursor()
+            try:
+                cur.execute(
+                    f"COPY ({oracle.rstrip().rstrip(';')}) TO '{path}' "
+                    f"(FORMAT PARQUET, COMPRESSION ZSTD)")
+            finally:
+                cur.close()
+        except Exception as e:  # noqa: BLE001
+            return name, False, [f"FAIL {name}: duckdb error: {e}"]
+        try:
+            sdf = _stream_norm(fn(spark, sf_dir))
+            ddf = _stream_norm(spark.read.parquet(path))
+            s_types = [(f.name, f.dataType.simpleString())
+                       for f in sdf.schema.fields]
+            d_types = [(f.name, f.dataType.simpleString())
+                       for f in ddf.schema.fields]
+            if [n for n, _ in s_types] != [n for n, _ in d_types]:
+                return name, False, [
+                    f"FAIL {name}: columns differ: spark={s_types} "
+                    f"duck={d_types}"]
+            sn, sh1, sh2 = _stream_digest(sdf)
+            dn, dh1, dh2 = _stream_digest(ddf)
+        except Exception as e:  # noqa: BLE001
+            return name, False, [f"FAIL {name}: spark error: {e}"]
+        if sn != dn:
+            return name, False, [
+                f"FAIL {name}: row count: spark={sn} duck={dn} "
+                f"[{time.time()-t0:.1f}s]"]
+        if (sh1, sh2) != (dh1, dh2):
+            return name, False, [
+                f"FAIL {name}: multiset digest mismatch over {sn} rows "
+                f"(h1 {sh1} vs {dh1}, h2 {sh2} vs {dh2}) "
+                f"[{time.time()-t0:.1f}s]"]
+        return name, True, [
+            f"OK   {name} (stream, {sn} rows) [{time.time()-t0:.1f}s]"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def check_one(name, fn, oracle, spark, sf_dir, con):
     """Run one query + its oracle; return (name, ok, lines)."""
     t0 = time.time()
@@ -227,7 +348,8 @@ def lint(sf_dir: str, only: set[str]) -> int:
 def main():
     argv = sys.argv[1:]
     do_lint = "--lint" in argv
-    argv = [a for a in argv if a != "--lint"]
+    do_stream = "--stream" in argv
+    argv = [a for a in argv if a not in ("--lint", "--stream")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if do_lint:
@@ -265,7 +387,8 @@ def main():
         # session views, which would race on one shared session)
         if not hasattr(tls, "spark"):
             tls.spark = spark.newSession()
-        return check_one(name, fn, oracles.get(name), tls.spark, sf_dir, con)
+        impl = check_one_stream if do_stream else check_one
+        return impl(name, fn, oracles.get(name), tls.spark, sf_dir, con)
 
     t_start = time.time()
     with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:

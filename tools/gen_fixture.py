@@ -115,7 +115,7 @@ def _zipf_keys(rng, n_keys, size, s):
 def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         ts_jitter: bool = False, null_frac: float = 0.0,
         nan_frac: float = 0.0, skew_zipf: float = 0.0,
-        text_garble: float = 0.0) -> dict:
+        text_garble: float = 0.0, orphan_frac: float = 0.0) -> dict:
     if ts_unit not in ("us", "ns"):
         raise ValueError(f"ts_unit must be us|ns, got {ts_unit!r}")
     if ts_jitter and ts_unit != "ns":
@@ -128,6 +128,8 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         raise ValueError(f"skew_zipf must be in [0.5, 4], got {skew_zipf}")
     if not 0.0 <= text_garble < 1.0:
         raise ValueError(f"text_garble must be in [0, 1), got {text_garble}")
+    if not 0.0 <= orphan_frac < 1.0:
+        raise ValueError(f"orphan_frac must be in [0, 1), got {orphan_frac}")
     s = sf / 0.1
     n = {t: max(1, int(round(c * s))) for t, c in BASE.items()}
     os.makedirs(out, exist_ok=True)
@@ -178,9 +180,49 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         "p_retailprice": _money(rng, npart, 900, 1000),
     }))
 
+    # referential-dirt lever (round 13, VERDICT r12 #6): every prior
+    # lever mutates VALUES; this one breaks REFERENCES. At rate f:
+    # lineitem rows whose l_orderkey matches no order, events whose
+    # user_id is absent from customer, embeddings whose vec_id has no
+    # documents twin — plus DUPLICATE primary keys at f/4 in
+    # orders.o_orderkey and customer.c_custkey (replacing a key with
+    # an existing one, which also implicitly orphans that key's
+    # children — real upstream dirt never orphans cleanly). Stresses
+    # unmatched-row contracts in the join/as-of/attribution family,
+    # 1:1 dedupe_right parity, and every expect_fk-style gate, which
+    # had only ever seen clean keys at contract level.
+    def _dup_pks(keys: np.ndarray) -> np.ndarray:
+        if not orphan_frac:
+            return keys
+        keys = keys.copy()
+        m = rng.random(len(keys)) < orphan_frac / 4.0
+        keys[m] = keys[rng.integers(0, len(keys), int(m.sum()))]
+        return keys
+
+    def _orphan(keys: np.ndarray, domain: int) -> np.ndarray:
+        if not orphan_frac:
+            return keys
+        keys = keys.copy()
+        m = rng.random(len(keys)) < orphan_frac
+        keys[m] = domain + rng.integers(0, domain, int(m.sum()))
+        return keys
+
+    if orphan_frac:
+        # rewrite customer with duplicate c_custkeys (dimension-side
+        # dup PKs break naive 1:1 broadcast-join assumptions)
+        ckeys = _dup_pks(np.arange(nc))
+        write("customer", pa.table({
+            "c_custkey": pa.array(ckeys, pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(nc)],
+            "c_nationkey": pa.array(rng.integers(0, 25, nc), pa.int32()),
+            "c_acctbal": _money(rng, nc, -1000, 10000),
+            "c_mktsegment": pa.array(
+                np.array(SEGMENTS)[rng.integers(0, 5, nc)]),
+        }))
+
     no = n["orders"]
     write("orders", pa.table({
-        "o_orderkey": pa.array(np.arange(no), pa.int64()),
+        "o_orderkey": pa.array(_dup_pks(np.arange(no)), pa.int64()),
         "o_custkey": pa.array(_zipf_keys(rng, nc, no, skew_zipf)
                               if skew_zipf else rng.integers(0, nc, no),
                               pa.int64()),
@@ -194,9 +236,10 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
 
     nl = n["lineitem"]
     write("lineitem", pa.table({
-        "l_orderkey": pa.array(_zipf_keys(rng, no, nl, skew_zipf)
-                               if skew_zipf else rng.integers(0, no, nl),
-                               pa.int64()),
+        "l_orderkey": pa.array(
+            _orphan(_zipf_keys(rng, no, nl, skew_zipf)
+                    if skew_zipf else rng.integers(0, no, nl), no),
+            pa.int64()),
         "l_partkey": pa.array(_zipf_keys(rng, npart, nl, skew_zipf)
                               if skew_zipf else rng.integers(0, npart, nl),
                               pa.int64()),
@@ -253,8 +296,9 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
         "event_id": pa.array(np.arange(ne), pa.int64()),
         "ts": ts_arr,
         "user_id": pa.array(
-            _zipf_keys(rng, max(1, nc // 10), ne, skew_zipf)
-            if skew_zipf else rng.integers(0, max(1, nc // 10), ne),
+            _orphan(_zipf_keys(rng, max(1, nc // 10), ne, skew_zipf)
+                    if skew_zipf else rng.integers(0, max(1, nc // 10), ne),
+                    nc),
             pa.int64()),
         "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, ne)]),
         "value": np.round(rng.exponential(50.0, ne), 2),
@@ -369,8 +413,15 @@ def gen(sf: float, out: str, seed: int = 42, ts_unit: str = "us",
             else:
                 bad = list(v); bad[pos] = None
             emb_list[i] = bad
+    # orphan vec_ids: remap a fraction to nd + vec_id — injective
+    # (uniqueness preserved) and guaranteed past every doc_id, so the
+    # remapped rows have no documents twin
+    vids = np.arange(nv)
+    if orphan_frac:
+        m = rng.random(nv) < orphan_frac
+        vids = np.where(m, nd + vids, vids)
     write("embeddings", pa.table({
-        "vec_id": pa.array(np.arange(nv), pa.int64()),
+        "vec_id": pa.array(vids, pa.int64()),
         "embedding": pa.array(emb_list, pa.list_(pa.float32())),
         "label": pa.array(label_list, pa.int32()),
     }))
@@ -402,6 +453,12 @@ def main():
                          "adversarial shapes (empty, chr(31), PNG "
                          "magic, whitespace-only, quotes, CJK/emoji, "
                          "4k-char token)")
+    ap.add_argument("--orphan-frac", type=float, default=0.0,
+                    help="referential dirt: this fraction of lineitem "
+                         "l_orderkeys match no order, events.user_ids "
+                         "no customer, embeddings.vec_ids no document; "
+                         "plus duplicate o_orderkey/c_custkey primary "
+                         "keys at a quarter of the rate")
     ap.add_argument("--skew-zipf", type=float, default=0.0,
                     help="zipf exponent for key skew: o_custkey, "
                          "lineitem FKs, events.user_id, documents."
@@ -412,7 +469,7 @@ def main():
     t0 = time.time()
     stats = gen(args.sf, args.out, args.seed, args.ts_unit,
                 args.ts_jitter, args.null_frac, args.nan_frac,
-                args.skew_zipf, args.text_garble)
+                args.skew_zipf, args.text_garble, args.orphan_frac)
     print(json.dumps({"sf": args.sf, "out": args.out,
                       "seconds": round(time.time() - t0, 1),
                       "rows": stats}))

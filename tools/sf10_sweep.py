@@ -60,6 +60,23 @@ DEFAULT_SCALE = 101  # prime, odd, not divisible by 5 — coprime with all
 # quadratic-oracle pair.
 SKIPS: dict[str, str] = {}
 
+# COMPARE-PATH-heavy pairs (round 13, VERDICT r12 #7): their subset
+# knobs exist because the driver-mimic PANDAS comparator (or the
+# memory materialization feeding it) blows up at sf10, not the
+# operators. After the knobbed sweep, these re-run UNKNOBBED
+# (SPARK_GRAFT_PARITY_SCALE=1) through check_oracle --stream — the
+# oracle COPYs to parquet and both sides reduce to multiset digests
+# inside Spark, so nothing touches driver pandas. NOT in this list:
+# pagerank/triangles (their blowup is the ORACLE COMPUTE — DuckDB's
+# unrolled-CTE graph replay spills >78 GB solo; stream mode cannot
+# help a query DuckDB itself cannot run at 60M rows).
+HEAVY_STREAM = [
+    "asof_forward", "asof_join", "asof_nearest",
+    "attribution_first", "attribution_last", "attribution_linear",
+    "attribution_linear_exact", "pit_enrich", "range_join",
+    "stream_join", "unpivot", "expect_fk", "zorder",
+]
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -71,6 +88,9 @@ def main() -> int:
                          "with every INNER_MODULI split — 101 is prime "
                          "and odd, so the knobbed subsets stay "
                          "non-empty)")
+    ap.add_argument("--no-heavy-stream", action="store_true",
+                    help="skip the unknobbed --stream re-run of the "
+                         "compare-path-heavy pairs")
     ap.add_argument("queries", nargs="*",
                     help="subset of query names (default: all minus skips)")
     args = ap.parse_args()
@@ -110,6 +130,18 @@ def main() -> int:
     if len(todo) < min(170, len(surface) - len(SKIPS)):
         print(f"coverage {len(todo)} below the 170 floor", flush=True)
         return 3
+
+    if not args.queries and not args.no_heavy_stream:
+        heavy = [q for q in HEAVY_STREAM if q in surface]
+        print(f"\nheavy-stream phase: {len(heavy)} compare-path pairs "
+              f"UNKNOBBED (parity scale 1, --stream)", flush=True)
+        env2 = dict(os.environ, SPARK_GRAFT_PARITY_SCALE="1")
+        r = subprocess.run(
+            [sys.executable, "tools/check_oracle.py", "--stream",
+             args.dir, *heavy],
+            env=env2, cwd="/root/repo")
+        if r.returncode != 0:
+            return r.returncode
     return 0
 
 
