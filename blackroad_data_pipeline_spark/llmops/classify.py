@@ -21,6 +21,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.parallel import fan_out
 from ..operators.registry import register
 
 
@@ -71,6 +72,12 @@ def op_quality_classifier(df: DataFrame, config: Mapping, views) -> DataFrame:
     frac = config.get("sample_fraction")
     if frac is not None:
         train = train.sample(float(frac), seed=int(config.get("seed", 7)))
+    # NOT fanned out (round 13, measured): the L-BFGS fit runs
+    # max_iter treeAggregate jobs over the (typically sampled, small)
+    # train frame — widening it multiplies per-iteration scheduling
+    # overhead instead of buying compute (measured 2× SLOWER at 32
+    # tasks × 25 iterations on the contract gate). The one-pass
+    # scoring side below IS fanned out.
 
     def featurize(frame: DataFrame) -> DataFrame:
         col = F.coalesce(F.col(field), F.lit(""))
@@ -128,7 +135,7 @@ def op_quality_classifier(df: DataFrame, config: Mapping, views) -> DataFrame:
 
         shutil.rmtree(cleanup_dir, ignore_errors=True)
 
-    scored = model.transform(tf.transform(featurize(df)))
+    scored = model.transform(tf.transform(featurize(fan_out(df))))
     out = (
         scored.withColumn(
             "quality_prob", vector_to_array(F.col("probability"))[1])

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.parallel import fan_out
 from ..operators.registry import register
 from .text import kgrams_col, tokens_col
 
@@ -224,7 +225,7 @@ def shingle_explode(df: DataFrame, id_field: str, field: str, k: int) -> DataFra
                 ss.extend(sh)
             yield pd.DataFrame({"__id": ids, "__n": ns, "__s": ss})
 
-    return df.select(id_field, field).mapInPandas(explode, schema)
+    return fan_out(df.select(id_field, field)).mapInPandas(explode, schema)
 
 
 def _sig_col(config: Mapping, shingles: Column, num_hashes: int) -> Column:
@@ -284,7 +285,11 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     threshold = float(config.get("threshold", 0.8))
     num_hashes = bands * rows
 
-    base = df.select(F.col(id_field).alias("__id"), F.col(field).alias("__t"))
+    # adaptive kernel width (round 13): the signature kernel AND the
+    # exact-verify shingling below both read this frame — one
+    # unsplittable input file would serialize both onto one task
+    base = fan_out(
+        df.select(F.col(id_field).alias("__id"), F.col(field).alias("__t")))
     if config.get("sig_impl", "arrow") == "jvm":
         sigs = base.withColumn(
             "__sig", minhash_signature(shingles_col(F.col("__t"), k), num_hashes))
@@ -570,7 +575,7 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 @register("simhash")
 def op_simhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     field = config.get("field", "text")
-    return df.withColumn("simhash", simhash_udf(F.col(field)))
+    return fan_out(df).withColumn("simhash", simhash_udf(F.col(field)))
 
 
 @register("near_dup_simhash")
@@ -761,7 +766,8 @@ def op_ngram_jaccard_join(df: DataFrame, config: Mapping, views) -> DataFrame:
     k = int(config.get("shingle_size", 3))
     threshold = float(config.get("threshold", 0.5))
 
-    base = df.select(F.col(id_field).alias("__id"), F.col(field).alias("__t"))
+    base = fan_out(
+        df.select(F.col(id_field).alias("__id"), F.col(field).alias("__t")))
     # one Arrow pass corpus -> posting rows, immediately repartitioned
     # on the shingle key: the freq aggregation AND the freq join both
     # hang off that single exchange, so the kernel runs once and the
@@ -1250,7 +1256,7 @@ def op_minhash_bands(df: DataFrame, config: Mapping, views) -> DataFrame:
     k = int(config.get("shingle_size", 3))
     bands = int(config.get("bands", 8))
     rows = int(config.get("rows_per_band", 4))
-    base = df.select(F.col(id_field), F.col(field).alias("__t"))
+    base = fan_out(df.select(F.col(id_field), F.col(field).alias("__t")))
     if config.get("sig_impl", "arrow") == "jvm":
         sigs = base.withColumn(
             "__sig", minhash_signature(shingles_col(F.col("__t"), k),
@@ -1323,16 +1329,17 @@ def op_dedup_near_against(df: DataFrame, config: Mapping, views) -> DataFrame:
 
     if verify:
         # exact verification over the pruned candidate pair set only
-        b_sets = (df.join(cands.select(F.col("__bid").alias(id_field))
-                          .dropDuplicates(), id_field, "left_semi")
+        b_sets = (fan_out(df.select(id_field, field))
+                  .join(cands.select(F.col("__bid").alias(id_field))
+                        .dropDuplicates(), id_field, "left_semi")
                   .select(F.col(id_field).alias("__bid"),
                           shingles_col(F.col(field), k).alias("sh_b")))
-        h_sets = (history.join(cands.select(F.col("__hid").alias(h_id))
-                               .dropDuplicates(), h_id, "left_semi")
+        h_field = config.get("history_field", field)
+        h_sets = (fan_out(history.select(h_id, h_field))
+                  .join(cands.select(F.col("__hid").alias(h_id))
+                        .dropDuplicates(), h_id, "left_semi")
                   .select(F.col(h_id).alias("__hid"),
-                          shingles_col(F.col(config.get("history_field",
-                                                        field)), k)
-                          .alias("sh_h")))
+                          shingles_col(F.col(h_field), k).alias("sh_h")))
         attached = cands.join(b_sets, "__bid").join(h_sets, "__hid")
         inter = F.size(F.array_intersect("sh_b", "sh_h")).cast("double")
         union = F.size(F.array_union("sh_b", "sh_h")).cast("double")
@@ -1389,7 +1396,13 @@ def op_pagerank(df: DataFrame, config: Mapping, views) -> DataFrame:
     edges = (df.select(F.col(src_f).cast("long").alias("src"),
                        F.col(dst_f).cast("long").alias("dst"))
              .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-             .dropDuplicates(["src", "dst"]))
+             .dropDuplicates(["src", "dst"])
+             # materialize ONCE (round 13): every iteration's contrib
+             # join re-reads edges — without this the upstream edge
+             # derivation (often a full fact-table join) re-executes
+             # max_iter times (measured: the lineitem×orders edge build
+             # ran 3× inside the 3-iteration contract query)
+             .localCheckpoint(eager=True))
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .dropDuplicates(["node"])
@@ -1397,7 +1410,10 @@ def op_pagerank(df: DataFrame, config: Mapping, views) -> DataFrame:
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    # one narrow row per distinct src — materialized once for the same
+    # reason (it is joined every iteration)
+    outdeg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+              .localCheckpoint(eager=True))
     base = (3 * scale) // (20 * n)
     dangling = bool(config.get("dangling_redistribution", False))
     if dangling:

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.parallel import fan_out
 from ..operators.registry import register
 
 MEDIA_META_SCHEMA = T.StructType([
@@ -355,7 +356,7 @@ def op_frame_sample(df: DataFrame, config: Mapping, views) -> DataFrame:
             yield pd.DataFrame(rows, columns=[id_field, "frame_idx",
                                               "frame_offset_bytes", "frame_payload"])
 
-    return df.select(id_field, payload_field).mapInPandas(sample, schema)
+    return fan_out(df.select(id_field, payload_field)).mapInPandas(sample, schema)
 
 
 def _stub_gray_grid(data: bytes) -> list:
@@ -459,4 +460,4 @@ def op_phash_image(df: DataFrame, config: Mapping, views) -> DataFrame:
                              index=pdf.index, dtype="object")
             yield pdf.assign(phash=vals.astype("Int64"))
 
-    return df.mapInPandas(kernel, schema)
+    return fan_out(df).mapInPandas(kernel, schema)

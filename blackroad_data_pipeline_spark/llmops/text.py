@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.parallel import fan_out
 from ..operators.registry import register
 
 # Vocab tables in the LM scorers are sublinear in the corpus but NOT
@@ -249,8 +250,11 @@ def _winnow_arrow(df: DataFrame, id_field: str, field: str, k: int,
                                 "pos": pd.Series(poss, dtype="int64"),
                                 "fp": pd.Series(fps, dtype="int64")})
 
-    return (df.select(F.col(id_field).alias("__id"),
-                      F.col(field).alias("__t"))
+    # adaptive width (round 13): one unsplittable input file would
+    # otherwise serialize the whole kernel onto one task (no-op at
+    # scale — see operators/parallel.py)
+    return (fan_out(df.select(F.col(id_field).alias("__id"),
+                              F.col(field).alias("__t")))
             .mapInPandas(gen, schema))
 
 
@@ -463,7 +467,8 @@ def op_chunk_text(df: DataFrame, config: Mapping, views) -> DataFrame:
             .alias("chunk_tokens"),
         ))
     return (
-        df.select(F.col(id_field), F.explode(chunks).alias("__c"))
+        fan_out(df.select(F.col(id_field), F.col(field)))
+        .select(F.col(id_field), F.explode(chunks).alias("__c"))
         .select(id_field, "__c.chunk_idx", "__c.start_token",
                 "__c.chunk_text", "__c.chunk_tokens")
     )
@@ -599,7 +604,10 @@ def op_repetition_stats(df: DataFrame, config: Mapping, views) -> DataFrame:
     # tokens_col(...) would re-split the text once per gram (O(n²)
     # per doc — measured 8× on this operator). CollapseProject keeps
     # the stage because inlining would duplicate non-trivial exprs.
-    staged = df.select(
+    # fan_out BEFORE the split/tokenize projection: the exchange is the
+    # barrier that keeps the heavy array construction on the widened
+    # side (projections don't cross exchanges)
+    staged = fan_out(df.select(F.col(id_field), F.col(field))).select(
         F.col(id_field),
         F.split(col, "\n").alias("__lines"),
         tokens_col(col).alias("__toks"),
@@ -955,7 +963,8 @@ def op_bigram_logprob(df: DataFrame, config: Mapping, views) -> DataFrame:
     lower = bool(config.get("lowercase", True))
     tok_expr = tokens_col(F.lower(F.col(field)) if lower else F.col(field))
 
-    staged = df.select(F.col(id_field), tok_expr.alias("__toks"))
+    staged = (fan_out(df.select(F.col(id_field), F.col(field)))
+              .select(F.col(id_field), tok_expr.alias("__toks")))
     bigs = staged.select(
         F.col(id_field),
         F.explode(kgrams_from_tokens(F.col("__toks"), 2)).alias("bigram"))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.parallel import fan_out
 from ..operators.registry import register
 from .text import tokens_col
 
@@ -125,7 +126,8 @@ def op_train_bpe(df: DataFrame, config: Mapping, views) -> DataFrame:
     min_count = int(config.get("min_count", 2))
     max_vocab = int(config.get("max_vocab", 1_000_000))
     col = F.lower(F.col(field)) if lower else F.col(field)
-    counts = (df.select(F.explode(tokens_col(col)).alias("w"))
+    counts = (fan_out(df.select(F.col(field)))
+              .select(F.explode(tokens_col(col)).alias("w"))
               .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     if min_count > 1:
         counts = counts.filter(F.col("c") >= min_count)
@@ -200,4 +202,4 @@ def op_bpe_apply(df: DataFrame, config: Mapping, views) -> DataFrame:
                 pdf = pdf.assign(bpe_tokens=toks)
             yield pdf
 
-    return df.mapInPandas(kernel, schema)
+    return fan_out(df).mapInPandas(kernel, schema)

@@ -15,6 +15,18 @@ from blackroad_data_pipeline_spark.operators import apply_operator as op
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _no_kernel_fanout(monkeypatch):
+    """Plan gates assert the AT-SCALE plan shape. The round-13
+    adaptive kernel fan-out (operators/parallel.py) only fires when
+    the input has fewer partitions than the session has cores — true
+    for the single-row-group local fixtures, never for a real at-scale
+    table — so the production plan these gates protect is the
+    no-fanout plan. Disable the knob per test (monkeypatch restores
+    it, so runtime-behavior tests elsewhere still exercise fan-out)."""
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_FANOUT", "0")
+
+
 @pytest.fixture(scope="module")
 def lineitem(spark):
     return spark.read.parquet(f"{SF}/lineitem.parquet")
