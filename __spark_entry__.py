@@ -4672,8 +4672,6 @@ def q_triangles(spark, sf_dir):
     # edge generation WITHOUT a fact-fact self-join: one groupBy
     # shuffle collects each order's part set, pairs explode from the
     # sorted array (slice from i+2 keeps src < dst exactly once).
-    # The (x, i) two-parameter lambda is the legitimate
-    # element+index form here (see CLAUDE.md for the capture trap).
     # basket cap (round-12 zipf-skew lever): co-purchase edge
     # generation is QUADRATIC in an order's distinct-part count — a
     # zipf-hot order holding 38% of lineitem carries a ~15k-part
@@ -4682,15 +4680,21 @@ def q_triangles(spark, sf_dir):
     # data artifacts, not purchase behavior — exclude them, exactly
     # like max_postings drops boilerplate fingerprints. Byte-identical
     # on the driver fixtures (max basket there is ~7).
+    # round 13: the pair explode is GENERATOR-based (posexplode +
+    # slice-explode LATERAL VIEWs) instead of nested transform()
+    # lambdas building structs — Spark evaluates higher-order lambdas
+    # INTERPRETED per element, and the struct-builder was the measured
+    # edge-gen bottleneck (2.08 s -> 1.29 s at sf0.1, identical edge
+    # set verified by exceptAll both ways). Same pairs: src = ps[i],
+    # dst ranges over the elements after i.
     edges = op("sql", li, {"query": """
-        SELECT DISTINCT p.src, p.dst FROM (
-          SELECT explode(flatten(transform(ps, (x, i) ->
-                   transform(slice(ps, i + 2, size(ps)),
-                             y -> struct(x AS src, y AS dst))))) AS p
-          FROM (SELECT ps FROM (
-                  SELECT array_sort(collect_set(l_partkey)) AS ps
-                  FROM self GROUP BY l_orderkey)
-                WHERE size(ps) <= 256))
+        SELECT DISTINCT src, dst
+        FROM (SELECT ps FROM (
+                SELECT array_sort(collect_set(l_partkey)) AS ps
+                FROM self GROUP BY l_orderkey)
+              WHERE size(ps) <= 256)
+        LATERAL VIEW posexplode(ps) t1 AS i, src
+        LATERAL VIEW explode(slice(ps, i + 2, size(ps))) t2 AS dst
     """}, views={})
     return op("triangle_count", edges, {})
 
@@ -4768,15 +4772,15 @@ def q_triangles_per_node(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # same 256-part basket cap as q_triangles (applied to the thinned
     # part set — the quadratic is in the post-thin basket)
+    # generator-based pair explode (see q_triangles — round 13)
     edges = op("sql", li, {"query": """
-        SELECT DISTINCT p.src, p.dst FROM (
-          SELECT explode(flatten(transform(ps, (x, i) ->
-                   transform(slice(ps, i + 2, size(ps)),
-                             y -> struct(x AS src, y AS dst))))) AS p
-          FROM (SELECT ps FROM (
-                  SELECT array_sort(collect_set(l_partkey)) AS ps
-                  FROM self WHERE l_partkey % 5 = 0 GROUP BY l_orderkey)
-                WHERE size(ps) <= 256))
+        SELECT DISTINCT src, dst
+        FROM (SELECT ps FROM (
+                SELECT array_sort(collect_set(l_partkey)) AS ps
+                FROM self WHERE l_partkey % 5 = 0 GROUP BY l_orderkey)
+              WHERE size(ps) <= 256)
+        LATERAL VIEW posexplode(ps) t1 AS i, src
+        LATERAL VIEW explode(slice(ps, i + 2, size(ps))) t2 AS dst
     """}, views={})
     df = op("triangle_count", edges, {"per_node": True})
     return op("sort", df, {"fields": ["node"]})

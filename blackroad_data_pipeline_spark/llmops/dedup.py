@@ -1515,14 +1515,25 @@ def op_triangle_count(df: DataFrame, config: Mapping, views) -> DataFrame:
     # bounded by the orientation's sqrt(2m) out-degree cap, so rows
     # stay small and NO wedge stream ever shuffles — the win on
     # dense graphs (measured ~2x on the co-purchase contract).
-    adj = oriented.groupBy("u").agg(
-        F.sort_array(F.collect_list("v")).alias("__nbrs"))
+    # Width pinned at the session parallelism (round 13): the
+    # intersect stages are CPU-heavy per byte (one sorted-array
+    # intersection per edge over sqrt(2m)-bounded adjacency arrays),
+    # so AQE's size-based coalescing starves them — it saw ~6 MB and
+    # folded 32 partitions to 5, leaving 27 cores idle (measured
+    # 5.26 s -> 3.45 s at sf0.1 with the pin; identical count). Skew
+    # is already bounded by the orientation theorem, which is what
+    # AQE skew-splitting would otherwise buy on these joins.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    adj = (oriented.repartition(width, "u").groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("__nbrs")))
     per_edge = (
-        oriented.select("u", "v")
+        oriented.select("u", "v").repartition(width, "u")
         .join(adj.select(F.col("u").alias("u"),
                          F.col("__nbrs").alias("__na")), "u")
+        .repartition(width, "v")
         .join(adj.select(F.col("u").alias("v"),
-                         F.col("__nbrs").alias("__nb")), "v")
+                         F.col("__nbrs").alias("__nb"))
+              .repartition(width, "v"), "v")
         .select(F.size(F.array_intersect("__na", "__nb")).alias("__t")))
     return per_edge.agg(
         F.coalesce(F.sum("__t"), F.lit(0)).cast("long")

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.parallel import fan_out
 from ..operators.registry import register
 
 
@@ -1041,6 +1042,11 @@ def _int_centroids(qdf: DataFrame, id_col: str, k: int, refine: int,
     keeps every later dot product exact. Empty cells keep their
     previous centroid, like _ivf_centroids. Only k x dim longs reach
     the driver per round."""
+    # NOT fanned out (round 13, measured): semdedup's one small
+    # training (n_cells seeds + one refine) pays more in per-task
+    # scheduling than the widened scan buys — contrast _pq_codebooks,
+    # whose multi-training consumers (model_refresh, ann_pq_versioned,
+    # the served-store builders) measurably win from fan-out.
     order = ([F.xxhash64(F.col(id_col)), F.col(id_col)]
              if seed_order == "hash" else [F.col(id_col)])
     seed = qdf.orderBy(*order).limit(k).select("__q").collect()
@@ -1392,6 +1398,9 @@ def _pq_codebooks(qdf: DataFrame, id_col: str, dim: int, m: int, ks: int,
     (subspace, code, position) aggregation — m * ks * sub longs to
     the driver, never vectors."""
     sub = dim // m
+    # same adaptive-width rationale (and the same exact-integer
+    # order-independence argument) as _int_centroids
+    qdf = fan_out(qdf)
     order = ([F.xxhash64(F.col(id_col)), F.col(id_col)]
              if seed_order == "hash" else [F.col(id_col)])
     seed = qdf.orderBy(*order).limit(ks).select("__q").collect()
