@@ -22,9 +22,17 @@ added at 100 TB, so the production plan shape is unchanged.
 Scale-adaptivity, not local tuning: the target derives from the live
 session (``sparkContext.defaultParallelism``), so the driver's
 lower-core bench runs fan out to *their* width and the per-core
-scaling measurement stays honest. ``SPARK_GRAFT_KERNEL_FANOUT``
-overrides the target width (``0`` disables fan-out entirely) for
-deployments that want a fixed kernel width.
+scaling measurement stays honest — but it is CAPPED at 8 by default.
+Measured width sweep (sf0.1, min-of-N bench): the standalone kernel
+queries plateau by width 8 (winnow 4.87 s un-fanned -> 1.25 s at 8
+-> 1.51 s at 32), while composed ingest chains whose band/signature
+subtrees re-execute per day DEGRADE with width (incremental ingest
+probe: 6.5 s un-fanned, 7.2 s at 8, 9.7 s at 32) because every extra
+task multiplies per-stage scheduling/Arrow overhead across dozens of
+stages. A bounded default keeps the single-pass win and caps the
+composed-pipeline tax; ``SPARK_GRAFT_KERNEL_FANOUT`` overrides the
+width absolutely for deployments whose starved inputs are big enough
+to deserve more (``0`` disables fan-out entirely).
 
 Only partition-INVARIANT kernels may be fanned out (every call site
 is a per-row/per-doc deterministic function); order-sensitive kernels
@@ -36,6 +44,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+
+# see module docstring: measured plateau/degradation knee at sf0.1
+_DEFAULT_MAX_WIDTH = 8
 
 
 def fan_out(df: DataFrame, max_width: int | None = None) -> DataFrame:
@@ -49,7 +60,8 @@ def fan_out(df: DataFrame, max_width: int | None = None) -> DataFrame:
         return df
     if df.isStreaming:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
+    target = min(df.sparkSession.sparkContext.defaultParallelism,
+                 _DEFAULT_MAX_WIDTH)
     if knob:
         target = int(knob)
     if max_width:

@@ -23,7 +23,8 @@ def test_fan_out_widens_starved_input(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_KERNEL_FANOUT", raising=False)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert docs.rdd.getNumPartitions() == 1  # single-row-group fixture
-    target = spark.sparkContext.defaultParallelism
+    # default width: session parallelism, capped at the measured knee
+    target = min(spark.sparkContext.defaultParallelism, 8)
     assert fan_out(docs).rdd.getNumPartitions() == target
 
 
