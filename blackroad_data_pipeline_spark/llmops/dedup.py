@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.parallel import fan_out
+from ..operators.parallel import fan_out, pin_width
 from ..operators.registry import register
 from .text import kgrams_col, tokens_col
 
@@ -334,8 +334,18 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     cand_ids = (cands.select(F.col("id_a").alias("__id"))
                 .unionByName(cands.select(F.col("id_b").alias("__id")))
                 .dropDuplicates(["__id"]))
-    sets = (base.join(cand_ids, "__id", "left_semi")
-            .select("__id", shingles_col(F.col("__t"), k).alias("__shingles")))
+    # verify-side width pin (round 14, VERDICT r13 #4): the post-
+    # semi-join stage interprets shingles_col per element — CPU-heavy
+    # per byte — and AQE's size-based coalescing folded it to a single
+    # task (same class as triangle_count's intersects). The explicit
+    # keyed repartition REPLACES the semi-join's own exchange (same
+    # key), so the plan gains no shuffle — it only pins the width
+    # against coalescing.
+    w = pin_width(df.sparkSession)
+    sets_src = (base.repartition(w, "__id") if w else base).join(
+        cand_ids, "__id", "left_semi")
+    sets = sets_src.select(
+        "__id", shingles_col(F.col("__t"), k).alias("__shingles"))
     attached = (
         cands.join(sets.select(F.col("__id").alias("id_a"),
                                F.col("__shingles").alias("sh_a")), "id_a")
@@ -1328,14 +1338,22 @@ def op_dedup_near_against(df: DataFrame, config: Mapping, views) -> DataFrame:
              .select("__bid", "__hid").dropDuplicates(["__bid", "__hid"]))
 
     if verify:
-        # exact verification over the pruned candidate pair set only
-        b_sets = (fan_out(df.select(id_field, field))
+        # exact verification over the pruned candidate pair set only;
+        # the same verify-side width pin as op_near_dup_minhash keeps
+        # the interpreted shingle stages at session width (the keyed
+        # repartition replaces the semi-join's exchange, adding none)
+        w = pin_width(df.sparkSession)
+
+        def _pin(fr, key):
+            return fr.repartition(w, key) if w else fr
+
+        b_sets = (_pin(fan_out(df.select(id_field, field)), id_field)
                   .join(cands.select(F.col("__bid").alias(id_field))
                         .dropDuplicates(), id_field, "left_semi")
                   .select(F.col(id_field).alias("__bid"),
                           shingles_col(F.col(field), k).alias("sh_b")))
         h_field = config.get("history_field", field)
-        h_sets = (fan_out(history.select(h_id, h_field))
+        h_sets = (_pin(fan_out(history.select(h_id, h_field)), h_id)
                   .join(cands.select(F.col("__hid").alias(h_id))
                         .dropDuplicates(), h_id, "left_semi")
                   .select(F.col(h_id).alias("__hid"),
@@ -1523,17 +1541,21 @@ def op_triangle_count(df: DataFrame, config: Mapping, views) -> DataFrame:
     # 5.26 s -> 3.45 s at sf0.1 with the pin; identical count). Skew
     # is already bounded by the orientation theorem, which is what
     # AQE skew-splitting would otherwise buy on these joins.
-    width = df.sparkSession.sparkContext.defaultParallelism
-    adj = (oriented.repartition(width, "u").groupBy("u").agg(
+    # Round 14: width routed through the shared, knob-tunable helper
+    # (SPARK_GRAFT_WIDTH_PIN; ADVICE r13).
+    width = pin_width(df.sparkSession)
+    _rep = (lambda fr, key: fr.repartition(width, key)) if width \
+        else (lambda fr, key: fr)
+    adj = (_rep(oriented, "u").groupBy("u").agg(
         F.sort_array(F.collect_list("v")).alias("__nbrs")))
     per_edge = (
-        oriented.select("u", "v").repartition(width, "u")
+        _rep(oriented.select("u", "v"), "u")
         .join(adj.select(F.col("u").alias("u"),
-                         F.col("__nbrs").alias("__na")), "u")
-        .repartition(width, "v")
-        .join(adj.select(F.col("u").alias("v"),
-                         F.col("__nbrs").alias("__nb"))
-              .repartition(width, "v"), "v")
+                         F.col("__nbrs").alias("__na")), "u"))
+    per_edge = (
+        _rep(per_edge, "v")
+        .join(_rep(adj.select(F.col("u").alias("v"),
+                              F.col("__nbrs").alias("__nb")), "v"), "v")
         .select(F.size(F.array_intersect("__na", "__nb")).alias("__t")))
     return per_edge.agg(
         F.coalesce(F.sum("__t"), F.lit(0)).cast("long")

@@ -23,7 +23,18 @@ JDBC_JAR = _jdbc_driver_jar()
 
 @pytest.fixture(scope="session")
 def spark():
-    extra = {"spark.sql.shuffle.partitions": "4"}
+    # spark.default.parallelism=4: createDataFrame/parallelize frames
+    # otherwise carry local[ncores] partitions (32 here), so every
+    # tiny-fixture stage schedules 32 map tasks and a crossJoin
+    # fallback becomes a 1024-task CartesianProduct — pure scheduling
+    # overhead on <20-row test data. Measured (round 14): the
+    # fuzzy_join brute-force property test's inner loop dropped 11x
+    # (53 s -> 4.8 s for 3 examples); the full suite ~2.5x. Scale
+    # semantics are untouched — operators derive widths from the live
+    # session, and the sf0.1 bench/driver sessions keep their real
+    # parallelism.
+    extra = {"spark.sql.shuffle.partitions": "4",
+             "spark.default.parallelism": "4"}
     if JDBC_JAR:
         extra["spark.jars"] = JDBC_JAR
     s = get_spark("tests", extra_conf=extra)

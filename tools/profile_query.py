@@ -34,6 +34,13 @@ def main() -> None:
         "spark.ui.enabled": "true",
         "spark.ui.port": os.environ.get("SPARK_GRAFT_UI_PORT", "4049"),
     })
+    # extra_conf is ignored when a session already exists in this
+    # interpreter (getOrCreate reuses it) — fail with a clear message
+    # instead of an AttributeError on uiWebUrl (ADVICE r13)
+    if spark.sparkContext.uiWebUrl is None:
+        sys.exit("profile_query: Spark UI is disabled — a session "
+                 "created before this tool ran owns the process; "
+                 "run profile_query.py in a FRESH python process")
     ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[-1]}"
     app_id = spark.sparkContext.applicationId
 
@@ -60,6 +67,11 @@ def main() -> None:
         ) as r:
             return json.load(r)
 
+    unknown = [n for n in args if n not in queries]
+    if unknown:
+        sys.exit(f"profile_query: unknown query name(s) {unknown} — "
+                 "valid names are queries() entries and bench "
+                 "SCALE_PROBES keys")
     for name in args:
         fn = queries[name]
         # one warm run, then the measured run delimited by stage ids
