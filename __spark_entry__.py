@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 import blackroad_data_pipeline_spark.llmops  # noqa: F401  (registers extension ops)
 import blackroad_data_pipeline_spark.streaming  # noqa: F401  (registers event-time ops)
 from blackroad_data_pipeline_spark.operators import apply_operator as op
+from blackroad_data_pipeline_spark.operators.parallel import lit_frame
 
 # Parity-subset scale knob (round 10, VERDICT r9 #6): the recall~1
 # parity pairs verify against BY-DESIGN-QUADRATIC exact oracles, so
@@ -1996,7 +1997,8 @@ def q_centroid_drift(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     seed_rows = (e.filter(valid_vec(F.col("embedding")))
                  .orderBy("vec_id").limit(4).select("embedding").collect())
-    cells = spark.createDataFrame(
+    cells = lit_frame(
+        spark,
         [(i, [float(x) for x in r["embedding"]])
          for i, r in enumerate(seed_rows)],
         "cell int, centroid array<double>")
@@ -2201,7 +2203,8 @@ def q_model_refresh(spark, sf_dir):
     e = _hmod_embs(spark, sf_dir)
     seed_rows = (e.filter(valid_vec(F.col("embedding")))
                  .orderBy("vec_id").limit(4).select("embedding").collect())
-    cells = spark.createDataFrame(
+    cells = lit_frame(
+        spark,
         [(i, [float(x) for x in r["embedding"]])
          for i, r in enumerate(seed_rows)],
         "cell int, centroid array<double>")
@@ -2255,7 +2258,8 @@ def q_ann_pq_versioned(spark, sf_dir):
     e = _hmod_embs(spark, sf_dir)
     seed_rows = (e.filter(valid_vec(F.col("embedding")))
                  .orderBy("vec_id").limit(4).select("embedding").collect())
-    cells = spark.createDataFrame(
+    cells = lit_frame(
+        spark,
         [(i, [float(x) for x in r["embedding"]])
          for i, r in enumerate(seed_rows)],
         "cell int, centroid array<double>")
@@ -2842,7 +2846,8 @@ def q_vector_ingest_stream(spark, sf_dir):
                              .cast("long")),
                        F.lit(0).cast("long")).alias("n_code_mismatch"),
             (F.count(F.lit(1)) > 0).alias("store_nonempty")).collect()[0]
-        return spark.createDataFrame(
+        return lit_frame(
+            spark,
             [(int(agg["n_id_mismatch"]), int(agg["n_code_mismatch"]),
               bool(agg["store_nonempty"]))],
             "n_id_mismatch long, n_code_mismatch long, store_nonempty boolean")

@@ -168,14 +168,22 @@ SCALE_PROBES = {
 def _cpu_scaling(s, d):
     from pyspark.sql import functions as F
 
-    from blackroad_data_pipeline_spark.operators.parallel import pin_width
-
-    docs = _docs(s, d).select("doc_id", "text")
-    wide = docs.repartition(pin_width(s) or 1, "doc_id")
+    # first 256 chars / 8 hash families: enough interpreted per-row
+    # work to be compute-bound at any core count, small enough to stay
+    # a sub-second canary (the full-width JVM signature measured 21 s)
+    docs = _docs(s, d).select(
+        "doc_id", F.substring("text", 1, 256).alias("text"))
+    # width = session parallelism DIRECTLY (not pin_width): the canary
+    # exists to measure core scaling, so its width must always track
+    # the core count regardless of the pin knob
+    wide = docs.repartition(s.sparkContext.defaultParallelism, "doc_id")
     sig = op("minhash", wide, {"field": "text", "shingle_size": 5,
-                               "num_hashes": 64, "sig_impl": "jvm"})
-    return sig.select(F.element_at("minhash_sig", 1).alias("h")).agg(
-        F.sum("h").alias("sig_sum"))
+                               "num_hashes": 8, "sig_impl": "jvm"})
+    # modulo before summing: raw minhash values span int64 and a plain
+    # SUM overflows under ANSI
+    h = F.element_at("minhash_sig", 1)
+    return sig.select(F.pmod(h, F.lit(1_000_000_007)).alias("h")).agg(
+        F.sum("h").alias("sig_sum"), F.count(F.lit(1)).alias("n"))
 
 
 _PQ_SERVE_CFG = {"dim": 64, "m": 8, "ks": 256, "refine": 1}
@@ -226,21 +234,33 @@ def _incremental_ingest(s, d):
     # invocation still computes everything from the parquet inputs
     # (the checkpoints live and die inside this one timed run).
     # Old-shape numbers are kept in OPTIMIZATION_r14.md.
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = _docs(s, d)
     store, kept_parts = None, []
-    for i in range(3):
-        day = docs.filter(f"doc_id % 3 = {i}")
-        kept = op("dedup_near_minhash", day,
-                  _MINHASH_SCALE).localCheckpoint(eager=True)
-        if store is not None:
-            kept = op("dedup_near_against", kept,
-                      {**_MINHASH_SCALE, "history": store,
-                       "history_is_bands": True},
-                      views={}).localCheckpoint(eager=True)
-        bands = op("minhash_bands", day,
-                   _MINHASH_SCALE).localCheckpoint(eager=True)
-        store = bands if store is None else store.unionByName(bands)
-        kept_parts.append(kept.select("doc_id"))
+    # within a day, the band-store write and the within-day dedup are
+    # INDEPENDENT jobs over the same batch — overlap them from a small
+    # thread pool (guide §2.6) exactly as a production ingest would;
+    # the day's bands are then reused as the against-join's batch side
+    # (`batch_bands`) so the signature kernel runs ONCE per day
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for i in range(3):
+            day = docs.filter(f"doc_id % 3 = {i}")
+            f_bands = pool.submit(
+                lambda day=day: op("minhash_bands", day, _MINHASH_SCALE)
+                .localCheckpoint(eager=True))
+            f_kept = pool.submit(
+                lambda day=day: op("dedup_near_minhash", day,
+                                   _MINHASH_SCALE)
+                .localCheckpoint(eager=True))
+            bands, kept = f_bands.result(), f_kept.result()
+            if store is not None:
+                kept = op("dedup_near_against", kept,
+                          {**_MINHASH_SCALE, "history": store,
+                           "history_is_bands": True, "batch_bands": bands},
+                          views={}).localCheckpoint(eager=True)
+            store = bands if store is None else store.unionByName(bands)
+            kept_parts.append(kept.select("doc_id"))
     out = kept_parts[0]
     for p in kept_parts[1:]:
         out = out.unionByName(p)
@@ -251,23 +271,33 @@ def _embedding_ingest(s, d):
     embs = _embs(s, d)
     cfg = {"threshold": 0.9, "dim": 64, "n_planes": 12, "n_tables": 2}
     qcfg = {"dim": 64, "bits": 8, "bounds": [-1.0, 1.0]}
+    from concurrent.futures import ThreadPoolExecutor
+
     store, kept_parts = None, []
     # same daily-write materialization as _incremental_ingest
     # (VERDICT r13 #9): the INT8 history store is persisted per day
     # in production; lazily re-executing each prior day's quantize
     # subtree through the union was probe shape, not production cost.
-    for i in range(3):
-        day = embs.filter(f"vec_id % 3 = {i}")
-        kept = op("dedup_embedding", day, cfg).localCheckpoint(eager=True)
-        if store is not None:
-            hist = op("dequantize_embedding", store, {"bits": 8})
-            kept = op("dedup_embedding_against", kept,
-                      {**cfg, "history": hist},
-                      views={}).localCheckpoint(eager=True)
-        q = op("quantize_embedding", day, qcfg).select(
-            "vec_id", "embedding", "q_lo", "q_hi").localCheckpoint(eager=True)
-        store = q if store is None else store.unionByName(q)
-        kept_parts.append(kept.select("vec_id"))
+    # The day's quantize write and within-day dedup are independent
+    # jobs over the same batch — overlapped like _incremental_ingest.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for i in range(3):
+            day = embs.filter(f"vec_id % 3 = {i}")
+            f_q = pool.submit(
+                lambda day=day: op("quantize_embedding", day, qcfg)
+                .select("vec_id", "embedding", "q_lo", "q_hi")
+                .localCheckpoint(eager=True))
+            f_kept = pool.submit(
+                lambda day=day: op("dedup_embedding", day, cfg)
+                .localCheckpoint(eager=True))
+            q, kept = f_q.result(), f_kept.result()
+            if store is not None:
+                hist = op("dequantize_embedding", store, {"bits": 8})
+                kept = op("dedup_embedding_against", kept,
+                          {**cfg, "history": hist},
+                          views={}).localCheckpoint(eager=True)
+            store = q if store is None else store.unionByName(q)
+            kept_parts.append(kept.select("vec_id"))
     kept_ids = kept_parts[0]
     for p in kept_parts[1:]:
         kept_ids = kept_ids.unionByName(p)

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.parallel import fan_out, pin_width
+from ..operators.parallel import fan_out, lit_frame, pin_width
 from ..operators.registry import register
 from .text import kgrams_col, tokens_col
 
@@ -334,18 +334,17 @@ def op_near_dup_minhash(df: DataFrame, config: Mapping, views) -> DataFrame:
     cand_ids = (cands.select(F.col("id_a").alias("__id"))
                 .unionByName(cands.select(F.col("id_b").alias("__id")))
                 .dropDuplicates(["__id"]))
-    # verify-side width pin (round 14, VERDICT r13 #4): the post-
-    # semi-join stage interprets shingles_col per element — CPU-heavy
-    # per byte — and AQE's size-based coalescing folded it to a single
-    # task (same class as triangle_count's intersects). The explicit
-    # keyed repartition REPLACES the semi-join's own exchange (same
-    # key), so the plan gains no shuffle — it only pins the width
-    # against coalescing.
-    w = pin_width(df.sparkSession)
-    sets_src = (base.repartition(w, "__id") if w else base).join(
-        cand_ids, "__id", "left_semi")
-    sets = sets_src.select(
-        "__id", shingles_col(F.col("__t"), k).alias("__shingles"))
+    # verify-side width pin: tried and REJECTED (round 14, VERDICT
+    # r13 #4 carry). Both placements measured SLOWER at sf0.1: the
+    # tiny cand_ids side BROADCASTS, so the corpus side is never
+    # shuffled — pinning before the semi-join added a full-corpus
+    # text exchange (near_dup_minhash 1.37 -> 2.13 s), and pinning
+    # the pruned post-join frame still paid a new exchange + 32-task
+    # scheduling for a stage that wasn't the bottleneck (2.10 s; pin
+    # disabled: 1.39 s). Unlike triangle_count's intersects, there is
+    # no pre-existing exchange here for the pin to widen.
+    sets = (base.join(cand_ids, "__id", "left_semi")
+            .select("__id", shingles_col(F.col("__t"), k).alias("__shingles")))
     attached = (
         cands.join(sets.select(F.col("__id").alias("id_a"),
                                F.col("__shingles").alias("sh_a")), "id_a")
@@ -431,7 +430,7 @@ def op_connected_components(df: DataFrame, config: Mapping, views) -> DataFrame:
         edges.unpersist()
         schema = df.select(F.col(src).alias("id"),
                            F.col(src).alias("component")).schema
-        return df.sparkSession.createDataFrame(out, schema)
+        return lit_frame(df.sparkSession, out, schema)
 
     labels = (edges.select(F.col("a").alias("id"))
               .dropDuplicates()
@@ -1308,8 +1307,24 @@ def op_dedup_near_against(df: DataFrame, config: Mapping, views) -> DataFrame:
     if isinstance(history, str):
         history = views[history]
 
-    batch_bands = op_minhash_bands(df, config, views).select(
-        F.col(id_field).alias("__bid"), "band_idx", "band_hash")
+    # ``batch_bands`` (round 14): a PRECOMPUTED band table for the
+    # batch side — the incremental-ingest pattern just WROTE the
+    # day's minhash_bands store, and re-signing the batch here would
+    # run the signature kernel a second time over the same documents.
+    # Must cover every batch doc id (extra ids are harmless: the
+    # candidate set is intersected with the batch by the final
+    # anti-join's key equality). Bands are a per-doc deterministic
+    # function, so a minhash_bands table computed from any superset
+    # of the batch (same config) is exactly equal on the batch ids.
+    bb = config.get("batch_bands")
+    if bb is not None:
+        if isinstance(bb, str):
+            bb = views[bb]
+        batch_bands = bb.select(F.col(id_field).alias("__bid"),
+                                "band_idx", "band_hash")
+    else:
+        batch_bands = op_minhash_bands(df, config, views).select(
+            F.col(id_field).alias("__bid"), "band_idx", "band_hash")
     if config.get("history_is_bands"):
         h_id = config.get("history_id_field", id_field)
         hist_bands = history.select(F.col(h_id).alias("__hid"),
@@ -1338,22 +1353,16 @@ def op_dedup_near_against(df: DataFrame, config: Mapping, views) -> DataFrame:
              .select("__bid", "__hid").dropDuplicates(["__bid", "__hid"]))
 
     if verify:
-        # exact verification over the pruned candidate pair set only;
-        # the same verify-side width pin as op_near_dup_minhash keeps
-        # the interpreted shingle stages at session width (the keyed
-        # repartition replaces the semi-join's exchange, adding none)
-        w = pin_width(df.sparkSession)
-
-        def _pin(fr, key):
-            return fr.repartition(w, key) if w else fr
-
-        b_sets = (_pin(fan_out(df.select(id_field, field)), id_field)
+        # exact verification over the pruned candidate pair set only
+        # (verify-side width pin tried and rejected — see
+        # op_near_dup_minhash)
+        b_sets = (fan_out(df.select(id_field, field))
                   .join(cands.select(F.col("__bid").alias(id_field))
                         .dropDuplicates(), id_field, "left_semi")
                   .select(F.col(id_field).alias("__bid"),
                           shingles_col(F.col(field), k).alias("sh_b")))
         h_field = config.get("history_field", field)
-        h_sets = (_pin(fan_out(history.select(h_id, h_field)), h_id)
+        h_sets = (fan_out(history.select(h_id, h_field))
                   .join(cands.select(F.col("__hid").alias(h_id))
                         .dropDuplicates(), h_id, "left_semi")
                   .select(F.col(h_id).alias("__hid"),

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.parallel import fan_out
+from ..operators.parallel import fan_out, lit_frame
 from ..operators.registry import register
 
 
@@ -105,9 +105,10 @@ def op_ann_bruteforce(df: DataFrame, config: Mapping, views) -> DataFrame:
     id_field = config.get("id_field", "vec_id")
     k = int(config.get("k", 10))
     if "probe" in config:
-        probe_df = df.sparkSession.createDataFrame(
+        probe_df = lit_frame(
+            df.sparkSession,
             [(_check_probe_finite(config["probe"], "ann_bruteforce"),)],
-            f"__probe array<float>")
+            "__probe array<float>")
     else:
         probe_df = df.filter(F.col(id_field) == config["probe_id"]).select(
             F.col(field).alias("__probe")).filter(
@@ -231,7 +232,8 @@ def op_ann_lsh(df: DataFrame, config: Mapping, views) -> DataFrame:
     # valid_vec wrap), so the bucket equi-join drops them; an invalid
     # probe_id row gets a NULL __pb and matches nothing -> empty
     if "probe" in config:  # literal probe vector, like ann_bruteforce
-        probe_df = df.sparkSession.createDataFrame(
+        probe_df = lit_frame(
+            df.sparkSession,
             [(_check_probe_finite(config["probe"], "ann_lsh"),)],
             "__probe array<float>")
         probe = op_lsh_bucket(
@@ -330,7 +332,7 @@ def op_ivf_assign(df: DataFrame, config: Mapping, views) -> DataFrame:
     if config.get("emit", "assign") == "cells":
         rows = [(i, [float(v) for v in cents[i]])
                 for i in range(cents.shape[0])]
-        return df.sparkSession.createDataFrame(rows, _CELLS_SCHEMA)
+        return lit_frame(df.sparkSession, rows, _CELLS_SCHEMA)
     if cents.size == 0:  # empty/all-NULL corpus: no cells to assign
         return df.withColumn("ivf_cell", F.lit(None).cast("int"))
     # invalid vectors get a NULL cell (valid_vec when-wrap -> the
@@ -356,22 +358,25 @@ def op_ann_ivf(df: DataFrame, config: Mapping, views) -> DataFrame:
     # poison the rerank cosine)
     df = df.filter(valid_vec(F.col(field)))
     if cents.size == 0:  # empty/all-NULL corpus: nothing to search
-        return df.sparkSession.createDataFrame(
-            [], df.select(id_field).schema.add("cos_sim", T.DoubleType()))
+        return lit_frame(
+            df.sparkSession, [],
+            df.select(id_field).schema.add("cos_sim", T.DoubleType()))
     assigned = df.withColumn("ivf_cell", _assign_udf(cents)(F.col(field)))
 
     probe_row = df.filter(F.col(id_field) == config["probe_id"]).select(field).head()
     if probe_row is None:  # unknown/NULL probe id -> empty, like ann_lsh
-        return df.sparkSession.createDataFrame(
-            [], df.select(id_field).schema.add("cos_sim", T.DoubleType()))
+        return lit_frame(
+            df.sparkSession, [],
+            df.select(id_field).schema.add("cos_sim", T.DoubleType()))
     probe = np.array(list(probe_row[0]), dtype=np.float64)
     probe /= np.linalg.norm(probe) or 1.0
     norms = np.linalg.norm(cents, axis=1)
     sims = (cents / np.where(norms == 0, 1.0, norms)[:, None]) @ probe
     cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
 
-    probe_df = df.sparkSession.createDataFrame(
-        [(list(map(float, probe_row[0])),)], f"__probe array<float>")
+    probe_df = lit_frame(
+        df.sparkSession,
+        [(list(map(float, probe_row[0])),)], "__probe array<float>")
     return (
         assigned.filter(F.col("ivf_cell").isin(cells))
         .join(F.broadcast(probe_df))
@@ -550,7 +555,7 @@ def op_knn_join(df: DataFrame, config: Mapping, views) -> DataFrame:
             idx_df, {**config, "field": i_field, "id_field": i_id,
                      "n_cells": n_cells})
         if cents.size == 0:  # empty/all-NULL index: no neighbors
-            return df.sparkSession.createDataFrame([], T.StructType([
+            return lit_frame(df.sparkSession, [], T.StructType([
                 T.StructField(id_field, df.schema[id_field].dataType),
                 T.StructField("knn_rank", T.IntegerType()),
                 T.StructField("neighbor_id",
@@ -1280,7 +1285,7 @@ def _books_df(spark, books: np.ndarray) -> DataFrame:
     """(m, ks, sub) ndarray -> the persistable books model table."""
     rows = [(j, c, [int(v) for v in books[j, c]])
             for j in range(books.shape[0]) for c in range(books.shape[1])]
-    return spark.createDataFrame(rows, _BOOKS_SCHEMA)
+    return lit_frame(spark, rows, _BOOKS_SCHEMA)
 
 
 def _cells_np(cells_df: DataFrame, op: str) -> np.ndarray:
@@ -1589,7 +1594,7 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
             schema = df.select(id_field).schema.add(
                 "adc_dist" if not rerank else "cos_sim",
                 T.LongType() if not rerank else T.DoubleType())
-            return df.sparkSession.createDataFrame([], schema)
+            return lit_frame(df.sparkSession, [], schema)
         probe_raw = list(row[0])
     qv = np.floor(np.array(probe_raw, dtype=np.float64) * scale
                   ).astype(np.int64)
@@ -1619,7 +1624,7 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
         schema = df.select(id_field).schema.add(
             "adc_dist" if not rerank else "cos_sim",
             T.LongType() if not rerank else T.DoubleType())
-        return df.sparkSession.createDataFrame([], schema)
+        return lit_frame(df.sparkSession, [], schema)
 
     # IVFADC coarse quantizer (pruning mode): centroids from the
     # served `cells` model, else trained here (float Lloyd — only the
@@ -1690,8 +1695,8 @@ def op_ann_pq(df: DataFrame, config: Mapping, views) -> DataFrame:
            .limit(max(k, rerank)))
     if not rerank:
         return out.limit(k)
-    probe_df = df.sparkSession.createDataFrame(
-        [(probe_raw,)], "__probe array<float>")
+    probe_df = lit_frame(df.sparkSession,
+                         [(probe_raw,)], "__probe array<float>")
     return (out.join(df.select(id_field, field), id_field)
             .join(F.broadcast(probe_df))
             .withColumn("cos_sim", cosine_col(F.col(field),
@@ -1830,8 +1835,9 @@ def op_centroid_drift(df: DataFrame, config: Mapping, views) -> DataFrame:
     nt, mt = side(False, "batch")
     agg = assigned.groupBy("cell").agg(nb, mb, nt, mt)
 
-    all_cells = df.sparkSession.createDataFrame(
-        [(int(c),) for c in range(qc.shape[0])], "cell int")
+    all_cells = lit_frame(df.sparkSession,
+                          [(int(c),) for c in range(qc.shape[0])],
+                          "cell int")
     # both sides are k rows post-agg; no broadcast hint (a left-side
     # build hint on a LEFT join is unsupported and only warns)
     out = (all_cells.join(agg, "cell", "left")
@@ -2124,7 +2130,7 @@ def op_ann_pq_versioned(df: DataFrame, config: Mapping, views) -> DataFrame:
                     row[0], dtype=np.float64)).all()):
             schema = df.select(id_field).schema.add("adc_dist",
                                                     T.LongType())
-            return df.sparkSession.createDataFrame([], schema)
+            return lit_frame(df.sparkSession, [], schema)
         probe_raw = list(row[0])
     qv = np.floor(np.array(probe_raw, dtype=np.float64) * scale
                   ).astype(np.int64)
@@ -2210,8 +2216,8 @@ def _persist_model_version(spark, model_root: str,
         os.path.join(vdir, "books"))
     cells_rows = [(int(c), [int(v) for v in qcells[c]])
                   for c in range(qcells.shape[0])]
-    spark.createDataFrame(
-        cells_rows, "cell int, q_centroid array<bigint>"
+    lit_frame(
+        spark, cells_rows, "cell int, q_centroid array<bigint>"
     ).write.mode("error").parquet(os.path.join(vdir, "cells"))
     return store_swap(model_root, ver, expect=cur)
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.parallel import fan_out
+from ..operators.parallel import fan_out, lit_frame
 from ..operators.registry import register
 from .text import tokens_col
 
@@ -138,10 +138,8 @@ def op_train_bpe(df: DataFrame, config: Mapping, views) -> DataFrame:
         vocab, num_merges, int(config.get("min_pair_count", 2)))
     spark = df.sparkSession
     schema = "rank int, left string, right string"
-    if not merges:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)], schema)
+    return lit_frame(
+        spark, [(i, a, b) for i, (a, b) in enumerate(merges)], schema)
 
 
 @register("bpe_apply")

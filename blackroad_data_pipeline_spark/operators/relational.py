@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .parallel import lit_frame
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -1228,7 +1229,7 @@ def _pinned_rank_value(values: DataFrame, keys: list, q_ppb: int,
         # all-null input: one NULL row so a crossJoin keeps the frame
         # (an empty frame would wipe every row downstream)
         spark = values.sparkSession
-        return spark.createDataFrame([(None,)], f"{out} double")
+        return lit_frame(spark, [(None,)], f"{out} double")
     k = max((q_ppb * total + ppb - 1) // ppb, 1)
     return (ranged.withColumn("__rn", running)
             .filter(F.col("__rn") == int(k))
@@ -1290,7 +1291,7 @@ def op_mad_outlier(df: DataFrame, config: Mapping, views) -> DataFrame:
             frame, max_groups, "mad_outlier", by)]
         if not rows and not by:
             rows = [(None,)]   # keep the crossJoin from wiping rows
-        return spark.createDataFrame(rows, schema)
+        return lit_frame(spark, rows, schema)
 
     med = localize(_pinned_rank_value(nn.select(*by, v.alias("__v")), by,
                                       half, "__med", n_parts), "__med")

@@ -1360,6 +1360,43 @@ def test_dedup_near_against_band_store(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [11]
 
 
+def test_dedup_near_against_batch_bands_precomputed(spark):
+    """Round 14: ``batch_bands`` reuses a band table computed from a
+    SUPERSET of the batch (the day's just-written store) instead of
+    re-running the signature kernel. Output must equal the default
+    re-sign path exactly — including when the table carries ids the
+    batch no longer has (within-day dropped docs must not leak)."""
+    cfg = {"field": "text", "shingle_size": 3, "bands": 4,
+           "rows_per_band": 4}
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"])
+    store = op("minhash_bands", history, cfg, views={})
+    day = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "entirely different words that share no band"),
+         (12, "a within-day duplicate dropped before the against")],
+        ["doc_id", "text"])
+    batch = day.filter("doc_id != 12")
+    day_bands = op("minhash_bands", day, cfg, views={})  # superset
+    plain = op("dedup_near_against", batch,
+               {**cfg, "history": store, "history_is_bands": True},
+               views={})
+    reused = op("dedup_near_against", batch,
+                {**cfg, "history": store, "history_is_bands": True,
+                 "batch_bands": day_bands}, views={})
+    want = sorted(r["doc_id"] for r in plain.collect())
+    assert sorted(r["doc_id"] for r in reused.collect()) == want == [11]
+    # raw-history (verify) mode composes with batch_bands too
+    plain_v = op("dedup_near_against", batch,
+                 {**cfg, "history": history, "threshold": 0.5}, views={})
+    reused_v = op("dedup_near_against", batch,
+                  {**cfg, "history": history, "threshold": 0.5,
+                   "batch_bands": day_bands}, views={})
+    assert (sorted(r["doc_id"] for r in reused_v.collect())
+            == sorted(r["doc_id"] for r in plain_v.collect()))
+
+
 def test_incremental_daily_ingest_end_to_end(spark):
     """The composed 100 TB daily-ingest story (VERDICT r6 #7): three
     successive 'days' flow through the WHOLE incremental family —
