@@ -2269,12 +2269,20 @@ def q_ann_pq_versioned(spark, sf_dir):
     batch = op("sql", e, {"query":
                           "SELECT * FROM self WHERE vec_id % 2 = 1"},
                views={})
-    books0 = op("pq_encode", e, {**_PQ_CFG, "emit": "books"})
-    mixed = op("model_refresh", batch,
-               {**_PQ_CFG, "threshold": 0.0, "n_cells": 4,
-                "cells": cells, "books": books0, "baseline": base,
-                "store": e}, views={})
-    books1 = op("pq_encode", batch, {**_PQ_CFG, "emit": "books"})
+    # books1 (the window retrain replay) is independent of books0 and
+    # of the refresh chain — train it concurrently (guide §2.6) so its
+    # seed/refine jobs back-fill the chain's idle capacity (round 14)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        f_books1 = _pool.submit(
+            op, "pq_encode", batch, {**_PQ_CFG, "emit": "books"})
+        books0 = op("pq_encode", e, {**_PQ_CFG, "emit": "books"})
+        mixed = op("model_refresh", batch,
+                   {**_PQ_CFG, "threshold": 0.0, "n_cells": 4,
+                    "cells": cells, "books": books0, "baseline": base,
+                    "store": e}, views={})
+        books1 = f_books1.result()
     vbooks = (books0.withColumn("model_version", F.lit(0))
               .unionByName(books1.withColumn("model_version", F.lit(1))))
     out = op("ann_pq_versioned", e,

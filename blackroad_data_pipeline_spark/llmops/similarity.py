@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.parallel import fan_out, lit_frame
+from ..operators.parallel import _leaf_scan_bytes, fan_out, lit_frame
 from ..operators.registry import register
 
 
@@ -1406,6 +1406,16 @@ def _pq_codebooks(qdf: DataFrame, id_col: str, dim: int, m: int, ks: int,
     # same adaptive-width rationale (and the same exact-integer
     # order-independence argument) as _int_centroids
     qdf = fan_out(qdf)
+    # Training reads the quantized frame twice per round plus once for
+    # the seed TakeOrdered, and every pass re-runs the upstream
+    # interpreted per-element floor(x*scale) transform. When the
+    # training input is provably SMALL (leaf scan bytes below 1 GiB —
+    # the scale-adaptive gate; unknown-stats inputs, e.g. already-
+    # checkpointed windows, report 0 and skip), materialize it once so
+    # seed and refine scan stored longs instead (round 14, VERDICT
+    # r13 #5). At corpus scale training streams exactly as before.
+    if 0 < _leaf_scan_bytes(qdf) < (1 << 30):
+        qdf = qdf.localCheckpoint(eager=True)
     order = ([F.xxhash64(F.col(id_col)), F.col(id_col)]
              if seed_order == "hash" else [F.col(id_col)])
     seed = qdf.orderBy(*order).limit(ks).select("__q").collect()
@@ -2013,14 +2023,25 @@ def op_model_refresh(df: DataFrame, config: Mapping, views) -> DataFrame:
               .select(F.col(id_field).alias("__id"),
                       F.transform(F.col(field), lambda x: F.floor(
                           x.cast("double") * F.lit(scale))).alias("__q")))
-    books_new = _pq_codebooks(qbatch, "__id", dim, m, ks, refine,
-                              seed_order, maxq_pq)
+    # the retrain window is a frozen snapshot — materialize it once
+    # (bounded by the window size, which production persists anyway)
+    # and run the two INDEPENDENT trainings (fine books + coarse
+    # quantizer) concurrently: their seed/refine jobs overlap instead
+    # of serializing four scans (guide §2.6; round 14)
+    from concurrent.futures import ThreadPoolExecutor
+
+    qbatch = fan_out(qbatch).localCheckpoint(eager=True)
+    maxq_coarse = _pq_guard(dim, scale)
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        f_books = _pool.submit(_pq_codebooks, qbatch, "__id", dim, m,
+                               ks, refine, seed_order, maxq_pq)
+        f_cells = _pool.submit(_pq_codebooks, qbatch, "__id", dim, 1,
+                               n_cells, refine, seed_order, maxq_coarse)
+        books_new = f_books.result()
+        qc_new = f_cells.result()[0]
     if books_new.size == 0:
         raise ValueError("model_refresh: the drifted window has no "
                          "valid vectors to retrain on")
-    maxq_coarse = _pq_guard(dim, scale)
-    qc_new = _pq_codebooks(qbatch, "__id", dim, 1, n_cells, refine,
-                           seed_order, maxq_coarse)[0]
 
     if config.get("model_root"):
         _persist_model_version(df.sparkSession, config["model_root"],

@@ -26,6 +26,11 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     queries = dict(entry_mod.queries())
+    try:  # bench-only scale probes are capturable too (round 14)
+        import bench
+        queries.update(bench.SCALE_PROBES)
+    except Exception:
+        pass
     for name in names:
         df = queries[name](spark, sf_dir)
         text = df._sc._jvm.PythonSQLUtils.explainString(
