@@ -150,6 +150,75 @@ def fan_out(df: DataFrame, max_width: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+# Types the Arrow LocalRelation path converts with EXACTLY the same
+# semantics as the pickled-RDD path (verified: big ints exact, NaN
+# preserved, NULLs, float32 rounds-to-nearest identically). Timestamps
+# are excluded — the RDD path interprets naive datetimes in the HOST
+# zone while Arrow assumes UTC — as are Decimal/interval/UDT exotics.
+_ARROW_SAFE_ATOMS = None  # populated lazily (pyspark.sql.types import)
+
+
+def _arrow_safe_type(dt) -> bool:
+    from pyspark.sql import types as T
+
+    global _ARROW_SAFE_ATOMS
+    if _ARROW_SAFE_ATOMS is None:
+        _ARROW_SAFE_ATOMS = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+            T.BinaryType, T.DateType)
+    if isinstance(dt, T.ArrayType):
+        return _arrow_safe_type(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _arrow_safe_type(dt.keyType) and _arrow_safe_type(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return all(_arrow_safe_type(f.dataType) for f in dt.fields)
+    return type(dt) in _ARROW_SAFE_ATOMS
+
+
+def arrow_local_frame(spark: SparkSession, rows: list, schema):
+    """Build ``rows`` as an Arrow-backed **LocalRelation** — or return
+    ``None`` when the data/schema cannot be converted faithfully.
+
+    A LocalRelation executes as ``LocalTableScan``: no pickled-RDD
+    scan, no Python-worker round trip on ANY consuming job, and
+    Catalyst sees exact row counts/sizes (broadcast estimates stop
+    being RDD guesses). Measured on this box: ``collect()`` of a
+    20-row literal frame drops 208 ms -> 4 ms; a groupBy over it
+    301 ms -> 83 ms. The caller must treat ``None`` as "use the RDD
+    path" — conversion is attempted optimistically and ANY mismatch
+    (unsafe type, nested Row structs, malformed rows) falls back."""
+    from pyspark.sql import types as T
+
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if isinstance(schema, str):
+            struct = T._parse_datatype_string(schema)
+        elif isinstance(schema, T.StructType):
+            struct = schema
+        else:
+            return None
+        if not isinstance(struct, T.StructType) or not _arrow_safe_type(struct):
+            return None
+        names = struct.fieldNames()
+        pylist = []
+        for r in rows:
+            if isinstance(r, dict):
+                pylist.append(r)
+            elif isinstance(r, (tuple, list)):
+                # Row is a tuple subclass; nested Rows (struct cells
+                # as tuples) make pa raise -> fallback
+                pylist.append(dict(zip(names, r)))
+            else:
+                return None
+        tbl = pa.Table.from_pylist(pylist, schema=to_arrow_schema(struct))
+        return spark.createDataFrame(tbl, schema=struct)
+    except Exception:
+        return None
+
+
 def lit_frame(spark: SparkSession, data, schema):
     """DataFrame over driver-held literal rows (model tables, probe
     rows, group-scalar rebuilds) with partitioning SIZED TO THE DATA.
@@ -160,10 +229,19 @@ def lit_frame(spark: SparkSession, data, schema):
     0.32 s/job vs 0.16 s at one slice on 32 cores, and an EMPTY frame
     pays the same 0.3 s for zero rows. Model/probe frames are consumed
     by several jobs per query (drift gate, assignment scans, serve
-    probes), so the tax multiplies. One slice per 50k rows keeps big
-    driver rebuilds (the connected-components fast path) parallel
-    while model-sized frames ride one task."""
+    probes), so the tax multiplies.
+
+    Round 14: model-sized frames (< 50k rows) additionally go through
+    the Arrow **LocalRelation** path (``arrow_local_frame``) — zero
+    Python-eval tasks per consuming job instead of one. Bigger driver
+    rebuilds (the connected-components fast path) stay on pickled-RDD
+    slices (one per 50k rows): a LocalRelation embeds every row in the
+    plan, which is exactly wrong for bulk data."""
     rows = data if isinstance(data, list) else list(data)
+    if len(rows) < 50_000:
+        df = arrow_local_frame(spark, rows, schema)
+        if df is not None:
+            return df
     slices = max(1, -(-len(rows) // 50_000))
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, slices), schema)

@@ -112,7 +112,12 @@ def test_winnow_position_shift_invariance(spark):
     assert len(inter) >= len(fps[1]) * 0.5
 
 
-def test_winnow_validation_and_plan(spark):
+def test_winnow_validation_and_plan(spark, monkeypatch):
+    # knob-off: the shuffle budgets below pin the AT-SCALE plan shape,
+    # where fan_out is a structural no-op (inputs already wide). The
+    # LocalRelation fixture is 1 partition, so without the knob
+    # fan_out legitimately adds its widening exchange.
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_FANOUT", "0")
     df = spark.createDataFrame([(1, "hello world")],
                                "doc_id long, text string")
     with pytest.raises(ValueError, match="k and window"):

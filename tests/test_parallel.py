@@ -75,3 +75,43 @@ def test_fan_out_rows_survive(spark, monkeypatch):
     out = fan_out(docs.select("doc_id"))
     assert out.count() == n
     assert out.agg(F.countDistinct("doc_id")).first()[0] == n
+
+
+def test_arrow_local_frame_exact_and_local(spark):
+    """lit_frame's Arrow path must (1) build a LocalRelation — no
+    pickled-RDD scan on consuming jobs — (2) preserve values EXACTLY
+    on the safe type set (big int64s, NaN, NULLs, float32 arrays,
+    binary), and (3) fall back (None) on unsafe schemas."""
+    from blackroad_data_pipeline_spark.operators.parallel import (
+        arrow_local_frame,
+        lit_frame,
+    )
+
+    rows = [
+        (2**63 - 1, "a", [1.5, 2.5], b"\x00\xff", float("nan"), True),
+        (-(2**63), None, None, None, -0.0, None),
+    ]
+    schema = ("id long, t string, v array<float>, b binary, "
+              "f double, ok boolean")
+    df = arrow_local_frame(spark, rows, schema)
+    assert df is not None
+    assert "LocalRelation" in df._jdf.queryExecution().optimizedPlan().toString()
+    ref = spark.sparkContext.parallelize(rows, 1)
+    ref_df = spark.createDataFrame(ref, schema)
+    assert df.schema == ref_df.schema
+    got, want = df.collect(), ref_df.collect()
+    import math
+
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            if isinstance(a, float) and isinstance(b, float) \
+                    and math.isnan(a):
+                assert math.isnan(b)
+            else:
+                assert a == b
+    # lit_frame routes through the same path for small lists
+    lf = lit_frame(spark, rows, schema)
+    assert "LocalRelation" in lf._jdf.queryExecution().optimizedPlan().toString()
+    # timestamps are excluded (host-zone vs UTC naive-datetime
+    # semantics differ between the RDD and Arrow paths)
+    assert arrow_local_frame(spark, [(1,)], "ts timestamp") is None
