@@ -636,7 +636,15 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
 
         books = _read("books")
         cells = _read("cells")
+        dedup_done = False
         if books is None or cells is None:
+            # the bootstrap branch consumes the within-batch dedup
+            # FOUR times (guard count, two trainings, the post-branch
+            # checkpoint) — materialize it once up front instead of
+            # re-running the LSH dedup subtree per consumer (the
+            # iterative-loop discipline; round 14)
+            kept = kept.localCheckpoint(eager=True)
+            dedup_done = True
             # Bootstrap GUARD: freezing books/cells from an empty or
             # near-empty first drain persists degenerate models, after
             # which pq_encode's empty-books path NULL-codes every later
@@ -654,12 +662,25 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
                     f"PQ/IVF models on it")
             # bootstrap: train on the first batch, persist, re-read
             # (the parquet round-trip IS the serving contract — same
-            # books in, same codes out, pytest-pinned in batch mode)
-            op("pq_encode", kept, {**pq_cfg, "emit": "books"}) \
-                .write.mode("overwrite").parquet(f"{model_dir}/books")
-            op("ivf_assign", kept,
-               {**pq_cfg, "n_cells": n_cells, "emit": "cells"}) \
-                .write.mode("overwrite").parquet(f"{model_dir}/cells")
+            # books in, same codes out, pytest-pinned in batch mode).
+            # The two trainings are INDEPENDENT jobs over the frozen
+            # batch — overlap them (guide §2.6, the model_refresh
+            # pattern); each training is self-contained and exact
+            # integer Lloyd sums are reduction-order independent.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _train_books():
+                op("pq_encode", kept, {**pq_cfg, "emit": "books"}) \
+                    .write.mode("overwrite").parquet(f"{model_dir}/books")
+
+            def _train_cells():
+                op("ivf_assign", kept,
+                   {**pq_cfg, "n_cells": n_cells, "emit": "cells"}) \
+                    .write.mode("overwrite").parquet(f"{model_dir}/cells")
+
+            with ThreadPoolExecutor(max_workers=2) as _pool:
+                fb, fc = _pool.submit(_train_books), _pool.submit(_train_cells)
+                fb.result(), fc.result()
             books, cells = _read("books"), _read("cells")
 
         store = None
@@ -680,8 +701,10 @@ def run_stream_vector_ingest(df: DataFrame, path: str, checkpoint: str,
                       {"bits": bits, "field": field})
             kept = op("dedup_embedding_against", kept,
                       {**dd_cfg, "history": hist}, views={})
+            dedup_done = False  # the against-join extended the plan
 
-        kept = kept.localCheckpoint(eager=True)  # compute the dedup ONCE
+        if not dedup_done:
+            kept = kept.localCheckpoint(eager=True)  # compute the dedup ONCE
         q = op("quantize_embedding", kept,
                {"dim": dim, "bits": bits, "bounds": [lo, hi],
                 "field": field, "as": "q_emb"})
